@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Base-table access for the driver-provided parquet test tables
+  * (TESTDATA.md). Mirrors the reference's per-query view registration
+  * (`sql_client.py:101-149` registers a fresh view per table before each
+  * query); here the "view" is just `spark.read.parquet` + a temp view.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy conf) and
+    // rebuild a proper µs TimestampType column — microsecond truncation
+    // matches the reference's own precision cap (timestamp precision 6,
+    // destination_client.py:1581).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  // Re-registering 10 parquet tables (footer reads + schema inference) per
+  // query call costs seconds; cache per (session, dir). "Always replace
+  // view" in the reference (sql_client.py:51-55) exists to pick up new
+  // snapshots — the driver test tables are immutable, so caching is sound.
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Register every base table as a temp view so `spark.sql` can run the
+    * same ANSI SQL text that the DuckDB oracle runs. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    registeredDir.synchronized {
+      if (registeredDir.put(System.identityHashCode(spark), dir) != dir)
+        all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    }
+}

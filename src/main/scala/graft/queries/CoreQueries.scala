@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{t, registerAll}
+
+/** Core relational surface — the queries the reference can only answer by
+  * delegating to DuckDB (`sql_client.py:142-146`, `tests/test_dataset.py`)
+  * re-expressed natively on Spark.
+  *
+  * Two styles on purpose:
+  *  - `shared`: one ANSI SQL text executed verbatim by BOTH Spark SQL and
+  *    the DuckDB oracle — demonstrates the delegated-SQL parity surface.
+  *  - `dfApi`: idiomatic DataFrame/Dataset implementations (what a Spark
+  *    user would write) with a separate equivalent oracle SQL.
+  *
+  * All money aggregates are ROUNDed to 2 decimals and CAST on both sides so
+  * double summation order (Spark partial aggregation vs DuckDB) cannot flip
+  * the hash compare. Timestamps are reduced to DATE / month strings before
+  * being returned, so parquet tz-annotation differences don't matter.
+  */
+object CoreQueries {
+
+  /** SQL run identically in Spark and DuckDB (dialect-common subset). */
+  val shared: Map[String, String] = Map(
+    // TPC-H Q1-style pricing summary: scan + filter + hash agg
+    // (partial+final map-side combine is automatic in Spark).
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(AVG(l_quantity), 2) AS DOUBLE) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // The reference's own flagship SQL test (tests/test_dataset.py:215-221):
+    // join + group-by + order-by.
+    "q3_join_agg" ->
+      """SELECT c.c_name AS c_name,
+        |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total_amount
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_name
+        |ORDER BY c.c_name""".stripMargin,
+
+    // 4-way join up the dimension chain; small dims get broadcast by AQE.
+    "q4_region_revenue" ->
+      """SELECT r.r_name AS r_name, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY r.r_name""".stripMargin,
+
+    // GROUP BY + HAVING
+    "q12_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""".stripMargin,
+
+    // temporal bucketing (month) — mirrors the `month` partition transform
+    // family (partition_builder.py:259-266) as a query.
+    "q13_month_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)""".stripMargin,
+
+    // CASE expression + conditional aggregation
+    "q14_case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CASE WHEN o_totalprice < 50000 THEN 'small'
+        |              WHEN o_totalprice < 200000 THEN 'medium'
+        |              ELSE 'large' END""".stripMargin,
+
+    // event-time daily rollup over the ns-precision stream table
+    "q15_events_daily" ->
+      """SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
+
+    // scalar subquery
+    "q17_above_avg" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)""".stripMargin
+  )
+
+  /** DataFrame-API implementations, each with an equivalent oracle SQL. */
+  val dfApi: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    // projection + predicate (pushed to the parquet scan by Catalyst) —
+    // the reference's products query shape (tests/test_dataset.py:163-167).
+    "q2_filter_project" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "part")
+          .filter(col("p_retailprice") > 910 && col("p_type") === "STANDARD")
+          .select(col("p_name"), col("p_retailprice")),
+      """SELECT p_name, p_retailprice FROM part
+        |WHERE p_retailprice > 910 AND p_type = 'STANDARD'""".stripMargin)),
+
+    // window function: per-customer top-3 orders (deterministic tiebreak)
+    "q5_window_topn" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x WHERE rn <= 3""".stripMargin)),
+
+    // DISTINCT
+    "q6_distinct" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer").select(col("c_mktsegment")).distinct(),
+      "SELECT DISTINCT c_mktsegment FROM customer")),
+
+    // ORDER BY + LIMIT with a unique tiebreak (deterministic top-k)
+    "q7_topn_orders" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .limit(10),
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // UNION (set semantics = union + distinct in Spark)
+    "q8_union_distinct" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+          .distinct(),
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier""".stripMargin)),
+
+    // EXCEPT: customers whose max order lands in (400k, 450k]
+    "q9_except" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+          .except(o.filter(col("o_totalprice") > 450000).select(col("o_custkey")))
+      },
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 450000""".stripMargin)),
+
+    // left-semi join = EXISTS probe (reference J4 `_load_record_exists`,
+    // destination_client.py:1139-1150, generalized)
+    "q10_semi_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val bigOrders = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey"))
+        t(s, dir, "customer")
+          .join(bigOrders, Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)),
+
+    // left-anti join = NOT EXISTS — the core building block of the
+    // delete-insert/upsert dispositions (merge_utils.py:17-42 → SURVEY J2/J3)
+    "q11_anti_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val bigOrders = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 350000)
+          .select(col("o_custkey").as("c_custkey"))
+        t(s, dir, "customer")
+          .join(bigOrders, Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)""".stripMargin)),
+
+    // IN-subquery membership (reference P4 `In(pk, values)` generalized to a
+    // semi-join, which scales past expression-size limits)
+    "q16_in_subquery" -> ((
+      (s: SparkSession, dir: String) => {
+        val building = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))
+        t(s, dir, "orders")
+          .join(building, Seq("o_custkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).cast("double").as("revenue"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    shared.map { case (name, sql) =>
+      name -> ((s: SparkSession, dir: String) => { registerAll(s, dir); s.sql(sql) })
+    } ++ dfApi.map { case (name, (fn, _)) => name -> fn }
+
+  def oracleSql: Map[String, String] =
+    shared ++ dfApi.map { case (name, (_, sql)) => name -> sql }
+}
