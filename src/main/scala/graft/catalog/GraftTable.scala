@@ -1,0 +1,161 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, _}
+import scala.jdk.CollectionConverters._
+
+/** Handle to one committed table: snapshot reads, time travel, and the
+  * atomic CAS commit protocol.
+  *
+  * Commit protocol (SURVEY §7.0): the next metadata version number is the
+  * CAS token. `Files.write(CREATE_NEW)` on `metadata/v<N+1>.metadata.json`
+  * succeeds for exactly one writer; the loser observes
+  * FileAlreadyExistsException, rereads the freshest metadata, re-applies
+  * its update function (rebase) and retries — the same
+  * refresh-before-retry recovery as the reference
+  * (`destination.py:428-435`, `error_handling.py:44-70`).
+  */
+final class GraftTable(val spark: SparkSession, val dir: Path) {
+
+  def metadataDir: Path = dir.resolve("metadata")
+  def dataDir: Path = dir.resolve("data")
+
+  /** Current metadata = highest-version metadata file, discovered by
+    * version-sorted directory scan with a version-hint fast path — the
+    * reference's `_find_latest_metadata` (`sql_client.py:151-222`). */
+  def currentVersion: Int = {
+    val hint = metadataDir.resolve("version-hint.text")
+    val hinted =
+      if (Files.exists(hint))
+        scala.util.Try(new String(Files.readAllBytes(hint), UTF_8).trim.toInt)
+          .getOrElse(0)
+      else 0
+    // The hint is advisory (written after the CAS) — trust it only if no
+    // higher version exists on disk.
+    val scanned = listVersions.maxOption.getOrElse(0)
+    math.max(hinted, scanned)
+  }
+
+  private def listVersions: Seq[Int] =
+    if (!Files.isDirectory(metadataDir)) Nil
+    else Files.list(metadataDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case MetadataFileName(v) => v }
+      .toSeq
+
+  private object MetadataFileName {
+    private val Re = raw"v(\d+)\.metadata\.json".r
+    def unapply(name: String): Option[Int] = name match {
+      case Re(v) => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  private def versionPath(v: Int): Path =
+    metadataDir.resolve(s"v$v.metadata.json")
+
+  def metadata: TableMetadata = metadataAt(currentVersion)
+
+  def metadataAt(version: Int): TableMetadata = {
+    val p = versionPath(version)
+    if (!Files.exists(p)) throw new NoSuchTableError(dir.toString)
+    TableMetadata.fromJson(new String(Files.readAllBytes(p), UTF_8))
+  }
+
+  /** Read the current snapshot as a DataFrame with the committed schema.
+    * Files written under older schema versions null-fill missing columns
+    * via the imposed read schema (sparse semantics, `test_sparse_schema
+    * .py:80-106`). Empty table ⇒ empty DataFrame with the right schema. */
+  def read(): DataFrame = readFiles(metadata, metadata.currentFiles)
+
+  /** Time travel: read the file set of a specific snapshot. */
+  def readSnapshot(snapshotId: Long): DataFrame = {
+    val m = metadata
+    val snap = m.snapshots.find(_.snapshotId == snapshotId)
+      .getOrElse(throw new ValidationError(
+        s"No snapshot $snapshotId in ${m.identifier}"))
+    readFiles(m, snap.files)
+  }
+
+  private def readFiles(m: TableMetadata, files: Seq[DataFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    else
+      spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+
+  /** Prune the current file set to those whose [min,max] stats could
+    * contain a key in [lo, hi] for `column` — the scan-side analogue of
+    * Iceberg manifest pruning, and the merge path's affected-file
+    * selection. Files without stats are conservatively kept. */
+  def filesOverlapping(m: TableMetadata, column: String, lo: String, hi: String): Seq[DataFile] = {
+    val dt = m.schema.fields.find(_.name == column).map(_.dataType)
+    m.currentFiles.filter { f =>
+      f.stats.get(column) match {
+        case Some(ColumnStats(Some(mn), Some(mx), _)) =>
+          dt.forall(t => compareTyped(t, mx, lo) >= 0 && compareTyped(t, mn, hi) <= 0)
+        case _ => true
+      }
+    }
+  }
+
+  private def compareTyped(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b) // strings, ISO dates/timestamps sort lexically
+  }
+
+  /** Atomic commit: reread freshest metadata, apply `update`, CAS-write the
+    * next version. Retries with exponential backoff on conflict. */
+  def commit(update: TableMetadata => TableMetadata,
+      maxRetries: Int = 5, backoffBase: Double = 2.0, unitMs: Long = 1000L): TableMetadata =
+    Retry.withRetries(maxRetries, backoffBase, unitMs) { () =>
+      val v = currentVersion
+      val fresh = metadataAt(v)
+      val next = update(fresh)
+      writeVersion(v + 1, next)
+      next
+    }
+
+  private def writeVersion(version: Int, m: TableMetadata): Unit = {
+    Files.createDirectories(metadataDir)
+    val target = versionPath(version)
+    try
+      Files.write(target, TableMetadata.toJson(m).getBytes(UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictError(m.identifier, version, e)
+      case e: java.io.IOException =>
+        throw new CommitFailedError(m.identifier, e)
+    }
+    // Advisory fast-path pointer, updated atomically after the CAS.
+    val hint = metadataDir.resolve("version-hint.text")
+    val tmp = metadataDir.resolve(s".version-hint.$version.tmp")
+    Files.write(tmp, version.toString.getBytes(UTF_8))
+    Files.move(tmp, hint, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object GraftTable {
+  /** Bootstrap v1 metadata for a new table (CAS on v1 rejects concurrent
+    * double-create). */
+  def create(spark: SparkSession, dir: Path, m: TableMetadata): GraftTable = {
+    val t = new GraftTable(spark, dir)
+    Files.createDirectories(t.metadataDir)
+    try
+      Files.write(t.metadataDir.resolve("v1.metadata.json"),
+        TableMetadata.toJson(m).getBytes(UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsError(m.identifier)
+    }
+    t
+  }
+}
