@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Session registration for the engine's custom Catalyst expressions, so
+  * they are callable from both the Column API (`call_function`) and SQL
+  * text. Idempotent. */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "iceberg_bucket",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "iceberg_bucket(col, numBuckets)")
+        val n = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"iceberg_bucket numBuckets must be an integer literal, got $other")
+        }
+        IcebergBucket(exprs.head, n)
+      },
+      "built-in")
+  }
+}
