@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.WriteQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracleSql
+    graft.queries.CoreQueries.oracleSql ++
+      graft.queries.WriteQueries.oracleSql
 }

@@ -17,6 +17,8 @@ final class GraftCatalog(val spark: SparkSession, warehouse: String) {
 
   val warehousePath: Path = Paths.get(warehouse)
   Files.createDirectories(warehousePath)
+  // engine expressions (iceberg_bucket, ...) resolve via the session registry
+  graft.functions.GraftFunctions.register(spark)
 
   private def nsDir(ns: String): Path = warehousePath.resolve(ns)
   private def tableDir(ns: String, table: String): Path = nsDir(ns).resolve(table)

@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.GraftCatalog
+import graft.write.{Append, Disposition, GraftWriter, WriteConfig}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Load orchestration + pipeline metadata tables — the Spark rebuild of
+  * the reference's load lifecycle (`destination_client.py:933-1106`):
+  * batches accumulate per table, `completeLoad` commits one snapshot per
+  * table per load (table-sequential, like the reference's
+  * `loader_parallelism_strategy="table-sequential"`), then records the
+  * load in `_dlt_loads` idempotently.
+  */
+final class GraftPipeline(
+    val catalog: GraftCatalog,
+    val namespace: String,
+    val schemaName: String = "default",
+    val pipelineName: String = "pipeline") {
+
+  import GraftPipeline._
+
+  private def spark: SparkSession = catalog.spark
+  private val writer = new GraftWriter(catalog)
+
+  private case class Pending(df: DataFrame, disposition: Disposition, cfg: WriteConfig)
+  private val pending = mutable.LinkedHashMap.empty[String, mutable.Buffer[Pending]]
+
+  /** Stage one job file's worth of data for `table` in the current load
+    * (`create_load_job` → `_PENDING_FILES`, destination_client.py:933-975). */
+  def stage(table: String, df: DataFrame,
+      disposition: Disposition = Append,
+      cfg: WriteConfig = WriteConfig()): Unit = synchronized {
+    pending.getOrElseUpdate(table, mutable.Buffer.empty) += Pending(df, disposition, cfg)
+  }
+
+  /** Commit every staged table (one snapshot per table), then record the
+    * load. Idempotent by load_id: if `_dlt_loads` already has the id, the
+    * whole load is skipped — the reference's ambiguous-write recovery
+    * (`destination_client.py:1057-1076`). */
+  def completeLoad(loadId: String): Unit = synchronized {
+    if (loadRecordExists(loadId)) { pending.clear(); return }
+    pending.foreach { case (table, jobs) =>
+      val disposition = jobs.head.disposition
+      val cfg = jobs.head.cfg
+      writer.writeTable(namespace, table, jobs.map(_.df).toSeq, disposition, cfg, loadId)
+    }
+    pending.clear()
+    recordLoad(loadId, status = 0L)
+  }
+
+  // --- _dlt_loads (destination_client.py:1026-1106; schema FIXTURES A7) ---
+
+  def recordLoad(loadId: String, status: Long): Unit = {
+    val row = Row(loadId, schemaName, status,
+      new java.sql.Timestamp(System.currentTimeMillis()), currentSchemaHash.orNull)
+    val df = spark.createDataFrame(List(row).asJava, LoadsSchema)
+    writer.writeTable(namespace, LoadsTable, Seq(df), Append,
+      WriteConfig(retryUnitMs = 10,
+        requiredColumns = Set("load_id", "status", "inserted_at")), loadId)
+  }
+
+  def loadRecordExists(loadId: String): Boolean =
+    catalog.tableExists(namespace, LoadsTable) && {
+      // predicate prunes to matching files via min/max stats + parquet
+      // row-group filters (J4, destination_client.py:1139-1150)
+      !catalog.loadTable(namespace, LoadsTable).read()
+        .filter(col("load_id") === loadId).limit(1).isEmpty
+    }
+
+  def loads(): DataFrame =
+    catalog.loadTable(namespace, LoadsTable).read()
+
+  // --- _dlt_version schema registry (destination_client.py:583-677) ---
+
+  private var currentSchemaHash: Option[String] = None
+
+  /** Store a schema document if its hash is unseen; returns true if a new
+    * row was written. */
+  def storeSchema(schemaJson: String): Boolean = {
+    val hash = sha256Hex(schemaJson)
+    currentSchemaHash = Some(hash)
+    val exists = catalog.tableExists(namespace, VersionTable) && {
+      !catalog.loadTable(namespace, VersionTable).read()
+        .filter(col("version_hash") === hash).limit(1).isEmpty
+    }
+    if (exists) return false
+    val nextVersion: Long =
+      if (!catalog.tableExists(namespace, VersionTable)) 1L
+      else catalog.loadTable(namespace, VersionTable).read()
+        .filter(col("schema_name") === schemaName)
+        .agg(coalesce(max(col("version")), lit(0L))).collect()(0).getLong(0) + 1L
+    val row = Row(hash, schemaName, nextVersion, EngineVersion,
+      new java.sql.Timestamp(System.currentTimeMillis()), schemaJson)
+    val df = spark.createDataFrame(List(row).asJava, VersionSchema)
+    writer.writeTable(namespace, VersionTable, Seq(df), Append,
+      WriteConfig(retryUnitMs = 10,
+        requiredColumns = VersionSchema.fieldNames.toSet))
+    true
+  }
+
+  /** Newest stored schema for this schema name — argmax(version)
+    * (`_get_newest_schema`, destination_client.py:312-343). */
+  def getStoredSchema: Option[Row] =
+    if (!catalog.tableExists(namespace, VersionTable)) None
+    else catalog.loadTable(namespace, VersionTable).read()
+      .filter(col("schema_name") === schemaName)
+      .orderBy(col("version").desc).limit(1).collect().headOption
+
+  def getStoredSchemaByHash(hash: String): Option[Row] =
+    if (!catalog.tableExists(namespace, VersionTable)) None
+    else catalog.loadTable(namespace, VersionTable).read()
+      .filter(col("version_hash") === hash).limit(1).collect().headOption
+
+  // --- _dlt_pipeline_state (destination_client.py:393-433) ---
+
+  def storeState(state: String, loadId: String): Unit = {
+    val version = getStoredState.map(_.getAs[Long]("version") + 1L).getOrElse(1L)
+    val row = Row(version, EngineVersion, pipelineName, state,
+      new java.sql.Timestamp(System.currentTimeMillis()), sha256Hex(state), loadId)
+    val df = spark.createDataFrame(List(row).asJava, StateSchema)
+    writer.writeTable(namespace, StateTable, Seq(df), Append,
+      WriteConfig(retryUnitMs = 10))
+  }
+
+  /** Latest state row by created_at for this pipeline (A2). */
+  def getStoredState: Option[Row] =
+    if (!catalog.tableExists(namespace, StateTable)) None
+    else catalog.loadTable(namespace, StateTable).read()
+      .filter(col("pipeline_name") === pipelineName)
+      .orderBy(col("created_at").desc, col("version").desc).limit(1)
+      .collect().headOption
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
+object GraftPipeline {
+  val LoadsTable = "_dlt_loads"
+  val VersionTable = "_dlt_version"
+  val StateTable = "_dlt_pipeline_state"
+  val EngineVersion = 1L
+
+  /** Metadata-table schemas per FIXTURES A7 / destination_client.py:631-638,
+    * :1032-1038, :401-428. */
+  val LoadsSchema: StructType = StructType(Seq(
+    StructField("load_id", StringType, nullable = false),
+    StructField("schema_name", StringType, nullable = true),
+    StructField("status", LongType, nullable = false),
+    StructField("inserted_at", TimestampType, nullable = false),
+    StructField("schema_version_hash", StringType, nullable = true)))
+
+  val VersionSchema: StructType = StructType(Seq(
+    StructField("version_hash", StringType, nullable = false),
+    StructField("schema_name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("engine_version", LongType, nullable = false),
+    StructField("inserted_at", TimestampType, nullable = false),
+    StructField("schema", StringType, nullable = false)))
+
+  val StateSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = true),
+    StructField("engine_version", LongType, nullable = true),
+    StructField("pipeline_name", StringType, nullable = true),
+    StructField("state", StringType, nullable = true),
+    StructField("created_at", TimestampType, nullable = true),
+    StructField("version_hash", StringType, nullable = true),
+    StructField("_dlt_load_id", StringType, nullable = true)))
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.catalog.GraftCatalog
+import graft.pipeline.GraftPipeline
+import graft.write._
+
+/** Write-engine operators (SURVEY §2.7 D1-D5, §2.6 C5/C8, §2.1 S5-S6)
+  * exposed as driver-checkable queries: each entry runs a real
+  * write-path scenario through GraftWriter/GraftPipeline against a scratch
+  * warehouse, reads the committed snapshot back, and the oracle SQL
+  * computes the same result relationally in DuckDB over the original
+  * parquet tables.
+  *
+  * Scenario inputs are deterministic key-range slices of `orders`:
+  *   target  = orders with o_orderkey % 3 != 0
+  *   source  = orders with o_orderkey % 2 = 0, totalprice uplifted 10%
+  * so merge results exercise update + insert + untouched rows at every
+  * scale factor.
+  */
+object WriteQueries {
+
+  private def scratch(spark: SparkSession): GraftCatalog =
+    new GraftCatalog(spark,
+      Files.createTempDirectory("graft-q-").toString)
+
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority")
+
+  private def target(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+      .select(orderCols.map(col): _*)
+
+  private def source(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        col("o_orderpriority"))
+
+  private val cfg = WriteConfig(primaryKey = Seq("o_orderkey"), retryUnitMs = 10)
+
+  private def keyPrice(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey"), col("o_totalprice"))
+
+  /** SQL fragments shared by the oracles. */
+  private val targetSql =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority " +
+      "FROM orders WHERE o_orderkey % 3 <> 0"
+  private val sourceSql =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice + 10.0 AS o_totalprice, o_orderpriority " +
+      "FROM orders WHERE o_orderkey % 2 = 0"
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    // D1 append: two loads accumulate; read back via committed snapshots
+    "w1_append" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        val tbl = w.writeTable("main", "orders_t", Seq(source(s, dir)), Append, cfg, "l2")
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
+
+    // D2 replace: second load truncates-and-inserts
+    "w2_replace" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        val tbl = w.writeTable("main", "orders_t", Seq(source(s, dir)), Replace, cfg, "l2")
+        keyPrice(tbl.read())
+      },
+      s"SELECT o_orderkey, o_totalprice FROM ($sourceSql)")),
+
+    // D4 merge/upsert: target rows with matching keys replaced by source,
+    // new keys inserted — oracle is the anti-join + union formulation (J2)
+    "w3_merge_upsert" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Merge("upsert"), cfg, "l1")
+        val tbl = w.writeTable("main", "orders_t", Seq(source(s, dir)), Merge("upsert"), cfg, "l2")
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql) tgt
+         |WHERE tgt.o_orderkey NOT IN (SELECT o_orderkey FROM ($sourceSql))
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
+
+    // D3 merge/delete-insert: same end state as upsert for unique keys —
+    // verified against the same relational oracle, but committed as ONE
+    // snapshot (counted in the returned frame)
+    "w4_merge_delete_insert" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Merge("delete-insert"), cfg, "l1")
+        val tbl = w.writeTable("main", "orders_t", Seq(source(s, dir)),
+          Merge("delete-insert"), cfg, "l2")
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql) tgt
+         |WHERE tgt.o_orderkey NOT IN (SELECT o_orderkey FROM ($sourceSql))
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
+
+    // D5 hard delete: source rows with o_orderkey % 10 = 0 arrive marked
+    // deleted — they vanish from the table and are not inserted
+    "w5_hard_delete" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Merge("delete-insert"), cfg, "l1")
+        val marked = source(s, dir).withColumn("_dlt_deleted_at",
+          when(col("o_orderkey") % 10 === 0, current_timestamp()))
+        val tbl = w.writeTable("main", "orders_t", Seq(marked),
+          Merge("delete-insert"), cfg, "l2")
+        tbl.read().select(col("o_orderkey"))
+      },
+      s"""SELECT o_orderkey FROM ($targetSql) tgt
+         |WHERE tgt.o_orderkey NOT IN (SELECT o_orderkey FROM ($sourceSql))
+         |UNION ALL
+         |SELECT o_orderkey FROM ($sourceSql) WHERE o_orderkey % 10 <> 0""".stripMargin)),
+
+    // C8 evolution + C5 sparse cast: first load without o_orderpriority,
+    // second with it -> old rows read back null, new rows carry values
+    "w6_evolution_sparse" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir).drop("o_orderpriority")), Append, cfg, "l1")
+        val tbl = w.writeTable("main", "orders_t", Seq(source(s, dir)), Append, cfg, "l2")
+        tbl.read().select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      },
+      s"""SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_orderpriority
+         |FROM ($targetSql)
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderpriority FROM ($sourceSql)""".stripMargin)),
+
+    // S2/time travel: read the FIRST snapshot after three loads
+    "w7_time_travel" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        val tbl = w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        val firstSnap = tbl.metadata.currentSnapshotId.get
+        w.writeTable("main", "orders_t", Seq(source(s, dir)), Append, cfg, "l2")
+        w.writeTable("main", "orders_t", Seq(source(s, dir)), Replace, cfg, "l3")
+        tbl.readSnapshot(firstSnap).select(col("o_orderkey"))
+      },
+      s"SELECT o_orderkey FROM ($targetSql)")),
+
+    // pipeline load ledger: two completed loads -> two status-0 rows
+    "w8_load_ledger" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val p = new GraftPipeline(cat, "main", "s1", "pipe")
+        p.stage("orders_t", target(s, dir), Append, cfg)
+        p.completeLoad("load-1")
+        p.stage("orders_t", source(s, dir), Append, cfg)
+        p.completeLoad("load-2")
+        p.loads().select(col("load_id"), col("schema_name"), col("status"))
+      },
+      """SELECT 'load-1' AS load_id, 's1' AS schema_name, CAST(0 AS BIGINT) AS status
+        |UNION ALL
+        |SELECT 'load-2' AS load_id, 's1' AS schema_name, CAST(0 AS BIGINT) AS status""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map { case (n, (fn, _)) => n -> fn }
+
+  def oracleSql: Map[String, String] =
+    entries.map { case (n, (_, sql)) => n -> sql }
+}

@@ -1,0 +1,202 @@
+package graft.write
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog._
+import graft.cast.SafeCast
+import graft.partition.{PartitionHint, Transforms}
+import graft.schema.SchemaEvolution
+import graft.types.TypeLattice
+import graft.write.Stager.canonicalKey
+
+/** Write dispositions (SURVEY §2.7 D1-D7). */
+sealed trait Disposition
+case object Append extends Disposition
+case object Replace extends Disposition
+/** strategy: "upsert" (default for plain merge) or "delete-insert"
+  * (`_get_merge_strategy`, `destination_client.py:1152-1168`). */
+final case class Merge(strategy: String = "upsert") extends Disposition
+
+final case class WriteConfig(
+    primaryKey: Seq[String] = Nil,
+    /** Columns created as required (non-nullable). Everything else defaults
+      * to nullable on table creation, mirroring the reference where
+      * nullability comes from dlt hints and defaults to nullable
+      * (`schema_converter.py:62-64`) — Spark's non-nullable inference from
+      * Scala primitives is not a user intent signal. */
+    requiredColumns: Set[String] = Set.empty,
+    partitions: Seq[PartitionHint] = Nil,
+    hardDeleteColumn: String = "_dlt_deleted_at",
+    strictCasting: Boolean = true,
+    allowColumnDrops: Boolean = false,
+    location: Option[String] = None,
+    maxRetries: Int = 5,
+    backoffBase: Double = 2.0,
+    retryUnitMs: Long = 1000L)
+
+/** The disposition engine — the Spark-native rebuild of
+  * `_commit_table_files` (`destination_client.py:1256-1520`).
+  *
+  * All merge variants are formulated as *anti-join + union snapshot
+  * rewrites* instead of the reference's enumerated Or/And delete filters
+  * (`merge_utils.py:26-42`), which explode on composite keys; the
+  * anti-join shuffles at most the *affected* file subset, chosen via
+  * min/max key stats, and untouched files carry into the new snapshot as
+  * metadata only — the scalable equivalent of Iceberg's file-level delete
+  * pushdown.
+  */
+final class GraftWriter(catalog: GraftCatalog) {
+
+  def spark: SparkSession = catalog.spark
+
+  /** Commit one table's batches for one load as ONE snapshot (two for
+    * upsert+hard-delete, matching the reference's separate transactions,
+    * `destination_client.py:1437-1441`). */
+  def writeTable(ns: String, name: String, batches: Seq[DataFrame],
+      disposition: Disposition, cfg: WriteConfig = WriteConfig(),
+      loadId: String = java.util.UUID.randomUUID().toString): GraftTable = {
+    require(batches.nonEmpty, "no batches to write")
+
+    val incomingSchema = org.apache.spark.sql.types.StructType(
+      TypeLattice.normalize(batches.head.schema).fields.map(f =>
+        f.copy(nullable = !cfg.requiredColumns.contains(f.name))))
+    val exists = catalog.tableExists(ns, name)
+    val t =
+      if (!exists) {
+        val spec = Transforms.buildSpec(cfg.partitions, incomingSchema)
+        catalog.createTable(ns, name, incomingSchema, spec, Map.empty, cfg.location)
+      } else catalog.loadTable(ns, name)
+
+    // Schema evolution before cast (destination_client.py:1341-1348)
+    if (exists) {
+      val evo = SchemaEvolution.evolve(t.metadata.schema, incomingSchema,
+        cfg.allowColumnDrops)
+      if (evo.evolved)
+        t.commit(_.withSchema(evo.schema), cfg.maxRetries, cfg.backoffBase,
+          cfg.retryUnitMs)
+    }
+
+    val m0 = t.metadata
+    val target = m0.schema
+    // Cast every batch to the table schema (C4-C5) and union —
+    // `pa.concat_tables` (destination_client.py:1354-1367), distributed.
+    val combined = batches.map(SafeCast(_, target, cfg.strictCasting))
+      .reduce(_ unionByName _)
+
+    disposition match {
+      case Append => commitAppend(t, m0, combined, loadId, cfg)
+      case Replace => commitReplace(t, m0, combined, loadId, cfg)
+      case Merge(strategy) =>
+        // merge without PK falls back to append (destination_client.py:1399-1403)
+        if (cfg.primaryKey.isEmpty) commitAppend(t, m0, combined, loadId, cfg)
+        else commitMerge(t, m0, combined, cfg.primaryKey, strategy, loadId, cfg)
+    }
+    t
+  }
+
+  private def commitAppend(t: GraftTable, m: TableMetadata, df: DataFrame,
+      loadId: String, cfg: WriteConfig): Unit = {
+    val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec)
+    t.commit(fresh => fresh.withSnapshot("append", Some(loadId),
+      fresh.currentFiles ++ staged), cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+  }
+
+  private def commitReplace(t: GraftTable, m: TableMetadata, df: DataFrame,
+      loadId: String, cfg: WriteConfig): Unit = {
+    val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec)
+    // truncate-and-insert: snapshot references ONLY the new files; old
+    // files stay on disk for time travel (S6)
+    t.commit(fresh => fresh.withSnapshot("overwrite", Some(loadId), staged),
+      cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+  }
+
+  private def commitMerge(t: GraftTable, m: TableMetadata, combined: DataFrame,
+      pks: Seq[String], strategy: String, loadId: String, cfg: WriteConfig): Unit = {
+    val hasMarker = combined.schema.fieldNames.contains(cfg.hardDeleteColumn)
+
+    // Hard-delete split (P3, `_prepare_hard_deletes`,
+    // destination_client.py:1214-1254)
+    val (remaining, hardDeleted) =
+      if (hasMarker)
+        (combined.filter(col(cfg.hardDeleteColumn).isNull),
+          combined.filter(col(cfg.hardDeleteColumn).isNotNull))
+      else (combined, null)
+
+    val remainingIsEmpty = remaining.isEmpty
+    if (hasMarker && remainingIsEmpty) {
+      // all-deletes fast path (destination_client.py:1412-1417)
+      val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
+      rewriteCommit(t, delKeys, pks, Nil, "delete", loadId, cfg)
+      return
+    }
+
+    strategy match {
+      case "delete-insert" =>
+        // ONE atomic commit: hard-deletes + PK deletes + insert
+        // (`_execute_delete_insert`, destination_client.py:1170-1212).
+        // Removal key set = every PK in the batch (marked rows hard-delete,
+        // unmarked rows are replaced by their new versions).
+        val delKeys = combined.select(pks.map(col): _*).distinct()
+        val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec)
+        rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
+
+      case _ => // upsert (default)
+        // duplicate keys in the batch are an error for upsert, mirroring
+        // PyIceberg's upsert contract
+        val dupCount = remaining.groupBy(pks.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        if (dupCount > 0)
+          throw new ValidationError(
+            s"Upsert batch contains duplicate primary keys on (${pks.mkString(", ")})")
+
+        // hard deletes first, as a separate commit (separate PyIceberg
+        // transaction in the reference, destination_client.py:1438-1441)
+        if (hasMarker && !hardDeleted.isEmpty) {
+          val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
+          rewriteCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
+        }
+        val upsertKeys = remaining.select(pks.map(col): _*).distinct()
+        val staged = Stager.stage(remaining, t.dataDir, loadId,
+          t.metadata.partitionSpec)
+        rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
+    }
+  }
+
+  /** The heart of every merge variant: rewrite the key-affected subset of
+    * the current files without the matching rows (left-anti join), carry
+    * unaffected files as metadata, add `stagedNew` files, commit as one
+    * snapshot. Rebase-safe: the rewrite re-runs against fresh metadata on
+    * CAS conflict. */
+  private def rewriteCommit(t: GraftTable, keys: DataFrame, pks: Seq[String],
+      stagedNew: Seq[DataFile], op: String, loadId: String, cfg: WriteConfig): Unit = {
+    val keysCached = keys.cache()
+    try {
+      // key range for file pruning on the first PK column (metadata-scale agg)
+      val pk0 = pks.head
+      val range = keysCached.agg(min(col(pk0)), max(col(pk0))).collect()(0)
+
+      t.commit({ fresh =>
+        val affected: Seq[DataFile] =
+          if (range.isNullAt(0)) Nil
+          else {
+            val dt = fresh.schema(pk0).dataType
+            t.filesOverlapping(fresh, pk0,
+              canonicalKey(dt, range.get(0)), canonicalKey(dt, range.get(1)))
+          }
+        val affectedPaths = affected.map(_.path).toSet
+
+        val rewritten: Seq[DataFile] =
+          if (affected.isEmpty) Nil
+          else {
+            val affectedDf = spark.read.schema(fresh.schema)
+              .parquet(affected.map(_.path): _*)
+            val kept = affectedDf.join(keysCached, pks, "left_anti")
+            Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec)
+          }
+
+        val untouched = fresh.currentFiles.filterNot(f => affectedPaths.contains(f.path))
+        fresh.withSnapshot(op, Some(loadId), untouched ++ rewritten ++ stagedNew)
+      }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    } finally keysCached.unpersist()
+  }
+}

@@ -1,0 +1,126 @@
+package graft.write
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.{ColumnStats, DataFile, PartitionFieldSpec}
+import graft.partition.Transforms
+import scala.jdk.CollectionConverters._
+
+/** Stages a DataFrame as parquet under the table's data directory and
+  * returns `DataFile` entries with per-file column min/max/null stats —
+  * the role Iceberg writers' manifest stats play for the reference's
+  * predicate-pushdown scans (`destination_client.py:320-322`).
+  *
+  * Scale notes:
+  *  - the write is a plain distributed `df.write.parquet`;
+  *  - when a partition spec exists, rows are repartitioned by the derived
+  *    transform expressions first, so each output file covers a narrow
+  *    range of partition values and the per-file stats become an effective
+  *    manifest-level pruning index (incl. exact pruning for bucket values,
+  *    since hash-repartitioning co-locates equal bucket values);
+  *  - stats are computed in ONE distributed pass over the freshly written
+  *    files (`groupBy(input_file_name())`), output is metadata-sized.
+  */
+object Stager {
+
+  /** Canonical stat encoding per type: temporal types stored as epoch
+    * longs so pruning comparisons are numeric (see
+    * `GraftTable.filesOverlapping`). */
+  def statColumn(c: Column, dt: DataType): Option[Column] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | _: DecimalType | StringType =>
+      Some(c.cast(StringType))
+    case DateType => Some(datediff(c, lit("1970-01-01")).cast(StringType))
+    case TimestampType | TimestampNTZType => Some(unix_micros(c.cast(TimestampType)).cast(StringType))
+    case _ => None // binary/bool/nested: no stats
+  }
+
+  def canonicalKey(dt: DataType, v: Any): String = dt match {
+    case DateType => v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      case i: Int => i.toString
+      case other => other.toString
+    }
+    case TimestampType | TimestampNTZType => v match {
+      case t: java.sql.Timestamp => (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
+      case l: Long => l.toString
+      case other => other.toString
+    }
+    case _ => v.toString
+  }
+
+  /** Write `df` under `dataDir/<loadId>-<uuid>` and return the staged
+    * files with stats. `spec` optionally clusters the write by partition
+    * transforms. */
+  def stage(df: DataFrame, dataDir: Path, loadId: String,
+      spec: Seq[PartitionFieldSpec] = Nil): Seq[DataFile] = {
+    val spark = df.sparkSession
+    val dest = dataDir.resolve(s"$loadId-${java.util.UUID.randomUUID().toString.take(8)}")
+
+    val schema = df.schema
+    val clustered =
+      if (spec.isEmpty) df
+      else df.repartition(spec.map(s =>
+        Transforms.expression(s, schema(s.source).dataType)): _*)
+
+    clustered.write.parquet(dest.toString)
+
+    val files = Files.walk(dest).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    if (files.isEmpty) return Nil
+
+    collectStats(spark, files, schema, spec)
+  }
+
+  /** One distributed pass computing per-file rowCount + per-column
+    * min/max/nullCount, including derived partition-transform values. */
+  def collectStats(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+      schema: StructType, spec: Seq[PartitionFieldSpec]): Seq[DataFile] = {
+    val base = spark.read.schema(schema).parquet(files: _*)
+    val withDerived = spec.foldLeft(base) { (d, s) =>
+      d.withColumn(s.name, Transforms.expression(s, schema(s.source).dataType))
+    }
+    val fullSchema = withDerived.schema
+
+    val statAggs: Seq[(String, Seq[Column])] = fullSchema.fields.toSeq.flatMap { f =>
+      statColumn(col(f.name), f.dataType).map { sc =>
+        f.name -> Seq(
+          min(sc).as(s"min__${f.name}"),
+          max(sc).as(s"max__${f.name}"),
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}"))
+      }
+    }
+    val aggCols = count(lit(1)).as("__rows") +: statAggs.flatMap(_._2)
+    val rows = withDerived
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect() // one row per staged file: metadata-scale
+
+    val byFile = rows.map { r =>
+      val stats = statAggs.map { case (name, _) =>
+        name -> ColumnStats(
+          Option(r.getAs[String](s"min__$name")),
+          Option(r.getAs[String](s"max__$name")),
+          Option(r.getAs[Long](s"nulls__$name")))
+      }.toMap
+      normalizeFileUri(r.getAs[String]("__file")) ->
+        (r.getAs[Long]("__rows"), stats)
+    }.toMap
+
+    files.flatMap { f =>
+      // a file absent from the agg output contains 0 rows (e.g. an
+      // anti-join that removed everything) — drop it from the snapshot
+      byFile.get(f).orElse(byFile.get(normalizeFileUri(f))).collect {
+        case (rowCount, stats) if rowCount > 0 =>
+          DataFile(f, rowCount,
+            java.nio.file.Files.size(java.nio.file.Paths.get(f)), stats)
+      }
+    }
+  }
+
+  private def normalizeFileUri(p: String): String =
+    p.stripPrefix("file://").stripPrefix("file:")
+}

@@ -1,0 +1,256 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.pipeline.GraftPipeline
+import graft.write._
+import graft.partition.PartitionHint
+import scala.jdk.CollectionConverters._
+
+/** Ports of the reference's write-path e2e tier: dispositions
+  * (test_merge_disposition.py, test_delete_insert_merge.py), hard delete
+  * (test_capabilities.py:34-223), evolution-on-write
+  * (test_schema_evolution.py), atomicity + ledger
+  * (test_class_based_atomic.py), state sync (test_state_sync_e2e.py). */
+class WriteEngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-we-").toString)
+
+  private def users(rows: (Long, String, Long)*): DataFrame =
+    rows.toSeq.toDF("user_id", "username", "score")
+
+  private val fastCfg = WriteConfig(retryUnitMs = 1)
+  private def pkCfg = fastCfg.copy(primaryKey = Seq("user_id"))
+
+  test("append twice: two snapshots, rows accumulate") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, fastCfg, "l1")
+    w.writeTable("main", "u", Seq(users((2, "b", 20))), Append, fastCfg, "l2")
+    val t = cat.loadTable("main", "u")
+    assert(t.metadata.snapshots.map(_.operation) == Seq("append", "append"))
+    assert(t.read().count() == 2)
+  }
+
+  test("multiple batches in one load produce ONE snapshot") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u",
+      Seq(users((1, "a", 1)), users((2, "b", 2)), users((3, "c", 3))),
+      Append, fastCfg, "load1")
+    val t = cat.loadTable("main", "u")
+    assert(t.metadata.snapshots.size == 1)
+    assert(t.read().count() == 3)
+  }
+
+  test("replace truncates-and-inserts") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(users((1, "a", 1), (2, "b", 2))), Append, fastCfg, "l1")
+    w.writeTable("main", "u", Seq(users((9, "z", 9))), Replace, fastCfg, "l2")
+    val rows = cat.loadTable("main", "u").read().collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 9L)
+  }
+
+  test("merge upsert: PKs [1,2,3] + [2,3,4] => [1,2,3,4], 2-3 updated not duplicated") {
+    // test_merge_disposition.py:50-79 scenario
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(users((1, "a", 1), (2, "b", 2), (3, "c", 3))),
+      Merge("upsert"), pkCfg, "l1")
+    w.writeTable("main", "u", Seq(users((2, "b2", 20), (3, "c2", 30), (4, "d", 40))),
+      Merge("upsert"), pkCfg, "l2")
+    val got = cat.loadTable("main", "u").read()
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a", 1L), (2L, "b2", 20L), (3L, "c2", 30L), (4L, "d", 40L)))
+  }
+
+  test("delete-insert with composite keys keeps all versions distinct") {
+    // test_delete_insert_merge.py:116-141 composite-key scenario
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = fastCfg.copy(primaryKey = Seq("user_id", "event_date"))
+    def batch(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("user_id", "event_date", "count")
+    w.writeTable("main", "ev", Seq(batch((1, "2024-01-01", 5), (1, "2024-01-02", 7),
+      (2, "2024-01-01", 3))), Merge("delete-insert"), cfg, "l1")
+    w.writeTable("main", "ev", Seq(batch((1, "2024-01-02", 9), (2, "2024-01-02", 4))),
+      Merge("delete-insert"), cfg, "l2")
+    val got = cat.loadTable("main", "ev").read()
+      .orderBy("user_id", "event_date").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 5L), (1L, "2024-01-02", 9L),
+      (2L, "2024-01-01", 3L), (2L, "2024-01-02", 4L)))
+    // delete-insert commits exactly one snapshot per load
+    assert(cat.loadTable("main", "ev").metadata.snapshots.size == 2)
+  }
+
+  test("upsert rejects duplicate primary keys in the batch") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    intercept[ValidationError] {
+      w.writeTable("main", "u", Seq(users((1, "a", 1), (1, "dup", 2))),
+        Merge("upsert"), pkCfg, "l1")
+    }
+  }
+
+  test("merge without primary key falls back to append") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(users((1, "a", 1))), Merge("upsert"), fastCfg, "l1")
+    w.writeTable("main", "u", Seq(users((1, "a", 1))), Merge("upsert"), fastCfg, "l2")
+    assert(cat.loadTable("main", "u").read().count() == 2) // appended, not merged
+  }
+
+  private val hdSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("username", StringType),
+    StructField("_dlt_deleted_at", TimestampType)))
+  private def hdBatch(rows: (Long, String, String)*): DataFrame =
+    spark.createDataFrame(rows.map { case (id, n, del) =>
+      Row(id, n, Option(del).map(Timestamp.valueOf).orNull)
+    }.asJava, hdSchema)
+
+  test("hard delete (delete-insert): mixed update/delete/insert in one snapshot") {
+    // test_capabilities.py:34-93
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(hdBatch(
+      (1, "a", null), (2, "b", null), (3, "c", null))),
+      Merge("delete-insert"), pkCfg, "l1")
+    w.writeTable("main", "u", Seq(hdBatch(
+      (1, "a2", null),                       // update
+      (2, "b", "2024-06-01 00:00:00"),       // hard delete
+      (4, "d", null))),                      // insert
+      Merge("delete-insert"), pkCfg, "l2")
+    val t = cat.loadTable("main", "u")
+    val got = t.read().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+    assert(t.metadata.snapshots.size == 2) // atomic: 1 snapshot for load 2
+  }
+
+  test("hard delete (upsert): delete happens in its own snapshot before upsert") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(hdBatch((1, "a", null), (2, "b", null))),
+      Merge("upsert"), pkCfg, "l1")
+    w.writeTable("main", "u", Seq(hdBatch(
+      (1, "a2", null), (2, "b", "2024-06-01 00:00:00"))),
+      Merge("upsert"), pkCfg, "l2")
+    val t = cat.loadTable("main", "u")
+    val got = t.read().orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2")))
+    assert(t.metadata.snapshots.map(_.operation) == Seq("upsert", "delete", "upsert"))
+  }
+
+  test("all-rows-hard-delete fast path: single delete snapshot, no insert") {
+    // test_capabilities.py:161-223
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(hdBatch((1, "a", null), (2, "b", null))),
+      Merge("delete-insert"), pkCfg, "l1")
+    w.writeTable("main", "u", Seq(hdBatch(
+      (1, "a", "2024-06-01 00:00:00"), (2, "b", "2024-06-01 00:00:00"))),
+      Merge("delete-insert"), pkCfg, "l2")
+    val t = cat.loadTable("main", "u")
+    assert(t.read().count() == 0)
+    assert(t.metadata.snapshots.last.operation == "delete")
+  }
+
+  test("evolution on write: new column added, old rows null; narrow batch sparse") {
+    // test_schema_evolution.py:19+ / test_sparse_schema.py:80-106
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "ev", Seq(Seq((1L, "t1")).toDF("id", "et")), Append, fastCfg, "l1")
+    w.writeTable("main", "ev",
+      Seq(Seq((2L, "t2", 9.5)).toDF("id", "et", "value")), Append, fastCfg, "l2")
+    val t = cat.loadTable("main", "ev")
+    assert(t.metadata.schema.fieldNames.toSeq == Seq("id", "et", "value"))
+    val got = t.read().orderBy("id").collect()
+    assert(got(0).isNullAt(2) && got(1).getDouble(2) == 9.5)
+
+    // narrow batch after widening: score column absent -> null-filled
+    w.writeTable("main", "ev", Seq(Seq((3L, "t3")).toDF("id", "et")), Append, fastCfg, "l3")
+    val after = t.read().orderBy("id").collect()
+    assert(after.length == 3 && after(2).isNullAt(2))
+    assert(t.metadata.schema.fieldNames.length == 3) // schema unchanged
+  }
+
+  test("merge rewrites only key-affected files; untouched files carry over") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // two loads with disjoint key ranges => disjoint files with disjoint stats
+    w.writeTable("main", "u", Seq(users((1, "a", 1), (2, "b", 2)).coalesce(1)),
+      Merge("delete-insert"), pkCfg, "l1")
+    w.writeTable("main", "u", Seq(users((100, "x", 1), (101, "y", 2)).coalesce(1)),
+      Merge("delete-insert"), pkCfg, "l2")
+    val before = cat.loadTable("main", "u").metadata.currentFiles.map(_.path).toSet
+    // merge touching only the low range
+    w.writeTable("main", "u", Seq(users((2, "b2", 22)).coalesce(1)),
+      Merge("delete-insert"), pkCfg, "l3")
+    val t = cat.loadTable("main", "u")
+    val after = t.metadata.currentFiles.map(_.path).toSet
+    // the high-range file survived byte-identical (metadata carry)
+    val highFile = before.filter(p => after.contains(p))
+    assert(highFile.nonEmpty, "expected untouched file to carry into new snapshot")
+    val got = t.read().orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b2"), (100L, "x"), (101L, "y")))
+  }
+
+  test("partitioned write records spec and yields prunable per-file stats") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = fastCfg.copy(partitions = Seq(PartitionHint.bucket(4, "user_id")))
+    w.writeTable("main", "u", Seq(users((1, "a", 1), (2, "b", 2), (3, "c", 3),
+      (4, "d", 4), (5, "e", 5), (6, "f", 6))), Append, cfg, "l1")
+    val t = cat.loadTable("main", "u")
+    val spec = t.metadata.partitionSpec
+    assert(spec.map(s => (s.transform, s.param, s.name)) ==
+      Seq(("bucket", Some(4), "user_id_bucket_4")))
+    // every staged file has stats for the derived bucket value
+    assert(t.metadata.currentFiles.forall(_.stats.contains("user_id_bucket_4")))
+  }
+
+  test("pipeline: completeLoad commits all tables + ledger row, idempotent") {
+    val cat = freshCatalog()
+    val p = new GraftPipeline(cat, "main", "schema1", "pipe1")
+    p.stage("users", users((1, "a", 1)), Append, fastCfg)
+    p.stage("users", users((2, "b", 2)), Append, fastCfg)
+    p.stage("orders", Seq((10L, 1L)).toDF("order_id", "user_id"), Append, fastCfg)
+    p.completeLoad("load-1")
+    assert(cat.loadTable("main", "users").read().count() == 2)
+    assert(cat.loadTable("main", "users").metadata.snapshots.size == 1)
+    assert(cat.loadTable("main", "orders").read().count() == 1)
+    val ledger = p.loads().collect()
+    assert(ledger.length == 1 && ledger(0).getAs[String]("load_id") == "load-1"
+      && ledger(0).getAs[Long]("status") == 0L)
+    // replay of the same load id is a no-op
+    p.stage("users", users((99, "zz", 9)), Append, fastCfg)
+    p.completeLoad("load-1")
+    assert(cat.loadTable("main", "users").read().count() == 2)
+    assert(p.loads().count() == 1)
+  }
+
+  test("schema registry: hash-deduped versions; state restore by created_at") {
+    val cat = freshCatalog()
+    val p = new GraftPipeline(cat, "main", "s1", "pipe1")
+    assert(p.storeSchema("""{"v":1}"""))
+    assert(!p.storeSchema("""{"v":1}""")) // same hash -> dedupe
+    assert(p.storeSchema("""{"v":2}"""))
+    val newest = p.getStoredSchema.get
+    assert(newest.getAs[Long]("version") == 2L)
+    assert(newest.getAs[String]("schema") == """{"v":2}""")
+
+    p.storeState("""{"step":1}""", "load-1")
+    p.storeState("""{"step":2}""", "load-2")
+    assert(p.getStoredState.get.getAs[String]("state") == """{"step":2}""")
+  }
+}
