@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.WriteQueries.queries
+      graft.queries.WriteQueries.queries ++
+      graft.queries.LlmQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
-      graft.queries.WriteQueries.oracleSql
+      graft.queries.WriteQueries.oracleSql ++
+      graft.queries.LlmQueries.oracleSql
 }

@@ -1,0 +1,157 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.11 ★): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash.
+  *
+  * Scale design: exact dedup is a single hash-aggregate; the near-dup
+  * family never materializes the O(N²) pair space — candidates come from
+  * equality joins on shingles (exact), LSH band buckets (MinHash), or
+  * simhash band buckets (SimHash), all of which shuffle on bounded keys.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: keeps the smallest doc_id per
+    * fingerprint group. One hash-aggregate — the distributed equivalent of
+    * `dropDuplicates`, but with an explicit deterministic survivor. */
+  def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (doc_id, g). */
+  def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws("_", slice(w, i, lit(n))))).as("g"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs above `threshold`.
+    * Candidates come from the shingle equality self-join (only documents
+    * sharing at least one shingle ever meet), then J = |∩| / |∪|.
+    * At corpus scale, cap pathological shingle frequency with
+    * `maxShingleFreq` (stop-shingle removal) — off by default so the
+    * result is exactly the mathematical Jaccard relation. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(docs, n, textCol)
+    val sh = maxShingleFreq.fold(sh0) { cap =>
+      val rare = sh0.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("g")
+      sh0.join(rare, "g")
+    }.cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = sh.as("x").join(sh.as("y"), col("x.g") === col("y.g") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
+      .filter(col("jaccard") > threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // Permutation p is realized as xxhash64 salted with p (overflow-free
+  // under ANSI mode, and deterministic across engines/runs).
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * shingle → xxhash64 → per-permutation min (one hash-aggregate with
+    * `numHashes` min() columns) → band signatures → equality join on
+    * (band, bucket) yields candidates → exact-Jaccard verification of the
+    * candidate set only. With 32 bands × 2 rows, recall at J≥0.9 is
+    * 1-(1-0.81)^32 ≈ 1-2.6e-23 — the published MinHash-LSH S-curve.
+    */
+  def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sh = shingles(docs, n, textCol).cache()
+    val minAggs = (0 until numHashes).map { i =>
+      min(xxhash64(col("g"), lit(i))).as(s"m$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+
+    val bandCols = (0 until bands).map { bIdx =>
+      val rows = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}"))
+      struct(lit(bIdx).as("band"), xxhash64(rows: _*).as("bucket"))
+    }
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard over the already-cached shingles
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = sh.as("p").join(sh.as("q"), col("p.g") === col("q.g") &&
+        col("p.doc_id") < col("q.doc_id"))
+      .groupBy(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(candidates, Seq("a", "b"), "left_semi")
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
+      .filter(col("jaccard") > threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: sign-sum of token-hash bits. Computed as
+    * 64 conditional sums in one aggregate (no UDF, no shuffle beyond the
+    * per-doc groupBy). */
+  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(1L << b) =!= 0L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce[Column](_.bitwiseOR(_))
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Candidates come from 4×16-bit band buckets (a pair within distance 3
+    * must agree on at least one band by pigeonhole), verified with exact
+    * popcount. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val sim = simHash(docs, textCol).cache()
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+    }
+    val buckets = sim.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.11 ★): media as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape, typed
+  * per-partition processing — is real and tested. The media *decode*
+  * itself is STUBBED (no image/audio codecs in this container): see
+  * [[decodeStub]], which derives deterministic fake "decoded" properties
+  * from the raw bytes so results are verifiable. Swapping in a real codec
+  * is a one-function change with an identical execution plan.
+  */
+object Multimodal {
+
+  final case class MediaBlob(
+      doc_id: Long,
+      blob: Array[Byte],
+      mime_type: String)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      digest: String,
+      width: Int,
+      height: Int,
+      mean_byte: Double)
+
+  /** Wrap a text corpus as binary media rows — stands in for reading
+    * image/audio bytes; demonstrates the opaque-binary column pattern. */
+  def asBlobs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col(textCol), "UTF-8").as("blob"),
+      lit("application/octet-stream").as("mime_type"))
+
+  /** ===== STUB ===== deterministic fake decode: derives "image"
+    * dimensions and a byte-mean "signal" from the blob alone. A real
+    * implementation would decode pixels/samples here; everything around
+    * it (batching, schema, distribution) is production-shaped. */
+  def decodeStub(blob: Array[Byte]): (Int, Int, Double) = {
+    val w = 64 + (blob.length % 577)
+    val h = 64 + ((blob.length * 31) % 577)
+    val mean = if (blob.isEmpty) 0.0
+      else blob.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / blob.length
+    (w, h, mean)
+  }
+
+  private def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(b).map("%02x".format(_)).mkString
+
+  /** Per-partition batch feature extraction over binary blobs — the Scala
+    * analogue of a `mapInPandas` media pipeline: one iterator per
+    * partition, arbitrary native work per batch, typed output Encoder. */
+  def extractFeatures(blobs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob"), col("mime_type")).as[MediaBlob]
+      .mapPartitions { it =>
+        it.map { m =>
+          val (w, h, mean) = decodeStub(m.blob)
+          MediaFeatures(m.doc_id, m.blob.length, sha256Hex(m.blob), w, h,
+            math.rint(mean * 10000) / 10000)
+        }
+      }
+  }
+
+  /** End-to-end: corpus → blobs → per-partition decode (stubbed) →
+    * feature table, repartitioned for balanced media batches. */
+  def mediaFeatures(docs: DataFrame, partitions: Int = 0): DataFrame = {
+    val blobs0 = asBlobs(docs)
+    val blobs = if (partitions > 0) blobs0.repartition(partitions) else blobs0
+    extractFeatures(blobs).toDF()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity operators (SURVEY §2.11 ★): brute-force cosine
+  * top-k as the exactness baseline, cosine near-dup pairs, and a
+  * random-hyperplane LSH bucketed ANN as the scale path.
+  *
+  * Vector math uses the `zip_with`/`aggregate` higher-order functions —
+  * codegen'd, no UDFs, arrays stay columnar.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a codegen'd fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-k neighbors for each query vector.
+    *
+    * The query set is broadcast (small side), so the candidate scoring is
+    * a map-only pass over the N embeddings; the only shuffle is the
+    * per-query top-k window over N·|Q| scored rows. For very large N the
+    * LSH variant below bounds the candidate set instead. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("nbr_id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** All pairs with cosine similarity above `threshold` (embedding-space
+    * near-dup detection). Exact O(N²) formulation — the corpus-scale path
+    * is `lshBuckets` candidates + this verification on candidates only. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    e.as("x").join(e.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("cosine",
+        dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cosine") > threshold)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes for sign-bit LSH; `seed` varies per
+    * hash table. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket ids, one per hash table: bit p of table t =
+    * sign(v . plane_tp). Output: (id, vec, table, bucket) — one row per
+    * table. Multi-table LSH is the standard recall lever: a true neighbor
+    * is a candidate if it shares a bucket in ANY table. */
+  def lshBuckets(embeddings: DataFrame, numPlanes: Int, tables: Int, dim: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val tableCols = (0 until tables).map { t =>
+      val bucket = hyperplanes(numPlanes, dim, seed = 42 + t).zipWithIndex.map {
+        case (p, i) =>
+          val planeArr = array(p.map(lit): _*)
+          when(dot(v, planeArr) >= 0, lit(1L << i)).otherwise(0L)
+      }.reduce[Column](_.bitwiseOR(_))
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    embeddings.select(col(idCol), col(vecCol),
+      explode(array(tableCols: _*)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via multi-table LSH: candidates = union over tables of
+    * same-bucket vectors, scored exactly, per-query top-k. Recall versus
+    * `bruteForceTopK` follows the multi-table S-curve (pinned in the
+    * spec); per-query work scales with bucket occupancy x tables, not
+    * corpus size. */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      numPlanes: Int = 4, tables: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val eb = lshBuckets(embeddings, numPlanes, tables, dim, idCol, vecCol)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("ev"),
+        col("table"), col("bucket"))
+    val qb = lshBuckets(queries, numPlanes, tables, dim, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv0"),
+        col("table"), col("bucket"))
+    val candidates = eb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("ev"), col("qv0"))
+      .distinct() // union over tables
+    val scored = candidates
+      .withColumn("v", asDouble(col("ev")))
+      .withColumn("qv", asDouble(col("qv0")))
+      .withColumn("cosine",
+        dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2.11 ★):
+  * token statistics, quality scoring, language ID, document fingerprints.
+  * Everything is built from codegen'd built-in functions (no UDFs), so the
+  * whole pipeline stays inside whole-stage codegen and scales linearly —
+  * per-document work, no shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and isolated
+    * non-space symbols — a cheap deterministic stand-in for a real BPE
+    * vocabulary (regex is engine-portable). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      bpeishCount(col(textCol)).as("n_bpeish_tokens"),
+      length(col(textCol)).as("n_chars"),
+      round(length(regexp_replace(col(textCol), " ", "")).cast("double") / size(t), 4)
+        .as("mean_token_len"))
+  }
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "in", "to", "is", "it", "for", "on")
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword
+    * presence (natural-language signal) + lexical diversity. Deterministic
+    * and SQL-portable, like the reference-free quality filters used in
+    * large-scale corpus cleaning. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nTok = size(t).cast("double")
+    val stopRatio = size(filter(t, x => array_contains(stopArr, x))) / nTok
+    val diversity = size(array_distinct(t)) / nTok
+    docs.select(
+      col("doc_id"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(diversity, 4).as("diversity"),
+      round(
+        least(lit(1.0), nTok / 200.0) * 0.4 +
+          least(lit(1.0), stopRatio * 5.0) * 0.3 +
+          diversity * 0.3, 4).as("quality"))
+  }
+
+  /** Language-marker profiles for the n-gram/stopword language-ID
+    * heuristic (fastText-style but trivially small). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "und", "die", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "fr" -> Seq("le", "et", "les", "des", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3"))
+
+  /** Predict language as argmax marker-hit ratio; ties resolve
+    * alphabetically then prefer "en" when nothing matches. Driver check is
+    * rows-only (the scoring loop is not expressible in portable SQL). */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(
+        (size(filter(t, x => array_contains(arr, x))).cast("double") / size(t))
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.select(
+      col("doc_id"),
+      sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
+        .as("lang_pred"),
+      round(sort_array(array(scored: _*), asc = false).getItem(0)
+        .getField("score"), 4).as("lang_score"))
+  }
+
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —
+    * portable across engines for oracle checks. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** 64-bit rolling content fingerprint (xxhash64 of the normalized
+    * text) — the cheap per-shard dedup key for petabyte corpora. */
+  def rollingFingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** ★ North-star LLM-data-pipeline operators (SURVEY §2.11) as
+  * driver-checkable queries over `documents` / `embeddings`.
+  *
+  * Entries without an oracle (language ID, SimHash, LSH-ANN) use custom
+  * hashing not expressible in portable SQL — the driver records a
+  * rows-only check; their semantics are pinned by LlmOpsSpec instead
+  * (e.g. LSH recall vs the brute-force baseline).
+  *
+  * Embedding oracles cast to DOUBLE[] on the DuckDB side so both engines
+  * do the same double-precision sequential fold — results hash-match
+  * exactly.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // --- text analysis ---
+    "l1_token_stats" -> ((
+      (s: SparkSession, dir: String) =>
+        TextOps.tokenStats(docs(s, dir))
+          .select(col("doc_id"), col("n_tokens").cast("long"),
+            col("n_distinct_tokens").cast("long"),
+            col("n_bpeish_tokens").cast("long"),
+            col("n_chars").cast("long"), col("mean_token_len")),
+      Some("""SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish_tokens,
+        |  length(text) AS n_chars,
+        |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4)
+        |    AS mean_token_len
+        |FROM documents""".stripMargin))),
+
+    "l2_quality_score" -> ((
+      (s: SparkSession, dir: String) => TextOps.qualityScore(docs(s, dir)),
+      Some("""WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) * 1.0 AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','in','to','is','it','for','on')))
+        |      / (len(string_split(text, ' ')) * 1.0) AS sr,
+        |    len(list_distinct(string_split(text, ' ')))
+        |      / (len(string_split(text, ' ')) * 1.0) AS dv
+        |  FROM documents)
+        |SELECT doc_id, round(sr, 4) AS stop_ratio, round(dv, 4) AS diversity,
+        |  round(least(1.0, n_tok / 200.0) * 0.4 + least(1.0, sr * 5.0) * 0.3
+        |    + dv * 0.3, 4) AS quality
+        |FROM q""".stripMargin))),
+
+    // language ID heuristic: rows-only check (custom scoring loop)
+    "l3_lang_id" -> ((
+      (s: SparkSession, dir: String) => TextOps.langId(docs(s, dir)),
+      None)),
+
+    "l4_fingerprint" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir).select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin))),
+
+    // --- dedup ---
+    // exact dedup over a corpus with planted duplicates (documents twice,
+    // second copy re-keyed) — survivor is min doc_id per fingerprint
+    "l5_exact_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val planted = d.union(d.select(col("doc_id") + 1000000L, col("text")))
+        Dedup.exactDedup(planted).select(col("doc_id"), col("fp"),
+          col("n_copies"))
+      },
+      Some("""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  count(*) AS n_copies
+        |FROM all_docs GROUP BY 2""".stripMargin))),
+
+    "l6_ngram_jaccard" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5),
+      Some(jaccardOracle))),
+
+    // MinHash+LSH verified with exact Jaccard — same relation as l6 for
+    // high-similarity pairs (recall ≈ 1 - 2.6e-23 at J≥0.9 with 32×2
+    // bands), so it shares the exact oracle
+    "l7_minhash_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.minHashLshPairs(docs(s, dir), n = 3, numHashes = 64,
+          bands = 32, threshold = 0.5),
+      Some(jaccardOracle))),
+
+    // SimHash near-dup: custom 64-bit hashing, rows-only check
+    "l8_simhash" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.simHashPairs(docs(s, dir), maxHamming = 3),
+      None)),
+
+    // --- similarity search ---
+    "l9_sim_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 3)
+          .select(col("query_id"), col("nbr_id"), col("cosine"),
+            col("rank").cast("long"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        |    list_cosine_similarity(e.v, q.qv) AS c
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, nbr_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nbr_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, nbr_id, round(c, 4) AS cosine, rnk AS rank
+        |FROM r WHERE rnk <= 3""".stripMargin))),
+
+    "l10_cosine_near_dup" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin))),
+
+    // LSH-bucketed ANN: rows-only check; recall pinned in LlmOpsSpec
+    "l11_ann_lsh" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3,
+          numPlanes = 4, tables = 8)
+      },
+      None)),
+
+    // --- multimodal plumbing (decode stubbed, see Multimodal.decodeStub) ---
+    "l12_multimodal" -> ((
+      (s: SparkSession, dir: String) =>
+        Multimodal.mediaFeatures(docs(s, dir))
+          .select(col("doc_id"), col("byte_len").cast("long"),
+            col("digest"), col("width").cast("long"),
+            col("height").cast("long")),
+      Some("""SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS digest,
+        |  64 + (octet_length(encode(text)) % 577) AS width,
+        |  64 + ((octet_length(encode(text)) * 31) % 577) AS height
+        |FROM documents""".stripMargin)))
+  )
+
+  private lazy val jaccardOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+      |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
+      |  FROM s),
+      |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+      |SELECT p.a, p.b,
+      |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON p.a = sa.doc_id
+      |JOIN sizes sb ON p.b = sb.doc_id
+      |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map { case (n, (fn, _)) => n -> fn }
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, (_, Some(sql))) => n -> sql }
+}
