@@ -23,5 +23,12 @@ object GraftFunctions {
         IcebergBucket(exprs.head, n)
       },
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_dot",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b)")
+        ArrayDot(exprs(0), exprs(1))
+      },
+      "built-in")
   }
 }

@@ -13,12 +13,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a codegen'd fold. */
+  private def ensureRegistered(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession); df
+  }
+
+  /** Σ aᵢ·bᵢ as a fold over arbitrary-length arrays. NOTE: Spark's
+    * higher-order functions are CodegenFallback (interpreted per row) —
+    * fine off the hot path, but pairwise scoring should use
+    * [[dotUnrolled]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Σ aᵢ·bᵢ via the native ArrayDot expression (tight codegen loop —
+    * see graft.functions.ArrayDot for why neither higher-order folds nor
+    * unrolled element_at chains survive on the hot path). Requires
+    * GraftFunctions.register on the session (ensureRegistered below). */
+  def fastDot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  def fastNorm(a: Column): Column = sqrt(fastDot(a, a))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -28,17 +44,20 @@ object Similarity {
     * a map-only pass over the N embeddings; the only shuffle is the
     * per-query top-k window over N·|Q| scored rows. For very large N the
     * LSH variant below bounds the candidate set instead. */
-  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+  def bruteForceTopK(embeddings0: DataFrame, queries: DataFrame, k: Int = 10,
+      dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val embeddings = ensureRegistered(embeddings0)
     val e = embeddings.select(col(idCol).as("nbr_id"),
       asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", fastNorm(col("v")))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnrm", norm(col("qv")))
+      .withColumn("qnrm", fastNorm(col("qv")))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("cosine",
+        fastDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -50,13 +69,15 @@ object Similarity {
   /** All pairs with cosine similarity above `threshold` (embedding-space
     * near-dup detection). Exact O(N²) formulation — the corpus-scale path
     * is `lshBuckets` candidates + this verification on candidates only. */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+  def cosineNearDupPairs(embeddings0: DataFrame, threshold: Double,
+      dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val embeddings = ensureRegistered(embeddings0)
     val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", fastNorm(col("v")))
     e.as("x").join(e.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
       .withColumn("cosine",
-        dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+        fastDot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cosine") > threshold)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         round(col("cosine"), 4).as("cosine"))
@@ -73,14 +94,15 @@ object Similarity {
     * sign(v . plane_tp). Output: (id, vec, table, bucket) — one row per
     * table. Multi-table LSH is the standard recall lever: a true neighbor
     * is a candidate if it shares a bucket in ANY table. */
-  def lshBuckets(embeddings: DataFrame, numPlanes: Int, tables: Int, dim: Int,
+  def lshBuckets(embeddings0: DataFrame, numPlanes: Int, tables: Int, dim: Int,
       idCol: String, vecCol: String): DataFrame = {
+    val embeddings = ensureRegistered(embeddings0)
     val v = asDouble(col(vecCol))
     val tableCols = (0 until tables).map { t =>
       val bucket = hyperplanes(numPlanes, dim, seed = 42 + t).zipWithIndex.map {
         case (p, i) =>
           val planeArr = array(p.map(lit): _*)
-          when(dot(v, planeArr) >= 0, lit(1L << i)).otherwise(0L)
+          when(fastDot(v, planeArr) >= 0, lit(1L << i)).otherwise(0L)
       }.reduce[Column](_.bitwiseOR(_))
       struct(lit(t).as("table"), bucket.as("bucket"))
     }
@@ -95,9 +117,10 @@ object Similarity {
     * `bruteForceTopK` follows the multi-table S-curve (pinned in the
     * spec); per-query work scales with bucket occupancy x tables, not
     * corpus size. */
-  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+  def lshTopK(embeddings0: DataFrame, queries: DataFrame, k: Int = 10,
       numPlanes: Int = 4, tables: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val embeddings = ensureRegistered(embeddings0)
     val eb = lshBuckets(embeddings, numPlanes, tables, dim, idCol, vecCol)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("ev"),
         col("table"), col("bucket"))
@@ -112,7 +135,7 @@ object Similarity {
       .withColumn("v", asDouble(col("ev")))
       .withColumn("qv", asDouble(col("qv0")))
       .withColumn("cosine",
-        dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+        fastDot(col("v"), col("qv")) / (fastNorm(col("v")) * fastNorm(col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
