@@ -78,11 +78,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // hash the shingle string ONCE, then derive the permutation family by
+    // re-hashing the 8-byte value with a salt — 64 long-hashes instead of
+    // 64 string-hashes per shingle
     val sh = shingles(docs, n, textCol).cache()
+    val shh = sh.withColumn("h", xxhash64(col("g")))
     val minAggs = (0 until numHashes).map { i =>
-      min(xxhash64(col("g"), lit(i))).as(s"m$i")
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
     }
-    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sigs = shh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
 
     val bandCols = (0 until bands).map { bIdx =>
       val rows = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}"))
