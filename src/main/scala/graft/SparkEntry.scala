@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.WriteQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.WriteQueries.oracleSql ++
-      graft.queries.LlmQueries.oracleSql
+      graft.queries.LlmQueries.oracleSql ++
+      graft.queries.StreamQueries.oracleSql
 }

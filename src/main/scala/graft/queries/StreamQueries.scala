@@ -1,0 +1,58 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.GraftCatalog
+import graft.streaming.StreamingLoader
+import graft.write.WriteConfig
+
+/** Structured-Streaming entries: drive a real streaming query to
+  * completion inside the call, read the committed/accumulated result, and
+  * check it against the equivalent batch SQL in DuckDB — streaming-batch
+  * result parity. */
+object StreamQueries {
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // event-time windowed aggregation over a file stream (memory sink)
+    "s1_stream_agg" -> ((
+      (s: SparkSession, dir: String) => {
+        val q = StreamingLoader.dailyRollup(StreamingLoader.eventsStream(s, dir))
+          .writeStream.queryName("s1_out").outputMode("complete")
+          .format("memory").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("s1_out")
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin))),
+
+    // foreachBatch -> commit protocol: the stream lands in a catalog table
+    // (one snapshot per micro-batch), read back from the committed snapshot
+    "s2_stream_to_table" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = new GraftCatalog(s,
+          Files.createTempDirectory("graft-st-").toString)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+        val q = loader.start(StreamingLoader.eventsStream(s, dir),
+          "main", "events_stream", cfg = WriteConfig(retryUnitMs = 10),
+          queryName = "s2", checkpoint = Some(ckpt))
+        try q.awaitTermination() finally q.stop()
+        cat.loadTable("main", "events_stream").read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).cast("double").as("sum_value"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin)))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map { case (n, (fn, _)) => n -> fn }
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, (_, Some(sql))) => n -> sql }
+}

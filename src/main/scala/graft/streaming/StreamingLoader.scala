@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.catalog.GraftCatalog
+import graft.write.{Append, Disposition, GraftWriter, WriteConfig}
+
+/** Structured-Streaming veneer over the batch commit protocol.
+  *
+  * The reference has NO continuous mode (SURVEY §2.9): every
+  * `pipeline.run()` is a discrete load. The natural Spark extension is a
+  * `foreachBatch` sink where each micro-batch becomes one load — one
+  * snapshot per table per micro-batch — so streaming ingestion inherits
+  * the exact same atomicity, schema evolution, casting, and disposition
+  * semantics as batch loads, and the table stays readable/time-travelable
+  * between batches.
+  */
+final class StreamingLoader(catalog: GraftCatalog) {
+
+  private val writer = new GraftWriter(catalog)
+
+  /** Attach a streaming DataFrame to a catalog table: every micro-batch
+    * commits as load `<queryName>-batch-<id>`. Returns the started query
+    * (caller owns lifecycle). */
+  def start(stream: DataFrame, ns: String, table: String,
+      disposition: Disposition = Append,
+      cfg: WriteConfig = WriteConfig(),
+      queryName: String = "graft-stream",
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = stream.writeStream
+      .queryName(queryName)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          writer.writeTable(ns, table, Seq(batch), disposition, cfg,
+            loadId = s"$queryName-batch-$batchId")
+        ()
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+}
+
+object StreamingLoader {
+
+  /** Read the `events` test table as a file stream with the ns-timestamp
+    * fix applied (same handling as graft.Tables.t). FileStreamSource wants
+    * a directory, so the single file is exposed through a symlink in a
+    * scratch dir (testdata stays untouched). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-src-")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Event-time windowed aggregation with a watermark — the canonical
+    * streaming shape (daily totals per event type). Used by the driver
+    * query `s1_stream_agg` and the streaming spec. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).cast("double").as("sum_value"))
+      .select(col("event_type"), col("window.start").cast("date").as("event_day"),
+        col("n"), col("sum_value"))
+}
