@@ -52,15 +52,27 @@ final class GraftPipeline(
     recordLoad(loadId, status = 0L)
   }
 
+
+  /** Write one `_dlt_*` metadata batch with C10 timestamp normalization
+    * against the live table schema. */
+  private def writeInternal(table: String, df: DataFrame, cfg: WriteConfig,
+      loadId: String): Unit = {
+    val target =
+      if (catalog.tableExists(namespace, table))
+        Some(catalog.loadTable(namespace, table).metadata.schema)
+      else None
+    writer.writeTable(namespace, table,
+      Seq(InternalTimestamps.normalize(table, df, target)), Append, cfg, loadId)
+  }
+
   // --- _dlt_loads (destination_client.py:1026-1106; schema FIXTURES A7) ---
 
   def recordLoad(loadId: String, status: Long): Unit = {
     val row = Row(loadId, schemaName, status,
       new java.sql.Timestamp(System.currentTimeMillis()), currentSchemaHash.orNull)
     val df = spark.createDataFrame(List(row).asJava, LoadsSchema)
-    writer.writeTable(namespace, LoadsTable, Seq(df), Append,
-      WriteConfig(retryUnitMs = 10,
-        requiredColumns = Set("load_id", "status", "inserted_at")), loadId)
+    writeInternal(LoadsTable, df, WriteConfig(retryUnitMs = 10,
+      requiredColumns = Set("load_id", "status", "inserted_at")), loadId)
   }
 
   def loadRecordExists(loadId: String): Boolean =
@@ -96,9 +108,9 @@ final class GraftPipeline(
     val row = Row(hash, schemaName, nextVersion, EngineVersion,
       new java.sql.Timestamp(System.currentTimeMillis()), schemaJson)
     val df = spark.createDataFrame(List(row).asJava, VersionSchema)
-    writer.writeTable(namespace, VersionTable, Seq(df), Append,
-      WriteConfig(retryUnitMs = 10,
-        requiredColumns = VersionSchema.fieldNames.toSet))
+    writeInternal(VersionTable, df, WriteConfig(retryUnitMs = 10,
+      requiredColumns = VersionSchema.fieldNames.toSet),
+      java.util.UUID.randomUUID().toString)
     true
   }
 
@@ -122,8 +134,7 @@ final class GraftPipeline(
     val row = Row(version, EngineVersion, pipelineName, state,
       new java.sql.Timestamp(System.currentTimeMillis()), sha256Hex(state), loadId)
     val df = spark.createDataFrame(List(row).asJava, StateSchema)
-    writer.writeTable(namespace, StateTable, Seq(df), Append,
-      WriteConfig(retryUnitMs = 10))
+    writeInternal(StateTable, df, WriteConfig(retryUnitMs = 10), loadId)
   }
 
   /** Latest state row by created_at for this pipeline (A2). */
@@ -137,6 +148,36 @@ final class GraftPipeline(
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
+/** C10: keep `_dlt_*` metadata timestamp batches aligned with their live
+  * table's timestamp flavor (`_normalize_internal_metadata_timestamps`,
+  * `destination_client.py:67-110`). Spark has a single µs precision, so
+  * only the aware (TimestampType) vs naive (TimestampNTZType) axis
+  * survives; the default target matches the reference's timestamp("us"). */
+object InternalTimestamps {
+  import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+  val InternalColumns: Map[String, Seq[String]] = Map(
+    GraftPipeline.StateTable -> Seq("created_at"),
+    GraftPipeline.LoadsTable -> Seq("inserted_at"),
+    GraftPipeline.VersionTable -> Seq("inserted_at"))
+
+  def normalize(tableName: String, df: DataFrame,
+      targetSchema: Option[StructType] = None): DataFrame =
+    InternalColumns.get(tableName).fold(df) { cols =>
+      cols.foldLeft(df) { (d, name) =>
+        d.schema.fields.find(_.name == name) match {
+          case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+            val target = targetSchema.flatMap(_.fields.find(_.name == name))
+              .map(_.dataType).filter(t =>
+                t == TimestampType || t == TimestampNTZType)
+              .getOrElse(TimestampType)
+            if (f.dataType == target) d else d.withColumn(name, col(name).cast(target))
+          case _ => d
+        }
+      }
+    }
 }
 
 object GraftPipeline {

@@ -91,7 +91,47 @@ object CoreQueries {
     // scalar subquery
     "q17_above_avg" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)""".stripMargin
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)""".stripMargin,
+
+    // ROLLUP hierarchy totals (regional hierarchy with grand total)
+    "q18_rollup" ->
+      """SELECT n.n_name AS n_name, c.c_mktsegment AS c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(ROUND(SUM(c.c_acctbal), 2) AS DOUBLE) AS total_bal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY ROLLUP (n.n_name, c.c_mktsegment)""".stripMargin,
+
+    // string function surface
+    "q19_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 5) AS name5,
+        |  replace(p_type, 'A', '@') AS type_r,
+        |  length(p_name) AS name_len,
+        |  concat(p_brand, '/', p_type) AS brand_type
+        |FROM part""".stripMargin,
+
+    // temporal extraction surface
+    "q20_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin,
+
+    // null-handling surface over the evolved-sparse pattern
+    "q21_null_funcs" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  CASE WHEN c_acctbal IS NULL THEN -1.0 ELSE c_acctbal END AS bal
+        |FROM customer""".stripMargin,
+
+    // correlated aggregate subquery (decorrelated by Catalyst)
+    "q22_correlated_agg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
   )
 
   /** DataFrame-API implementations, each with an equivalent oracle SQL. */

@@ -253,4 +253,18 @@ class WriteEngineSpec extends AnyFunSuite {
     p.storeState("""{"step":2}""", "load-2")
     assert(p.getStoredState.get.getAs[String]("state") == """{"step":2}""")
   }
+
+  test("C10: naive-timestamp metadata batch normalizes to the live table type") {
+    import graft.pipeline.InternalTimestamps
+    val naive = StructType(Seq(
+      StructField("load_id", StringType), StructField("inserted_at", TimestampNTZType)))
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](), naive)
+    val aware = StructType(Seq(
+      StructField("load_id", StringType), StructField("inserted_at", TimestampType)))
+    val out = InternalTimestamps.normalize("_dlt_loads", df, Some(aware))
+    assert(out.schema("inserted_at").dataType == TimestampType)
+    // non-internal tables pass through untouched
+    val same = InternalTimestamps.normalize("users", df, Some(aware))
+    assert(same.schema("inserted_at").dataType == TimestampNTZType)
+  }
 }
