@@ -102,13 +102,15 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
-    // verify candidates with exact Jaccard over the already-cached shingles
+    // verify candidates with exact Jaccard — but only over candidate
+    // pairs: expand each candidate's left-side shingles, then hash-join on
+    // (b, g). Unlike the full g-equality self-join, this never explodes on
+    // common shingles; cost is |candidates| x shingles-per-doc.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shared = sh.as("p").join(sh.as("q"), col("p.g") === col("q.g") &&
-        col("p.doc_id") < col("q.doc_id"))
-      .groupBy(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(candidates, Seq("a", "b"), "left_semi")
+    val shared = candidates
+      .join(sh.withColumnRenamed("doc_id", "a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b"), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")

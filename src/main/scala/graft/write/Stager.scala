@@ -72,7 +72,12 @@ object Stager {
       .map(_.toString).toSeq.sorted
     if (files.isEmpty) return Nil
 
-    collectStats(spark, files, schema, spec)
+    // Unpartitioned tables: stats fold straight out of the just-written
+    // parquet footers (driver-side, no data re-read). Partitioned tables
+    // additionally need stats over DERIVED transform values, which only a
+    // scan can provide.
+    if (spec.isEmpty) FooterStats.collect(files, schema)
+    else collectStats(spark, files, schema, spec)
   }
 
   /** One distributed pass computing per-file rowCount + per-column
