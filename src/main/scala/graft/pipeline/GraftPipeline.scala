@@ -127,6 +127,42 @@ final class GraftPipeline(
     else catalog.loadTable(namespace, VersionTable).read()
       .filter(col("version_hash") === hash).limit(1).collect().headOption
 
+  /** S10 `drop_tables`: purge the named tables and wipe this schema's
+    * rows from `_dlt_version` (`destination_client.py:892-931`). The wipe
+    * is a delete-where expressed as a filtered-snapshot rewrite. */
+  def dropTables(tables: Seq[String], deleteSchema: Boolean = true): Unit = {
+    tables.foreach { t =>
+      if (catalog.tableExists(namespace, t)) catalog.dropTable(namespace, t, purge = true)
+    }
+    if (deleteSchema && catalog.tableExists(namespace, VersionTable)) {
+      val t = catalog.loadTable(namespace, VersionTable)
+      val kept = t.read().filter(col("schema_name") =!= schemaName)
+      val staged = graft.write.Stager.stage(kept, t.dataDir,
+        s"drop-schema-${java.util.UUID.randomUUID().toString.take(8)}")
+      t.commit(_.withSnapshot("delete", None, staged), unitMs = 10)
+    }
+  }
+
+  /** §3.3 ②: when `_dlt_version` has no row for this schema, derive a
+    * schema document from the live catalog tables
+    * (`_derive_schema_from_iceberg_tables`, destination_client.py:435-581).
+    * Returns (version_hash, schema JSON); hash is the reference's
+    * "derived_from_iceberg" sentinel. */
+  def getStoredSchemaOrDerive: Option[(String, String)] =
+    getStoredSchema.map(r =>
+      (r.getAs[String]("version_hash"), r.getAs[String]("schema"))).orElse {
+      val dataTables = catalog.listTables(namespace)
+        .filterNot(_.startsWith("_dlt_"))
+      if (dataTables.isEmpty) None
+      else {
+        val body = dataTables.map { t =>
+          val schemaJson = catalog.loadTable(namespace, t).metadata.schemaJson
+          s""""$t": $schemaJson"""
+        }.mkString("{", ",", "}")
+        Some(("derived_from_iceberg", body))
+      }
+    }
+
   // --- _dlt_pipeline_state (destination_client.py:393-433) ---
 
   def storeState(state: String, loadId: String): Unit = {

@@ -267,4 +267,34 @@ class WriteEngineSpec extends AnyFunSuite {
     val same = InternalTimestamps.normalize("users", df, Some(aware))
     assert(same.schema("inserted_at").dataType == TimestampNTZType)
   }
+
+  test("drop_tables purges tables and wipes the schema's _dlt_version rows") {
+    val cat = freshCatalog()
+    val p1 = new GraftPipeline(cat, "main", "s1", "pipe1")
+    val p2 = new GraftPipeline(cat, "main", "s2", "pipe2")
+    p1.storeSchema("""{"s":1}""")
+    p2.storeSchema("""{"s":2}""")
+    p1.stage("users", users((1, "a", 1)), Append, fastCfg)
+    p1.completeLoad("load-1")
+    p1.dropTables(Seq("users"))
+    assert(!cat.tableExists("main", "users"))
+    val versions = p1.loads().sparkSession // reuse session
+    val rows = cat.loadTable("main", GraftPipeline.VersionTable).read().collect()
+    assert(rows.map(_.getAs[String]("schema_name")).toSet == Set("s2")) // s1 wiped
+  }
+
+  test("schema restore falls back to deriving from live tables") {
+    val cat = freshCatalog()
+    val p = new GraftPipeline(cat, "main", "s1", "pipe1")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "users", Seq(users((1, "a", 1))), Append, fastCfg, "l1")
+    val derived = p.getStoredSchemaOrDerive
+    assert(derived.isDefined)
+    val (hash, json) = derived.get
+    assert(hash == "derived_from_iceberg")
+    assert(json.contains("\"users\"") && json.contains("user_id"))
+    // once a schema is stored, the stored one wins
+    p.storeSchema("""{"v":9}""")
+    assert(p.getStoredSchemaOrDerive.get._2 == """{"v":9}""")
+  }
 }
