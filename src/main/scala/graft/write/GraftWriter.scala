@@ -32,7 +32,10 @@ final case class WriteConfig(
     location: Option[String] = None,
     maxRetries: Int = 5,
     backoffBase: Double = 2.0,
-    retryUnitMs: Long = 1000L)
+    retryUnitMs: Long = 1000L,
+    /** Range-cluster merge-table staging by primary key so per-file key
+      * ranges stay narrow and merge pruning is tight. */
+    clusterByKeys: Boolean = true)
 
 /** The disposition engine — the Spark-native rebuild of
   * `_commit_table_files` (`destination_client.py:1256-1520`).
@@ -137,7 +140,8 @@ final class GraftWriter(catalog: GraftCatalog) {
         // Removal key set = every PK in the batch (marked rows hard-delete,
         // unmarked rows are replaced by their new versions).
         val delKeys = combined.select(pks.map(col): _*).distinct()
-        val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec)
+        val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec,
+          if (cfg.clusterByKeys) pks else Nil)
         rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
 
       case _ => // upsert (default)
@@ -157,7 +161,7 @@ final class GraftWriter(catalog: GraftCatalog) {
         }
         val upsertKeys = remaining.select(pks.map(col): _*).distinct()
         val staged = Stager.stage(remaining, t.dataDir, loadId,
-          t.metadata.partitionSpec)
+          t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil)
         rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
     }
   }
@@ -191,7 +195,8 @@ final class GraftWriter(catalog: GraftCatalog) {
             val affectedDf = spark.read.schema(fresh.schema)
               .parquet(affected.map(_.path): _*)
             val kept = affectedDf.join(keysCached, pks, "left_anti")
-            Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec)
+            Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec,
+              if (cfg.clusterByKeys) pks else Nil)
           }
 
         val untouched = fresh.currentFiles.filterNot(f => affectedPaths.contains(f.path))

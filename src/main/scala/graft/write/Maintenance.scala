@@ -1,0 +1,91 @@
+package graft.write
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.functions._
+import graft.catalog.{DataFile, GraftTable}
+import scala.jdk.CollectionConverters._
+
+/** Table maintenance: small-file compaction, snapshot expiry, orphan
+  * vacuum. The reference inherits these from Iceberg's table services;
+  * here they are snapshot rewrites over the same commit protocol, so they
+  * compose with concurrent writers (CAS + rebase) and never break time
+  * travel for retained snapshots.
+  */
+object Maintenance {
+
+  /** Bin-pack files smaller than `smallFileBytes` into ~`targetFileBytes`
+    * outputs. Only the small files are rewritten; full-size files carry
+    * over untouched. Commits one "compact" snapshot (row set unchanged —
+    * callers can verify: compaction is content-neutral by construction). */
+  def compact(t: GraftTable, smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20, retryUnitMs: Long = 1000L): Boolean = {
+    val m = t.metadata
+    val small = m.currentFiles.filter(_.sizeBytes < smallFileBytes)
+    if (small.size < 2) return false
+    val totalBytes = small.map(_.sizeBytes).sum
+    val numOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = t.spark.read.schema(m.schema).parquet(small.map(_.path): _*)
+      .coalesce(numOut)
+    val staged = Stager.stage(df, t.dataDir, "compact", m.partitionSpec)
+    val smallPaths = small.map(_.path).toSet
+    t.commit({ fresh =>
+      // rebase-safe only if the small set is still current; if a
+      // concurrent writer rewrote any of them, drop this compaction
+      val cur = fresh.currentFiles.map(_.path).toSet
+      if (!smallPaths.subsetOf(cur))
+        throw new graft.catalog.ValidationError("compaction superseded by concurrent commit")
+      fresh.withSnapshot("compact", None,
+        fresh.currentFiles.filterNot(f => smallPaths.contains(f.path)) ++ staged)
+    }, unitMs = retryUnitMs)
+    true
+  }
+
+  /** Expire snapshots, keeping the most recent `keepLast` (the current
+    * snapshot always survives). Data files referenced only by expired
+    * snapshots are deleted from disk. Time travel remains valid for every
+    * retained snapshot. */
+  def expireSnapshots(t: GraftTable, keepLast: Int = 1,
+      retryUnitMs: Long = 1000L): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    var removed: Seq[String] = Nil
+    t.commit({ fresh =>
+      val keep = fresh.snapshots.sortBy(_.snapshotId).takeRight(keepLast) ++
+        fresh.currentSnapshot.toSeq
+      val keepIds = keep.map(_.snapshotId).toSet
+      val retained = fresh.snapshots.filter(s => keepIds.contains(s.snapshotId))
+      val liveFiles = retained.flatMap(_.files.map(_.path)).toSet
+      removed = fresh.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
+        .flatMap(_.files.map(_.path)).distinct.filterNot(liveFiles.contains)
+      fresh.copy(snapshots = retained)
+    }, unitMs = retryUnitMs)
+    removed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    removed
+  }
+
+  /** Delete data files on disk that no snapshot references — cleans up
+    * rebase/abort orphans left by the optimistic-concurrency write path.
+    * `minAgeMs` is the standard safety margin against racing an in-flight
+    * stage that hasn't committed yet (Iceberg's remove_orphan_files has
+    * the same guard); production callers should keep it >> max commit
+    * latency. */
+  def vacuumOrphans(t: GraftTable, minAgeMs: Long = 0L): Seq[String] = {
+    if (!Files.isDirectory(t.dataDir)) return Nil
+    val referenced = t.metadata.snapshots
+      .flatMap(_.files.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val orphans = Files.walk(t.dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .map(_.toAbsolutePath.toString)
+      .filterNot(referenced.contains)
+      .toSeq
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // remove now-empty staging dirs
+    Files.walk(t.dataDir).iterator().asScala.toSeq.reverse
+      .filter(p => Files.isDirectory(p) && p != t.dataDir)
+      .foreach { d =>
+        if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+      }
+    orphans
+  }
+}

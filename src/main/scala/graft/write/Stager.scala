@@ -55,15 +55,21 @@ object Stager {
     * files with stats. `spec` optionally clusters the write by partition
     * transforms. */
   def stage(df: DataFrame, dataDir: Path, loadId: String,
-      spec: Seq[PartitionFieldSpec] = Nil): Seq[DataFile] = {
+      spec: Seq[PartitionFieldSpec] = Nil,
+      clusterBy: Seq[String] = Nil): Seq[DataFile] = {
     val spark = df.sparkSession
     val dest = dataDir.resolve(s"$loadId-${java.util.UUID.randomUUID().toString.take(8)}")
 
     val schema = df.schema
     val clustered =
-      if (spec.isEmpty) df
-      else df.repartition(spec.map(s =>
-        Transforms.expression(s, schema(s.source).dataType)): _*)
+      if (spec.nonEmpty)
+        df.repartition(spec.map(s =>
+          Transforms.expression(s, schema(s.source).dataType)): _*)
+      else if (clusterBy.nonEmpty)
+        // range-cluster by key so each file covers a narrow key range —
+        // future merges prune the affected-file set tightly by min/max
+        df.repartitionByRange(clusterBy.map(col): _*)
+      else df
 
     clustered.write.parquet(dest.toString)
 

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Maintenance ops: compaction is content-neutral, expiry prunes history
+  * and deletes unreferenced files, vacuum removes orphans. */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-mt-").toString)
+
+  private val cfg = WriteConfig(retryUnitMs = 1)
+
+  test("compact bin-packs small files, row set unchanged, history intact") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    (1 to 5).foreach { i =>
+      w.writeTable("main", "t", Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")),
+        Append, cfg, s"l$i")
+    }
+    val t = cat.loadTable("main", "t")
+    val before = t.metadata.currentFiles.size
+    assert(before >= 5)
+    val preRows = t.read().orderBy("id").collect().toSeq
+
+    assert(Maintenance.compact(t, smallFileBytes = 1L << 20,
+      targetFileBytes = 4L << 20, retryUnitMs = 1))
+    val after = t.metadata
+    assert(after.currentFiles.size < before)
+    assert(after.currentSnapshot.get.operation == "compact")
+    assert(t.read().orderBy("id").collect().toSeq == preRows)
+    // compacting again is a no-op (single output file left)
+    assert(!Maintenance.compact(t, smallFileBytes = 1L << 20,
+      targetFileBytes = 4L << 20, retryUnitMs = 1))
+  }
+
+  test("expireSnapshots keeps recent history and deletes dead files") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq(1L).toDF("x")), Append, cfg, "l1")
+    w.writeTable("main", "t", Seq(Seq(2L).toDF("x")), Replace, cfg, "l2")
+    w.writeTable("main", "t", Seq(Seq(3L).toDF("x")), Append, cfg, "l3")
+    val t = cat.loadTable("main", "t")
+    val l1Files = t.metadata.snapshots.head.files.map(_.path)
+    assert(t.metadata.snapshots.size == 3)
+
+    val removed = Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
+    assert(t.metadata.snapshots.size == 2)
+    // l1's file was only referenced by the expired snapshot (l2 replaced it)
+    assert(removed.toSet == l1Files.toSet)
+    assert(l1Files.forall(p => !Files.exists(Paths.get(p))))
+    // current data unaffected
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("vacuumOrphans removes unreferenced staging files only") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq(1L, 2L).toDF("x")), Append, cfg, "l1")
+    val t = cat.loadTable("main", "t")
+    // plant an orphan (as a failed/rebased stage would leave)
+    val orphanDir = t.dataDir.resolve("orphan-stage")
+    Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("junk.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+
+    val removed = Maintenance.vacuumOrphans(t)
+    assert(removed.exists(_.endsWith("junk.parquet")))
+    assert(!Files.exists(orphan))
+    assert(t.read().count() == 2) // live data untouched
+  }
+}
