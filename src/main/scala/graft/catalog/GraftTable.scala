@@ -85,6 +85,21 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     else
       spark.read.schema(m.schema).parquet(files.map(_.path): _*)
 
+  /** S2 parity: scan with a range predicate pushed through BOTH layers —
+    * file-level pruning via snapshot min/max stats (the manifest-pruning
+    * analogue) and parquet row-group/page pruning via the Spark filter.
+    * `lo`/`hi` are inclusive bounds in the column's natural type. */
+  def scanRange(column: String, lo: Any, hi: Any): DataFrame = {
+    val m = metadata
+    val dt = m.schema(column).dataType
+    val canonical = (v: Any) => graft.write.Stager.canonicalKey(dt, v)
+    val hit = filesOverlapping(m, column, canonical(lo), canonical(hi))
+    val df = readFiles(m, hit)
+    df.filter(org.apache.spark.sql.functions.col(column)
+      .between(org.apache.spark.sql.functions.lit(lo),
+        org.apache.spark.sql.functions.lit(hi)))
+  }
+
   /** Prune the current file set to those whose [min,max] stats could
     * contain a key in [lo, hi] for `column` — the scan-side analogue of
     * Iceberg manifest pruning, and the merge path's affected-file

@@ -131,7 +131,19 @@ object CoreQueries {
     "q22_correlated_agg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    // GROUPING SETS (finer than ROLLUP: two independent grouping keys)
+    "q23_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    // INTERSECT set op (customers that order AND supply nations intersect)
+    "q24_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier""".stripMargin
   )
 
   /** DataFrame-API implementations, each with an equivalent oracle SQL. */

@@ -145,6 +145,27 @@ object LlmQueries {
       },
       None)),
 
+    // nested-type surface: list column access and folds on both engines
+    "l13_array_surface" -> ((
+      (s: SparkSession, dir: String) =>
+        emb(s, dir).select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_dim"),
+          round(aggregate(transform(col("embedding"), _.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 4).as("sum_dims")),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+        |  round(list_sum(embedding::DOUBLE[]), 4) AS sum_dims
+        |FROM embeddings""".stripMargin))),
+
+    // JSON string surface: extract a field from the props JSON column
+    "l14_json_extract" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events").select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events""".stripMargin))),
+
     // --- multimodal plumbing (decode stubbed, see Multimodal.decodeStub) ---
     "l12_multimodal" -> ((
       (s: SparkSession, dir: String) =>

@@ -151,6 +151,35 @@ object WriteQueries {
       },
       s"SELECT o_orderkey FROM ($targetSql)")),
 
+    // maintenance: compaction is content-neutral — many small loads,
+    // compact, read back; oracle is the plain union of the loads
+    "w9_compact" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        val tbl = w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        w.writeTable("main", "orders_t", Seq(source(s, dir)), Append, cfg, "l2")
+        graft.write.Maintenance.compact(tbl, smallFileBytes = 1L << 30,
+          targetFileBytes = 1L << 30, retryUnitMs = 10)
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
+
+    // S2: stats-pruned range scan — file-level pruning by snapshot
+    // min/max + parquet pushdown, equals the plain relational filter
+    "w10_pruned_scan" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        // clustered merge-table write => narrow per-file key ranges
+        val tbl = w.writeTable("main", "orders_t", Seq(target(s, dir)),
+          Merge("delete-insert"), cfg, "l1")
+        tbl.scanRange("o_orderkey", 1000L, 3000L)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)),
+
     // pipeline load ledger: two completed loads -> two status-0 rows
     "w8_load_ledger" -> ((
       (s: SparkSession, dir: String) => {
