@@ -19,6 +19,16 @@ final case class Merge(strategy: String = "upsert") extends Disposition
 
 final case class WriteConfig(
     primaryKey: Seq[String] = Nil,
+    /** Fallback merge keys when no primary key is declared — the
+      * reference's `x-merge-keys` hint (D7 resolution order,
+      * `destination_client.py:1389-1397`). */
+    mergeKeys: Seq[String] = Nil,
+    /** Upsert batch size in the reference (`merge_batch_size`, default
+      * 500000, `destination_client.py:154-155`) existed to bound DRIVER
+      * memory when slicing Arrow tables; the distributed anti-join
+      * formulation has no such bound to enforce, so this is accepted for
+      * compatibility and intentionally unused (SURVEY W3). */
+    mergeBatchSize: Int = 500000,
     /** Columns created as required (non-nullable). Everything else defaults
       * to nullable on table creation, mirroring the reference where
       * nullability comes from dlt hints and defaults to nullable
@@ -90,9 +100,11 @@ final class GraftWriter(catalog: GraftCatalog) {
       case Append => commitAppend(t, m0, combined, loadId, cfg)
       case Replace => commitReplace(t, m0, combined, loadId, cfg)
       case Merge(strategy) =>
-        // merge without PK falls back to append (destination_client.py:1399-1403)
-        if (cfg.primaryKey.isEmpty) commitAppend(t, m0, combined, loadId, cfg)
-        else commitMerge(t, m0, combined, cfg.primaryKey, strategy, loadId, cfg)
+        // D7 key resolution: primary_key, else x-merge-keys; neither ⇒
+        // fall back to append (destination_client.py:1389-1403)
+        val keys = if (cfg.primaryKey.nonEmpty) cfg.primaryKey else cfg.mergeKeys
+        if (keys.isEmpty) commitAppend(t, m0, combined, loadId, cfg)
+        else commitMerge(t, m0, combined, keys, strategy, loadId, cfg)
     }
     t
   }

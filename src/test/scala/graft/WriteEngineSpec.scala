@@ -297,4 +297,26 @@ class WriteEngineSpec extends AnyFunSuite {
     p.storeSchema("""{"v":9}""")
     assert(p.getStoredSchemaOrDerive.get._2 == """{"v":9}""")
   }
+
+  test("merge keys fall back to x-merge-keys when no primary key") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = fastCfg.copy(mergeKeys = Seq("user_id"))
+    w.writeTable("main", "u", Seq(users((1, "a", 1), (2, "b", 2))),
+      Merge("upsert"), cfg, "l1")
+    w.writeTable("main", "u", Seq(users((2, "b2", 20))), Merge("upsert"), cfg, "l2")
+    val got = cat.loadTable("main", "u").read().orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b2"))) // merged, not appended
+  }
+
+  test("custom table location is honored (test_capabilities custom-location port)") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val custom = Files.createTempDirectory("graft-custom-loc-")
+    val cfg = fastCfg.copy(location = Some(custom.toString))
+    w.writeTable("main", "u", Seq(users((1, "a", 1))), Append, cfg, "l1")
+    assert(Files.exists(custom.resolve("metadata").resolve("v1.metadata.json")))
+    assert(new GraftTable(spark, custom).read().count() == 1)
+  }
 }
