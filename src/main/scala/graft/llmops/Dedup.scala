@@ -58,7 +58,7 @@ object Dedup {
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
       .filter(col("jaccard") > threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
   }
 
   // Permutation p is realized as xxhash64 salted with p (overflow-free
@@ -117,7 +117,7 @@ object Dedup {
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
       .filter(col("jaccard") > threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
   }
 
   /** 64-bit SimHash per document: sign-sum of token-hash bits. Computed as

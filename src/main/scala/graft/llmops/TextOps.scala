@@ -29,8 +29,11 @@ object TextOps {
       size(array_distinct(t)).as("n_distinct_tokens"),
       bpeishCount(col(textCol)).as("n_bpeish_tokens"),
       length(col(textCol)).as("n_chars"),
-      round(length(regexp_replace(col(textCol), " ", "")).cast("double") / size(t), 4)
-        .as("mean_token_len"))
+      // + 1e-9 before rounding: token-ratio rationals can land exactly on
+      // 4dp half-boundaries where Spark and DuckDB round doubles apart by
+      // 1 ulp; the nudge is >> engine noise (1e-16) and << value spacing
+      round(length(regexp_replace(col(textCol), " ", "")).cast("double") / size(t)
+        + 1e-9, 4).as("mean_token_len"))
   }
 
   val Stopwords: Seq[String] = Seq(
@@ -48,12 +51,14 @@ object TextOps {
     val diversity = size(array_distinct(t)) / nTok
     docs.select(
       col("doc_id"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(diversity, 4).as("diversity"),
+      // + 1e-9: see tokenStats — keeps half-boundary rationals on the same
+      // side of round() in both engines
+      round(stopRatio + 1e-9, 4).as("stop_ratio"),
+      round(diversity + 1e-9, 4).as("diversity"),
       round(
         least(lit(1.0), nTok / 200.0) * 0.4 +
           least(lit(1.0), stopRatio * 5.0) * 0.3 +
-          diversity * 0.3, 4).as("quality"))
+          diversity * 0.3 + 1e-9, 4).as("quality"))
   }
 
   /** Language-marker profiles for the n-gram/stopword language-ID

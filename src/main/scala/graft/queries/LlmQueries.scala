@@ -37,8 +37,8 @@ object LlmQueries {
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish_tokens,
         |  length(text) AS n_chars,
-        |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4)
-        |    AS mean_token_len
+        |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' '))
+        |    + 1e-9, 4) AS mean_token_len
         |FROM documents""".stripMargin))),
 
     "l2_quality_score" -> ((
@@ -52,9 +52,10 @@ object LlmQueries {
         |    len(list_distinct(string_split(text, ' ')))
         |      / (len(string_split(text, ' ')) * 1.0) AS dv
         |  FROM documents)
-        |SELECT doc_id, round(sr, 4) AS stop_ratio, round(dv, 4) AS diversity,
+        |SELECT doc_id, round(sr + 1e-9, 4) AS stop_ratio,
+        |  round(dv + 1e-9, 4) AS diversity,
         |  round(least(1.0, n_tok / 200.0) * 0.4 + least(1.0, sr * 5.0) * 0.3
-        |    + dv * 0.3, 4) AS quality
+        |    + dv * 0.3 + 1e-9, 4) AS quality
         |FROM q""".stripMargin))),
 
     // language ID heuristic: rows-only check (custom scoring loop)
@@ -191,7 +192,7 @@ object LlmQueries {
       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
       |SELECT p.a, p.b,
-      |  round(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard
+      |  round(shared * 1.0 / (sa.sz + sb.sz - shared) + 1e-9, 4) AS jaccard
       |FROM pairs p
       |JOIN sizes sa ON p.a = sa.doc_id
       |JOIN sizes sb ON p.b = sb.doc_id
