@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Full write-path concurrency + degenerate-input robustness. */
+class ConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-cc-").toString)
+
+  private val cfg = WriteConfig(retryUnitMs = 1, maxRetries = 20)
+
+  test("four concurrent append loads all land (CAS rebase on real writes)") {
+    val cat = freshCatalog()
+    cat.createTable("main", "t", StructType(Seq(StructField("x", LongType))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val w = new GraftWriter(cat)
+          w.writeTable("main", "t",
+            Seq(Seq((i * 10).toLong, (i * 10 + 1).toLong).toDF("x")),
+            Append, cfg, s"load-$i")
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.snapshots.size == 4)
+    assert(t.read().count() == 8)
+    assert(t.metadata.snapshots.map(_.loadId.get).toSet ==
+      (1 to 4).map(i => s"load-$i").toSet)
+  }
+
+  test("concurrent merges on disjoint keys both survive the rebase") {
+    val cat = freshCatalog()
+    val w0 = new GraftWriter(cat)
+    val mcfg = cfg.copy(primaryKey = Seq("id"))
+    w0.writeTable("main", "m",
+      Seq(Seq((1L, "a"), (100L, "x")).toDF("id", "v")), Merge("upsert"), mcfg, "seed")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = Seq((1L, "a2"), (100L, "x2")).zipWithIndex.map { case ((id, v), i) =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          new GraftWriter(cat).writeTable("main", "m",
+            Seq(Seq((id, v)).toDF("id", "v")), Merge("upsert"), mcfg, s"m-$i")
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val got = cat.loadTable("main", "m").read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (100L, "x2")))
+  }
+
+  test("empty batch append commits an empty snapshot; empty merge is safe") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    w.writeTable("main", "t", Seq(empty), Append, cfg, "l0")
+    val t = cat.loadTable("main", "t")
+    assert(t.read().count() == 0)
+    assert(t.metadata.snapshots.size == 1)
+
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")), Append, cfg, "l1")
+    w.writeTable("main", "t", Seq(empty), Merge("delete-insert"),
+      cfg.copy(primaryKey = Seq("id")), "l2")
+    assert(t.read().count() == 1) // empty merge removed nothing
+  }
+
+  test("null values in text columns flow through dedup and text ops") {
+    val docs = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, "the quick brown fox jumps over it"),
+        org.apache.spark.sql.Row(2L, null)),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    // null text: dropped by shingling (size(null) is null), fingerprint null-groups
+    assert(graft.llmops.Dedup.shingles(docs, 3).count() > 0)
+    val stats = graft.llmops.TextOps.tokenStats(docs).collect()
+    assert(stats.length == 2) // row preserved, stats null for the null doc
+  }
+}
