@@ -148,6 +148,26 @@ object CoreQueries {
 
   /** DataFrame-API implementations, each with an equivalent oracle SQL. */
   val dfApi: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    // as-of join (custom operator via composition — graft.operators.AsOfJoin):
+    // each event attaches the latest order of the same user at-or-before
+    // its event time; oracle is DuckDB's correlated LIMIT 1 formulation
+    "q25_asof_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val events = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+            col("o_orderkey"))
+        graft.operators.AsOfJoin(events, orders, Seq("user_id"),
+          leftTime = "ts", rightTime = "o_orderdate",
+          tiebreak = "o_orderkey", payload = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"))
+      },
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey
+        |FROM events e""".stripMargin)),
     // projection + predicate (pushed to the parquet scan by Catalyst) —
     // the reference's products query shape (tests/test_dataset.py:163-167).
     "q2_filter_project" -> ((
