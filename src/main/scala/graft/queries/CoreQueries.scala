@@ -143,7 +143,32 @@ object CoreQueries {
     // INTERSECT set op (customers that order AND supply nations intersect)
     "q24_intersect" ->
       """SELECT c_nationkey AS nk FROM customer
-        |INTERSECT SELECT s_nationkey AS nk FROM supplier""".stripMargin
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+
+    // interval (range) self-join: event pairs of the same user within one
+    // hour — equi-key + range predicate; second-truncated timestamps keep
+    // the ns-vs-us precision of the two engines equal at the boundary
+    "q26_range_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND date_trunc('second', b.ts) > date_trunc('second', a.ts)
+        | AND date_trunc('second', b.ts) <=
+        |     date_trunc('second', a.ts) + INTERVAL '1' HOUR""".stripMargin,
+
+    // sessionization: 30-minute-gap sessions per user via lag + running sum
+    "q27_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, t,
+        |  CASE WHEN t > lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |              + INTERVAL '30' MINUTE
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, event_id,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin
   )
 
   /** DataFrame-API implementations, each with an equivalent oracle SQL. */
