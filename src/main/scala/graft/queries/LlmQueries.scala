@@ -167,6 +167,54 @@ object LlmQueries {
       Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events""".stripMargin))),
 
+    // corpus vocabulary: top-50 tokens by document frequency (explode +
+    // two-level agg + deterministic top-k)
+    "l15_vocab_topk" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok"))
+          .limit(50),
+      Some("""SELECT tok, COUNT(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 50""".stripMargin))),
+
+    // corpus length distribution: exact interpolated percentiles
+    "l16_length_percentiles" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir).agg(
+          round(expr("percentile(n_chars, 0.5)") + 1e-9, 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)") + 1e-9, 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)") + 1e-9, 4).as("p99"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars")),
+      Some("""SELECT
+        |  round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99) + 1e-9, 4) AS p99,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents""".stripMargin))),
+
+    // train/benchmark contamination: corpus docs whose normalized
+    // fingerprint collides with the held-out benchmark slice
+    "l17_contamination" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val fp = TextOps.fingerprint(col("text"))
+        val corpus = d.select(col("doc_id"), fp.as("fp"))
+        val benchmark = d.filter(col("doc_id") % 97 === 0)
+          .select(fp.as("fp")).distinct()
+        corpus.join(benchmark, Seq("fp"), "left_semi")
+          .select(col("doc_id"), col("fp"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp FROM f
+        |WHERE fp IN (SELECT fp FROM f WHERE doc_id % 97 = 0)""".stripMargin))),
+
     // --- multimodal plumbing (decode stubbed, see Multimodal.decodeStub) ---
     "l12_multimodal" -> ((
       (s: SparkSession, dir: String) =>
