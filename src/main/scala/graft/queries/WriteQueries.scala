@@ -180,6 +180,36 @@ object WriteQueries {
       s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
          |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)),
 
+    // source-format breadth (S1 beyond parquet): the same slice written
+    // to and read back from CSV, JSON, and ORC, aggregated per format —
+    // every format must reproduce the same relational content
+    "w11_source_formats" -> ((
+      (s: SparkSession, dir: String) => {
+        val slice = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val base = Files.createTempDirectory("graft-fmt-")
+        slice.write.option("header", "true").csv(s"$base/csv")
+        slice.write.json(s"$base/json")
+        slice.write.orc(s"$base/orc")
+        val schema = slice.schema
+        val fromCsv = s.read.option("header", "true").schema(schema).csv(s"$base/csv")
+        val fromJson = s.read.schema(schema).json(s"$base/json")
+        val fromOrc = s.read.schema(schema).orc(s"$base/orc")
+        Seq(("csv", fromCsv), ("json", fromJson), ("orc", fromOrc))
+          .map { case (fmt, df) =>
+            df.groupBy(col("o_orderstatus"))
+              .agg(count(lit(1)).as("n"),
+                round(sum(col("o_totalprice")), 2).cast("double").as("revenue"))
+              .withColumn("fmt", lit(fmt))
+          }.reduce(_ unionByName _)
+          .select(col("fmt"), col("o_orderstatus"), col("n"), col("revenue"))
+      },
+      """SELECT fmt, o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+        |GROUP BY fmt, o_orderstatus""".stripMargin)),
+
     // pipeline load ledger: two completed loads -> two status-0 rows
     "w8_load_ledger" -> ((
       (s: SparkSession, dir: String) => {
