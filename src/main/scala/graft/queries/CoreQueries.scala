@@ -156,6 +156,65 @@ object CoreQueries {
         | AND date_trunc('second', b.ts) <=
         |     date_trunc('second', a.ts) + INTERVAL '1' HOUR""".stripMargin,
 
+    // TPC-H Q3 shape: shipping priority — segment-filtered 3-way join,
+    // revenue agg, deterministic top-10
+    "q28_tpch3_shipping" ->
+      """SELECT l.l_orderkey,
+        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(o.o_orderdate AS DATE) AS orderdate
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+
+    // TPC-H Q5 shape: local-supplier volume — 6-way join through both
+    // customer and supplier back to the same nation
+    "q29_tpch5_local" ->
+      """SELECT n.n_name AS n_name,
+        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name""".stripMargin,
+
+    // TPC-H Q7 shape: volume shipping between two nations by year
+    "q30_tpch7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS DOUBLE)
+        |    AS volume
+        |FROM supplier s
+        |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)""".stripMargin,
+
+    // TPC-H Q10 shape: returned-item reporting, top-20 customers
+    "q31_tpch10_returns" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(ROUND(c.c_acctbal, 2) AS DOUBLE) AS c_acctbal
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
     // sessionization: 30-minute-gap sessions per user via lag + running sum
     "q27_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
