@@ -33,6 +33,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Shingles with the string replaced by its 64-bit hash — the join keys
+    * of every pairwise stage. Joining/aggregating on 8-byte longs is
+    * substantially cheaper than on ~25-char strings; the 2^-64 collision
+    * rate is far below the engine's verification tolerances. */
+  private def hashedShingles(docs: DataFrame, n: Int, textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => xxhash64(concat_ws("_", slice(w, i, lit(n)))))).as("g"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs above `threshold`.
     * Candidates come from the shingle equality self-join (only documents
     * sharing at least one shingle ever meet), then J = |∩| / |∪|.
@@ -41,7 +55,7 @@ object Dedup {
     * result is exactly the mathematical Jaccard relation. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(docs, n, textCol)
+    val sh0 = hashedShingles(docs, n, textCol)
     val sh = maxShingleFreq.fold(sh0) { cap =>
       val rare = sh0.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("g")
@@ -78,15 +92,14 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    // hash the shingle string ONCE, then derive the permutation family by
-    // re-hashing the 8-byte value with a salt — 64 long-hashes instead of
-    // 64 string-hashes per shingle
-    val sh = shingles(docs, n, textCol).cache()
-    val shh = sh.withColumn("h", xxhash64(col("g")))
+    // shingles arrive pre-hashed to longs; the permutation family re-hashes
+    // the 8-byte value with a salt — 64 long-hashes per shingle, no string
+    // work past the initial explode
+    val sh = hashedShingles(docs, n, textCol).cache()
     val minAggs = (0 until numHashes).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+      min(xxhash64(col("g"), lit(i))).as(s"m$i")
     }
-    val sigs = shh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
 
     val bandCols = (0 until bands).map { bIdx =>
       val rows = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}"))
