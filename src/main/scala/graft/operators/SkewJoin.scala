@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for pathologically skewed keys.
+  *
+  * AQE's skew-join split handles most runtime skew; explicit salting is
+  * the deterministic fallback when one key dominates so heavily that even
+  * split shuffle blocks overwhelm a task (the classic power-law user_id).
+  * The big side gets a random-but-deterministic salt in [0, factor); the
+  * small side is replicated `factor` times; joining on (keys, salt)
+  * spreads the hot key across `factor` tasks. Join RESULTS are identical
+  * to the unsalted join — only physical placement changes.
+  */
+object SkewJoin {
+
+  def salted(big: DataFrame, small: DataFrame, keys: Seq[String],
+      factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(factor > 0)
+    // deterministic per-row salt: hash the whole row's key columns plus a
+    // per-row discriminator (monotonically_increasing_id is stable within
+    // one evaluation and never affects the relational result)
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)).cast("int"))
+    val smallSalted = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    bigSalted.join(smallSalted, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -111,6 +111,25 @@ object Transforms {
       }
     }
 
+  /** Iceberg-spec ORDINAL partition values (table-spec "Partition
+    * Transforms"): year → years since 1970, month → months since
+    * 1970-01, day → days since epoch, hour → hours since epoch — for
+    * byte-level fidelity with Iceberg partition metadata when
+    * interoperating. The engine's own layout uses the human-readable
+    * `expression` below (the reference's tests assert spec shape, not
+    * values). */
+  def icebergOrdinalExpression(spec: PartitionFieldSpec, dt: DataType): Column = {
+    val src = col(spec.source)
+    val ts = src.cast(TimestampType)
+    spec.transform match {
+      case "year" => (year(ts) - 1970).cast(IntegerType)
+      case "month" => ((year(ts) - 1970) * 12 + month(ts) - 1).cast(IntegerType)
+      case "day" => datediff(to_date(ts), lit("1970-01-01")).cast(IntegerType)
+      case "hour" => (unix_timestamp(ts) / 3600L).cast(IntegerType)
+      case _ => expression(spec, dt)
+    }
+  }
+
   /** The transform as a Column expression over the source column — used by
     * the write path as `df.withColumn(spec.name, expr).write.partitionBy`.
     * Temporal transforms yield human-readable values (our tests and the

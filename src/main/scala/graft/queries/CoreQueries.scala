@@ -133,6 +133,12 @@ object CoreQueries {
         |WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
 
+    // CUBE: all grouping combinations of two keys
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
     // GROUPING SETS (finer than ROLLUP: two independent grouping keys)
     "q23_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -342,6 +348,24 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)""".stripMargin)),
+
+    // salted skew join: identical relational result to the plain join —
+    // the oracle IS the unsalted formulation (graft.operators.SkewJoin)
+    "q33_skew_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.operators.SkewJoin.salted(li, o, Seq("l_orderkey"), factor = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("double").as("sum_qty"))
+      },
+      """SELECT o.o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus""".stripMargin)),
 
     // IN-subquery membership (reference P4 `In(pk, values)` generalized to a
     // semi-join, which scales past expression-size limits)

@@ -140,4 +140,22 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(out.getAs[String]("s_truncate_3") == "abc")
     assert(out.getAs[Long]("n_truncate_100") == 1200L)
   }
+
+  test("iceberg ordinal transforms match the spec's epoch arithmetic") {
+    val df = Seq((java.sql.Timestamp.valueOf("2017-11-16 22:31:08"), 1L))
+      .toDF("ts", "x")
+    val specs = Transforms.buildSpec(Seq(
+      PartitionHint.year("ts", "y"), PartitionHint.month("ts", "m"),
+      PartitionHint.day("ts", "d"), PartitionHint.hour("ts", "h")),
+      df.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+    val out = specs.foldLeft(df) { (d, sp) =>
+      d.withColumn(sp.name, Transforms.icebergOrdinalExpression(sp,
+        df.schema(sp.source).dataType))
+    }.collect()(0)
+    // Iceberg table-spec examples for 2017-11-16T22:31:08
+    assert(out.getAs[Int]("y") == 47)      // years since 1970
+    assert(out.getAs[Int]("m") == 574)     // months since 1970-01
+    assert(out.getAs[Int]("d") == 17486)   // days since epoch
+    assert(out.getAs[Int]("h") == 419686)  // hours since epoch (17486*24+22)
+  }
 }
