@@ -116,12 +116,16 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   }
 
   private def compareTyped(dt: DataType, a: String, b: String): Int = dt match {
-    case ByteType | ShortType | IntegerType | LongType =>
+    // temporal stats are stored as epoch-day / epoch-micros longs
+    // (`Stager.statColumn`) — variable-width, so they must compare
+    // numerically, never lexically
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType =>
       java.lang.Long.compare(a.toLong, b.toLong)
     case FloatType | DoubleType =>
       java.lang.Double.compare(a.toDouble, b.toDouble)
     case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b) // strings, ISO dates/timestamps sort lexically
+    case _ => a.compareTo(b) // strings sort lexically
   }
 
   /** Atomic commit: reread freshest metadata, apply `update`, CAS-write the

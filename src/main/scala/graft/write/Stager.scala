@@ -25,15 +25,17 @@ import scala.jdk.CollectionConverters._
   */
 object Stager {
 
-  /** Canonical stat encoding per type: temporal types stored as epoch
-    * longs so pruning comparisons are numeric (see
-    * `GraftTable.filesOverlapping`). */
+  /** Order-preserving typed expression for a stat column: temporal types
+    * as epoch longs, everything else as-is. Aggregated with typed min/max
+    * and cast to the canonical string AFTER aggregation — casting before
+    * would make min/max lexicographic (min of {9, 10} would be "10") and
+    * silently corrupt pruning in `GraftTable.filesOverlapping`. */
   def statColumn(c: Column, dt: DataType): Option[Column] = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
         DoubleType | _: DecimalType | StringType =>
-      Some(c.cast(StringType))
-    case DateType => Some(datediff(c, lit("1970-01-01")).cast(StringType))
-    case TimestampType | TimestampNTZType => Some(unix_micros(c.cast(TimestampType)).cast(StringType))
+      Some(c)
+    case DateType => Some(datediff(c, lit("1970-01-01")))
+    case TimestampType | TimestampNTZType => Some(unix_micros(c.cast(TimestampType)))
     case _ => None // binary/bool/nested: no stats
   }
 
@@ -99,8 +101,8 @@ object Stager {
     val statAggs: Seq[(String, Seq[Column])] = fullSchema.fields.toSeq.flatMap { f =>
       statColumn(col(f.name), f.dataType).map { sc =>
         f.name -> Seq(
-          min(sc).as(s"min__${f.name}"),
-          max(sc).as(s"max__${f.name}"),
+          min(sc).cast(StringType).as(s"min__${f.name}"),
+          max(sc).cast(StringType).as(s"max__${f.name}"),
           sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}"))
       }
     }

@@ -155,4 +155,31 @@ class CatalogSpec extends AnyFunSuite {
     val none = t.filesOverlapping(m, "k", "101", "150").map(_.path)
     assert(none == Seq("f3"))
   }
+
+  test("partitioned-path stats aggregate typed, not lexicographic") {
+    // regression: min/max over cast(String) made min of {9, 10} = "10"
+    val cat = freshCatalog()
+    val t = cat.createTable("main", "st", StructType(Seq(StructField("k", LongType))))
+    val df = Seq(-5L, 9L, 10L, 100L).toDF("k")
+    val spec = Seq(PartitionFieldSpec("k", "bucket", Some(1), "k_bucket"))
+    val files = graft.write.Stager.stage(df, t.dataDir, "load_stats", spec = spec)
+    assert(files.size == 1) // bucket[1] co-locates every row
+    val s = files.head.stats("k")
+    assert(s.min.get.toLong == -5L)
+    assert(s.max.get.toLong == 100L)
+  }
+
+  test("temporal stats prune numerically across epoch digit boundaries") {
+    // regression: epoch-day 9999 vs 10000 compared lexically ("9999" > "10000")
+    val cat = freshCatalog()
+    val t = cat.createTable("main", "dt", StructType(Seq(StructField("d", DateType))))
+    val files = Seq(
+      DataFile("f1", 10, 0, Map("d" -> ColumnStats(Some("9998"), Some("9999"), Some(0)))),
+      DataFile("f2", 10, 0, Map("d" -> ColumnStats(Some("10000"), Some("10001"), Some(0)))),
+      DataFile("f3", 10, 0, Map("d" -> ColumnStats(Some("-30"), Some("-1"), Some(0)))))
+    val m = t.commit(_.withSnapshot("append", None, files), unitMs = 1)
+    assert(t.filesOverlapping(m, "d", "10000", "10000").map(_.path) == Seq("f2"))
+    assert(t.filesOverlapping(m, "d", "9999", "9999").map(_.path) == Seq("f1"))
+    assert(t.filesOverlapping(m, "d", "-20", "-10").map(_.path) == Seq("f3"))
+  }
 }
