@@ -15,9 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types whose results are unchanged by replicating the small side:
+    * every small-side row either matches (same matches, spread across
+    * salts) or is dropped. right/full would emit each unmatched small-side
+    * row `factor` times, so they are rejected. */
+  private val SaltSafeJoinTypes = // normalized: lowercase, no underscores
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   def salted(big: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    require(SaltSafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"salted() supports only big-side-preserving join types " +
+        s"(inner/left/left_semi/left_anti); '$joinType' would duplicate " +
+        s"unmatched small-side rows ${factor}x")
     // deterministic per-row salt: hash the whole row's key columns plus a
     // per-row discriminator (monotonically_increasing_id is stable within
     // one evaluation and never affects the relational result)

@@ -187,17 +187,30 @@ final class GraftWriter(catalog: GraftCatalog) {
       stagedNew: Seq[DataFile], op: String, loadId: String, cfg: WriteConfig): Unit = {
     val keysCached = keys.cache()
     try {
-      // key range for file pruning on the first PK column (metadata-scale agg)
-      val pk0 = pks.head
-      val range = keysCached.agg(min(col(pk0)), max(col(pk0))).collect()(0)
+      // key ranges for file pruning on EVERY PK column (one metadata-scale
+      // agg): a file is affected only if its [min,max] overlaps the batch
+      // range on ALL key columns. Pruning on the first column alone lets a
+      // low-cardinality leading key (e.g. region of a (region, id) PK)
+      // select nearly every file and rewrite far too much.
+      val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk))))
+      val range = keysCached.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
 
       t.commit({ fresh =>
-        val affected: Seq[DataFile] =
-          if (range.isNullAt(0)) Nil
+        val perColumn = pks.zipWithIndex.flatMap { case (pk, i) =>
+          // an all-null key column can never equality-match: no constraint
+          if (range.isNullAt(2 * i)) None
           else {
-            val dt = fresh.schema(pk0).dataType
-            t.filesOverlapping(fresh, pk0,
-              canonicalKey(dt, range.get(0)), canonicalKey(dt, range.get(1)))
+            val dt = fresh.schema(pk).dataType
+            Some(t.filesOverlapping(fresh, pk,
+              canonicalKey(dt, range.get(2 * i)),
+              canonicalKey(dt, range.get(2 * i + 1))).map(_.path).toSet)
+          }
+        }
+        val affected: Seq[DataFile] =
+          if (perColumn.isEmpty) Nil // empty or all-null key batch
+          else {
+            val hit = perColumn.reduce(_ intersect _)
+            fresh.currentFiles.filter(f => hit.contains(f.path))
           }
         val affectedPaths = affected.map(_.path).toSet
 

@@ -318,5 +318,87 @@ class WriteEngineSpec extends AnyFunSuite {
     w.writeTable("main", "u", Seq(users((1, "a", 1))), Append, cfg, "l1")
     assert(Files.exists(custom.resolve("metadata").resolve("v1.metadata.json")))
     assert(new GraftTable(spark, custom).read().count() == 1)
+
+    // regression: the catalog must resolve the custom location afterwards —
+    // the second write used to re-enter createTable and throw
+    // TableAlreadyExistsError (destination_client.py:736-766 parity)
+    w.writeTable("main", "u", Seq(users((2, "b", 2))), Append, cfg, "l2")
+    assert(cat.tableExists("main", "u"))
+    assert(cat.listTables("main") == Seq("u"))
+    val t = cat.loadTable("main", "u")
+    assert(t.dir.toAbsolutePath.normalize == custom.toAbsolutePath.normalize)
+    assert(t.read().count() == 2) // both loads visible through the catalog
+    assert(t.metadata.snapshots.size == 2)
+
+    // a second write with NO location hint must keep routing to the
+    // registered location, not fork a table at the default path
+    w.writeTable("main", "u", Seq(users((3, "c", 3))), Append, fastCfg, "l3")
+    assert(t.read().count() == 3)
+
+    cat.dropTable("main", "u")
+    assert(!cat.tableExists("main", "u"))
+    assert(!Files.exists(custom.resolve("metadata"))) // purge reached the real dir
+  }
+
+  test("composite-key merge prunes on ALL key columns, not just the first") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = fastCfg.copy(primaryKey = Seq("region", "id"))
+    // low-cardinality leading key: build a deterministic 3-file layout
+    // (one append per file) so region "b" spans two files with disjoint
+    // id ranges — AQE would coalesce a single tiny staged write to 1 file
+    def slab(r: String, ids: Range) =
+      ids.map(i => (r, i.toLong, r + i)).toDF("region", "id", "v").coalesce(1)
+    w.writeTable("main", "rk", Seq(slab("a", 1 to 400)), Append, cfg, "l1a")
+    w.writeTable("main", "rk", Seq(slab("b", 1 to 200)), Append, cfg, "l1b")
+    w.writeTable("main", "rk", Seq(slab("b", 201 to 400)), Append, cfg, "l1c")
+    val t = cat.loadTable("main", "rk")
+    val before = t.metadata.currentFiles
+    // first-column pruning alone would rewrite EVERY file of region "b"
+    val regionOnlyHit = t.filesOverlapping(t.metadata, "region", "b", "b").size
+    assert(regionOnlyHit > 1) // precondition: region b spans several files
+
+    val batch = Seq(("b", 10L, "B10"), ("b", 11L, "B11"), ("b", 12L, "B12"))
+      .toDF("region", "id", "v")
+    w.writeTable("main", "rk", Seq(batch), Merge("upsert"), cfg, "l2")
+    val after = cat.loadTable("main", "rk").metadata.currentFiles
+    val rewritten = before.map(_.path).toSet -- after.map(_.path).toSet
+    assert(rewritten.size < regionOnlyHit) // intersection pruned tighter
+    assert(rewritten.nonEmpty) // and it did touch the real overlap
+    // correctness of the merge itself
+    val got = cat.loadTable("main", "rk").read()
+      .filter($"region" === "b" && $"id".between(9, 13))
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((9L, "b9"), (10L, "B10"), (11L, "B11"), (12L, "B12"), (13L, "b13")))
+    assert(cat.loadTable("main", "rk").read().count() == 800)
+  }
+
+  test("registerTable attaches an external table; registerTablesFrom discovers in bulk") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val external = Files.createTempDirectory("graft-ext-")
+    // build two tables in a foreign warehouse, then attach to a fresh catalog
+    val foreign = new GraftCatalog(spark, external.toString)
+    new GraftWriter(foreign).writeTable("src", "a", Seq(users((1, "a", 1))), Append, fastCfg, "l1")
+    new GraftWriter(foreign).writeTable("src", "b", Seq(users((2, "b", 2))), Append, fastCfg, "l1")
+
+    val t = cat.registerTable("main", "a", external.resolve("src").resolve("a").toString)
+    assert(t.read().count() == 1)
+    assert(cat.tableExists("main", "a") && cat.listTables("main") == Seq("a"))
+    // registered tables accept further writes through the catalog
+    w.writeTable("main", "a", Seq(users((9, "z", 9))), Append, fastCfg, "l2")
+    assert(cat.loadTable("main", "a").read().count() == 2)
+    intercept[TableAlreadyExistsError] {
+      cat.registerTable("main", "a", external.resolve("src").resolve("b").toString)
+    }
+    intercept[NoSuchTableError] {
+      cat.registerTable("main", "nope", external.resolve("missing").toString)
+    }
+
+    // bulk discovery registers only unknown tables
+    val found = cat.registerTablesFrom("main", external.resolve("src").toString)
+    assert(found == Seq("b"))
+    assert(cat.listTables("main") == Seq("a", "b"))
+    assert(cat.loadTable("main", "b").read().count() == 1)
   }
 }
