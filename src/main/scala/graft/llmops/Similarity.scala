@@ -66,10 +66,32 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Thresholds from here up route to the LSH-bucketed plan. Below it the
+    * exact all-pairs join is used DELIBERATELY: at low thresholds the
+    * per-plane agreement probability p = 1 - θ/π of a boundary pair is so
+    * low (t=0.4 ⇒ θ≈66° ⇒ p≈0.63) that any (planes, tables) choice with
+    * candidate volume below all-pairs (T < 2^(P-1)) misses boundary pairs
+    * with near-certainty — LSH prunes only when a similarity gap exists.
+    * Measured on the driver data: qualifying pairs sit at 0.401-0.601,
+    * i.e. zero gap above t=0.4. */
+  val AutoBucketThreshold = 0.8
+
   /** All pairs with cosine similarity above `threshold` (embedding-space
-    * near-dup detection). Exact O(N²) formulation — the corpus-scale path
-    * is `lshBuckets` candidates + this verification on candidates only. */
+    * near-dup detection). Routes by threshold: genuine near-dup thresholds
+    * (≥ [[AutoBucketThreshold]]) use [[cosineNearDupPairsBucketed]] —
+    * LSH-bucketed candidates + exact verification, the corpus-scale plan;
+    * lower thresholds keep the exact O(N²) join (see the note above). */
   def cosineNearDupPairs(embeddings0: DataFrame, threshold: Double,
+      dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    if (threshold >= AutoBucketThreshold)
+      cosineNearDupPairsBucketed(embeddings0, threshold,
+        dim = dim, idCol = idCol, vecCol = vecCol)
+    else cosineNearDupPairsExact(embeddings0, threshold, dim, idCol, vecCol)
+
+  /** Exact all-pairs formulation — the oracle for the bucketed plan, and
+    * the only correct plan when the threshold leaves no similarity gap. */
+  def cosineNearDupPairsExact(embeddings0: DataFrame, threshold: Double,
       dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val embeddings = ensureRegistered(embeddings0)
@@ -81,6 +103,38 @@ object Similarity {
       .filter(col("cosine") > threshold)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Corpus-scale near-dup pairs: multi-table sign-bit LSH buckets
+    * generate candidates (self-join on (table, bucket), never all-pairs),
+    * then candidates are verified with the exact cosine — precision is
+    * always 1; recall is 1 - (1 - p^P)^T per pair with p = 1 - θ/π
+    * (identical vectors share every bucket of every table, so exact
+    * duplicates are found with certainty). Candidate volume scales with
+    * T · Σ_buckets occ², not N² — per-bucket occupancy is the knob:
+    * more planes ⇒ smaller buckets ⇒ cheaper join, lower recall. */
+  def cosineNearDupPairsBucketed(embeddings0: DataFrame, threshold: Double,
+      numPlanes: Int = 12, tables: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val embeddings = ensureRegistered(embeddings0)
+    val b = lshBuckets(embeddings, numPlanes, tables, dim, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("table"), col("bucket"))
+    // candidate pairs share a bucket in ANY table; dedupe across tables
+    // while carrying the vectors so verification needs no further join
+    val cand = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") &&
+        col("x.bucket") === col("y.bucket") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col(s"x.$vecCol").as("va0"), col(s"y.$vecCol").as("vb0"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("va", asDouble(col("va0")))
+      .withColumn("vb", asDouble(col("vb0")))
+      .withColumn("cosine",
+        fastDot(col("va"), col("vb")) / (fastNorm(col("va")) * fastNorm(col("vb"))))
+      .filter(col("cosine") > threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 
   /** Deterministic random hyperplanes for sign-bit LSH; `seed` varies per

@@ -70,9 +70,10 @@ object TextOps {
     "fr" -> Seq("le", "et", "les", "des", "est"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3"))
 
-  /** Predict language as argmax marker-hit ratio; ties resolve
-    * alphabetically then prefer "en" when nothing matches. Driver check is
-    * rows-only (the scoring loop is not expressible in portable SQL). */
+  /** Predict language as argmax marker-hit ratio; score ties resolve to
+    * the lexicographically LARGEST language code (desc struct sort), so
+    * all-zero rows predict "zh". Oracle-checked: the same argmax is
+    * `row_number() OVER (ORDER BY score DESC, lang DESC)` in DuckDB. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
@@ -86,8 +87,10 @@ object TextOps {
       col("doc_id"),
       sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
         .as("lang_pred"),
+      // + 1e-9: see tokenStats — keeps half-boundary rationals on the same
+      // side of round() in both engines
       round(sort_array(array(scored: _*), asc = false).getItem(0)
-        .getField("score"), 4).as("lang_score"))
+        .getField("score") + 1e-9, 4).as("lang_score"))
   }
 
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —

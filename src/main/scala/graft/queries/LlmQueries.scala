@@ -58,10 +58,27 @@ object LlmQueries {
         |    + dv * 0.3 + 1e-9, 4) AS quality
         |FROM q""".stripMargin))),
 
-    // language ID heuristic: rows-only check (custom scoring loop)
+    // language ID heuristic: the marker-ratio argmax is the same
+    // row_number-over-(score DESC, lang DESC) selection in DuckDB
     "l3_lang_id" -> ((
       (s: SparkSession, dir: String) => TextOps.langId(docs(s, dir)),
-      None)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(w,
+        |    x -> x IN ('der','und','die','ist','das'))) * 1.0 / len(w) AS score FROM d
+        |  UNION ALL SELECT doc_id, 'en', len(list_filter(w,
+        |    x -> x IN ('the','and','of','is','to'))) * 1.0 / len(w) FROM d
+        |  UNION ALL SELECT doc_id, 'es', len(list_filter(w,
+        |    x -> x IN ('el','la','que','los','es'))) * 1.0 / len(w) FROM d
+        |  UNION ALL SELECT doc_id, 'fr', len(list_filter(w,
+        |    x -> x IN ('le','et','les','des','est'))) * 1.0 / len(w) FROM d
+        |  UNION ALL SELECT doc_id, 'zh', len(list_filter(w,
+        |    x -> x IN ('de5','shi4','le5','zai4','you3'))) * 1.0 / len(w) FROM d),
+        |r AS (SELECT doc_id, lang, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM s)
+        |SELECT doc_id, lang AS lang_pred, round(score + 1e-9, 4) AS lang_score
+        |FROM r WHERE rn = 1""".stripMargin))),
 
     "l4_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
@@ -103,6 +120,17 @@ object LlmQueries {
           bands = 32, threshold = 0.5),
       Some(jaccardOracle))),
 
+    // the corpus-scale exact-Jaccard variant: stop-shingles with document
+    // frequency > 10 are dropped BEFORE the equality self-join, bounding
+    // per-shingle join fan-out at cap² — the knob that keeps the shingle
+    // join linear-ish under power-law shingle frequencies. The oracle
+    // applies the identical cap (HAVING count(*) <= 10 on the shingle CTE).
+    "l18_jaccard_capped" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5,
+          maxShingleFreq = Some(10)),
+      Some(jaccardCappedOracle))),
+
     // SimHash near-dup: custom 64-bit hashing, rows-only check
     "l8_simhash" -> ((
       (s: SparkSession, dir: String) =>
@@ -136,6 +164,27 @@ object LlmQueries {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin))),
+
+    // bucketed near-dup at a genuine near-dup threshold: near-dups are
+    // planted by unioning exact embedding copies under shifted ids (the
+    // dedup use case); identical vectors share every LSH bucket, so the
+    // bucketed plan's recall is structural, not probabilistic, and the
+    // result hash-matches the exact all-pairs oracle
+    "l19_cosine_bucketed" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = e.unionByName(
+          e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        Similarity.cosineNearDupPairsBucketed(planted, threshold = 0.95,
+          numPlanes = 16, tables = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, v FROM e
+        |  UNION ALL SELECT vec_id + 1000000, v FROM e)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.95""".stripMargin))),
 
     // LSH-bucketed ANN: rows-only check; recall pinned in LlmOpsSpec
     "l11_ann_lsh" -> ((
@@ -236,6 +285,27 @@ object LlmQueries {
       |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
       |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
       |  FROM s),
+      |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+      |SELECT p.a, p.b,
+      |  round(shared * 1.0 / (sa.sz + sb.sz - shared) + 1e-9, 4) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON p.a = sa.doc_id
+      |JOIN sizes sb ON p.b = sb.doc_id
+      |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5""".stripMargin
+
+  /** l18: same Jaccard relation but shingles capped at document frequency
+    * 10 BEFORE the self-join and the size aggregate — sizes (and therefore
+    * Jaccard values) are over the capped shingle sets on both engines. */
+  private lazy val jaccardCappedOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+      |sh0 AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
+      |  FROM s),
+      |rare AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 10),
+      |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN rare USING (g)),
       |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)

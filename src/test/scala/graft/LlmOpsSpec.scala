@@ -83,6 +83,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("bucketed cosine near-dup: precision 1 vs exact; full recall on planted dups") {
+    // precision: every bucketed pair is an exact pair (verification step)
+    val exact = Similarity.cosineNearDupPairsExact(emb, 0.4).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.cosineNearDupPairsBucketed(emb, 0.4,
+      numPlanes = 4, tables = 8).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact))
+
+    // structural recall: identical vectors share every bucket, so planted
+    // duplicates are always found — the l19 driver entry's guarantee
+    val ids = emb.select(col("vec_id"), col("embedding"))
+    val planted = ids.unionByName(
+      ids.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val dups = Similarity.cosineNearDupPairsBucketed(planted, 0.95,
+      numPlanes = 16, tables = 2)
+    val n = ids.count()
+    assert(dups.filter(col("b") === col("a") + 1000000L).count() == n)
+
+    // auto-routing: high threshold dispatches to the bucketed plan (no
+    // all-pairs cross join on ids in the physical plan)
+    val routedPlan = Similarity.cosineNearDupPairs(emb, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(routedPlan.contains("bucket"))
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = Multimodal.mediaFeatures(docs, partitions = 4).orderBy("doc_id").collect()
     val f2 = Multimodal.mediaFeatures(docs, partitions = 2).orderBy("doc_id").collect()
