@@ -100,6 +100,27 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         org.apache.spark.sql.functions.lit(hi)))
   }
 
+  /** Point lookup: prune via min/max AND per-file [[KeyBloom]] filters
+    * (decisive for UUID-ish keys whose [min,max] spans the keyspace),
+    * then scan only the surviving files with the equality filter pushed
+    * down. Files without a bloom are conservatively kept. */
+  def readPointLookup(column: String, value: Any): DataFrame = {
+    val m = metadata
+    val dt = m.schema(column).dataType
+    val key = graft.write.Stager.canonicalKey(dt, value)
+    val hit = filesForKey(m, column, key)
+    readFiles(m, hit).filter(org.apache.spark.sql.functions.col(column) ===
+      org.apache.spark.sql.functions.lit(value))
+  }
+
+  /** The file subset that could contain `key` (canonical form) in
+    * `column`: min/max overlap intersected with bloom membership. */
+  def filesForKey(m: TableMetadata, column: String, key: String): Seq[DataFile] =
+    filesOverlapping(m, column, key, key).filter { f =>
+      f.stats.get(column).flatMap(_.bloom)
+        .forall(b64 => KeyBloom.mightContain(b64, key))
+    }
+
   /** Prune the current file set to those whose [min,max] stats could
     * contain a key in [lo, hi] for `column` — the scan-side analogue of
     * Iceberg manifest pruning, and the merge path's affected-file
@@ -108,7 +129,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
     m.currentFiles.filter { f =>
       f.stats.get(column) match {
-        case Some(ColumnStats(Some(mn), Some(mx), _)) =>
+        case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
           dt.forall(t => compareTyped(t, mx, lo) >= 0 && compareTyped(t, mn, hi) <= 0)
         case _ => true
       }

@@ -7,11 +7,14 @@ import org.json4s.jackson.{JsonMethods, Serialization}
 /** Per-column min/max/null stats for one data file, stored as strings and
   * re-typed through the table schema on use. Powers file pruning (the Spark
   * analogue of the reference's PyIceberg manifest pruning on
-  * `row_filter` scans, `destination_client.py:320-322`). */
+  * `row_filter` scans, `destination_client.py:320-322`). `bloom` is an
+  * optional base64 [[KeyBloom]] filter for point-lookup pruning on
+  * columns whose min/max spans the keyspace (UUID keys). */
 final case class ColumnStats(
     min: Option[String],
     max: Option[String],
-    nullCount: Option[Long])
+    nullCount: Option[Long],
+    bloom: Option[String] = None)
 
 final case class DataFile(
     path: String,

@@ -72,15 +72,19 @@ final class GraftPipeline(
       new java.sql.Timestamp(System.currentTimeMillis()), currentSchemaHash.orNull)
     val df = spark.createDataFrame(List(row).asJava, LoadsSchema)
     writeInternal(LoadsTable, df, WriteConfig(retryUnitMs = 10,
-      requiredColumns = Set("load_id", "status", "inserted_at")), loadId)
+      requiredColumns = Set("load_id", "status", "inserted_at"),
+      // load_ids are random: min/max stats can't prune a ledger probe,
+      // the per-file bloom can (see GraftTable.readPointLookup)
+      bloomColumns = Seq("load_id")), loadId)
   }
 
   def loadRecordExists(loadId: String): Boolean =
     catalog.tableExists(namespace, LoadsTable) && {
-      // predicate prunes to matching files via min/max stats + parquet
-      // row-group filters (J4, destination_client.py:1139-1150)
-      !catalog.loadTable(namespace, LoadsTable).read()
-        .filter(col("load_id") === loadId).limit(1).isEmpty
+      // point lookup prunes to matching files via per-file blooms (random
+      // UUIDs defeat min/max range stats), then parquet row-group filters
+      // (J4, destination_client.py:1139-1150)
+      !catalog.loadTable(namespace, LoadsTable)
+        .readPointLookup("load_id", loadId).limit(1).isEmpty
     }
 
   def loads(): DataFrame =

@@ -45,7 +45,11 @@ final case class WriteConfig(
     retryUnitMs: Long = 1000L,
     /** Range-cluster merge-table staging by primary key so per-file key
       * ranges stay narrow and merge pruning is tight. */
-    clusterByKeys: Boolean = true)
+    clusterByKeys: Boolean = true,
+    /** Columns to build per-file KeyBloom membership filters for —
+      * decisive for point lookups on random (UUID) keys where min/max
+      * range pruning degenerates to a full scan. */
+    bloomColumns: Seq[String] = Nil)
 
 /** The disposition engine — the Spark-native rebuild of
   * `_commit_table_files` (`destination_client.py:1256-1520`).
@@ -111,14 +115,16 @@ final class GraftWriter(catalog: GraftCatalog) {
 
   private def commitAppend(t: GraftTable, m: TableMetadata, df: DataFrame,
       loadId: String, cfg: WriteConfig): Unit = {
-    val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec)
+    val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
+      bloomColumns = cfg.bloomColumns)
     t.commit(fresh => fresh.withSnapshot("append", Some(loadId),
       fresh.currentFiles ++ staged), cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
   }
 
   private def commitReplace(t: GraftTable, m: TableMetadata, df: DataFrame,
       loadId: String, cfg: WriteConfig): Unit = {
-    val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec)
+    val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
+      bloomColumns = cfg.bloomColumns)
     // truncate-and-insert: snapshot references ONLY the new files; old
     // files stay on disk for time travel (S6)
     t.commit(fresh => fresh.withSnapshot("overwrite", Some(loadId), staged),
@@ -153,7 +159,7 @@ final class GraftWriter(catalog: GraftCatalog) {
         // unmarked rows are replaced by their new versions).
         val delKeys = combined.select(pks.map(col): _*).distinct()
         val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec,
-          if (cfg.clusterByKeys) pks else Nil)
+          if (cfg.clusterByKeys) pks else Nil, cfg.bloomColumns)
         rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
 
       case _ => // upsert (default)
@@ -173,7 +179,8 @@ final class GraftWriter(catalog: GraftCatalog) {
         }
         val upsertKeys = remaining.select(pks.map(col): _*).distinct()
         val staged = Stager.stage(remaining, t.dataDir, loadId,
-          t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil)
+          t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil,
+          cfg.bloomColumns)
         rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
     }
   }
@@ -221,7 +228,7 @@ final class GraftWriter(catalog: GraftCatalog) {
               .parquet(affected.map(_.path): _*)
             val kept = affectedDf.join(keysCached, pks, "left_anti")
             Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec,
-              if (cfg.clusterByKeys) pks else Nil)
+              if (cfg.clusterByKeys) pks else Nil, cfg.bloomColumns)
           }
 
         val untouched = fresh.currentFiles.filterNot(f => affectedPaths.contains(f.path))

@@ -55,10 +55,13 @@ object Stager {
 
   /** Write `df` under `dataDir/<loadId>-<uuid>` and return the staged
     * files with stats. `spec` optionally clusters the write by partition
-    * transforms. */
+    * transforms. `bloomColumns` additionally builds per-file [[KeyBloom]]
+    * membership filters for point-lookup pruning (one narrow
+    * column-pruned scan of the staged files). */
   def stage(df: DataFrame, dataDir: Path, loadId: String,
       spec: Seq[PartitionFieldSpec] = Nil,
-      clusterBy: Seq[String] = Nil): Seq[DataFile] = {
+      clusterBy: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Seq[DataFile] = {
     val spark = df.sparkSession
     val dest = dataDir.resolve(s"$loadId-${java.util.UUID.randomUUID().toString.take(8)}")
 
@@ -84,8 +87,48 @@ object Stager {
     // parquet footers (driver-side, no data re-read). Partitioned tables
     // additionally need stats over DERIVED transform values, which only a
     // scan can provide.
-    if (spec.isEmpty) FooterStats.collect(files, schema)
-    else collectStats(spark, files, schema, spec)
+    val base =
+      if (spec.isEmpty) FooterStats.collect(files, schema)
+      else collectStats(spark, files, schema, spec)
+    val present = bloomColumns.filter(schema.fieldNames.contains)
+    if (present.isEmpty) base
+    else {
+      val blooms = collectBlooms(spark, files, schema, present)
+      base.map { f =>
+        blooms.get(f.path).fold(f) { byCol =>
+          f.copy(stats = byCol.foldLeft(f.stats) { case (st, (c, b64)) =>
+            st.updated(c, st.getOrElse(c, ColumnStats(None, None, None))
+              .copy(bloom = Some(b64)))
+          })
+        }
+      }
+    }
+  }
+
+  /** One column-pruned pass computing a per-file [[KeyBloom]] for each
+    * bloom column: rows contribute bit masks, `bit_or` folds them into
+    * the filter words (map-side combinable; output is metadata-sized). */
+  def collectBlooms(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+      schema: StructType, columns: Seq[String]): Map[String, Map[String, String]] = {
+    val base = spark.read.schema(schema).parquet(files: _*)
+      .select(columns.map(col): _*)
+    val withPos = columns.foldLeft(
+      base.withColumn("__file", input_file_name()))(
+      (d, c) => graft.catalog.KeyBloom.withPositionColumns(d, c))
+    val aggs = columns.flatMap(c =>
+      graft.catalog.KeyBloom.aggColumns(c, s"__bloom__${c}__"))
+    val rows = withPos.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged file: metadata-scale
+    rows.map { r =>
+      val byCol = columns.map { c =>
+        val words = (0 until graft.catalog.KeyBloom.NumLongs).map { j =>
+          val v = r.getAs[Any](s"__bloom__${c}__$j")
+          if (v == null) 0L else v.asInstanceOf[Long]
+        }
+        c -> graft.catalog.KeyBloom.encode(words)
+      }.toMap
+      normalizeFileUri(r.getAs[String]("__file")) -> byCol
+    }.toMap
   }
 
   /** One distributed pass computing per-file rowCount + per-column

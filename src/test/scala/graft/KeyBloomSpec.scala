@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Point-lookup pruning via per-file KeyBloom filters: random (UUID) keys
+  * defeat min/max range stats — every file spans the keyspace — so ledger
+  * probes and UUID-keyed lookups need membership stats to avoid a
+  * full-table scan per probe. */
+class KeyBloomSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bloom encode/mightContain roundtrip; absent keys rejected") {
+    val keys = (1 to 50).map(i => s"load-$i-${"%08x".format(i * 2654435761L & 0xffffffffL)}")
+    val words = Array.fill(KeyBloom.NumLongs)(0L)
+    keys.foreach(k => KeyBloom.positions(k).foreach(p =>
+      words(p / 64) |= (1L << (p % 64))))
+    val b64 = KeyBloom.encode(words.toSeq)
+    assert(keys.forall(KeyBloom.mightContain(b64, _)))
+    // 50 keys in 1024 bits: fp rate ~1.2e-3; 100 fixed probes pass easily
+    val misses = (1 to 100).count(i => KeyBloom.mightContain(b64, s"absent-$i"))
+    assert(misses <= 2, s"$misses bloom false positives out of 100")
+  }
+
+  test("UUID-keyed point lookup touches 1 file out of N via bloom stats") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloom-").toString)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, bloomColumns = Seq("load_id"))
+    // 8 appends of 25 deterministic UUID-ish keys each: every file's
+    // [min,max] spans most of the keyspace, so range pruning alone keeps
+    // nearly all files for any probe
+    def batchKeys(b: Int): Seq[String] = (1 to 25).map(i =>
+      java.util.UUID.nameUUIDFromBytes(s"load-$b-$i".getBytes("UTF-8")).toString)
+    (1 to 8).foreach { b =>
+      val rows = batchKeys(b).zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      w.writeTable("main", "ledger",
+        Seq(rows.toDF("load_id", "status").coalesce(1)), Append, cfg, s"l$b")
+    }
+    val t = cat.loadTable("main", "ledger")
+    val m = t.metadata
+    assert(m.currentFiles.size == 8)
+    assert(m.currentFiles.forall(_.stats("load_id").bloom.isDefined))
+    val probes = (1 to 8).map(b => b -> batchKeys(b).head)
+    probes.foreach { case (b, k) =>
+      // min/max alone keeps most files for a mid-keyspace probe...
+      val rangeOnly = t.filesOverlapping(m, "load_id", k, k)
+      assert(rangeOnly.size >= 6, "UUID keys should defeat range pruning")
+      // ...the bloom prunes to the single file that holds the key
+      // (25 keys in 1024 bits: fp/file ~ 8e-5, deterministic fixed data)
+      val hit = t.filesForKey(m, "load_id", k)
+      assert(hit.size == 1, s"expected 1 file for batch $b, got ${hit.size}")
+      assert(t.readPointLookup("load_id", k).count() == 1)
+    }
+    // negative probe: no file survives, read returns empty
+    val absent = java.util.UUID.nameUUIDFromBytes("absent".getBytes("UTF-8")).toString
+    assert(t.filesForKey(m, "load_id", absent).isEmpty)
+    assert(t.readPointLookup("load_id", absent).isEmpty)
+  }
+
+  test("pipeline ledger probes stay correct with bloom pruning") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloomp-").toString)
+    val p = new graft.pipeline.GraftPipeline(cat, "main")
+    (1 to 4).foreach { i =>
+      p.stage("t", Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      p.completeLoad(s"load_$i-${java.util.UUID.nameUUIDFromBytes(Array(i.toByte))}")
+    }
+    assert(p.loadRecordExists(s"load_2-${java.util.UUID.nameUUIDFromBytes(Array(2.toByte))}"))
+    assert(!p.loadRecordExists("load_9-nope"))
+    assert(p.loads().count() == 4)
+  }
+}
