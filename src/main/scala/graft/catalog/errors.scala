@@ -34,6 +34,16 @@ final class ValidationError(msg: String) extends GraftError(msg) {
   def retryable = false
 }
 
+/** A validly-configured catalog kind this environment cannot reach
+  * (REST/SQL need network/driver connectivity). Non-retryable: the
+  * config is fine, the capability is absent. */
+final class CatalogUnavailableError(kind: CatalogKind, uri: String)
+    extends GraftError(
+      s"Catalog kind $kind is not reachable from this environment " +
+        s"(uri: $uri); only file:// catalogs are supported offline") {
+  def retryable = false
+}
+
 /** Concurrent commit detected (another writer won the CAS). The caller
   * rereads metadata, rebases its change, and retries — the same recovery
   * the reference applies to CommitFailedException

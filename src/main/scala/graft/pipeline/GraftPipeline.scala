@@ -15,11 +15,25 @@ import scala.jdk.CollectionConverters._
   * `loader_parallelism_strategy="table-sequential"`), then records the
   * load in `_dlt_loads` idempotently.
   */
+/** Opt-in automatic maintenance, applied per data table as loads commit:
+  * without it, a long-lived pipeline accretes one small file and one
+  * snapshot per load until someone remembers to run [[graft.write.Maintenance]]
+  * by hand. `*EveryLoads = 0` disables a hook (the default — behavior
+  * identical to manual-only maintenance). */
+final case class MaintenancePolicy(
+    compactEveryLoads: Int = 0,
+    smallFileBytes: Long = 32L << 20,
+    targetFileBytes: Long = 128L << 20,
+    expireEveryLoads: Int = 0,
+    keepSnapshots: Int = 10,
+    retryUnitMs: Long = 1000L)
+
 final class GraftPipeline(
     val catalog: GraftCatalog,
     val namespace: String,
     val schemaName: String = "default",
-    val pipelineName: String = "pipeline") {
+    val pipelineName: String = "pipeline",
+    val policy: MaintenancePolicy = MaintenancePolicy()) {
 
   import GraftPipeline._
 
@@ -43,6 +57,7 @@ final class GraftPipeline(
     * (`destination_client.py:1057-1076`). */
   def completeLoad(loadId: String): Unit = synchronized {
     if (loadRecordExists(loadId)) { pending.clear(); return }
+    val written = pending.keys.toSeq
     pending.foreach { case (table, jobs) =>
       val disposition = jobs.head.disposition
       val cfg = jobs.head.cfg
@@ -50,6 +65,23 @@ final class GraftPipeline(
     }
     pending.clear()
     recordLoad(loadId, status = 0L)
+    written.foreach(applyMaintenancePolicy)
+  }
+
+  /** Auto-maintenance hook: every `compactEveryLoads`th snapshot triggers
+    * small-file compaction, every `expireEveryLoads`th triggers snapshot
+    * expiry — keeping file and snapshot counts bounded across unbounded
+    * loads without manual `Maintenance` calls. */
+  private def applyMaintenancePolicy(table: String): Unit = {
+    if (policy.compactEveryLoads <= 0 && policy.expireEveryLoads <= 0) return
+    val t = catalog.loadTable(namespace, table)
+    val n = t.metadata.snapshots.size
+    if (policy.compactEveryLoads > 0 && n % policy.compactEveryLoads == 0)
+      graft.write.Maintenance.compact(t, policy.smallFileBytes,
+        policy.targetFileBytes, policy.retryUnitMs)
+    if (policy.expireEveryLoads > 0 && n % policy.expireEveryLoads == 0)
+      graft.write.Maintenance.expireSnapshots(t, policy.keepSnapshots,
+        policy.retryUnitMs)
   }
 
 

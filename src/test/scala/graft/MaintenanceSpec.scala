@@ -59,6 +59,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("pipeline auto-maintenance bounds file and snapshot counts across loads") {
+    import graft.pipeline.{GraftPipeline, MaintenancePolicy}
+    val cat = freshCatalog()
+    val p = new GraftPipeline(cat, "main",
+      policy = MaintenancePolicy(compactEveryLoads = 4, smallFileBytes = 1L << 20,
+        expireEveryLoads = 4, keepSnapshots = 6, retryUnitMs = 1))
+    (1 to 12).foreach { i =>
+      p.stage("t", Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      p.completeLoad(s"load_$i")
+    }
+    val t = cat.loadTable("main", "t")
+    // 12 appends would leave >=12 files and 12 snapshots without the policy
+    assert(t.metadata.currentFiles.size <= 6,
+      s"file count ${t.metadata.currentFiles.size} not bounded by auto-compact")
+    assert(t.metadata.snapshots.size <= 8,
+      s"snapshot count ${t.metadata.snapshots.size} not bounded by auto-expiry")
+    // content is untouched by maintenance
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (1L to 12L))
+    assert(p.loads().count() == 12) // ledger unaffected (no policy on _dlt_*)
+  }
+
   test("vacuumOrphans removes unreferenced staging files only") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
