@@ -55,8 +55,12 @@ object Dedup {
     * result is exactly the mathematical Jaccard relation. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh0 = hashedShingles(docs, n, textCol)
-    val sh = maxShingleFreq.fold(sh0) { cap =>
+    val sh = maxShingleFreq.fold(hashedShingles(docs, n, textCol)) { cap =>
+      // cache the exploded shingles so the document-frequency pass and the
+      // stop-shingle semi-join both read one materialization (the cap is a
+      // count aggregate, never an unbounded per-shingle collect — a
+      // million-document hot shingle costs one counter, not one list)
+      val sh0 = hashedShingles(docs, n, textCol).cache()
       val rare = sh0.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("g")
       sh0.join(rare, "g")
