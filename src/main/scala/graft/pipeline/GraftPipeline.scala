@@ -43,6 +43,22 @@ final class GraftPipeline(
   private case class Pending(df: DataFrame, disposition: Disposition, cfg: WriteConfig)
   private val pending = mutable.LinkedHashMap.empty[String, mutable.Buffer[Pending]]
 
+  /** `initialize_storage` parity (destination_client.py:853-880): ensure
+    * the namespace exists, optionally register external tables found under
+    * `registerFrom`, then drop every listed truncate table (the reference
+    * truncates by dropping; missing tables are ignored). */
+  def initializeStorage(truncateTables: Seq[String] = Nil,
+      registerFrom: Option[String] = None): Unit = {
+    catalog.createNamespace(namespace)
+    registerFrom.foreach(dir => catalog.registerTablesFrom(namespace, dir))
+    truncateTables.foreach { t =>
+      if (catalog.tableExists(namespace, t)) catalog.dropTable(namespace, t)
+    }
+  }
+
+  /** `is_storage_initialized` (destination_client.py:882-890). */
+  def isStorageInitialized: Boolean = catalog.namespaceExists(namespace)
+
   /** Stage one job file's worth of data for `table` in the current load
     * (`create_load_job` → `_PENDING_FILES`, destination_client.py:933-975). */
   def stage(table: String, df: DataFrame,

@@ -373,6 +373,27 @@ class WriteEngineSpec extends AnyFunSuite {
     assert(cat.loadTable("main", "rk").read().count() == 800)
   }
 
+  test("initializeStorage creates the namespace and drops truncate-listed tables") {
+    val cat = freshCatalog()
+    val p = new GraftPipeline(cat, "main")
+    assert(!p.isStorageInitialized)
+    p.initializeStorage()
+    assert(p.isStorageInitialized)
+
+    p.stage("keep", users((1, "a", 1))); p.stage("wipe", users((2, "b", 2)))
+    p.completeLoad("l1")
+    // re-init with a truncate list: listed tables drop, others survive;
+    // missing names are ignored (destination_client.py:873-880)
+    p.initializeStorage(truncateTables = Seq("wipe", "never_existed"))
+    assert(cat.tableExists("main", "keep"))
+    assert(!cat.tableExists("main", "wipe"))
+
+    // next load recreates the truncated table from scratch
+    p.stage("wipe", users((9, "z", 9)))
+    p.completeLoad("l2")
+    assert(cat.loadTable("main", "wipe").read().count() == 1)
+  }
+
   test("registerTable attaches an external table; registerTablesFrom discovers in bulk") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
