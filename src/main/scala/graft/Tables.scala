@@ -14,18 +14,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy conf) and
-    // rebuild a proper µs TimestampType column — microsecond truncation
-    // matches the reference's own precision cap (timestamp precision 6,
-    // destination_client.py:1581).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name != "events") spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy
+      // conf) and rebuild a proper µs TimestampType column — microsecond
+      // truncation matches the reference's own precision cap (timestamp
+      // precision 6, destination_client.py:1581). The conf only matters
+      // during the eager schema conversion inside `spark.read.parquet`
+      // (verified: execution after restore still reads fine), so save and
+      // restore it — library code must not leave global session state
+      // flipped under user code sharing the session.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      val raw =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
 
   // Re-registering 10 parquet tables (footer reads + schema inference) per
   // query call costs seconds; cache per (session, dir). "Always replace

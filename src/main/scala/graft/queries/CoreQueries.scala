@@ -367,6 +367,25 @@ object CoreQueries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderstatus""".stripMargin)),
 
+    // bucketed band join: same relation as q26 (equi-key + 1-hour band)
+    // but time is part of the join key, so one power-law user's pair-space
+    // is per-(user, hour-bucket), never lifetime-quadratic — the oracle IS
+    // the naive band-filtered join (graft.operators.BandJoin)
+    "q34_range_join_bucketed" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_id"), col("ts"))
+        graft.operators.BandJoin.bandPairs(ev, ev, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", bandSeconds = 3600L)
+          .select(col("event_id").as("a_id"), col("event_id_r").as("b_id"))
+      },
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND date_trunc('second', b.ts) > date_trunc('second', a.ts)
+        | AND date_trunc('second', b.ts) <=
+        |     date_trunc('second', a.ts) + INTERVAL '1' HOUR""".stripMargin)),
+
     // IN-subquery membership (reference P4 `In(pk, values)` generalized to a
     // semi-join, which scales past expression-size limits)
     "q16_in_subquery" -> ((
