@@ -47,7 +47,39 @@ object StreamQueries {
       },
       Some("""SELECT event_type, COUNT(*) AS n,
         |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin)))
+        |FROM events GROUP BY event_type""".stripMargin))),
+
+    // stateful streaming sessionization via the native session_window
+    // aggregation (merging event-time session state per user). Gap
+    // semantics are Spark's [t, t+gap) windows — a successor at exactly
+    // prev+gap starts a NEW session — so the batch oracle breaks on
+    // `t >= prev + INTERVAL 30 MINUTE` (q27's lag formulation uses `>`;
+    // both engines agree given the same break rule).
+    "s3_stream_sessions" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = StreamingLoader.eventsStream(s, dir)
+          .withColumn("t", date_trunc("second", col("ts")))
+        val q = ev
+          .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events_w"))
+          .writeStream.queryName("s3_out").outputMode("complete")
+          .format("memory").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("s3_out").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events_w")).cast("long").as("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, t,
+        |  CASE WHEN t >= lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |              + INTERVAL '30' MINUTE
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
