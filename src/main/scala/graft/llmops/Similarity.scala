@@ -166,6 +166,60 @@ object Similarity {
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN top-k: coarse quantization into `nlist`
+    * centroid lists, queries probe their `nprobe` nearest lists, exact
+    * scoring on the probed candidates only.
+    *
+    * Centroids are a deterministic uniform sample of corpus vectors (the
+    * `nlist` smallest `xxhash64(id)` values) — the standard IVF bootstrap
+    * without an iterative k-means pass, collected driver-side
+    * (metadata-scale: `nlist` rows) and baked into the plan as literal
+    * arrays so assignment is a codegen'd argmax of `nlist` ArrayDot
+    * scores. Per-query candidate count scales with corpus/nlist x nprobe,
+    * not corpus size; the corpus shuffles once on its list id. */
+  def ivfTopK(embeddings0: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe <= nlist, "nprobe must not exceed nlist")
+    val embeddings = ensureRegistered(embeddings0)
+    val cents: Seq[(Int, Seq[Double], Double)] = embeddings
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"), col(idCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) =>
+        val v = r.getSeq[Double](r.fieldIndex("v"))
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }.toSeq
+
+    // argmax/arg-top-nprobe of cosine against the literal centroids
+    def probeLists(v: Column, take: Int): Column = {
+      val scored = cents.map { case (idx, c, nrm) =>
+        val cArr = array(c.map(lit): _*)
+        struct((fastDot(v, cArr) / (fastNorm(v) * lit(nrm))).as("score"),
+          lit(idx).as("list"))
+      }
+      slice(sort_array(array(scored: _*), asc = false), 1, take)
+    }
+
+    val corpus = embeddings
+      .select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("list", probeLists(col("v"), 1).getItem(0).getField("list"))
+    val qs = ensureRegistered(queries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("pl", explode(probeLists(col("qv"), nprobe)))
+      .select(col("query_id"), col("qv"), col("pl.list").as("list"))
+    val scored = corpus.join(broadcast(qs), Seq("list"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        fastDot(col("v"), col("qv")) / (fastNorm(col("v")) * fastNorm(col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates = union over tables of
     * same-bucket vectors, scored exactly, per-query top-k. Recall versus
     * `bruteForceTopK` follows the multi-table S-curve (pinned in the

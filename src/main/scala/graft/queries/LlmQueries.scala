@@ -195,6 +195,16 @@ object LlmQueries {
       },
       None)),
 
+    // IVF ANN (coarse quantization + nprobe lists): rows-only check;
+    // recall pinned in LlmOpsSpec alongside the LSH variant
+    "l20_ann_ivf" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
+          nlist = 16, nprobe = 4)
+      },
+      None)),
+
     // nested-type surface: list column access and folds on both engines
     "l13_array_surface" -> ((
       (s: SparkSession, dir: String) =>

@@ -63,6 +63,7 @@ final case class WriteConfig(
   * pushdown.
   */
 final class GraftWriter(catalog: GraftCatalog) {
+  import GraftWriter.MaxBloomProbeKeys
 
   def spark: SparkSession = catalog.spark
 
@@ -202,6 +203,18 @@ final class GraftWriter(catalog: GraftCatalog) {
       val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk))))
       val range = keysCached.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
 
+      // Trickle-merge bloom probe: random (UUID) keys make every file's
+      // [min,max] span the keyspace, so range pruning keeps everything.
+      // For small key batches, collect the distinct lead-key values once
+      // and test them against per-file KeyBloom stats (when present) —
+      // a file with no bloom hit for ANY batch key cannot be affected.
+      val bloomProbeKeys: Option[Seq[Any]] = {
+        val sample = keysCached.select(col(pks.head)).distinct()
+          .limit(MaxBloomProbeKeys + 1).collect()
+        if (sample.length > MaxBloomProbeKeys) None
+        else Some(sample.map(_.get(0)).filter(_ != null).toSeq)
+      }
+
       t.commit({ fresh =>
         val perColumn = pks.zipWithIndex.flatMap { case (pk, i) =>
           // an all-null key column can never equality-match: no constraint
@@ -217,7 +230,19 @@ final class GraftWriter(catalog: GraftCatalog) {
           if (perColumn.isEmpty) Nil // empty or all-null key batch
           else {
             val hit = perColumn.reduce(_ intersect _)
-            fresh.currentFiles.filter(f => hit.contains(f.path))
+            val ranged = fresh.currentFiles.filter(f => hit.contains(f.path))
+            bloomProbeKeys match {
+              case Some(keys) if keys.nonEmpty =>
+                val pk0 = pks.head
+                val dt = fresh.schema(pk0).dataType
+                val canon = keys.map(canonicalKey(dt, _))
+                ranged.filter { f =>
+                  f.stats.get(pk0).flatMap(_.bloom)
+                    .forall(b64 => canon.exists(
+                      graft.catalog.KeyBloom.mightContain(b64, _)))
+                }
+              case _ => ranged
+            }
           }
         val affectedPaths = affected.map(_.path).toSet
 
@@ -236,4 +261,11 @@ final class GraftWriter(catalog: GraftCatalog) {
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
     } finally keysCached.unpersist()
   }
+}
+
+object GraftWriter {
+  /** Key-batch size above which the merge path skips the driver-side
+    * bloom probe (probe cost is |files| x |keys| bit tests; the payoff —
+    * avoiding needless file rewrites — concentrates in trickle merges). */
+  val MaxBloomProbeKeys = 64
 }

@@ -60,6 +60,36 @@ class KeyBloomSpec extends AnyFunSuite {
     assert(t.readPointLookup("load_id", absent).isEmpty)
   }
 
+  test("UUID-keyed trickle upsert rewrites only bloom-matching files") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloomm-").toString)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("k"),
+      bloomColumns = Seq("k"), clusterByKeys = false)
+    def key(b: Int, i: Int): String =
+      java.util.UUID.nameUUIDFromBytes(s"k-$b-$i".getBytes("UTF-8")).toString
+    // 6 appended files of 20 UUID keys each: ranges all span the keyspace
+    (1 to 6).foreach { b =>
+      val rows = (1 to 20).map(i => (key(b, i), s"v$b-$i"))
+      w.writeTable("main", "m", Seq(rows.toDF("k", "v").coalesce(1)), Append, cfg, s"l$b")
+    }
+    val t = cat.loadTable("main", "m")
+    val before = t.metadata.currentFiles
+    assert(before.size == 6)
+
+    // upsert 2 keys living in file 3: only that file may be rewritten
+    val batch = Seq((key(3, 5), "NEW5"), (key(3, 6), "NEW6")).toDF("k", "v")
+    w.writeTable("main", "m", Seq(batch), Merge("upsert"), cfg, "up1")
+    val after = cat.loadTable("main", "m").metadata.currentFiles
+    val rewritten = before.map(_.path).toSet -- after.map(_.path).toSet
+    assert(rewritten.size == 1,
+      s"bloom probe should rewrite 1 of 6 files, rewrote ${rewritten.size}")
+    val got = cat.loadTable("main", "m").read()
+      .filter($"k".isin(key(3, 5), key(3, 6)))
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(got == Seq("NEW5", "NEW6"))
+    assert(cat.loadTable("main", "m").read().count() == 120)
+  }
+
   test("pipeline ledger probes stay correct with bloom pruning") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloomp-").toString)
     val p = new graft.pipeline.GraftPipeline(cat, "main")
