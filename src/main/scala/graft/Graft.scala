@@ -52,6 +52,43 @@ final class GraftFacade(
     * here Spark temp views re-resolved to the CURRENT snapshot on every
     * call ("always replace view", sql_client.py:51-55). */
   def dataset(): GraftDataset = new GraftDataset(catalog, namespace)
+
+  // --- dlt open-table interface (test_dataset.py:236-360) ---
+  // Downstream tooling can reach UNDER the query surface to the table
+  // format itself. Format tag "graft" names our native snapshot layout;
+  // "iceberg" is accepted as an alias (the layout mirrors its
+  // metadata-version/snapshot/manifest-stats structure).
+
+  private def checkFormat(format: String): Unit =
+    if (format != "graft" && format != "iceberg")
+      throw new graft.catalog.ValidationError(
+        s"Unknown open-table format: $format (expected graft or iceberg)")
+
+  /** The catalog object backing this pipeline (`get_open_table_catalog`). */
+  def openTableCatalog(format: String = "graft"): GraftCatalog = {
+    checkFormat(format); catalog
+  }
+
+  /** The live table handle (`load_open_table`) — snapshot reads, time
+    * travel, and commits, not just a DataFrame. */
+  def loadOpenTable(format: String, table: String): graft.catalog.GraftTable = {
+    checkFormat(format); catalog.loadTable(namespace, table)
+  }
+
+  /** The table's resolved storage location (`get_open_table_location`),
+    * honoring custom-location pointers. */
+  def openTableLocation(format: String, table: String): String = {
+    checkFormat(format)
+    if (!catalog.tableExists(namespace, table))
+      throw new graft.catalog.NoSuchTableError(s"$namespace.$table")
+    catalog.tableLocation(namespace, table).toString
+  }
+
+  /** Whether `table` exists in this pipeline's open-table format
+    * (`is_open_table`). */
+  def isOpenTable(format: String, table: String): Boolean = {
+    checkFormat(format); catalog.tableExists(namespace, table)
+  }
 }
 
 final class GraftDataset(catalog: GraftCatalog, namespace: String) {

@@ -40,6 +40,27 @@ class FacadeSpec extends AnyFunSuite {
     assert(p.pipeline.loads().count() == 3)
   }
 
+  test("open-table interface exposes catalog, table handle, and location") {
+    // test_dataset.py:236-360 parity
+    val wh = Files.createTempDirectory("graft-fc3-")
+    val p = Graft.pipeline(spark, wh.toString, namespace = "ot")
+    p.run(Seq((1L, "x")).toDF("id", "v"), "located",
+      cfg = WriteConfig(retryUnitMs = 1))
+
+    assert(p.openTableCatalog("graft").eq(p.catalog))
+    assert(p.openTableCatalog("iceberg").eq(p.catalog)) // alias accepted
+    val t = p.loadOpenTable("graft", "located")
+    assert(t.read().count() == 1) // handle can scan (test :300-303)
+    val loc = p.openTableLocation("graft", "located")
+    assert(loc.contains("ot") && loc.contains("located"))
+    assert(p.isOpenTable("graft", "located"))
+    assert(!p.isOpenTable("graft", "missing"))
+    intercept[graft.catalog.ValidationError] { p.openTableCatalog("delta") }
+    intercept[graft.catalog.NoSuchTableError] {
+      p.openTableLocation("graft", "missing")
+    }
+  }
+
   test("facade merge applies disposition semantics") {
     val p = Graft.pipeline(spark,
       Files.createTempDirectory("graft-fc2-").toString)

@@ -108,4 +108,41 @@ class PropertySpec extends AnyFunSuite {
       assert(IcebergHash.hashInt(i) == IcebergHash.hashLong(i.toLong))
     }
   }
+
+  test("KeyBloom never false-negatives; positions stay in range") {
+    import graft.catalog.KeyBloom
+    val keysGen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(24))))
+    forAll(keysGen, n = 100) { keys =>
+      val words = Array.fill(KeyBloom.NumLongs)(0L)
+      keys.foreach { k =>
+        KeyBloom.positions(k).foreach { p =>
+          assert(p >= 0 && p < KeyBloom.NumBits)
+          words(p / 64) |= (1L << (p % 64))
+        }
+      }
+      val b64 = KeyBloom.encode(words.toSeq)
+      // membership of every inserted key is guaranteed (no false negatives)
+      assert(keys.forall(KeyBloom.mightContain(b64, _)))
+    }
+  }
+
+  test("canonical stat encoding orders like the native type") {
+    import graft.write.Stager.canonicalKey
+    // the pruner compares canonical strings numerically (compareTyped);
+    // canonicalKey(long/date/timestamp) must preserve the source ordering
+    forAll2(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)) { (a, b) =>
+      val ca = canonicalKey(LongType, a).toLong
+      val cb = canonicalKey(LongType, b).toLong
+      assert(java.lang.Long.compare(ca, cb) == java.lang.Long.compare(a, b))
+    }
+    forAll2(Gen.choose(-100000, 100000), Gen.choose(-100000, 100000)) { (a, b) =>
+      val da = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(a.toLong))
+      val db = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.toLong))
+      val ca = canonicalKey(DateType, da).toLong
+      val cb = canonicalKey(DateType, db).toLong
+      assert(java.lang.Long.compare(ca, cb) == Integer.compare(a, b))
+    }
+  }
 }
