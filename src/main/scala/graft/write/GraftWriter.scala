@@ -164,25 +164,30 @@ final class GraftWriter(catalog: GraftCatalog) {
         rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
 
       case _ => // upsert (default)
-        // duplicate keys in the batch are an error for upsert, mirroring
-        // PyIceberg's upsert contract
-        val dupCount = remaining.groupBy(pks.map(col): _*)
-          .count().filter(col("count") > 1).limit(1).count()
-        if (dupCount > 0)
-          throw new ValidationError(
-            s"Upsert batch contains duplicate primary keys on (${pks.mkString(", ")})")
+        // ONE grouped aggregation serves both the duplicate-PK contract
+        // check (mirroring PyIceberg's upsert contract) and the distinct
+        // key set for the rewrite — cached so the batch shuffles on the
+        // keys once, not twice
+        val grouped = remaining.groupBy(pks.map(col): _*)
+          .agg(count(lit(1)).as("__n")).cache()
+        try {
+          val hasDup = !grouped.filter(col("__n") > 1).limit(1).isEmpty
+          if (hasDup)
+            throw new ValidationError(
+              s"Upsert batch contains duplicate primary keys on (${pks.mkString(", ")})")
 
-        // hard deletes first, as a separate commit (separate PyIceberg
-        // transaction in the reference, destination_client.py:1438-1441)
-        if (hasMarker && !hardDeleted.isEmpty) {
-          val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
-          rewriteCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
-        }
-        val upsertKeys = remaining.select(pks.map(col): _*).distinct()
-        val staged = Stager.stage(remaining, t.dataDir, loadId,
-          t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil,
-          cfg.bloomColumns)
-        rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
+          // hard deletes first, as a separate commit (separate PyIceberg
+          // transaction in the reference, destination_client.py:1438-1441)
+          if (hasMarker && !hardDeleted.isEmpty) {
+            val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
+            rewriteCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
+          }
+          val upsertKeys = grouped.select(pks.map(col): _*)
+          val staged = Stager.stage(remaining, t.dataDir, loadId,
+            t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil,
+            cfg.bloomColumns)
+          rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
+        } finally grouped.unpersist()
     }
   }
 
