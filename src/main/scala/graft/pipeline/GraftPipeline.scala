@@ -81,7 +81,9 @@ final class GraftPipeline(
     }
     pending.clear()
     recordLoad(loadId, status = 0L)
-    written.foreach(applyMaintenancePolicy)
+    // the ledger itself accretes one file per load; the policy bounds it
+    // too (compaction rebuilds its load_id blooms from the table property)
+    (written :+ LoadsTable).foreach(applyMaintenancePolicy)
   }
 
   /** Auto-maintenance hook: every `compactEveryLoads`th snapshot triggers

@@ -82,7 +82,14 @@ final class GraftWriter(catalog: GraftCatalog) {
     val t =
       if (!exists) {
         val spec = Transforms.buildSpec(cfg.partitions, incomingSchema)
-        catalog.createTable(ns, name, incomingSchema, spec, Map.empty, cfg.location)
+        // bloom columns persist as a table property so EVERY writer of
+        // this table — later loads, compaction — keeps rebuilding the
+        // membership stats (a compacted file without its bloom silently
+        // degrades point lookups back to full scans)
+        val props =
+          if (cfg.bloomColumns.isEmpty) Map.empty[String, String]
+          else Map(GraftWriter.BloomColumnsProperty -> cfg.bloomColumns.mkString(","))
+        catalog.createTable(ns, name, incomingSchema, spec, props, cfg.location)
       } else catalog.loadTable(ns, name)
 
     // Schema evolution before cast (destination_client.py:1341-1348)
@@ -117,7 +124,7 @@ final class GraftWriter(catalog: GraftCatalog) {
   private def commitAppend(t: GraftTable, m: TableMetadata, df: DataFrame,
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
-      bloomColumns = cfg.bloomColumns)
+      bloomColumns = GraftWriter.bloomColumns(m, cfg))
     t.commit(fresh => fresh.withSnapshot("append", Some(loadId),
       fresh.currentFiles ++ staged), cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
   }
@@ -125,7 +132,7 @@ final class GraftWriter(catalog: GraftCatalog) {
   private def commitReplace(t: GraftTable, m: TableMetadata, df: DataFrame,
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
-      bloomColumns = cfg.bloomColumns)
+      bloomColumns = GraftWriter.bloomColumns(m, cfg))
     // truncate-and-insert: snapshot references ONLY the new files; old
     // files stay on disk for time travel (S6)
     t.commit(fresh => fresh.withSnapshot("overwrite", Some(loadId), staged),
@@ -160,7 +167,7 @@ final class GraftWriter(catalog: GraftCatalog) {
         // unmarked rows are replaced by their new versions).
         val delKeys = combined.select(pks.map(col): _*).distinct()
         val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec,
-          if (cfg.clusterByKeys) pks else Nil, cfg.bloomColumns)
+          if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(m, cfg))
         rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
 
       case _ => // upsert (default)
@@ -185,7 +192,7 @@ final class GraftWriter(catalog: GraftCatalog) {
           val upsertKeys = grouped.select(pks.map(col): _*)
           val staged = Stager.stage(remaining, t.dataDir, loadId,
             t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil,
-            cfg.bloomColumns)
+            GraftWriter.bloomColumns(t.metadata, cfg))
           rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
         } finally grouped.unpersist()
     }
@@ -258,7 +265,7 @@ final class GraftWriter(catalog: GraftCatalog) {
               .parquet(affected.map(_.path): _*)
             val kept = affectedDf.join(keysCached, pks, "left_anti")
             Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec,
-              if (cfg.clusterByKeys) pks else Nil, cfg.bloomColumns)
+              if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(fresh, cfg))
           }
 
         val untouched = fresh.currentFiles.filterNot(f => affectedPaths.contains(f.path))
@@ -273,4 +280,17 @@ object GraftWriter {
     * bloom probe (probe cost is |files| x |keys| bit tests; the payoff —
     * avoiding needless file rewrites — concentrates in trickle merges). */
   val MaxBloomProbeKeys = 64
+
+  /** Table property naming the columns whose per-file KeyBloom stats
+    * every staging pass must rebuild. */
+  val BloomColumnsProperty = "graft.bloom-columns"
+
+  def tableBloomColumns(m: TableMetadata): Seq[String] =
+    m.properties.get(BloomColumnsProperty).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Effective bloom columns for one staging pass: the write config's
+    * plus the table's persisted ones. */
+  def bloomColumns(m: TableMetadata, cfg: WriteConfig): Seq[String] =
+    (cfg.bloomColumns ++ tableBloomColumns(m)).distinct
 }

@@ -26,7 +26,10 @@ object Maintenance {
     val numOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = t.spark.read.schema(m.schema).parquet(small.map(_.path): _*)
       .coalesce(numOut)
-    val staged = Stager.stage(df, t.dataDir, "compact", m.partitionSpec)
+    // rebuild table-property bloom stats: compacted files must keep the
+    // membership filters or point lookups degrade to full scans
+    val staged = Stager.stage(df, t.dataDir, "compact", m.partitionSpec,
+      bloomColumns = GraftWriter.tableBloomColumns(m))
     val smallPaths = small.map(_.path).toSet
     t.commit({ fresh =>
       // rebase-safe only if the small set is still current; if a

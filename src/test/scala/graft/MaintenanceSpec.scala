@@ -77,7 +77,18 @@ class MaintenanceSpec extends AnyFunSuite {
       s"snapshot count ${t.metadata.snapshots.size} not bounded by auto-expiry")
     // content is untouched by maintenance
     assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (1L to 12L))
-    assert(p.loads().count() == 12) // ledger unaffected (no policy on _dlt_*)
+    assert(p.loads().count() == 12)
+
+    // the ledger is bounded too, and compaction rebuilt its load_id
+    // blooms from the table property — probes still prune-and-hit
+    val ledger = cat.loadTable("main", graft.pipeline.GraftPipeline.LoadsTable)
+    assert(ledger.metadata.currentFiles.size <= 6,
+      s"ledger files ${ledger.metadata.currentFiles.size} not bounded")
+    assert(ledger.metadata.currentFiles.forall(
+      _.stats.get("load_id").exists(_.bloom.isDefined)),
+      "compacted ledger files lost their blooms")
+    assert(p.loadRecordExists("load_7"))
+    assert(!p.loadRecordExists("load_99"))
   }
 
   test("vacuumOrphans removes unreferenced staging files only") {
