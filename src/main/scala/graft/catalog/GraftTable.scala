@@ -76,7 +76,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val snap = m.snapshots.find(_.snapshotId == snapshotId)
       .getOrElse(throw new ValidationError(
         s"No snapshot $snapshotId in ${m.identifier}"))
-    readFiles(m, snap.files)
+    readFiles(m, snap.dataFiles)
   }
 
   private def readFiles(m: TableMetadata, files: Seq[DataFile]): DataFrame =

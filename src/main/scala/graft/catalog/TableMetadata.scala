@@ -24,15 +24,25 @@ final case class DataFile(
 
 /** One table snapshot = the complete file list after a load — 1 snapshot
   * per table per load, the reference's atomicity invariant
-  * (`destination_client.py:977-1024`). */
+  * (`destination_client.py:977-1024`).
+  *
+  * The file list lives in immutable [[ManifestIO]] manifest files
+  * referenced by path; unchanged file groups are REUSED across snapshots,
+  * so commit IO is proportional to the files that changed, never the
+  * table's file count times history depth. `files` carries the legacy
+  * inline form for metadata written before manifests existed. */
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
     timestampMs: Long,
     operation: String, // append | overwrite | delete-insert | upsert
     loadId: Option[String],
-    files: Seq[DataFile]) {
-  def rowCount: Long = files.map(_.rowCount).sum
+    manifests: Option[Seq[String]] = None,
+    files: Option[Seq[DataFile]] = None) {
+  def dataFiles: Seq[DataFile] =
+    files.getOrElse(manifests.getOrElse(Nil).flatMap(ManifestIO.read))
+  def manifestPaths: Seq[String] = manifests.getOrElse(Nil)
+  def rowCount: Long = dataFiles.map(_.rowCount).sum
 }
 
 /** Partition spec entry: `name = transform(source)` — the shape the
@@ -65,7 +75,7 @@ final case class TableMetadata(
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
 
   def currentFiles: Seq[DataFile] =
-    currentSnapshot.map(_.files).getOrElse(Nil)
+    currentSnapshot.map(_.dataFiles).getOrElse(Nil)
 
   def withSchema(s: StructType): TableMetadata =
     copy(schemaJson = s.json, schemaVersion = schemaVersion + 1)
@@ -73,10 +83,31 @@ final case class TableMetadata(
   def nextSnapshotId: Long =
     snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
 
-  /** Append a snapshot and make it current. */
+  /** Append a snapshot holding exactly `files` and make it current.
+    *
+    * Manifest reuse: any parent manifest whose files ALL appear unchanged
+    * in the new file set is carried over by reference; only the remainder
+    * is written as one new manifest. An append therefore writes one
+    * manifest of the staged files, a merge rewrites only the manifests
+    * that lost a file, and an overwrite writes one fresh manifest —
+    * commit IO tracks the delta, not the table size. */
   def withSnapshot(op: String, loadId: Option[String], files: Seq[DataFile],
       nowMs: Long = System.currentTimeMillis()): TableMetadata = {
-    val snap = Snapshot(nextSnapshotId, currentSnapshotId, nowMs, op, loadId, files)
+    val metadataDir = java.nio.file.Paths.get(location).resolve("metadata")
+    var remaining = files.map(f => f.path -> f).toMap
+    val reused = currentSnapshot.toSeq.flatMap(_.manifestPaths).filter { mp =>
+      val mfiles = ManifestIO.read(mp)
+      val allPresent = mfiles.nonEmpty &&
+        mfiles.forall(f => remaining.get(f.path).contains(f))
+      if (allPresent) mfiles.foreach(f => remaining -= f.path)
+      allPresent
+    }
+    // preserve input order for the files not covered by reused manifests
+    val rest = files.filter(f => remaining.contains(f.path))
+    val manifests = reused ++
+      (if (rest.nonEmpty) Seq(ManifestIO.write(metadataDir, rest)) else Nil)
+    val snap = Snapshot(nextSnapshotId, currentSnapshotId, nowMs, op, loadId,
+      manifests = Some(manifests))
     copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)
   }
 }

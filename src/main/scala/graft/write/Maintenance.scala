@@ -51,17 +51,27 @@ object Maintenance {
       retryUnitMs: Long = 1000L): Seq[String] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     var removed: Seq[String] = Nil
+    var removedManifests: Seq[String] = Nil
     t.commit({ fresh =>
       val keep = fresh.snapshots.sortBy(_.snapshotId).takeRight(keepLast) ++
         fresh.currentSnapshot.toSeq
       val keepIds = keep.map(_.snapshotId).toSet
       val retained = fresh.snapshots.filter(s => keepIds.contains(s.snapshotId))
-      val liveFiles = retained.flatMap(_.files.map(_.path)).toSet
-      removed = fresh.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
-        .flatMap(_.files.map(_.path)).distinct.filterNot(liveFiles.contains)
+      val expired = fresh.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
+      val liveFiles = retained.flatMap(_.dataFiles.map(_.path)).toSet
+      removed = expired.flatMap(_.dataFiles.map(_.path))
+        .distinct.filterNot(liveFiles.contains)
+      // manifests referenced only by expired snapshots go too
+      val liveManifests = retained.flatMap(_.manifestPaths).toSet
+      removedManifests = expired.flatMap(_.manifestPaths)
+        .distinct.filterNot(liveManifests.contains)
       fresh.copy(snapshots = retained)
     }, unitMs = retryUnitMs)
     removed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    removedManifests.foreach { p =>
+      Files.deleteIfExists(Paths.get(p))
+      graft.catalog.ManifestIO.invalidate(p)
+    }
     removed
   }
 
@@ -73,8 +83,9 @@ object Maintenance {
     * latency. */
   def vacuumOrphans(t: GraftTable, minAgeMs: Long = 0L): Seq[String] = {
     if (!Files.isDirectory(t.dataDir)) return Nil
-    val referenced = t.metadata.snapshots
-      .flatMap(_.files.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet
+    val m = t.metadata
+    val referenced = m.snapshots
+      .flatMap(_.dataFiles.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = Files.walk(t.dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p))
@@ -83,6 +94,19 @@ object Maintenance {
       .filterNot(referenced.contains)
       .toSeq
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // manifests left by failed/rebased CAS attempts: delete any manifest
+    // file no snapshot references (same age guard)
+    val liveManifests = m.snapshots.flatMap(_.manifestPaths)
+      .map(p => Paths.get(p).toAbsolutePath.toString).toSet
+    if (Files.isDirectory(t.metadataDir))
+      Files.list(t.metadataDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("manifest-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .filter(p => !liveManifests.contains(p.toAbsolutePath.toString))
+        .foreach { p =>
+          Files.deleteIfExists(p)
+          graft.catalog.ManifestIO.invalidate(p.toString)
+        }
     // remove now-empty staging dirs
     Files.walk(t.dataDir).iterator().asScala.toSeq.reverse
       .filter(p => Files.isDirectory(p) && p != t.dataDir)

@@ -156,6 +156,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(none == Seq("f3"))
   }
 
+  test("snapshots reuse unchanged manifests; appends write one new manifest each") {
+    val cat = freshCatalog()
+    val t = cat.createTable("main", "mf", StructType(Seq(StructField("x", LongType))))
+    t.commit(m => m.withSnapshot("append", Some("l1"), stage(t, (1L to 5L).toDF("x"))), unitMs = 1)
+    t.commit(m => m.withSnapshot("append", Some("l2"),
+      m.currentFiles ++ stage(t, (6L to 9L).toDF("x"))), unitMs = 1)
+    t.commit(m => m.withSnapshot("append", Some("l3"),
+      m.currentFiles ++ stage(t, (10L to 12L).toDF("x"))), unitMs = 1)
+    val snaps = t.metadata.snapshots
+    // each append carries the parent's manifests by reference + one new
+    assert(snaps.map(_.manifestPaths.size) == Seq(1, 2, 3))
+    assert(snaps(1).manifestPaths.take(1) == snaps(0).manifestPaths)
+    assert(snaps(2).manifestPaths.take(2) == snaps(1).manifestPaths)
+    assert(t.read().count() == 12)
+    // an overwrite shares nothing and references one fresh manifest
+    t.commit(m => m.withSnapshot("overwrite", Some("l4"),
+      stage(t, (100L to 101L).toDF("x"))), unitMs = 1)
+    val ov = t.metadata.currentSnapshot.get
+    assert(ov.manifestPaths.size == 1)
+    assert(!snaps(2).manifestPaths.contains(ov.manifestPaths.head))
+    assert(t.read().count() == 2)
+    // metadata JSON references manifests, never inline file lists
+    val json = new String(java.nio.file.Files.readAllBytes(
+      t.metadataDir.resolve(s"v${t.currentVersion}.metadata.json")), "UTF-8")
+    assert(json.contains("manifest-") && !json.contains("\"rowCount\""))
+  }
+
   test("partitioned-path stats aggregate typed, not lexicographic") {
     // regression: min/max over cast(String) made min of {9, 10} = "10"
     val cat = freshCatalog()

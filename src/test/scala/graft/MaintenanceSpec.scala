@@ -47,7 +47,7 @@ class MaintenanceSpec extends AnyFunSuite {
     w.writeTable("main", "t", Seq(Seq(2L).toDF("x")), Replace, cfg, "l2")
     w.writeTable("main", "t", Seq(Seq(3L).toDF("x")), Append, cfg, "l3")
     val t = cat.loadTable("main", "t")
-    val l1Files = t.metadata.snapshots.head.files.map(_.path)
+    val l1Files = t.metadata.snapshots.head.dataFiles.map(_.path)
     assert(t.metadata.snapshots.size == 3)
 
     val removed = Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
