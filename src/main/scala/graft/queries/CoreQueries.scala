@@ -221,6 +221,35 @@ object CoreQueries {
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
 
+    // TPC-H Q12 shape: priority-class buckets per line status (the test
+    // tables carry no shipmode/commitdate, so the two-class CASE runs on
+    // o_orderpriority; the join/agg/bucket structure is Q12's)
+    "q35_tpch12_priority" ->
+      """SELECT l.l_linestatus,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_linestatus""".stripMargin,
+
+    // TPC-H Q18 shape: large-quantity orders — HAVING subquery feeding a
+    // 3-way join + top-N
+    "q36_tpch18_large_orders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS orderdate,
+        |  CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS totalprice,
+        |  CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY totalprice DESC, o.o_orderkey LIMIT 50""".stripMargin,
+
     // sessionization: 30-minute-gap sessions per user via lag + running sum
     "q27_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t

@@ -50,11 +50,11 @@ object StreamQueries {
         |FROM events GROUP BY event_type""".stripMargin))),
 
     // stateful streaming sessionization via the native session_window
-    // aggregation (merging event-time session state per user). Gap
-    // semantics are Spark's [t, t+gap) windows — a successor at exactly
-    // prev+gap starts a NEW session — so the batch oracle breaks on
-    // `t >= prev + INTERVAL 30 MINUTE` (q27's lag formulation uses `>`;
-    // both engines agree given the same break rule).
+    // aggregation (merging event-time session state per user). Spark's
+    // merge boundary is INCLUSIVE — an event at exactly prev+gap still
+    // joins the session (verified against a real 1800s gap at sf0.1) —
+    // so the batch oracle breaks on `t > prev + INTERVAL 30 MINUTE`,
+    // identical to q27's lag formulation.
     "s3_stream_sessions" -> ((
       (s: SparkSession, dir: String) => {
         val ev = StreamingLoader.eventsStream(s, dir)
@@ -72,7 +72,7 @@ object StreamQueries {
       Some("""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
         |  FROM events),
         |g AS (SELECT user_id, event_id, t,
-        |  CASE WHEN t >= lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |  CASE WHEN t > lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
         |              + INTERVAL '30' MINUTE
         |       THEN 1 ELSE 0 END AS brk FROM e),
         |s AS (SELECT user_id,
