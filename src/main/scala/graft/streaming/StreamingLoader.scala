@@ -50,14 +50,23 @@ object StreamingLoader {
     * a directory, so the single file is exposed through a symlink in a
     * scratch dir (testdata stays untouched). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-src-")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val raw = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
+    // the legacy conf only matters while schemas are resolved (the
+    // explicit stream schema carries ts as LongType afterwards; verified
+    // by running a stream to completion with the conf restored first) —
+    // save/restore it like graft.Tables.t, never leave session state
+    // flipped under user code
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val (schema, raw) =
+      try {
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("graft-events-src-")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        (schema, spark.readStream.schema(schema).parquet(streamDir.toString))
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
