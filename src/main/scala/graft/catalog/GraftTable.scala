@@ -73,11 +73,49 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   /** Time travel: read the file set of a specific snapshot. */
   def readSnapshot(snapshotId: Long): DataFrame = {
     val m = metadata
-    val snap = m.snapshots.find(_.snapshotId == snapshotId)
+    readFiles(m, findSnapshot(m, snapshotId).dataFiles)
+  }
+
+  /** Time travel by wall clock: the latest snapshot committed at or
+    * before `asOfMs` (the snapshot-as-of-timestamp read PyIceberg exposes
+    * and `AS OF TIMESTAMP` SQL sugars). */
+  def readAsOf(asOfMs: Long): DataFrame = {
+    val m = metadata
+    val snap = m.snapshots.filter(_.timestampMs <= asOfMs)
+      .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
       .getOrElse(throw new ValidationError(
-        s"No snapshot $snapshotId in ${m.identifier}"))
+        s"No snapshot at or before $asOfMs in ${m.identifier}"))
     readFiles(m, snap.dataFiles)
   }
+
+  /** Roll the table back to `snapshotId`: commits a NEW snapshot
+    * referencing the target's manifests verbatim — a pure metadata
+    * operation (no data or manifest IO), history fully preserved, and
+    * concurrent writers still serialize through the normal CAS. */
+  def rollbackTo(snapshotId: Long): TableMetadata =
+    commit { m =>
+      val target = findSnapshot(m, snapshotId)
+      val snap = Snapshot(m.nextSnapshotId, m.currentSnapshotId,
+        System.currentTimeMillis(), "rollback", None,
+        manifests = target.manifests, files = target.files)
+      m.copy(currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap)
+    }
+
+  /** Incremental read: the files added since `sinceSnapshotId` (the
+    * append-only change feed). Exact for append-only history; a merge or
+    * compaction in between surfaces its whole rewritten files — the same
+    * restriction as Iceberg's incremental append scan. */
+  def readAppendsSince(sinceSnapshotId: Long): DataFrame = {
+    val m = metadata
+    val base = findSnapshot(m, sinceSnapshotId).dataFiles.map(_.path).toSet
+    readFiles(m, m.currentFiles.filterNot(f => base.contains(f.path)))
+  }
+
+  private def findSnapshot(m: TableMetadata, snapshotId: Long): Snapshot =
+    m.snapshots.find(_.snapshotId == snapshotId)
+      .getOrElse(throw new ValidationError(
+        s"No snapshot $snapshotId in ${m.identifier}"))
 
   private def readFiles(m: TableMetadata, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty)

@@ -151,6 +151,26 @@ object WriteQueries {
       },
       s"SELECT o_orderkey FROM ($targetSql)")),
 
+    // history navigation: append twice, read the incremental append feed
+    // since load 1 (= exactly load 2's rows), then roll back to load 1
+    // (metadata-only manifest re-reference) and read the current snapshot
+    "w12_incremental_rollback" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        val tbl = w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        val s1 = tbl.metadata.currentSnapshotId.get
+        w.writeTable("main", "orders_t", Seq(source(s, dir)), Append, cfg, "l2")
+        val added = tbl.readAppendsSince(s1)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        tbl.rollbackTo(s1)
+        val rolledBack = tbl.read().select(col("o_orderkey"), col("o_totalprice"))
+        added.withColumn("phase", lit("added"))
+          .unionByName(rolledBack.withColumn("phase", lit("rolled_back")))
+      },
+      s"""SELECT o_orderkey, o_totalprice, 'added' AS phase FROM ($sourceSql)
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice, 'rolled_back' AS phase FROM ($targetSql)""".stripMargin)),
+
     // maintenance: compaction is content-neutral — many small loads,
     // compact, read back; oracle is the plain union of the loads
     "w9_compact" -> ((

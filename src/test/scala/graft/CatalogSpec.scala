@@ -156,6 +156,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(none == Seq("f3"))
   }
 
+  test("readAsOf, rollbackTo, and readAppendsSince navigate history") {
+    val cat = freshCatalog()
+    val t = cat.createTable("main", "tt", StructType(Seq(StructField("x", LongType))))
+    t.commit(m => m.withSnapshot("append", Some("l1"),
+      stage(t, (1L to 10L).toDF("x")), nowMs = 1000L), unitMs = 1)
+    val s1 = t.metadata.currentSnapshotId.get
+    t.commit(m => m.withSnapshot("append", Some("l2"),
+      m.currentFiles ++ stage(t, (11L to 15L).toDF("x")), nowMs = 2000L), unitMs = 1)
+    t.commit(m => m.withSnapshot("append", Some("l3"),
+      m.currentFiles ++ stage(t, (16L to 18L).toDF("x")), nowMs = 3000L), unitMs = 1)
+
+    // as-of picks the latest snapshot at or before the timestamp
+    assert(t.readAsOf(1000L).count() == 10) // boundary inclusive
+    assert(t.readAsOf(2500L).count() == 15)
+    assert(t.readAsOf(9999L).count() == 18)
+    intercept[ValidationError] { t.readAsOf(999L) }
+
+    // appends since s1 = exactly the l2+l3 rows
+    val added = t.readAppendsSince(s1).collect().map(_.getLong(0)).sorted
+    assert(added.toSeq == (11L to 18L))
+
+    // rollback re-references s1's manifests: metadata-only, history intact
+    val before = t.metadata.snapshots.size
+    t.rollbackTo(s1)
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+    assert(t.metadata.snapshots.size == before + 1)
+    assert(t.metadata.currentSnapshot.get.operation == "rollback")
+    assert(t.metadata.currentSnapshot.get.manifestPaths ==
+      t.metadata.snapshots.find(_.snapshotId == s1).get.manifestPaths)
+    // the rolled-over snapshots remain time-travelable
+    assert(t.readAsOf(3000L).count() == 18)
+  }
+
   test("snapshots reuse unchanged manifests; appends write one new manifest each") {
     val cat = freshCatalog()
     val t = cat.createTable("main", "mf", StructType(Seq(StructField("x", LongType))))
