@@ -97,6 +97,14 @@ final class GraftDataset(catalog: GraftCatalog, namespace: String) {
   def table(name: String): DataFrame =
     catalog.loadTable(namespace, name).read()
 
+  /** Time travel: the table at a specific snapshot id. */
+  def tableAt(name: String, snapshotId: Long): DataFrame =
+    catalog.loadTable(namespace, name).readSnapshot(snapshotId)
+
+  /** Time travel: the table as of a wall-clock timestamp (ms). */
+  def tableAsOf(name: String, tsMs: Long): DataFrame =
+    catalog.loadTable(namespace, name).readAsOf(tsMs)
+
   /** Register every committed table (including `_dlt_*`) as a temp view
     * at its CURRENT snapshot and run the SQL through Spark. */
   def query(sql: String): DataFrame = {

@@ -95,8 +95,11 @@ final class GraftPipeline(
     val t = catalog.loadTable(namespace, table)
     val n = t.metadata.snapshots.size
     if (policy.compactEveryLoads > 0 && n % policy.compactEveryLoads == 0)
-      graft.write.Maintenance.compact(t, policy.smallFileBytes,
+      // best effort: a concurrent writer superseding the compaction input
+      // aborts THIS compaction, never the load that triggered it
+      try graft.write.Maintenance.compact(t, policy.smallFileBytes,
         policy.targetFileBytes, policy.retryUnitMs)
+      catch { case _: graft.catalog.ValidationError => () }
     if (policy.expireEveryLoads > 0 && n % policy.expireEveryLoads == 0)
       graft.write.Maintenance.expireSnapshots(t, policy.keepSnapshots,
         policy.retryUnitMs)

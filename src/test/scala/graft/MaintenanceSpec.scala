@@ -91,6 +91,35 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!p.loadRecordExists("load_99"))
   }
 
+  test("compaction races with concurrent appends without losing rows") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq(0L).toDF("x")), Append, cfg, "l0")
+    val t = cat.loadTable("main", "t")
+    val raceCfg = cfg.copy(maxRetries = 30)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futures = (1 to 9).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = w.writeTable("main", "t",
+          Seq(Seq(i.toLong).toDF("x")), Append, raceCfg, s"l$i")
+      })
+    }
+    // compact while appends land: superseded attempts abort cleanly
+    var superseded = 0
+    (1 to 5).foreach { _ =>
+      try Maintenance.compact(t, smallFileBytes = 1L << 20,
+        targetFileBytes = 4L << 20, retryUnitMs = 1)
+      catch { case _: ValidationError => superseded += 1 }
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    // quiesced: one more compact must succeed and change nothing
+    try Maintenance.compact(t, smallFileBytes = 1L << 20,
+      targetFileBytes = 4L << 20, retryUnitMs = 1)
+    catch { case _: ValidationError => () }
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (0L to 9L))
+  }
+
   test("vacuumOrphans removes unreferenced staging files only") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
