@@ -70,10 +70,27 @@ final class GraftCatalog(val spark: SparkSession, warehouse: String) {
     else tableDir(ns, table)
   }
 
+  /** Identifier cap from the reference's declared capabilities
+    * (`destination_client.py:1584-1585`): names are path components here,
+    * so over-long or empty identifiers would fail deep inside the
+    * filesystem layer with opaque errors — validate up front instead. */
+  private def validateIdentifiers(ns: String, table: String,
+      schema: StructType): Unit = {
+    def check(kind: String, s: String): Unit =
+      if (s.isEmpty || s.length > graft.types.TypeLattice.MaxIdentifierLength)
+        throw new ValidationError(
+          s"$kind identifier must be 1..${graft.types.TypeLattice.MaxIdentifierLength}" +
+            s" chars, got ${s.length}: '${s.take(48)}'")
+    check("namespace", ns)
+    check("table", table)
+    schema.fieldNames.foreach(check("column", _))
+  }
+
   def createTable(ns: String, table: String, schema: StructType,
       spec: Seq[PartitionFieldSpec] = Nil,
       properties: Map[String, String] = Map.empty,
       location: Option[String] = None): GraftTable = {
+    validateIdentifiers(ns, table, schema)
     createNamespace(ns) // auto-create, like initialize_storage
     if (tableExists(ns, table)) throw new TableAlreadyExistsError(ident(ns, table))
     val dir = location.map(Paths.get(_)).getOrElse(tableDir(ns, table))

@@ -156,6 +156,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(none == Seq("f3"))
   }
 
+  test("identifier length cap (255) is enforced at create time") {
+    val cat = freshCatalog()
+    val long = "x" * 256
+    intercept[ValidationError] { cat.createTable("main", long, userSchema) }
+    intercept[ValidationError] { cat.createTable(long, "t", userSchema) }
+    intercept[ValidationError] {
+      cat.createTable("main", "t", StructType(Seq(StructField(long, LongType))))
+    }
+    intercept[ValidationError] { cat.createTable("main", "", userSchema) }
+    cat.createTable("main", "x" * 255, userSchema) // at the cap is fine
+    assert(cat.tableExists("main", "x" * 255))
+  }
+
   test("readAsOf, rollbackTo, and readAppendsSince navigate history") {
     val cat = freshCatalog()
     val t = cat.createTable("main", "tt", StructType(Seq(StructField("x", LongType))))
