@@ -93,6 +93,29 @@ object TextOps {
         .getField("score") + 1e-9, 4).as("lang_score"))
   }
 
+  /** Deterministic train/val/test assignment by key hash — the standard
+    * leakage-safe way to split a corpus: membership depends only on the
+    * key, so re-runs, resharded inputs, and incremental additions never
+    * move a document across splits. The bucket is the first 8 hex chars
+    * of md5 taken mod `buckets` — engine-portable (Spark `conv(_,16,10)`
+    * ≡ DuckDB `('0x'||_)::BIGINT`), uniform to ~1/2³², map-only codegen. */
+  def splitAssign(docs: DataFrame, keyCol: String = "doc_id",
+      fractions: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      buckets: Int = 100): DataFrame = {
+    require(fractions.map(_._2).sum == buckets,
+      s"split fractions must sum to $buckets")
+    val bucket = (conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long") % buckets).cast("int")
+    val cuts = fractions.scanLeft(0) { case (a, (_, p)) => a + p }.tail
+    val pairs = fractions.map(_._1).zip(cuts) // (name, upper bound)
+    val split = pairs.init.foldRight(lit(pairs.last._1): Column) {
+      case ((name, upper), acc) => when(col("split_bucket") < upper, name).otherwise(acc)
+    }
+    docs.select(col(keyCol), bucket.as("split_bucket"))
+      .withColumn("split", split)
+  }
+
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —
     * portable across engines for oracle checks. */
   def fingerprint(text: Column): Column =

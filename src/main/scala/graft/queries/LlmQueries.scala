@@ -80,6 +80,20 @@ object LlmQueries {
         |SELECT doc_id, lang AS lang_pred, round(score + 1e-9, 4) AS lang_score
         |FROM r WHERE rn = 1""".stripMargin))),
 
+    // deterministic leakage-safe corpus splitting: same md5-prefix bucket
+    // arithmetic on both engines (conv(_,16,10) vs ('0x'||_)::BIGINT)
+    "l21_train_split" -> ((
+      (s: SparkSession, dir: String) => TextOps.splitAssign(docs(s, dir)),
+      Some("""WITH b AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 100 AS INT) AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, split_bucket,
+        |  CASE WHEN split_bucket < 80 THEN 'train'
+        |       WHEN split_bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin))),
+
     "l4_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         docs(s, dir).select(col("doc_id"),

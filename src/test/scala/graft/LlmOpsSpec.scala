@@ -127,6 +127,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(routedPlan.contains("bucket"))
   }
 
+  test("split assignment is leakage-safe: stable under corpus growth, near fractions") {
+    val full = TextOps.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // a subset corpus assigns identically — membership depends only on key
+    val subset = TextOps.splitAssign(docs.limit(100)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(subset.forall { case (k, v) => full(k) == v })
+    val n = full.size.toDouble
+    val train = full.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train far from 0.8")
+    assert(full.values.toSet == Set("train", "val", "test"))
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = Multimodal.mediaFeatures(docs, partitions = 4).orderBy("doc_id").collect()
     val f2 = Multimodal.mediaFeatures(docs, partitions = 2).orderBy("doc_id").collect()
