@@ -93,6 +93,24 @@ object TextOps {
         .getField("score") + 1e-9, 4).as("lang_score"))
   }
 
+  /** Within-document repetition: the fraction of word 3-grams that are
+    * duplicates of an earlier 3-gram in the same document — the
+    * Gopher-style repetition signal corpus cleaning filters on (template
+    * spam and decoder loops score high, natural prose low). Map-only
+    * array expressions, no shuffle, no explode. */
+  def repetitionStats(docs: DataFrame, n: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    val g = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws("_", slice(w, i, lit(n))))
+    docs.filter(size(w) >= n).select(
+      col("doc_id"),
+      size(g).cast("long").as("n_grams"),
+      // + 1e-9: see tokenStats
+      round((size(g) - size(array_distinct(g))).cast("double") / size(g)
+        + 1e-9, 4).as("dup_ratio"))
+  }
+
   /** Deterministic train/val/test assignment by key hash — the standard
     * leakage-safe way to split a corpus: membership depends only on the
     * key, so re-runs, resharded inputs, and incremental additions never

@@ -80,6 +80,18 @@ object LlmQueries {
         |SELECT doc_id, lang AS lang_pred, round(score + 1e-9, 4) AS lang_score
         |FROM r WHERE rn = 1""".stripMargin))),
 
+    // Gopher-style repetition signal: duplicated 3-gram ratio per doc
+    "l22_repetition" -> ((
+      (s: SparkSession, dir: String) => TextOps.repetitionStats(docs(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+        |  i -> w[i] || '_' || w[i+1] || '_' || w[i+2]) AS g FROM d)
+        |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+        |  round((len(g) - len(list_distinct(g))) * 1.0 / len(g) + 1e-9, 4)
+        |    AS dup_ratio
+        |FROM s""".stripMargin))),
+
     // deterministic leakage-safe corpus splitting: same md5-prefix bucket
     // arithmetic on both engines (conv(_,16,10) vs ('0x'||_)::BIGINT)
     "l21_train_split" -> ((
