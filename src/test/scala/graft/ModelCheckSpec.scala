@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+import scala.collection.mutable
+
+/** Model-based testing of the disposition engine: random sequences of
+  * keyed writes (upsert, delete-insert, replace, hard delete) replayed
+  * against a trivial in-memory pk→row model; after every operation the
+  * committed table must equal the model exactly. Deterministic seeds, so
+  * failures replay. This is the class of test that catches silent
+  * pruning/rewrite bugs (e.g. lexicographic stats) that per-scenario
+  * specs miss. */
+class ModelCheckSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
+    bloomColumns = Seq("id"))
+
+  private def df(rows: Seq[(Long, String, java.lang.Long)]): DataFrame =
+    rows.toDF("id", "v", "_dlt_deleted_at_raw")
+      .withColumn("_dlt_deleted_at",
+        org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("_dlt_deleted_at_raw")))
+      .drop("_dlt_deleted_at_raw")
+
+  test("random disposition sequences match the in-memory model") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val cat = new GraftCatalog(spark,
+        Files.createTempDirectory(s"graft-model-$seed-").toString)
+      val w = new GraftWriter(cat)
+      val model = mutable.LinkedHashMap.empty[Long, String]
+      // keys drawn from a range spanning digit-count boundaries and
+      // negatives — the r1 stats bug's blind spot
+      def key(): Long = rnd.between(-120L, 130L)
+
+      (1 to 6).foreach { step =>
+        val op = rnd.nextInt(4)
+        val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
+        val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
+        op match {
+          case 0 => // upsert
+            w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), cfg, s"l$seed-$step")
+            rows.foreach { case (k, v, _) => model(k) = v }
+          case 1 => // delete-insert
+            w.writeTable("main", "t", Seq(df(rows)), Merge("delete-insert"), cfg, s"l$seed-$step")
+            rows.foreach { case (k, v, _) => model(k) = v }
+          case 2 => // replace
+            w.writeTable("main", "t", Seq(df(rows)), Replace, cfg, s"l$seed-$step")
+            model.clear()
+            rows.foreach { case (k, v, _) => model(k) = v }
+          case 3 => // hard delete of a sample of existing keys (plus misses)
+            val victims = (batchKeys.take(5) ++ model.keys.take(5)).distinct
+            val marked = victims.map(k => (k, "del", java.lang.Long.valueOf(1700000000000L)))
+            w.writeTable("main", "t", Seq(df(marked)), Merge("upsert"), cfg, s"l$seed-$step")
+            victims.foreach(model.remove)
+        }
+        val got = cat.loadTable("main", "t").read()
+          .select("id", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+        val want = model.toSeq.sortBy(_._1)
+        assert(got == want,
+          s"seed=$seed step=$step op=$op: table diverged from model\n" +
+            s"extra: ${(got.toSet -- want.toSet).take(5)}\n" +
+            s"missing: ${(want.toSet -- got.toSet).take(5)}")
+      }
+    }
+  }
+}
