@@ -74,4 +74,34 @@ object Multimodal {
     val blobs = if (partitions > 0) blobs0.repartition(partitions) else blobs0
     extractFeatures(blobs).toDF()
   }
+
+  final case class FrameSample(
+      doc_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      frame_digest: String)
+
+  /** Uniform frame sampling over "video" blobs: derive the frame count
+    * (STUB for container demux — deterministic in the blob length), pick
+    * `k` uniformly spaced frame indices, emit one row per sampled frame
+    * with a per-frame digest (STUB for the frame decode). The fan-out is
+    * bounded at `k` rows per media row and runs in the same
+    * per-partition batch shape as [[extractFeatures]] — the plumbing a
+    * real demuxer drops into unchanged. */
+  def sampleFrames(blobs: DataFrame, k: Int = 4): Dataset[FrameSample] = {
+    require(k >= 2, "need at least 2 sample points")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob"), col("mime_type")).as[MediaBlob]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val nFrames = 8 + (m.blob.length % 120) // stub demux: >= 8 frames
+          (0 until k).map { i =>
+            val fi = (i.toLong * (nFrames - 1) / (k - 1)).toInt
+            FrameSample(m.doc_id, fi, nFrames,
+              sha256Hex(m.blob ++ s"#$fi".getBytes("UTF-8")))
+          }
+        }
+      }
+  }
 }

@@ -80,6 +80,23 @@ object LlmQueries {
         |SELECT doc_id, lang AS lang_pred, round(score + 1e-9, 4) AS lang_score
         |FROM r WHERE rn = 1""".stripMargin))),
 
+    // multimodal frame sampling: stubbed demux/decode are deterministic
+    // arithmetic over the blob, so DuckDB can replay the whole pipeline
+    // (frame count, uniform indices, per-frame digests) relationally
+    "l23_frame_sample" -> ((
+      (s: SparkSession, dir: String) =>
+        Multimodal.sampleFrames(
+          Multimodal.asBlobs(docs(s, dir)), k = 4).toDF(),
+      Some("""WITH b AS (SELECT doc_id, text,
+        |  8 + (octet_length(encode(text)) % 120) AS nf FROM documents),
+        |f AS (SELECT doc_id, text, nf, unnest([0, 1, 2, 3]) AS i FROM b)
+        |SELECT doc_id,
+        |  CAST((i * (nf - 1)) // 3 AS INT) AS frame_idx,
+        |  CAST(nf AS INT) AS n_frames,
+        |  sha256(text || '#' || CAST((i * (nf - 1)) // 3 AS VARCHAR))
+        |    AS frame_digest
+        |FROM f""".stripMargin))),
+
     // Gopher-style repetition signal: duplicated 3-gram ratio per doc
     "l22_repetition" -> ((
       (s: SparkSession, dir: String) => TextOps.repetitionStats(docs(s, dir)),

@@ -140,6 +140,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(full.values.toSet == Set("train", "val", "test"))
   }
 
+  test("frame sampling is deterministic, bounded, and within frame range") {
+    val blobs = Multimodal.asBlobs(docs)
+    val a = Multimodal.sampleFrames(blobs, k = 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val b = Multimodal.sampleFrames(blobs.repartition(3), k = 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(a.sameElements(b)) // partitioning never affects results
+    assert(a.length == docs.count() * 4) // bounded fan-out: k rows per doc
+    assert(a.forall(f => f.frame_idx >= 0 && f.frame_idx < f.n_frames))
+    // uniform endpoints: first and last frames always sampled
+    assert(a.groupBy(_.doc_id).values.forall { fs =>
+      fs.map(_.frame_idx).min == 0 && fs.map(_.frame_idx).max == fs.head.n_frames - 1
+    })
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = Multimodal.mediaFeatures(docs, partitions = 4).orderBy("doc_id").collect()
     val f2 = Multimodal.mediaFeatures(docs, partitions = 2).orderBy("doc_id").collect()
