@@ -79,6 +79,44 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
   }
 
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into dedup CLUSTERS (the canonical survivor
+    * of a cluster is its min doc id). Iterative min-label propagation:
+    * label(v) ← min(label(v), min over neighbors); converges in
+    * O(cluster diameter) rounds, and near-dup clusters are shallow
+    * (chains of transitive near-dups), so the driver loop runs 2-4
+    * rounds of one shuffle join + aggregate each. Deterministic; the
+    * DuckDB oracle computes the same fixpoint with a recursive CTE. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val fwd = pairs.select(col("a"), col("b"))
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).cache()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("id").as("b"), col("cluster_id").as("nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      next.count()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   // Permutation p is realized as xxhash64 salted with p (overflow-free
   // under ANSI mode, and deterministic across engines/runs).
 

@@ -174,6 +174,32 @@ object LlmQueries {
           maxShingleFreq = Some(10)),
       Some(jaccardCappedOracle))),
 
+    // near-dup pair graph → dedup clusters: min-label propagation on the
+    // Spark side, transitive-closure recursive CTE as the DuckDB oracle
+    // (pairs come from MinHash-LSH, which matches the exact relation here)
+    "l24_dedup_clusters" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.nearDupClusters(
+          Dedup.minHashLshPairs(docs(s, dir), n = 3, numHashes = 64,
+            bands = 32, threshold = 0.5)),
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
+        |  FROM s),
+        |pairs0 AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |jp AS (SELECT p.a, p.b FROM pairs0 p
+        |  JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+        |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5),
+        |e AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (SELECT id, id AS label FROM nodes
+        |  UNION SELECT e.a AS id, r.label FROM e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin))),
+
     // SimHash near-dup: custom 64-bit hashing, rows-only check
     "l8_simhash" -> ((
       (s: SparkSession, dir: String) =>

@@ -127,6 +127,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(routedPlan.contains("bucket"))
   }
 
+  test("near-dup clustering is transitive and labels with the cluster min") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: 3-clusters via transitivity
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 20L), (5L, 7L))
+      .toDF("a", "b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      5L -> 5L, 7L -> 5L, 20L -> 5L))
+  }
+
   test("split assignment is leakage-safe: stable under corpus growth, near fractions") {
     val full = TextOps.splitAssign(docs).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
