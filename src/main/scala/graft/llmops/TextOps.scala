@@ -93,6 +93,27 @@ object TextOps {
         .getField("score") + 1e-9, 4).as("lang_score"))
   }
 
+  /** Sequence packing for pre-training: assign documents to fixed
+    * token-budget packs. Docs are sharded by key hash (embarrassingly
+    * parallel — a global greedy pack would serialize on one task), then
+    * packed in deterministic key order by running token count within the
+    * shard: a doc opens in the pack where its cumulative count starts.
+    * pack_id embeds the shard so ids are globally unique. One shuffle
+    * (the per-shard window), deterministic, engine-portable. */
+  def packSequences(docs: DataFrame, tokenBudget: Int = 2048,
+      shards: Int = 32, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(tokens(col(textCol)))
+    val shard = pmod(col("doc_id"), lit(shards.toLong)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        shard.as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        (col("shard").cast("long") * 1000000L +
+          floor((col("cum") - col("n_tokens")) / tokenBudget)).as("pack_id"))
+  }
+
   /** Within-document repetition: the fraction of word 3-grams that are
     * duplicates of an earlier 3-gram in the same document — the
     * Gopher-style repetition signal corpus cleaning filters on (template

@@ -97,6 +97,21 @@ object LlmQueries {
         |    AS frame_digest
         |FROM f""".stripMargin))),
 
+    // sequence packing: shard-parallel fixed-token-budget pack assignment
+    "l25_pack_sequences" -> ((
+      (s: SparkSession, dir: String) =>
+        TextOps.packSequences(docs(s, dir), tokenBudget = 2048, shards = 32),
+      Some("""WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(doc_id % 32 AS INT) AS shard FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(shard * 1000000 + FLOOR((cum - n_tokens) / 2048) AS BIGINT)
+        |    AS pack_id
+        |FROM c""".stripMargin))),
+
     // Gopher-style repetition signal: duplicated 3-gram ratio per doc
     "l22_repetition" -> ((
       (s: SparkSession, dir: String) => TextOps.repetitionStats(docs(s, dir)),

@@ -127,6 +127,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(routedPlan.contains("bucket"))
   }
 
+  test("sequence packing is deterministic, shard-local, and budget-aligned") {
+    val a = TextOps.packSequences(docs, tokenBudget = 512, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val b = TextOps.packSequences(docs.repartition(5), tokenBudget = 512, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1))) // input partitioning irrelevant
+    // replay the greedy pack per shard locally and compare
+    a.groupBy(_._3).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, n, _, packId) =>
+        assert(packId == shard * 1000000L + cum / 512, s"shard $shard mispacked")
+        cum += n
+      }
+    }
+  }
+
   test("near-dup clustering is transitive and labels with the cluster min") {
     // chain 1-2, 2-3 plus isolated pair 10-11: 3-clusters via transitivity
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 20L), (5L, 7L))
