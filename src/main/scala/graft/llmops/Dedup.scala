@@ -81,40 +81,76 @@ object Dedup {
 
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup CLUSTERS (the canonical survivor
-    * of a cluster is its min doc id). Iterative min-label propagation:
-    * label(v) ← min(label(v), min over neighbors); converges in
-    * O(cluster diameter) rounds, and near-dup clusters are shallow
-    * (chains of transitive near-dups), so the driver loop runs 2-4
-    * rounds of one shuffle join + aggregate each. Deterministic; the
-    * DuckDB oracle computes the same fixpoint with a recursive CTE. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val fwd = pairs.select(col("a"), col("b"))
-    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+    * of a cluster is its min doc id). Deterministic; the DuckDB oracle
+    * computes the same fixpoint with a recursive CTE.
+    *
+    * Hybrid execution, measured: the pair graph is tiny relative to the
+    * corpus (near-dup pairs, not documents), so up to
+    * `driverUnionFindMax` edges a driver-side union-find with path
+    * compression resolves components in milliseconds — the distributed
+    * min-label-propagation loop costs seconds of job latency per round
+    * regardless of data size (13.6 s vs <1 s at sf0.1). Past the
+    * threshold (billions-of-docs dedup where pairs themselves are
+    * data-scale), the iterative formulation takes over: label(v) ←
+    * min(label, neighbors' labels), converging in O(cluster diameter)
+    * rounds of one shuffle join + aggregate. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10,
+      driverUnionFindMax: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val fwd = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).cache()
-    labels.count()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbr = edges
-        .join(labels.select(col("id").as("b"), col("cluster_id").as("nl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
-      val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      next.count()
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
-      i += 1
+    val nEdges = fwd.count()
+    if (nEdges <= driverUnionFindMax) {
+      val edges = fwd.as[(Long, Long)].collect()
+      fwd.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+        var y = x0 // path compression
+        while (parent.getOrElse(y, y) != y) {
+          val next = parent(y); parent(y) = x; y = next
+        }
+        x
+      }
+      // union by min so every root IS its component's min id
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      ids.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("doc_id", "cluster_id")
+    } else {
+      val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("cluster_id", col("id")).cache()
+      labels.count()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val nbr = edges
+          .join(labels.select(col("id").as("b"), col("cluster_id").as("nl")), "b")
+          .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
+        val next = labels.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"),
+              coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .cache()
+        next.count()
+        converged = next
+          .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+          .filter(col("cluster_id") =!= col("prev")).isEmpty
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      edges.unpersist()
+      fwd.unpersist()
+      labels.select(col("id").as("doc_id"), col("cluster_id"))
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
   // Permutation p is realized as xxhash64 salted with p (overflow-free

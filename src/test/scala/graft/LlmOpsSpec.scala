@@ -147,10 +147,15 @@ class LlmOpsSpec extends AnyFunSuite {
     // chain 1-2, 2-3 plus isolated pair 10-11: 3-clusters via transitivity
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 20L), (5L, 7L))
       .toDF("a", "b")
-    val got = Dedup.nearDupClusters(pairs).collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      5L -> 5L, 7L -> 5L, 20L -> 5L)
+    val unionFind = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      5L -> 5L, 7L -> 5L, 20L -> 5L))
+    assert(unionFind == want)
+    // the distributed label-propagation path must agree exactly
+    val propagated = Dedup.nearDupClusters(pairs, driverUnionFindMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(propagated == want)
   }
 
   test("split assignment is leakage-safe: stable under corpus growth, near fractions") {
