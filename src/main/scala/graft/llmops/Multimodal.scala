@@ -75,6 +75,20 @@ object Multimodal {
     extractFeatures(blobs).toDF()
   }
 
+  /** Ingest raw media files as opaque binary rows via Spark's built-in
+    * `binaryFile` source — the on-ramp for image/audio/video corpora:
+    * distributed listing and reads, pushdown-capable `pathGlobFilter`,
+    * no driver materialization. Output matches [[asBlobs]]'s shape so
+    * the whole feature/sampling pipeline composes unchanged. */
+  def readMediaDir(spark: SparkSession, glob: String,
+      mimeType: String = "application/octet-stream"): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").cast("long").as("byte_len"),
+        col("content").as("blob"),
+        lit(mimeType).as("mime_type"))
+
   final case class FrameSample(
       doc_id: Long,
       frame_idx: Int,

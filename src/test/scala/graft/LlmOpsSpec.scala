@@ -171,6 +171,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(full.values.toSet == Set("train", "val", "test"))
   }
 
+  test("binaryFile media ingest reads files distributed with exact bytes") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Multimodal.readMediaDir(spark, s"$dir/*.parquet")
+      .collect().map(r => r.getAs[String]("file_name") ->
+        (r.getAs[Long]("byte_len"), r.getAs[Array[Byte]]("blob"))).toMap
+    assert(got.keySet.contains("documents.parquet"))
+    got.foreach { case (name, (len, blob)) =>
+      val disk = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$name"))
+      assert(len == disk.length && java.util.Arrays.equals(blob, disk),
+        s"$name bytes differ from disk")
+    }
+  }
+
   test("frame sampling is deterministic, bounded, and within frame range") {
     val blobs = Multimodal.asBlobs(docs)
     val a = Multimodal.sampleFrames(blobs, k = 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
