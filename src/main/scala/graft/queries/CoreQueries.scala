@@ -250,6 +250,29 @@ object CoreQueries {
         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
         |ORDER BY totalprice DESC, o.o_orderkey LIMIT 50""".stripMargin,
 
+    // TPC-H Q14 shape: promotion revenue share over a month window
+    "q37_tpch14_promo" ->
+      """SELECT CAST(ROUND(100.0 *
+        |    SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        |        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) /
+        |    SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    // TPC-H Q4 shape: order-priority counts gated on a lineitem EXISTS
+    // (the test tables carry no commitdate/receiptdate, so the existence
+    // probe is shipped-after-order; the semi-join structure is Q4's)
+    "q38_tpch4_priority" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
     // sessionization: 30-minute-gap sessions per user via lag + running sum
     "q27_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
