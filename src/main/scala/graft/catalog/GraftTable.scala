@@ -64,6 +64,23 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     TableMetadata.fromJson(new String(Files.readAllBytes(p), UTF_8))
   }
 
+  /** Metadata-only row count: folded from per-file stats, no data scan —
+    * the `COUNT(*)` fast path manifest stats exist for. */
+  def rowCount: Long = metadata.currentFiles.map(_.rowCount).sum
+
+  /** One-row table summary from metadata alone (no data scan): current
+    * snapshot, file/row/byte totals, snapshot count. */
+  def describe(): DataFrame = {
+    val m = metadata
+    val files = m.currentFiles
+    import spark.implicits._
+    Seq((m.identifier, m.currentSnapshotId.getOrElse(-1L), m.snapshots.size,
+      files.size, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum,
+      m.schemaVersion))
+      .toDF("identifier", "snapshot_id", "n_snapshots", "n_files",
+        "n_rows", "total_bytes", "schema_version")
+  }
+
   /** Read the current snapshot as a DataFrame with the committed schema.
     * Files written under older schema versions null-fill missing columns
     * via the imposed read schema (sparse semantics, `test_sparse_schema

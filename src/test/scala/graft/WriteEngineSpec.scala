@@ -37,6 +37,11 @@ class WriteEngineSpec extends AnyFunSuite {
     val t = cat.loadTable("main", "u")
     assert(t.metadata.snapshots.map(_.operation) == Seq("append", "append"))
     assert(t.read().count() == 2)
+    // metadata-only count/summary agree with the data, without a scan
+    assert(t.rowCount == 2L)
+    val d = t.describe().collect()(0)
+    assert(d.getAs[Long]("n_rows") == 2L && d.getAs[Int]("n_snapshots") == 2)
+    assert(d.getAs[Long]("total_bytes") > 0L)
   }
 
   test("multiple batches in one load produce ONE snapshot") {
