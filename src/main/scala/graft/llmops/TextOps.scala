@@ -93,6 +93,27 @@ object TextOps {
         .getField("score") + 1e-9, 4).as("lang_score"))
   }
 
+  /** Corpus-statistics quality proxy: mean unigram log-probability per
+    * document against the corpus's own token distribution — the cheap
+    * stand-in for LM-perplexity filtering (gibberish and rare-token spam
+    * score low, fluent prose near the corpus mean). Two aggregation
+    * levels: one corpus-wide token-frequency table (shuffle on token,
+    * map-side combined), then a broadcast-or-shuffle join back to the
+    * exploded tokens and a per-doc mean — no per-document model state. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val total = tok.count().toDouble
+    val freqs = tok.groupBy(col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("t"), (col("tf") / total).as("p"))
+    tok.join(freqs, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        // + 1e-9: see tokenStats
+        round(avg(log(col("p"))) + 1e-9, 4).as("mean_logprob"))
+  }
+
   /** Sequence packing for pre-training: assign documents to fixed
     * token-budget packs. Docs are sharded by key hash (embarrassingly
     * parallel — a global greedy pack would serialize on one task), then

@@ -97,6 +97,17 @@ object LlmQueries {
         |    AS frame_digest
         |FROM f""".stripMargin))),
 
+    // corpus-statistics quality proxy: per-doc mean unigram log-prob
+    "l27_unigram_logprob" -> ((
+      (s: SparkSession, dir: String) => TextOps.unigramLogProb(docs(s, dir)),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tot AS (SELECT count(*) * 1.0 AS n FROM tok),
+        |f AS (SELECT t, count(*) / (SELECT n FROM tot) AS p FROM tok GROUP BY t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(f.p)) + 1e-9, 4) AS mean_logprob
+        |FROM tok JOIN f USING (t) GROUP BY doc_id""".stripMargin))),
+
     // sequence packing: shard-parallel fixed-token-budget pack assignment
     "l25_pack_sequences" -> ((
       (s: SparkSession, dir: String) =>
