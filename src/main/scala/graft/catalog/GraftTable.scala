@@ -81,6 +81,18 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         "n_rows", "total_bytes", "schema_version")
   }
 
+  /** Snapshot log, oldest first — the table's commit history as data
+    * (metadata-only, like `describe`). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.sortBy(_.snapshotId).map { s =>
+      (s.snapshotId, s.parentId.getOrElse(-1L),
+        new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.loadId.orNull, s.dataFiles.size, s.rowCount)
+    }.toDF("snapshot_id", "parent_id", "committed_at", "operation",
+      "load_id", "n_files", "n_rows")
+  }
+
   /** Read the current snapshot as a DataFrame with the committed schema.
     * Files written under older schema versions null-fill missing columns
     * via the imposed read schema (sparse semantics, `test_sparse_schema

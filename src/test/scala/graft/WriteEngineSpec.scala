@@ -42,6 +42,10 @@ class WriteEngineSpec extends AnyFunSuite {
     val d = t.describe().collect()(0)
     assert(d.getAs[Long]("n_rows") == 2L && d.getAs[Int]("n_snapshots") == 2)
     assert(d.getAs[Long]("total_bytes") > 0L)
+    val h = t.history().collect()
+    assert(h.map(_.getAs[String]("load_id")).toSeq == Seq("l1", "l2"))
+    assert(h.map(_.getAs[Long]("n_rows")).toSeq == Seq(1L, 2L))
+    assert(h(1).getAs[Long]("parent_id") == h(0).getAs[Long]("snapshot_id"))
   }
 
   test("multiple batches in one load produce ONE snapshot") {
