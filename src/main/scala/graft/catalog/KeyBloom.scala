@@ -5,7 +5,7 @@ import java.util.Base64
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tiny per-file membership filter over a key column — the point-lookup
@@ -41,11 +41,36 @@ object KeyBloom {
       bit_or(mask).as(s"$prefix$j")
     }
 
+  /** Types whose canonical probe encoding (`Stager.canonicalKey`) is
+    * bit-stable against the build-side expression below. Float/double/
+    * decimal/binary are excluded: their Spark `CAST(.. AS STRING)` and JVM
+    * `toString` renderings can differ, which would make every probe miss
+    * (a SILENT correctness hole for merges — probes that miss skip
+    * genuinely-affected files). Unsupported types simply get no bloom;
+    * readers keep bloom-less files conservatively. */
+  def supportsBloom(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+        DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Build-side canonical string for a bloom column — MUST render the
+    * exact same string `Stager.canonicalKey` produces on the probe side
+    * (epoch-day for dates, epoch-micros for timestamps): hashing the
+    * display cast of `date '2024-01-01'` while probing the epoch-day
+    * string would make every probe miss. */
+  def canonicalExpr(name: String, dt: DataType): Column = dt match {
+    case DateType => datediff(col(name), lit("1970-01-01")).cast("string")
+    case TimestampType => unix_micros(col(name)).cast("string")
+    case _ => col(name).cast("string")
+  }
+
   /** Add the k bit-position columns for `name` to `d` (row-level, cheap,
-    * fully codegen'd). */
+    * fully codegen'd). `dt` is the column's table type, needed to hash the
+    * canonical (probe-side) encoding. */
   def withPositionColumns(d: org.apache.spark.sql.DataFrame,
-      name: String): org.apache.spark.sql.DataFrame = {
-    val s = col(name).cast("string")
+      name: String, dt: DataType): org.apache.spark.sql.DataFrame = {
+    val s = canonicalExpr(name, dt)
     val p1 = pmod(xxhash64(s), lit(NumBits.toLong))
     val p2 = pmod(xxhash64(s, lit(1L)), lit(NumBits.toLong))
     (0 until NumHashes).foldLeft(d) { (dd, i) =>

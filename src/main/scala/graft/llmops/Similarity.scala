@@ -66,28 +66,33 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
-  /** Thresholds from here up route to the LSH-bucketed plan. Below it the
-    * exact all-pairs join is used DELIBERATELY: at low thresholds the
-    * per-plane agreement probability p = 1 - θ/π of a boundary pair is so
-    * low (t=0.4 ⇒ θ≈66° ⇒ p≈0.63) that any (planes, tables) choice with
-    * candidate volume below all-pairs (T < 2^(P-1)) misses boundary pairs
-    * with near-certainty — LSH prunes only when a similarity gap exists.
-    * Measured on the driver data: qualifying pairs sit at 0.401-0.601,
-    * i.e. zero gap above t=0.4. */
-  val AutoBucketThreshold = 0.8
+  /** Advisory floor below which the LSH-bucketed plan is pointless: at low
+    * thresholds the per-plane agreement probability p = 1 - θ/π of a
+    * boundary pair is so low (t=0.4 ⇒ θ≈66° ⇒ p≈0.63) that any
+    * (planes, tables) choice with candidate volume below all-pairs
+    * (T < 2^(P-1)) misses boundary pairs with near-certainty — LSH prunes
+    * only when a similarity gap exists. Measured on the driver data:
+    * qualifying pairs sit at 0.401-0.601, i.e. zero gap above t=0.4. */
+  val BucketedMinThreshold = 0.8
 
   /** All pairs with cosine similarity above `threshold` (embedding-space
-    * near-dup detection). Routes by threshold: genuine near-dup thresholds
-    * (≥ [[AutoBucketThreshold]]) use [[cosineNearDupPairsBucketed]] —
-    * LSH-bucketed candidates + exact verification, the corpus-scale plan;
-    * lower thresholds keep the exact O(N²) join (see the note above). */
+    * near-dup detection). EXACT by default: the approximate plan drops
+    * genuine pairs (per-pair recall at cosine 0.8 with 12 planes × 8
+    * tables is ≈0.41), so it must never be silently substituted for a
+    * result a caller treats as exact. Opt in with `approx = true` to get
+    * [[cosineNearDupPairsBucketed]] — LSH-bucketed candidates + exact
+    * verification, the corpus-scale plan for high thresholds. */
   def cosineNearDupPairs(embeddings0: DataFrame, threshold: Double,
-      dim: Int = 64,
+      dim: Int = 64, approx: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    if (threshold >= AutoBucketThreshold)
+    if (approx) {
+      require(threshold >= BucketedMinThreshold,
+        s"approx plan needs a similarity gap: threshold $threshold < " +
+          s"$BucketedMinThreshold cannot be pruned by LSH without missing " +
+          "boundary pairs — use the exact plan (approx = false)")
       cosineNearDupPairsBucketed(embeddings0, threshold,
         dim = dim, idCol = idCol, vecCol = vecCol)
-    else cosineNearDupPairsExact(embeddings0, threshold, dim, idCol, vecCol)
+    } else cosineNearDupPairsExact(embeddings0, threshold, dim, idCol, vecCol)
 
   /** Exact all-pairs formulation — the oracle for the bucketed plan, and
     * the only correct plan when the threshold leaves no similarity gap. */

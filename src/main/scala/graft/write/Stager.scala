@@ -90,7 +90,8 @@ object Stager {
     val base =
       if (spec.isEmpty) FooterStats.collect(files, schema)
       else collectStats(spark, files, schema, spec)
-    val present = bloomColumns.filter(schema.fieldNames.contains)
+    val present = bloomColumns.filter(c => schema.fieldNames.contains(c) &&
+      graft.catalog.KeyBloom.supportsBloom(schema(c).dataType))
     if (present.isEmpty) base
     else {
       val blooms = collectBlooms(spark, files, schema, present)
@@ -114,7 +115,7 @@ object Stager {
       .select(columns.map(col): _*)
     val withPos = columns.foldLeft(
       base.withColumn("__file", input_file_name()))(
-      (d, c) => graft.catalog.KeyBloom.withPositionColumns(d, c))
+      (d, c) => graft.catalog.KeyBloom.withPositionColumns(d, c, schema(c).dataType))
     val aggs = columns.flatMap(c =>
       graft.catalog.KeyBloom.aggColumns(c, s"__bloom__${c}__"))
     val rows = withPos.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)

@@ -90,6 +90,55 @@ class KeyBloomSpec extends AnyFunSuite {
     assert(cat.loadTable("main", "m").read().count() == 120)
   }
 
+  test("date/timestamp bloom columns: build encoding matches probe encoding") {
+    // Regression: blooms were built over the DISPLAY cast ("2024-01-01")
+    // while probes hash the canonical epoch-day/epoch-micros string, so
+    // every temporal probe missed — point lookups returned empty and merge
+    // probes skipped genuinely-affected files (silent stale duplicates).
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloomd-").toString)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, bloomColumns = Seq("d", "ts"))
+    val rows = (1 to 30).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        java.sql.Timestamp.valueOf(s"2024-01-${"%02d".format((i % 28) + 1)} 10:30:00"),
+        i.toLong)
+    }
+    (0 until 3).foreach { b =>
+      w.writeTable("main", "temporal",
+        Seq(rows.drop(b * 10).take(10).toDF("d", "ts", "v").coalesce(1)),
+        Append, cfg, s"l$b")
+    }
+    val t = cat.loadTable("main", "temporal")
+    val m = t.metadata
+    assert(m.currentFiles.forall(_.stats("d").bloom.isDefined))
+    assert(m.currentFiles.forall(_.stats("ts").bloom.isDefined))
+    // a present date must survive the bloom probe and return its row
+    val probe = java.sql.Date.valueOf("2024-01-06")
+    assert(t.readPointLookup("d", probe).count() == 1)
+    val key = Stager.canonicalKey(org.apache.spark.sql.types.DateType, probe)
+    assert(t.filesForKey(m, "d", key).size == 1,
+      "date probe must hit exactly the file holding the key")
+    val tsProbe = java.sql.Timestamp.valueOf("2024-01-06 10:30:00")
+    assert(t.readPointLookup("ts", tsProbe).count() >= 1)
+    // absent date: bloom prunes everything (ranges overlap across files)
+    val absent = java.sql.Date.valueOf("2027-06-06")
+    assert(t.readPointLookup("d", absent).isEmpty)
+  }
+
+  test("unsupported bloom column types are skipped, not mis-encoded") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloomu-").toString)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, bloomColumns = Seq("f", "k"))
+    val rows = (1 to 10).map(i => (i.toDouble / 3.0, i.toLong))
+    w.writeTable("main", "u", Seq(rows.toDF("f", "k").coalesce(1)), Append, cfg, "l1")
+    val t = cat.loadTable("main", "u")
+    val f = t.metadata.currentFiles.head
+    assert(f.stats("f").bloom.isEmpty, "double column must not get a bloom")
+    assert(f.stats("k").bloom.isDefined, "long column still gets a bloom")
+    // bloom-less column stays conservatively readable
+    assert(t.readPointLookup("f", 1.0 / 3.0).count() == 1)
+  }
+
   test("pipeline ledger probes stay correct with bloom pruning") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloomp-").toString)
     val p = new graft.pipeline.GraftPipeline(cat, "main")

@@ -120,11 +120,19 @@ class LlmOpsSpec extends AnyFunSuite {
     val n = ids.count()
     assert(dups.filter(col("b") === col("a") + 1000000L).count() == n)
 
-    // auto-routing: high threshold dispatches to the bucketed plan (no
-    // all-pairs cross join on ids in the physical plan)
-    val routedPlan = Similarity.cosineNearDupPairs(emb, 0.95)
+    // the public API is exact unless the caller opts in: the default plan
+    // must NOT contain LSH buckets even at a high threshold (silent
+    // approximation drops ~59% of genuine pairs at cosine 0.8)
+    val defaultPlan = Similarity.cosineNearDupPairs(emb, 0.95)
       .queryExecution.executedPlan.toString
-    assert(routedPlan.contains("bucket"))
+    assert(!defaultPlan.contains("bucket"))
+    val optedIn = Similarity.cosineNearDupPairs(emb, 0.95, approx = true)
+      .queryExecution.executedPlan.toString
+    assert(optedIn.contains("bucket"))
+    // opting into approx below the similarity-gap floor is rejected
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(emb, 0.4, approx = true)
+    }
   }
 
   test("sequence packing is deterministic, shard-local, and budget-aligned") {
