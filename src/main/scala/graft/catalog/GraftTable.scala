@@ -64,19 +64,21 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     TableMetadata.fromJson(new String(Files.readAllBytes(p), UTF_8))
   }
 
-  /** Metadata-only row count: folded from per-file stats, no data scan —
-    * the `COUNT(*)` fast path manifest stats exist for. */
-  def rowCount: Long = metadata.currentFiles.map(_.rowCount).sum
+  /** Metadata-only row count: folded from snapshot manifest refs, no data
+    * scan AND no manifest body reads — the `COUNT(*)` fast path manifest
+    * stats exist for. */
+  def rowCount: Long = metadata.currentSnapshot.map(_.rowCount).getOrElse(0L)
 
-  /** One-row table summary from metadata alone (no data scan): current
-    * snapshot, file/row/byte totals, snapshot count. */
+  /** One-row table summary from table metadata alone (no data scan, no
+    * manifest reads when refs are present): current snapshot, file/row/
+    * byte totals, snapshot count. */
   def describe(): DataFrame = {
     val m = metadata
-    val files = m.currentFiles
+    val s = m.currentSnapshot
     import spark.implicits._
     Seq((m.identifier, m.currentSnapshotId.getOrElse(-1L), m.snapshots.size,
-      files.size, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum,
-      m.schemaVersion))
+      s.map(_.fileCount).getOrElse(0), s.map(_.rowCount).getOrElse(0L),
+      s.map(_.sizeBytes).getOrElse(0L), m.schemaVersion))
       .toDF("identifier", "snapshot_id", "n_snapshots", "n_files",
         "n_rows", "total_bytes", "schema_version")
   }
@@ -88,7 +90,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     metadata.snapshots.sortBy(_.snapshotId).map { s =>
       (s.snapshotId, s.parentId.getOrElse(-1L),
         new java.sql.Timestamp(s.timestampMs), s.operation,
-        s.loadId.orNull, s.dataFiles.size, s.rowCount)
+        s.loadId.orNull, s.fileCount, s.rowCount)
     }.toDF("snapshot_id", "parent_id", "committed_at", "operation",
       "load_id", "n_files", "n_rows")
   }
@@ -126,7 +128,8 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       val target = findSnapshot(m, snapshotId)
       val snap = Snapshot(m.nextSnapshotId, m.currentSnapshotId,
         System.currentTimeMillis(), "rollback", None,
-        manifests = target.manifests, files = target.files)
+        manifests = target.manifests, files = target.files,
+        manifestRefs = target.manifestRefs)
       m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
     }

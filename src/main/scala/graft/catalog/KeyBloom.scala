@@ -79,6 +79,14 @@ object KeyBloom {
     }
   }
 
+  /** Driver-side bloom construction over a small key set (e.g. the file
+    * paths of one manifest — metadata-scale). */
+  def build(keys: Iterable[String]): String = {
+    val words = Array.fill(NumLongs)(0L)
+    keys.foreach(k => positions(k).foreach(p => words(p / 64) |= (1L << (p % 64))))
+    encode(words.toSeq)
+  }
+
   /** Driver-side mirror of the build-side hash fold. */
   def positions(key: String): Seq[Int] = {
     val u = UTF8String.fromString(key)

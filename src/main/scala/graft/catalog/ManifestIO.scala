@@ -2,11 +2,13 @@ package graft.catalog
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 
 /** Manifest files: one immutable JSON file per committed file group,
-  * referenced from snapshots by path — the Iceberg manifest-list idea.
+  * referenced from snapshots by [[ManifestRef]] — the Iceberg
+  * manifest-list idea.
   *
   * Inlining every snapshot's full file list in the table metadata made
   * each commit rewrite O(snapshots × files) JSON; at 10⁵ files and 10⁴
@@ -14,20 +16,42 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * metadata layer. With manifests, a commit writes only the file groups
   * that CHANGED (an append writes exactly one manifest for the staged
   * files; a merge rewrites only manifests that lost a file) and the
-  * metadata JSON stays O(snapshots × manifests-per-snapshot).
+  * metadata JSON stays O(snapshots × manifests-per-snapshot). Reuse is
+  * decided from snapshot-stored refs (counts + path bloom), so the commit
+  * path performs ZERO body reads for untouched manifests — a cold JVM
+  * (every real batch job) no longer pays one JSON read per live manifest
+  * per commit.
   *
   * Manifests are immutable once written (unique names, CREATE_NEW), which
-  * makes the read cache trivially coherent; failed CAS attempts leave
-  * orphan manifests that `Maintenance.vacuumOrphans` collects.
+  * makes the read cache trivially coherent and the path a sound content
+  * identity; failed CAS attempts leave orphan manifests that
+  * `Maintenance.vacuumOrphans` collects.
   */
 object ManifestIO {
   private case class ManifestDoc(files: Seq[DataFile])
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+  /** Bounded LRU: a long-lived multi-table session must not pin every
+    * manifest it ever touched (the commit path no longer depends on this
+    * cache for its cost bound, so eviction is always safe). */
+  private val MaxCachedManifests = 1024
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[DataFile]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean =
+        size() > MaxCachedManifests
+    })
 
-  def write(metadataDir: Path, files: Seq[DataFile]): String = {
+  /** Count of actual manifest body parses (cache misses) — observability
+    * hook for the cold-JVM commit-cost invariant (`ManifestScaleSpec`). */
+  val bodyReads = new AtomicLong(0L)
+
+  def write(metadataDir: Path, files: Seq[DataFile]): String =
+    writeRef(metadataDir, files).path
+
+  /** Write one immutable manifest and return its snapshot-side ref
+    * (counts + bloom over the member file paths). */
+  def writeRef(metadataDir: Path, files: Seq[DataFile]): ManifestRef = {
     Files.createDirectories(metadataDir)
     val p = metadataDir.resolve(
       s"manifest-${java.util.UUID.randomUUID().toString.take(12)}.json")
@@ -36,15 +60,37 @@ object ManifestIO {
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     val key = p.toAbsolutePath.toString
     cache.put(key, files)
-    key
+    refOf(key, files)
   }
 
-  def read(path: String): Seq[DataFile] =
-    cache.computeIfAbsent(Paths.get(path).toAbsolutePath.toString, _ =>
-      JsonMethods.parse(new String(Files.readAllBytes(Paths.get(path)), UTF_8))
-        .extract[ManifestDoc].files)
+  private def refOf(path: String, files: Seq[DataFile]): ManifestRef =
+    ManifestRef(path, files.size, files.map(_.rowCount).sum,
+      files.map(_.sizeBytes).sum,
+      Some(KeyBloom.build(files.map(_.path))))
+
+  def read(path: String): Seq[DataFile] = {
+    val key = Paths.get(path).toAbsolutePath.toString
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      bodyReads.incrementAndGet()
+      val files = JsonMethods.parse(
+        new String(Files.readAllBytes(Paths.get(path)), UTF_8))
+        .extract[ManifestDoc].files
+      cache.put(key, files)
+      files
+    }
+  }
+
+  /** Build a ref for a legacy bare-path manifest reference (reads the
+    * body once; the next snapshot then carries the ref forward). */
+  def refFor(path: String): ManifestRef =
+    refOf(Paths.get(path).toAbsolutePath.toString, read(path))
 
   /** Drop deleted manifests from the cache (expiry/vacuum). */
   def invalidate(path: String): Unit =
     cache.remove(Paths.get(path).toAbsolutePath.toString)
+
+  /** Test hook: simulate a fresh JVM (empty cache, zeroed counters). */
+  def clearCacheForTesting(): Unit = { cache.clear(); bodyReads.set(0L) }
 }

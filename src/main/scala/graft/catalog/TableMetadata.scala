@@ -22,15 +22,31 @@ final case class DataFile(
     sizeBytes: Long,
     stats: Map[String, ColumnStats])
 
+/** Snapshot-side manifest reference with enough summary metadata to
+  * commit and to answer history/describe questions WITHOUT reading the
+  * manifest body. Manifests are immutable and uniquely named, so the path
+  * alone is the content identity — carrying a ref across snapshots never
+  * needs a re-read. `pathBloom` is a [[KeyBloom]] over the manifest's
+  * data-file paths: a merge commit tests its removed-path set against it
+  * and only opens the manifests that might actually lose a file. */
+final case class ManifestRef(
+    path: String,
+    fileCount: Int,
+    rowCount: Long,
+    sizeBytes: Long,
+    pathBloom: Option[String] = None)
+
 /** One table snapshot = the complete file list after a load — 1 snapshot
   * per table per load, the reference's atomicity invariant
   * (`destination_client.py:977-1024`).
   *
   * The file list lives in immutable [[ManifestIO]] manifest files
-  * referenced by path; unchanged file groups are REUSED across snapshots,
-  * so commit IO is proportional to the files that changed, never the
-  * table's file count times history depth. `files` carries the legacy
-  * inline form for metadata written before manifests existed. */
+  * referenced by `manifestRefs`; unchanged file groups are REUSED across
+  * snapshots by identity (no body reads — see [[ManifestRef]]), so commit
+  * IO is proportional to the files that changed, never the table's file
+  * count times history depth — even on a cold JVM with an empty manifest
+  * cache. `manifests` (bare path list) and `files` (inline) carry the two
+  * legacy forms for metadata written before refs existed. */
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
@@ -38,11 +54,30 @@ final case class Snapshot(
     operation: String, // append | overwrite | delete-insert | upsert
     loadId: Option[String],
     manifests: Option[Seq[String]] = None,
-    files: Option[Seq[DataFile]] = None) {
-  def dataFiles: Seq[DataFile] =
-    files.getOrElse(manifests.getOrElse(Nil).flatMap(ManifestIO.read))
-  def manifestPaths: Seq[String] = manifests.getOrElse(Nil)
-  def rowCount: Long = dataFiles.map(_.rowCount).sum
+    files: Option[Seq[DataFile]] = None,
+    manifestRefs: Option[Seq[ManifestRef]] = None) {
+  def dataFiles: Seq[DataFile] = files.getOrElse {
+    manifestRefs match {
+      case Some(refs) => refs.flatMap(r => ManifestIO.read(r.path))
+      case None => manifests.getOrElse(Nil).flatMap(ManifestIO.read)
+    }
+  }
+  def manifestPaths: Seq[String] =
+    manifestRefs.map(_.map(_.path)).getOrElse(manifests.getOrElse(Nil))
+  /** Metadata-only when refs are present (history()/describe() must not
+    * open manifest bodies). */
+  def rowCount: Long = manifestRefs match {
+    case Some(refs) if files.isEmpty => refs.map(_.rowCount).sum
+    case _ => dataFiles.map(_.rowCount).sum
+  }
+  def fileCount: Int = manifestRefs match {
+    case Some(refs) if files.isEmpty => refs.map(_.fileCount).sum
+    case _ => dataFiles.size
+  }
+  def sizeBytes: Long = manifestRefs match {
+    case Some(refs) if files.isEmpty => refs.map(_.sizeBytes).sum
+    case _ => dataFiles.map(_.sizeBytes).sum
+  }
 }
 
 /** Partition spec entry: `name = transform(source)` — the shape the
@@ -83,32 +118,92 @@ final case class TableMetadata(
   def nextSnapshotId: Long =
     snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
 
-  /** Append a snapshot holding exactly `files` and make it current.
+  private def metadataDirPath: java.nio.file.Path =
+    java.nio.file.Paths.get(location).resolve("metadata")
+
+  /** Parent manifest refs, materializing refs for legacy snapshot forms
+    * (one body read per legacy manifest, paid once — the next snapshot
+    * carries refs). Legacy INLINE file lists return no refs; the caller
+    * folds those files into its new manifest. */
+  private def parentRefs: (Seq[ManifestRef], Seq[DataFile]) =
+    currentSnapshot match {
+      case None => (Nil, Nil)
+      case Some(s) => s.manifestRefs match {
+        case Some(refs) => (refs, Nil)
+        case None if s.manifests.isDefined =>
+          (s.manifests.get.map(ManifestIO.refFor), Nil)
+        case None => (Nil, s.files.getOrElse(Nil))
+      }
+    }
+
+  /** Delta commit — THE scale-critical form. Appends a snapshot whose
+    * file set is `parent - removedPaths + added`, deciding manifest reuse
+    * from snapshot-stored [[ManifestRef]]s alone:
     *
-    * Manifest reuse: any parent manifest whose files ALL appear unchanged
-    * in the new file set is carried over by reference; only the remainder
-    * is written as one new manifest. An append therefore writes one
-    * manifest of the staged files, a merge rewrites only the manifests
-    * that lost a file, and an overwrite writes one fresh manifest —
-    * commit IO tracks the delta, not the table size. */
+    *  - `removedPaths` empty (append): every parent manifest is carried
+    *    by identity — ZERO manifest body reads, even on a cold JVM;
+    *  - otherwise (merge): only manifests whose path-bloom matches a
+    *    removed path are opened; survivors of partially-hit manifests are
+    *    rewritten together with `added` as ONE new manifest.
+    *
+    * Contract: callers never mutate a live data file in place (our
+    * writers only add and remove whole files), so "not removed" implies
+    * "unchanged" and reuse-by-identity is sound. */
+  def withSnapshotDelta(op: String, loadId: Option[String],
+      added: Seq[DataFile], removedPaths: Set[String],
+      nowMs: Long = System.currentTimeMillis()): TableMetadata = {
+    val (refs, inlineLegacy) = parentRefs
+    var survivors = Vector.empty[DataFile]
+    val kept = refs.filter { ref =>
+      val mayBeAffected = removedPaths.nonEmpty &&
+        ref.pathBloom.forall(b =>
+          removedPaths.exists(KeyBloom.mightContain(b, _)))
+      if (!mayBeAffected) true
+      else {
+        val body = ManifestIO.read(ref.path)
+        val keep = body.filterNot(f => removedPaths.contains(f.path))
+        if (keep.size == body.size) true // bloom false positive: untouched
+        else { survivors ++= keep; false }
+      }
+    }
+    val newFiles =
+      inlineLegacy.filterNot(f => removedPaths.contains(f.path)) ++
+        survivors ++ added
+    val newRefs = kept ++
+      (if (newFiles.nonEmpty)
+        Seq(ManifestIO.writeRef(metadataDirPath, newFiles)) else Nil)
+    appendSnapshot(op, loadId, newRefs, nowMs)
+  }
+
+  /** Replace-all commit: the snapshot references ONLY `files` (one fresh
+    * manifest, no parent reads — nothing can be reused by construction). */
+  def withSnapshotReplace(op: String, loadId: Option[String],
+      files: Seq[DataFile], nowMs: Long = System.currentTimeMillis()): TableMetadata =
+    appendSnapshot(op, loadId,
+      if (files.isEmpty) Nil else Seq(ManifestIO.writeRef(metadataDirPath, files)),
+      nowMs)
+
+  private def appendSnapshot(op: String, loadId: Option[String],
+      refs: Seq[ManifestRef], nowMs: Long): TableMetadata = {
+    val snap = Snapshot(nextSnapshotId, currentSnapshotId, nowMs, op, loadId,
+      manifestRefs = Some(refs))
+    copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)
+  }
+
+  /** Flat-list commit (compatibility form): derives the delta against the
+    * parent file set, then delegates to [[withSnapshotDelta]]. Reads the
+    * parent manifests to diff — callers that already know their delta
+    * should use the delta form directly. Content changes to a surviving
+    * path are honored (the file is treated as removed + re-added). */
   def withSnapshot(op: String, loadId: Option[String], files: Seq[DataFile],
       nowMs: Long = System.currentTimeMillis()): TableMetadata = {
-    val metadataDir = java.nio.file.Paths.get(location).resolve("metadata")
-    var remaining = files.map(f => f.path -> f).toMap
-    val reused = currentSnapshot.toSeq.flatMap(_.manifestPaths).filter { mp =>
-      val mfiles = ManifestIO.read(mp)
-      val allPresent = mfiles.nonEmpty &&
-        mfiles.forall(f => remaining.get(f.path).contains(f))
-      if (allPresent) mfiles.foreach(f => remaining -= f.path)
-      allPresent
-    }
-    // preserve input order for the files not covered by reused manifests
-    val rest = files.filter(f => remaining.contains(f.path))
-    val manifests = reused ++
-      (if (rest.nonEmpty) Seq(ManifestIO.write(metadataDir, rest)) else Nil)
-    val snap = Snapshot(nextSnapshotId, currentSnapshotId, nowMs, op, loadId,
-      manifests = Some(manifests))
-    copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)
+    val parent = currentFiles
+    val byPath = files.map(f => f.path -> f).toMap
+    val unchanged = parent.filter(f => byPath.get(f.path).contains(f))
+    val unchangedPaths = unchanged.map(_.path).toSet
+    val removed = parent.map(_.path).filterNot(unchangedPaths.contains).toSet
+    val added = files.filterNot(f => unchangedPaths.contains(f.path))
+    withSnapshotDelta(op, loadId, added, removed, nowMs)
   }
 }
 

@@ -125,8 +125,10 @@ final class GraftWriter(catalog: GraftCatalog) {
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
       bloomColumns = GraftWriter.bloomColumns(m, cfg))
-    t.commit(fresh => fresh.withSnapshot("append", Some(loadId),
-      fresh.currentFiles ++ staged), cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    // delta commit: parent manifests carry by identity — zero manifest
+    // body reads even on a cold JVM (the cost every load pays)
+    t.commit(fresh => fresh.withSnapshotDelta("append", Some(loadId),
+      staged, Set.empty), cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
   }
 
   private def commitReplace(t: GraftTable, m: TableMetadata, df: DataFrame,
@@ -135,7 +137,7 @@ final class GraftWriter(catalog: GraftCatalog) {
       bloomColumns = GraftWriter.bloomColumns(m, cfg))
     // truncate-and-insert: snapshot references ONLY the new files; old
     // files stay on disk for time travel (S6)
-    t.commit(fresh => fresh.withSnapshot("overwrite", Some(loadId), staged),
+    t.commit(fresh => fresh.withSnapshotReplace("overwrite", Some(loadId), staged),
       cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
   }
 
@@ -268,8 +270,10 @@ final class GraftWriter(catalog: GraftCatalog) {
               if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(fresh, cfg))
           }
 
-        val untouched = fresh.currentFiles.filterNot(f => affectedPaths.contains(f.path))
-        fresh.withSnapshot(op, Some(loadId), untouched ++ rewritten ++ stagedNew)
+        // delta commit: only manifests whose path-bloom hits an affected
+        // path are opened; untouched manifests carry by identity
+        fresh.withSnapshotDelta(op, Some(loadId), rewritten ++ stagedNew,
+          affectedPaths)
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
     } finally keysCached.unpersist()
   }

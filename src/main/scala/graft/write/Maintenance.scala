@@ -37,8 +37,7 @@ object Maintenance {
       val cur = fresh.currentFiles.map(_.path).toSet
       if (!smallPaths.subsetOf(cur))
         throw new graft.catalog.ValidationError("compaction superseded by concurrent commit")
-      fresh.withSnapshot("compact", None,
-        fresh.currentFiles.filterNot(f => smallPaths.contains(f.path)) ++ staged)
+      fresh.withSnapshotDelta("compact", None, staged, smallPaths)
     }, unitMs = retryUnitMs)
     true
   }
@@ -78,10 +77,15 @@ object Maintenance {
   /** Delete data files on disk that no snapshot references — cleans up
     * rebase/abort orphans left by the optimistic-concurrency write path.
     * `minAgeMs` is the standard safety margin against racing an in-flight
-    * stage that hasn't committed yet (Iceberg's remove_orphan_files has
-    * the same guard); production callers should keep it >> max commit
-    * latency. */
-  def vacuumOrphans(t: GraftTable, minAgeMs: Long = 0L): Seq[String] = {
+    * stage that hasn't committed yet: a concurrent writer creates its
+    * manifest and data files BEFORE its CAS commit, and a vacuum racing
+    * that window would see them unreferenced and delete them out from
+    * under the winning snapshot (Iceberg's remove_orphan_files has the
+    * same guard). The default (10 min) must stay >> max commit latency;
+    * 0 is only safe when no concurrent writer can be in flight. */
+  val DefaultVacuumMinAgeMs: Long = 10L * 60 * 1000
+
+  def vacuumOrphans(t: GraftTable, minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     if (!Files.isDirectory(t.dataDir)) return Nil
     val m = t.metadata
     val referenced = m.snapshots

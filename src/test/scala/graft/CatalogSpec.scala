@@ -223,10 +223,11 @@ class CatalogSpec extends AnyFunSuite {
     assert(ov.manifestPaths.size == 1)
     assert(!snaps(2).manifestPaths.contains(ov.manifestPaths.head))
     assert(t.read().count() == 2)
-    // metadata JSON references manifests, never inline file lists
+    // metadata JSON references manifests (with summary refs), never
+    // inline per-file entries with their stats maps
     val json = new String(java.nio.file.Files.readAllBytes(
       t.metadataDir.resolve(s"v${t.currentVersion}.metadata.json")), "UTF-8")
-    assert(json.contains("manifest-") && !json.contains("\"rowCount\""))
+    assert(json.contains("manifest-") && !json.contains("\"stats\""))
   }
 
   test("partitioned-path stats aggregate typed, not lexicographic") {

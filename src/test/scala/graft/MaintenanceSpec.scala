@@ -131,7 +131,12 @@ class MaintenanceSpec extends AnyFunSuite {
     val orphan = orphanDir.resolve("junk.parquet")
     Files.write(orphan, Array[Byte](1, 2, 3))
 
-    val removed = Maintenance.vacuumOrphans(t)
+    // default min-age must NOT delete a just-written file (it could be a
+    // concurrent writer's uncommitted stage)
+    assert(Maintenance.vacuumOrphans(t).isEmpty)
+    assert(Files.exists(orphan))
+    // explicit 0 (single-writer maintenance window) collects it
+    val removed = Maintenance.vacuumOrphans(t, minAgeMs = 0L)
     assert(removed.exists(_.endsWith("junk.parquet")))
     assert(!Files.exists(orphan))
     assert(t.read().count() == 2) // live data untouched

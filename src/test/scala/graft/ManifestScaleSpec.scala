@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Commit metadata cost must be O(delta), not O(table history) — on a
+  * COLD JVM. Every real batch job is a fresh driver: if deciding manifest
+  * reuse required re-reading every live manifest body, a table with 10⁴
+  * loads would pay 10⁴ driver JSON reads per commit. Reuse is decided
+  * from snapshot-stored [[ManifestRef]]s (identity + path bloom), so an
+  * append performs ZERO manifest body reads and a merge opens only the
+  * manifests that might lose a file. */
+class ManifestScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = WriteConfig(retryUnitMs = 1)
+
+  test("cold-JVM append commit reads ZERO manifest bodies after 100 loads") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-mfs-").toString)
+    val w = new GraftWriter(cat)
+    // 100 appends — metadata-only commits after the first few; each load
+    // stages one parquet file and must reuse all parent manifests
+    (1 to 100).foreach { i =>
+      w.writeTable("main", "t", Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")),
+        Append, cfg, s"l$i")
+    }
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.currentSnapshot.get.manifestRefs.get.size == 100)
+
+    // simulate a fresh driver: empty manifest cache
+    ManifestIO.clearCacheForTesting()
+    w.writeTable("main", "t", Seq(Seq((101L, "v101")).toDF("id", "v")),
+      Append, cfg, "l101")
+    assert(ManifestIO.bodyReads.get() == 0L,
+      s"append commit read ${ManifestIO.bodyReads.get()} manifest bodies; " +
+        "reuse must be decided from snapshot refs alone")
+
+    // the scan path still materializes everything correctly
+    assert(cat.loadTable("main", "t").read().count() == 101)
+    // ...and metadata-only summaries never open bodies either
+    ManifestIO.clearCacheForTesting()
+    assert(cat.loadTable("main", "t").rowCount == 101L)
+    cat.loadTable("main", "t").history().collect()
+    assert(ManifestIO.bodyReads.get() == 0L,
+      "rowCount/history must fold from refs without body reads")
+  }
+
+  test("cold-JVM delta commit with removals opens only bloom-hit manifests") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-mfd-").toString)
+    val w = new GraftWriter(cat)
+    (1 to 40).foreach { i =>
+      w.writeTable("main", "t", Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")),
+        Append, cfg, s"l$i")
+    }
+    val t = cat.loadTable("main", "t")
+    val m = t.metadata
+    val refs = m.currentSnapshot.get.manifestRefs.get
+    assert(refs.size == 40)
+    // remove the files of exactly one manifest
+    val victim = ManifestIO.read(refs(17).path).map(_.path).toSet
+
+    ManifestIO.clearCacheForTesting()
+    val next = m.withSnapshotDelta("delete", Some("d1"), Nil, victim)
+    // 1 affected read + rare path-bloom false positives; never O(40)
+    assert(ManifestIO.bodyReads.get() <= 4,
+      s"${ManifestIO.bodyReads.get()} body reads for a 1-manifest delete")
+    val after = next.currentSnapshot.get.manifestRefs.get
+    assert(after.size == 39)
+    assert(!after.exists(_.path == refs(17).path))
+  }
+
+  test("legacy bare-path snapshots upgrade to refs on the next commit") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-mfl-").toString)
+    val t = cat.createTable("main", "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    // hand-craft a legacy snapshot: bare manifest path list, no refs
+    val dest = t.dataDir.resolve("legacy")
+    Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.parquet(dest.toString)
+    val files = java.nio.file.Files.list(dest).iterator()
+    val fs = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => DataFile(p.toString, 3L, java.nio.file.Files.size(p), Map.empty))
+      .toSeq
+    val mp = ManifestIO.write(t.metadataDir, fs)
+    t.commit({ m =>
+      val s = Snapshot(m.nextSnapshotId, m.currentSnapshotId, 1000L,
+        "append", Some("legacy"), manifests = Some(Seq(mp)))
+      m.copy(currentSnapshotId = Some(s.snapshotId), snapshots = m.snapshots :+ s)
+    }, unitMs = 1)
+    assert(t.metadata.currentSnapshot.get.manifestRefs.isEmpty)
+
+    // next delta commit materializes refs (one body read, paid once)...
+    t.commit(_.withSnapshotDelta("append", Some("l2"), Nil, Set.empty), unitMs = 1)
+    val refs = t.metadata.currentSnapshot.get.manifestRefs
+    assert(refs.isDefined && refs.get.size == 1)
+    assert(refs.get.head.path == mp && refs.get.head.rowCount == 3L)
+    // ...and the one after that is free again
+    ManifestIO.clearCacheForTesting()
+    t.commit(_.withSnapshotDelta("append", Some("l3"), Nil, Set.empty), unitMs = 1)
+    assert(ManifestIO.bodyReads.get() == 0L)
+    assert(t.read().count() == 3)
+  }
+
+  test("50-load pipeline with maintenance policy: files, snapshots, commit cost all bounded") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-mfb-").toString)
+    val p = new graft.pipeline.GraftPipeline(cat, "main",
+      policy = graft.pipeline.MaintenancePolicy(
+        compactEveryLoads = 8, expireEveryLoads = 16, keepSnapshots = 10,
+        retryUnitMs = 1))
+    val durations = (1 to 50).map { i =>
+      val t0 = System.nanoTime()
+      p.stage("events", Seq((i.toLong, s"e$i")).toDF("id", "payload"))
+      p.completeLoad(f"load_$i%03d")
+      (System.nanoTime() - t0) / 1e6
+    }
+    val t = cat.loadTable("main", "events")
+    val m = t.metadata
+    // compaction every 8 loads bounds the live file count
+    assert(m.currentFiles.size <= 12,
+      s"${m.currentFiles.size} live files after 50 loads with compaction")
+    // expiry every 16 loads bounds retained snapshots (10 kept + up to 16
+    // accrued between expiries + compaction snapshots in between)
+    assert(m.snapshots.size <= 32,
+      s"${m.snapshots.size} snapshots after 50 loads with expiry")
+    // the ledger table is bounded by the same policy
+    val ledger = cat.loadTable("main", "_dlt_loads").metadata
+    assert(ledger.currentFiles.size <= 12)
+    assert(t.read().count() == 50)
+    assert(p.loads().count() == 50)
+
+    // commit cost must not trend with load count: the slowest of the last
+    // 10 loads stays within a small factor of the early-load median
+    // (generous bound — maintenance loads include a compaction pass)
+    val median = durations.take(20).sorted.apply(10)
+    val lateMax = durations.takeRight(10).max
+    assert(lateMax <= math.max(median * 8, 5000.0),
+      f"late-load commit $lateMax%.0f ms vs early median $median%.0f ms — unbounded growth")
+
+    // and on a cold JVM the NEXT load's commit work is O(current
+    // manifests), never O(history)
+    ManifestIO.clearCacheForTesting()
+    p.stage("events", Seq((51L, "e51")).toDF("id", "payload"))
+    p.completeLoad("load_051b")
+    assert(ManifestIO.bodyReads.get() <= 64,
+      s"${ManifestIO.bodyReads.get()} manifest body reads for one load on a cold JVM")
+  }
+}
