@@ -93,8 +93,13 @@ object Dedup {
     * threshold (billions-of-docs dedup where pairs themselves are
     * data-scale), the iterative formulation takes over: label(v) ←
     * min(label, neighbors' labels), converging in O(cluster diameter)
-    * rounds of one shuffle join + aggregate. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10,
+    * rounds of one shuffle join + aggregate, with pointer-halving
+    * (label(v) also absorbs label(label(v))) so rounds grow with
+    * log(diameter), not diameter — long duplication chains (common in
+    * scraped corpora) stay cheap. The loop runs TO CONVERGENCE and
+    * throws if `maxIters` is hit: silently returning unconverged labels
+    * would split one cluster into several with no signal. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50,
       driverUnionFindMax: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -125,25 +130,40 @@ object Dedup {
     } else {
       val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
         .distinct().cache()
+      // each round is built ON the previous round's result: without
+      // lineage truncation the logical plan doubles per iteration (the
+      // pointer-halving self-join squares it) and the driver OOMs just
+      // RENDERING the plan — localCheckpoint keeps every round's plan flat
       var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("cluster_id", col("id")).cache()
-      labels.count()
+        .withColumn("cluster_id", col("id")).localCheckpoint(true)
       var converged = false
       var i = 0
-      while (!converged && i < maxIters) {
+      while (!converged) {
+        if (i >= maxIters)
+          throw new IllegalStateException(
+            s"nearDupClusters label propagation did not converge in $maxIters " +
+              "rounds — with pointer-halving this needs ~log2(cluster diameter) " +
+              "rounds, so hitting the cap indicates a pathological graph; " +
+              "raise maxIters rather than consuming split clusters")
         val nbr = edges
           .join(labels.select(col("id").as("b"), col("cluster_id").as("nl")), "b")
           .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
-        val next = labels.join(nbr, Seq("id"), "left")
+        val viaNbr = labels.join(nbr, Seq("id"), "left")
           .select(col("id"),
             least(col("cluster_id"),
-              coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-          .cache()
-        next.count()
+              coalesce(col("nbr_min"), col("cluster_id"))).as("c1"))
+        // pointer halving: also absorb the label OF the label (labels are
+        // node ids, so this is a self-join) — turns O(diameter) rounds
+        // into O(log diameter)
+        val next = viaNbr
+          .join(labels.select(col("id").as("c1"), col("cluster_id").as("ll")),
+            Seq("c1"), "left")
+          .select(col("id"),
+            least(col("c1"), coalesce(col("ll"), col("c1"))).as("cluster_id"))
+          .localCheckpoint(true)
         converged = next
           .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
           .filter(col("cluster_id") =!= col("prev")).isEmpty
-        labels.unpersist()
         labels = next
         i += 1
       }

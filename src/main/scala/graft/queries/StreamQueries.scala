@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.GraftCatalog
 import graft.streaming.StreamingLoader
-import graft.write.WriteConfig
+import graft.write.{Merge, WriteConfig}
 
 /** Structured-Streaming entries: drive a real streaming query to
   * completion inside the call, read the committed/accumulated result, and
@@ -79,7 +79,36 @@ object StreamQueries {
         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
         |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
         |SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id""".stripMargin)))
+        |FROM s GROUP BY user_id""".stripMargin))),
+
+    // THE state-bounded streaming template: update-mode watermarked
+    // aggregation → foreachBatch upsert keyed on the window identity.
+    // Unlike s1/s3's complete-mode memory sinks (fine for finite test
+    // streams, unbounded state on real ones), the watermark evicts
+    // closed windows from state each batch and the merge disposition
+    // folds re-emitted windows into the committed table — the pattern a
+    // user should copy at 100 TB. Bounded-state is asserted in
+    // StreamingSpec via stateOperators.numRowsTotal.
+    "s4_stream_watermarked" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = new GraftCatalog(s,
+          Files.createTempDirectory("graft-s4-").toString)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val src = StreamingLoader.eventsChunkedStream(s, dir, chunks = 4)
+        val q = loader.start(StreamingLoader.dailyRollup(src),
+          "main", "daily_rollup", disposition = Merge("upsert"),
+          cfg = WriteConfig(retryUnitMs = 10,
+            primaryKey = Seq("event_type", "event_day")),
+          queryName = "s4",
+          checkpoint = Some(Files.createTempDirectory("graft-s4ck-").toString),
+          outputMode = Some("update"))
+        try q.awaitTermination() finally q.stop()
+        cat.loadTable("main", "daily_rollup").read()
+          .select(col("event_type"), col("event_day"), col("n"), col("sum_value"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -166,6 +166,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(propagated == want)
   }
 
+  test("cluster resolution converges on graphs with diameter >> round cap") {
+    // a 64-node path (diameter 63): plain min-label propagation needs 63
+    // rounds, far beyond the old silent maxIters=10 cap — pointer-halving
+    // must converge in ~log2(63) rounds and both paths must agree
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val driver = Dedup.nearDupClusters(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver.size == 64 && driver.values.forall(_ == 0L))
+    val dist = Dedup.nearDupClusters(path, maxIters = 12, driverUnionFindMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == driver)
+    // an impossible cap must throw, never return split clusters silently
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(path, maxIters = 1, driverUnionFindMax = 0L).collect()
+    }
+  }
+
   test("split assignment is leakage-safe: stable under corpus growth, near fractions") {
     val full = TextOps.splitAssign(docs).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap

@@ -26,6 +26,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("update-mode watermarked upsert matches batch AND keeps state bounded") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val confBefore = spark.conf.getOption(key)
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-s4s-").toString)
+    val loader = new StreamingLoader(cat)
+    val src = StreamingLoader.eventsChunkedStream(spark, sf, chunks = 4)
+    val q = loader.start(StreamingLoader.dailyRollup(src),
+      "main", "daily", disposition = graft.write.Merge("upsert"),
+      cfg = WriteConfig(retryUnitMs = 1,
+        primaryKey = Seq("event_type", "event_day")),
+      queryName = "s4spec",
+      checkpoint = Some(Files.createTempDirectory("graft-s4sck-").toString),
+      outputMode = Some("update"))
+    try q.awaitTermination() finally q.stop()
+
+    // result parity with the batch rollup
+    val streamed = cat.loadTable("main", "daily").read()
+      .select("event_type", "event_day", "n", "sum_value")
+      .orderBy("event_type", "event_day").collect()
+    val batch = StreamingLoader.dailyRollup(Tables.t(spark, sf, "events"))
+      .orderBy("event_type", "event_day").collect()
+    assert(streamed.sameElements(batch))
+
+    // bounded state: the watermark must evict closed windows, so the
+    // state store NEVER holds anything close to the full window history
+    val nWindows = batch.length
+    val stateRows = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(stateRows.nonEmpty)
+    assert(stateRows.max <= nWindows / 2,
+      s"state held ${stateRows.max} rows vs $nWindows total windows — watermark not evicting")
+    // ...and stops growing across batches (last batch ≤ earlier peak)
+    assert(stateRows.last <= stateRows.max)
+
+    // multiple micro-batches actually happened (one per chunk file)
+    assert(cat.loadTable("main", "daily").metadata.snapshots.size >= 3)
+
+    // conf hygiene: the nanos legacy flag is restored after stream setup
+    assert(spark.conf.getOption(key) == confBefore,
+      "nanosAsLong session conf leaked past stream completion")
+  }
+
   test("foreachBatch sink commits snapshots readable mid-stream") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-ss-").toString)
     val loader = new StreamingLoader(cat)
