@@ -166,6 +166,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(propagated == want)
   }
 
+  test("capped Jaccard on power-law shingles: same pairs, no boilerplate fan-out") {
+    // small instance of the adversarial distribution AdversarialJaccardBench
+    // measures (11.1x at 10k docs): every doc shares 10 boilerplate
+    // shingles; near-dup truth lives only in rare shingles
+    val adv = graft.tools.AdversarialJaccardBench.corpus(spark, nDocs = 400)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(Dedup.ngramJaccardPairs(adv, n = 3, threshold = 0.3,
+      maxShingleFreq = Some(100)))
+    val uncapped = pairSet(Dedup.ngramJaccardPairs(adv, n = 3, threshold = 0.3))
+    // identical result sets at this threshold: the cap drops ONLY shingles
+    // that cannot produce a qualifying pair
+    assert(capped == uncapped)
+    // and both contain exactly the 50 planted near-dup pairs
+    val planted = (0L until 100L by 2).map(i => (i, i + 1)).toSet
+    assert(capped == planted)
+  }
+
   test("cluster resolution converges on graphs with diameter >> round cap") {
     // a 64-node path (diameter 63): plain min-label propagation needs 63
     // rounds, far beyond the old silent maxIters=10 cap — pointer-halving
