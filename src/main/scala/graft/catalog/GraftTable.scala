@@ -170,17 +170,51 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         org.apache.spark.sql.functions.lit(hi)))
   }
 
-  /** Point lookup: prune via min/max AND per-file [[KeyBloom]] filters
-    * (decisive for UUID-ish keys whose [min,max] spans the keyspace),
-    * then scan only the surviving files with the equality filter pushed
-    * down. Files without a bloom are conservatively kept. */
+  /** Point lookup: prune via min/max, per-file [[KeyBloom]] filters
+    * (decisive for UUID-ish keys whose [min,max] spans the keyspace), AND
+    * — when the table is bucket-partitioned on `column` — the derived
+    * bucket stats (exact pruning: the staging repartition co-locates
+    * equal bucket values, so a point probe keeps only the files of ONE
+    * bucket). Then scan only the surviving files with the equality filter
+    * pushed down. Files without stats are conservatively kept. */
   def readPointLookup(column: String, value: Any): DataFrame = {
     val m = metadata
     val dt = m.schema(column).dataType
     val key = graft.write.Stager.canonicalKey(dt, value)
-    val hit = filesForKey(m, column, key)
+    val ranged = filesForKey(m, column, key)
+    val hit = m.partitionSpec
+      .find(s => s.source == column && s.transform == "bucket")
+      .flatMap(s => bucketValueOf(dt, value, s.param.get).map(s.name -> _))
+      .fold(ranged) { case (bucketCol, b) =>
+        ranged.filter { f =>
+          f.stats.get(bucketCol) match {
+            case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
+              mn.toLong <= b && b <= mx.toLong
+            case _ => true
+          }
+        }
+      }
     readFiles(m, hit).filter(org.apache.spark.sql.functions.col(column) ===
       org.apache.spark.sql.functions.lit(value))
+  }
+
+  /** Driver-side mirror of the IcebergBucket transform for partition
+    * pruning of point probes; None for types whose bucket value cannot be
+    * derived here (probe stays range+bloom-pruned only). */
+  private def bucketValueOf(dt: DataType, v: Any, n: Int): Option[Int] = {
+    import graft.functions.IcebergHash
+    val hash: Option[Int] = (dt, v) match {
+      case (ByteType | ShortType | IntegerType | LongType, x: Number) =>
+        Some(IcebergHash.hashLong(x.longValue()))
+      case (StringType, s: String) =>
+        Some(IcebergHash.hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case (DateType, d: java.sql.Date) =>
+        Some(IcebergHash.hashLong(d.toLocalDate.toEpochDay))
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(IcebergHash.hashLong(t.getTime * 1000L + (t.getNanos / 1000) % 1000))
+      case _ => None
+    }
+    hash.map(h => (h & Integer.MAX_VALUE) % n)
   }
 
   /** The file subset that could contain `key` (canonical form) in
@@ -196,7 +230,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     * Iceberg manifest pruning, and the merge path's affected-file
     * selection. Files without stats are conservatively kept. */
   def filesOverlapping(m: TableMetadata, column: String, lo: String, hi: String): Seq[DataFile] = {
-    val dt = m.schema.fields.find(_.name == column).map(_.dataType)
+    val dt = statType(m, column)
     m.currentFiles.filter { f =>
       f.stats.get(column) match {
         case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
@@ -205,6 +239,22 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       }
     }
   }
+
+  /** Comparison type for a stats column: table schema first, then the
+    * DERIVED type of a partition-transform column (bucket/year → int,
+    * day → date epoch, month/hour → string, identity/truncate → source
+    * type) — without this, scans over transform stats silently compared
+    * nothing and pruned nothing. */
+  private def statType(m: TableMetadata, column: String): Option[DataType] =
+    m.schema.fields.find(_.name == column).map(_.dataType)
+      .orElse(m.partitionSpec.find(_.name == column).flatMap { s =>
+        s.transform match {
+          case "bucket" | "year" => Some(IntegerType)
+          case "day" => Some(DateType)
+          case "month" | "hour" => Some(StringType)
+          case _ => m.schema.fields.find(_.name == s.source).map(_.dataType)
+        }
+      })
 
   private def compareTyped(dt: DataType, a: String, b: String): Int = dt match {
     // temporal stats are stored as epoch-day / epoch-micros longs

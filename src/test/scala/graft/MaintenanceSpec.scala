@@ -120,6 +120,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (0L to 9L))
   }
 
+  test("partitioned compaction rebuilds transform stats AND blooms; pruning intact") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "user_id")),
+      bloomColumns = Seq("user_id"))
+    // at this toy volume AQE would coalesce the bucket repartition to one
+    // partition per load (file-per-bucket only emerges at real scale) —
+    // disable it here so the layout under test matches the scale layout
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val t = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      (1 to 5).foreach { b =>
+        val rows = (0 until 40).map(i => ((b * 100 + i).toLong, s"u$b-$i"))
+        w.writeTable("main", "pt", Seq(rows.toDF("user_id", "v")), Append, cfg, s"l$b")
+      }
+      val t = cat.loadTable("main", "pt")
+      val before = t.metadata.currentFiles.size
+      assert(before >= 8, s"expected bucketed multi-file layout, got $before")
+      assert(Maintenance.compact(t, smallFileBytes = 1L << 20,
+        targetFileBytes = 64L << 20, retryUnitMs = 1))
+      t
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    val m = cat.loadTable("main", "pt").metadata
+    val files = m.currentFiles
+    assert(files.size <= 4,
+      s"compaction should bin-pack to at most one file per bucket, got ${files.size}")
+    // every compacted file carries DERIVED bucket stats and key blooms
+    assert(files.forall(_.stats.contains("user_id_bucket_4")),
+      "compaction must rebuild partition-transform stats")
+    assert(files.forall(_.stats("user_id").bloom.isDefined),
+      "compaction must rebuild key blooms")
+    // bucket-hash staging co-locates equal buckets, so each file covers a
+    // strict subset of the bucket domain...
+    assert(files.exists { f =>
+      val s = f.stats("user_id_bucket_4")
+      s.min == s.max
+    }, "expected at least one single-bucket file after clustered compaction")
+    // ...and a w10-style derived-column scan still prunes
+    val pruned = t.filesOverlapping(m, "user_id_bucket_4", "0", "0")
+    assert(pruned.size < files.size,
+      s"bucket stats pruned nothing: ${pruned.size} of ${files.size}")
+    // point lookup prunes through bucket stats + bloom and stays correct
+    assert(t.readPointLookup("user_id", 307L).count() == 1)
+    assert(cat.loadTable("main", "pt").read().count() == 200)
+  }
+
   test("vacuumOrphans removes unreferenced staging files only") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
