@@ -22,6 +22,22 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
+  /** Incremental dedup — the shape a CONTINUOUS ingestion pipeline needs:
+    * drop incoming documents whose fingerprint already exists in the
+    * committed corpus (one anti-join on the fingerprint, shuffling only
+    * the incoming batch plus the corpus fingerprint column), then
+    * exact-dedup the survivors among themselves (min-id survivor).
+    * `corpusFp` is typically a fingerprint column read straight from a
+    * committed table — at scale that read prunes to the `fp` column via
+    * parquet column pruning. */
+  def incrementalDedup(incoming: DataFrame, corpusFp: DataFrame,
+      textCol: String = "text"): DataFrame =
+    incoming.select(col("doc_id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .join(corpusFp.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
   /** Distinct word n-gram shingles per document: (doc_id, g). */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val w = split(col(textCol), " ")

@@ -176,6 +176,65 @@ object TextOps {
       .withColumn("split", split)
   }
 
+  /** Deterministic per-stratum downsampling: keep a document iff its
+    * salted md5 bucket falls under its stratum's rate — the leakage-safe
+    * sampling analogue of [[splitAssign]] (membership is a pure function
+    * of the key, so resharding and incremental loads never flip it).
+    * `rates` maps stratum value → percentage kept; `default` applies to
+    * unmapped strata. Map-only codegen — at 100 TB this is a full-scan
+    * filter with zero shuffle. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String = "lang",
+      rates: Map[String, Int] = Map("en" -> 10, "de" -> 30),
+      default: Int = 50, keyCol: String = "doc_id",
+      salt: String = "smp"): DataFrame = {
+    val bucket = (conv(substring(md5(concat(lit(salt),
+      col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") % 100).cast("int")
+    val rate = rates.foldLeft(lit(default): Column) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.select(col(keyCol), col(stratumCol), bucket.as("sample_bucket"))
+      .filter(col("sample_bucket") < rate)
+  }
+
+  /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
+    * ln(N / document frequency), deterministic (score DESC, term ASC)
+    * tie-break.
+    *
+    * Scale shape: one explode + two hash aggregates (term counts, then
+    * document frequencies) + a broadcast-sized join back on term — df is
+    * vocabulary-sized, not corpus-sized — and a per-doc top-k window
+    * partitioned by doc_id. No all-pairs stage anywhere. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val nDocs = docs.count() // metadata-scale action, baked as a literal
+    val terms = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score",
+        col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("df"), round(col("score") + 1e-9, 4).as("tfidf"), col("rank"))
+  }
+
+  /** PII redaction over an email-shaped pattern: replace every match,
+    * count matches, fingerprint the redacted text (map-only codegen; the
+    * pattern set extends the same way). The synthetic corpus carries no
+    * organic PII, so callers inject deterministic markers to exercise
+    * the path (see l31). */
+  def redactPii(docs: DataFrame, textCol: String = "text",
+      pattern: String = "[a-z0-9_]+@[a-z0-9.]+",
+      replacement: String = "<email>"): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .cast("long").as("n_redacted"),
+      md5(regexp_replace(col(textCol), pattern, replacement)).as("redacted_fp"))
+
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —
     * portable across engines for oracle checks. */
   def fingerprint(text: Column): Column =

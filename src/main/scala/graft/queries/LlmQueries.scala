@@ -200,6 +200,94 @@ object LlmQueries {
           maxShingleFreq = Some(10)),
       Some(jaccardCappedOracle))),
 
+    // incremental dedup: the first half of the corpus is COMMITTED through
+    // the real table/commit path (fingerprints in a graft table), then an
+    // incoming batch — second half + re-keyed copies of every 7th corpus
+    // doc — is deduped against the committed fingerprints with one
+    // anti-join. The planted copies must all drop; survivors dedup among
+    // themselves with the min-id survivor rule.
+    "l28_incremental_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val half = d.count() / 2
+        val corpus = d.filter(col("doc_id") < half)
+        val incoming = d.filter(col("doc_id") >= half)
+          .union(corpus.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        val cat = new graft.catalog.GraftCatalog(s,
+          java.nio.file.Files.createTempDirectory("graft-incdd-").toString)
+        val w = new graft.write.GraftWriter(cat)
+        w.writeTable("main", "corpus_fp", Seq(
+          corpus.select(col("doc_id"),
+            TextOps.fingerprint(col("text")).as("fp"))),
+          graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10), "seed")
+        val committed = cat.loadTable("main", "corpus_fp").read()
+        Dedup.incrementalDedup(incoming, committed)
+      },
+      Some("""WITH h AS (SELECT COUNT(*) // 2 AS half FROM documents),
+        |c AS (SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents, h WHERE doc_id < half),
+        |i AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents, h WHERE doc_id >= half
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |  FROM documents, h WHERE doc_id < half AND doc_id % 7 = 0)
+        |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+        |FROM i WHERE fp NOT IN (SELECT fp FROM c)
+        |GROUP BY fp""".stripMargin))),
+
+    // deterministic per-language downsampling (hash-bucket membership is
+    // a pure function of the key — leakage-safe like l21)
+    "l29_stratified_sample" -> ((
+      (s: SparkSession, dir: String) => TextOps.stratifiedSample(docs(s, dir)),
+      Some("""WITH b AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 100 AS INT) AS sample_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_bucket FROM b
+        |WHERE sample_bucket < CASE WHEN lang = 'en' THEN 10
+        |                           WHEN lang = 'de' THEN 30
+        |                           ELSE 50 END""".stripMargin))),
+
+    // per-document top-5 TF-IDF terms (explode → two hash aggs → window)
+    "l30_tfidf_topk" -> ((
+      (s: SparkSession, dir: String) => TextOps.tfIdfTopK(docs(s, dir), k = 5),
+      Some("""WITH n AS (SELECT COUNT(*) * 1.0 AS n_docs FROM documents),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  tf.tf * ln(n.n_docs / df.df) AS score,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term) AS rank
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, round(score + 1e-9, 4) AS tfidf, rank
+        |FROM r WHERE rank <= 5""".stripMargin))),
+
+    // PII redaction: deterministic email markers injected into every 3rd
+    // doc, pattern counted and replaced, redacted text fingerprinted
+    "l31_pii_redact" -> ((
+      (s: SparkSession, dir: String) => {
+        val injected = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact_"), col("doc_id"),
+              lit("@example.com")))
+            .otherwise(col("text")).as("text"))
+        TextOps.redactPii(injected)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN text || ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE text END AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9_]+@[a-z0-9.]+')) AS BIGINT)
+        |    AS n_redacted,
+        |  md5(regexp_replace(t, '[a-z0-9_]+@[a-z0-9.]+', '<email>', 'g'))
+        |    AS redacted_fp
+        |FROM d""".stripMargin))),
+
     // near-dup pair graph → dedup clusters: min-label propagation on the
     // Spark side, transitive-closure recursive CTE as the DuckDB oracle
     // (pairs come from MinHash-LSH, which matches the exact relation here)

@@ -106,24 +106,23 @@ object StreamingLoader {
         else raw
       } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-chunks-")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-    val chunked = ev.withColumn("__c", ntile(chunks).over(w)).cache()
     val schema = ev.schema
-    try {
-      (1 to chunks).foreach { c =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-stage-")
-        chunked.filter(col("__c") === c).drop("__c")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator()
-        val files = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        val target = streamDir.resolve(f"chunk-$c%03d.parquet")
-        java.nio.file.Files.move(files.head, target)
-        // FileStreamSource orders by modification time: make it explicit
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + c * 60000L))
-      }
-    } finally chunked.unpersist()
+    // ONE range-shuffle pass: part-0000k holds the k-th contiguous time
+    // range, so renaming parts in order yields time-ordered chunk files
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-stage-")
+    ev.repartitionByRange(chunks, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(tmp).iterator()).asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, c) =>
+      val target = streamDir.resolve(f"chunk-$c%03d.parquet")
+      java.nio.file.Files.move(p, target)
+      // FileStreamSource orders by modification time: make it explicit
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + c * 60000L))
+    }
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
