@@ -142,6 +142,36 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Per-vector int8 (0..255) quantization with reconstruction-error
+    * stats — the standard 4× memory lever for corpus-scale ANN (float32
+    * embeddings dominate index RAM; scalar quantization keeps recall
+    * within ~1-2% at 1/4 the footprint). Codes use floor() rather than
+    * round() so the arithmetic is bit-portable across engines (no
+    * half-even/half-up divergence), and the output carries scalar
+    * summaries (code checksum, mean abs error) rather than the code
+    * array. Map-only — scales as a full-scan transform. */
+  def quantizeInt8(embeddings0: DataFrame, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val embeddings = ensureRegistered(embeddings0)
+    val withRange = embeddings
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val codes = transform(col("v"),
+      x => floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+    withRange
+      .withColumn("q", codes)
+      .withColumn("recon_err", transform(col("v"),
+        x => abs(x - (col("mn") + floor((x - col("mn")) * lit(255.0) /
+          (col("mx") - col("mn"))) * (col("mx") - col("mn")) / lit(255.0)))))
+      .select(col(idCol),
+        round(col("mn") + lit(1e-9), 4).as("qmin"),
+        round(col("mx") + lit(1e-9), 4).as("qmax"),
+        aggregate(col("q"), lit(0.0), _ + _).cast("long").as("q_checksum"),
+        round(aggregate(col("recon_err"), lit(0.0), _ + _) / lit(dim.toDouble)
+          + lit(1e-9), 6).as("mean_abs_err"))
+  }
+
   /** Deterministic random hyperplanes for sign-bit LSH; `seed` varies per
     * hash table. */
   private def hyperplanes(numPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {

@@ -288,6 +288,24 @@ object LlmQueries {
         |    AS redacted_fp
         |FROM d""".stripMargin))),
 
+    // int8 scalar quantization of the embedding column with
+    // reconstruction-error stats (the 4x ANN memory lever); floor-based
+    // codes keep the arithmetic bit-portable for the oracle
+    "l32_embedding_quantize" -> ((
+      (s: SparkSession, dir: String) => Similarity.quantizeInt8(emb(s, dir)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+        |SELECT vec_id,
+        |  round(mn + 1e-9, 4) AS qmin,
+        |  round(mx + 1e-9, 4) AS qmax,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> floor((x - mn) * 255 / (mx - mn)))) AS BIGINT) AS q_checksum,
+        |  round(list_sum(list_transform(v,
+        |    x -> abs(x - (mn + floor((x - mn) * 255 / (mx - mn)) * (mx - mn) / 255))))
+        |    / 64 + 1e-9, 6) AS mean_abs_err
+        |FROM m""".stripMargin))),
+
     // near-dup pair graph → dedup clusters: min-label propagation on the
     // Spark side, transitive-closure recursive CTE as the DuckDB oracle
     // (pairs come from MinHash-LSH, which matches the exact relation here)
