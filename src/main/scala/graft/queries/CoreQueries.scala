@@ -273,6 +273,72 @@ object CoreQueries {
         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
         |GROUP BY o.o_orderpriority""".stripMargin,
 
+    // TPC-H Q6 shape: forecast revenue change — pure scan + predicate +
+    // single agg (the canonical pushdown/codegen microbenchmark)
+    "q39_tpch6_forecast" ->
+      """SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.08
+        |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q13 shape: customer order-count distribution (LEFT JOIN
+    // preserving order-less customers, two-level aggregation)
+    "q40_tpch13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q19 shape: disjunctive bracket predicates across the join —
+    // the optimizer must keep the join filter despite the OR tree
+    "q41_tpch19_brackets" ->
+      """SELECT CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+        |       AND p.p_size BETWEEN 1 AND 15)
+        |   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+        |       AND p.p_size BETWEEN 1 AND 25)
+        |   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+        |       AND p.p_size BETWEEN 1 AND 35)""".stripMargin,
+
+    // TPC-H Q22 shape: wealthy customers who never ordered — scalar
+    // subquery threshold + anti-join, grouped by nation
+    "q42_tpch22_idle_rich" ->
+      """SELECT c.c_nationkey, COUNT(*) AS numcust,
+        |  CAST(ROUND(SUM(c.c_acctbal), 2) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        |                     WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 200000)
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin,
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — CTE reused by
+    // both the join and the MAX scalar subquery
+    "q43_tpch15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
     // sessionization: 30-minute-gap sessions per user via lag + running sum
     "q27_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
