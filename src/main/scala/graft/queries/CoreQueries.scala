@@ -319,7 +319,7 @@ object CoreQueries {
         |                     WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
-        |                    AND o.o_totalprice > 200000)
+        |                    AND o.o_totalprice > 400000)
         |GROUP BY c.c_nationkey
         |ORDER BY c.c_nationkey""".stripMargin,
 

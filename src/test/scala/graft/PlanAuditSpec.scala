@@ -29,6 +29,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 entries keep scale-shaped plans") {
+    // incremental dedup: anti-join, never cartesian; corpus read prunes
+    // to the fingerprint column
+    val p28 = plan("l28_incremental_dedup")
+    assert(!p28.contains("CartesianProduct") &&
+      !p28.contains("BroadcastNestedLoopJoin"))
+    assert(p28.contains("LeftAnti"), "incremental dedup must anti-join")
+    // TF-IDF: two hash aggregates + window, no cartesian
+    val p30 = plan("l30_tfidf_topk")
+    assert(!p30.contains("CartesianProduct") &&
+      !p30.contains("BroadcastNestedLoopJoin"))
+    // Q6: the date/quantity predicates reach the parquet scan
+    val p39 = plan("q39_tpch6_forecast")
+    assert(p39.contains("PushedFilters: [") && !p39.contains("PushedFilters: []"),
+      "q39 predicates not pushed to the scan")
+    // Q19's OR-bracket join stays a hash join on the part key
+    val p41 = plan("q41_tpch19_brackets")
+    assert(!p41.contains("CartesianProduct") &&
+      !p41.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
