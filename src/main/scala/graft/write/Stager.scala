@@ -39,14 +39,26 @@ object Stager {
     case _ => None // binary/bool/nested: no stats
   }
 
+  /** Canonical probe-side encoding matching [[statColumn]]'s stat
+    * encoding: epoch-day for dates, epoch-micros for timestamps. Covers
+    * both external-type families Spark hands back (java.sql.* and
+    * java.time.*). NTZ values are taken as UTC wall-clock — the engine's
+    * session builders all pin `spark.sql.session.timeZone=UTC`, which is
+    * what makes the build-side `cast(TimestampType)` epoch agree. */
   def canonicalKey(dt: DataType, v: Any): String = dt match {
     case DateType => v match {
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      case d: java.time.LocalDate => d.toEpochDay.toString
       case i: Int => i.toString
       case other => other.toString
     }
     case TimestampType | TimestampNTZType => v match {
       case t: java.sql.Timestamp => (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
+      case i: java.time.Instant =>
+        (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+      case l: java.time.LocalDateTime =>
+        val i = l.toInstant(java.time.ZoneOffset.UTC)
+        (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
       case l: Long => l.toString
       case other => other.toString
     }

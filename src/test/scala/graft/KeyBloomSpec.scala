@@ -125,6 +125,31 @@ class KeyBloomSpec extends AnyFunSuite {
     assert(t.readPointLookup("d", absent).isEmpty)
   }
 
+  test("java.time probe values and NTZ columns canonicalize like their stats") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-ntz-").toString)
+    val w = new GraftWriter(cat)
+    val rows = (1 to 20).map { i =>
+      (java.time.LocalDateTime.of(2024, 3, (i % 28) + 1, 12, 0, 0),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i)),
+        i.toLong)
+    }
+    w.writeTable("main", "ntz", Seq(rows.toDF("nts", "d", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val t = cat.loadTable("main", "ntz")
+    assert(t.metadata.schema("nts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // scanRange with java.time.LocalDateTime bounds: used to fall through
+    // to toString and throw in the numeric stat compare
+    val got = t.scanRange("nts",
+      java.time.LocalDateTime.of(2024, 3, 5, 0, 0, 0),
+      java.time.LocalDateTime.of(2024, 3, 10, 23, 0, 0)).count()
+    assert(got == rows.count(r => r._1.getDayOfMonth >= 5 && r._1.getDayOfMonth <= 10))
+    // LocalDate probe on a DateType column canonicalizes to epoch-day too
+    val d = t.scanRange("d",
+      java.time.LocalDate.of(2024, 3, 10), java.time.LocalDate.of(2024, 3, 12)).count()
+    assert(d == 3)
+  }
+
   test("unsupported bloom column types are skipped, not mis-encoded") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-bloomu-").toString)
     val w = new GraftWriter(cat)

@@ -43,6 +43,17 @@ class ModelCheckSpec extends AnyFunSuite {
         val op = rnd.nextInt(4)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
+        // content-neutral maintenance interleaved at random: compaction
+        // and expiry rewrite/drop manifests through the delta commit path
+        // and must NEVER change what the table reads as
+        if (rnd.nextInt(3) == 0 && cat.tableExists("main", "t")) {
+          val t = cat.loadTable("main", "t")
+          if (rnd.nextBoolean())
+            try Maintenance.compact(t, smallFileBytes = 1L << 20,
+              targetFileBytes = 8L << 20, retryUnitMs = 1)
+            catch { case _: ValidationError => () }
+          else Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
+        }
         op match {
           case 0 => // upsert
             w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), cfg, s"l$seed-$step")
