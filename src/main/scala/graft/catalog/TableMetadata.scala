@@ -172,8 +172,28 @@ final case class TableMetadata(
     val newRefs = kept ++
       (if (newFiles.nonEmpty)
         Seq(ManifestIO.writeRef(metadataDirPath, newFiles)) else Nil)
-    appendSnapshot(op, loadId, newRefs, nowMs)
+    appendSnapshot(op, loadId, mergeSmallManifests(newRefs), nowMs)
   }
+
+  /** Manifest merging (the Iceberg merge-manifests idea): one manifest
+    * per append makes snapshot k carry k refs, i.e. O(loads²) metadata
+    * JSON across a long un-expired history. When a snapshot would exceed
+    * [[TableMetadata.MaxManifestsPerSnapshot]] refs, the SMALLEST
+    * manifests merge into one (geometric amortization, LSM-style: each
+    * file is re-manifested O(log loads) times). Parent snapshots keep
+    * referencing the original manifests — time travel is untouched, and
+    * expiry collects the originals when their snapshots go. A merging
+    * commit reads only the small bodies it merges (bounded by the
+    * threshold), so commit cost stays O(delta) amortized. */
+  private def mergeSmallManifests(refs: Seq[ManifestRef]): Seq[ManifestRef] =
+    if (refs.size <= TableMetadata.MaxManifestsPerSnapshot) refs
+    else {
+      val sorted = refs.sortBy(_.fileCount)
+      val toMerge = sorted.take(refs.size - TableMetadata.TargetManifestsPerSnapshot + 1)
+      val keep = sorted.drop(toMerge.size)
+      val mergedFiles = toMerge.flatMap(r => ManifestIO.read(r.path))
+      keep :+ ManifestIO.writeRef(metadataDirPath, mergedFiles)
+    }
 
   /** Replace-all commit: the snapshot references ONLY `files` (one fresh
     * manifest, no parent reads — nothing can be reused by construction). */
@@ -208,6 +228,11 @@ final case class TableMetadata(
 }
 
 object TableMetadata {
+  /** Ref-count ceiling per snapshot before small manifests merge; the
+    * merge shrinks the list to [[TargetManifestsPerSnapshot]]. */
+  val MaxManifestsPerSnapshot = 64
+  val TargetManifestsPerSnapshot = 32
+
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
   def toJson(m: TableMetadata): String =

@@ -28,7 +28,11 @@ class ManifestScaleSpec extends AnyFunSuite {
         Append, cfg, s"l$i")
     }
     val t = cat.loadTable("main", "t")
-    assert(t.metadata.currentSnapshot.get.manifestRefs.get.size == 100)
+    // manifest merging bounds refs-per-snapshot (O(loads²) metadata
+    // otherwise); 100 loads with Max=64/Target=32 leaves 34 live refs
+    val nRefs = t.metadata.currentSnapshot.get.manifestRefs.get.size
+    assert(nRefs <= TableMetadata.MaxManifestsPerSnapshot,
+      s"$nRefs manifest refs exceed the per-snapshot ceiling")
 
     // simulate a fresh driver: empty manifest cache
     ManifestIO.clearCacheForTesting()
@@ -46,6 +50,34 @@ class ManifestScaleSpec extends AnyFunSuite {
     cat.loadTable("main", "t").history().collect()
     assert(ManifestIO.bodyReads.get() == 0L,
       "rowCount/history must fold from refs without body reads")
+  }
+
+  test("manifest merging keeps total metadata O(loads), not O(loads^2)") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-mfm-").toString)
+    val w = new GraftWriter(cat)
+    (1 to 150).foreach { i =>
+      w.writeTable("main", "t", Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")),
+        Append, cfg, s"l$i")
+    }
+    val t = cat.loadTable("main", "t")
+    val m = t.metadata
+    assert(m.currentSnapshot.get.manifestRefs.get.size <=
+      TableMetadata.MaxManifestsPerSnapshot)
+    // every row still present exactly once through the merged manifests
+    assert(t.read().count() == 150)
+    assert(t.rowCount == 150L)
+    // history depth 150: every snapshot's ref list is bounded by the
+    // ceiling, so total metadata is LINEAR in loads (an unmerged design
+    // carries the quadratic 150*151/2 = 11325 refs; measured ~6k here,
+    // and the gap widens with every further load)
+    val totalRefs = m.snapshots.map(_.manifestPaths.size).sum
+    assert(totalRefs <= 150 * (TableMetadata.MaxManifestsPerSnapshot + 1),
+      s"$totalRefs total refs across history — merging not engaging")
+    assert(m.snapshots.forall(_.manifestPaths.size <=
+      TableMetadata.MaxManifestsPerSnapshot))
+    // time travel through pre-merge snapshots still resolves
+    val early = m.snapshots.sortBy(_.snapshotId).apply(49)
+    assert(t.readSnapshot(early.snapshotId).count() == 50)
   }
 
   test("cold-JVM delta commit with removals opens only bloom-hit manifests") {
