@@ -108,7 +108,35 @@ object StreamQueries {
       },
       Some("""SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n,
         |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)))
+        |FROM events GROUP BY 1, 2""".stripMargin))),
+
+    // streaming exact dedup: every event arrives TWICE (at-least-once
+    // delivery); dropDuplicatesWithinWatermark keys state on event_id and
+    // the watermark evicts seen-keys once their horizon passes — bounded
+    // state, unlike a global dropDuplicates. The committed table must
+    // equal the original (duplicate-free) events relation.
+    "s5_stream_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = new GraftCatalog(s,
+          Files.createTempDirectory("graft-s5-").toString)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val src = StreamingLoader.eventsChunkedStream(s, dir, chunks = 4,
+          duplicateRows = true)
+        val deduped = src
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = loader.start(deduped, "main", "events_dedup",
+          cfg = WriteConfig(retryUnitMs = 10), queryName = "s5",
+          checkpoint = Some(Files.createTempDirectory("graft-s5ck-").toString))
+        try q.awaitTermination() finally q.stop()
+        cat.loadTable("main", "events_dedup").read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_distinct"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

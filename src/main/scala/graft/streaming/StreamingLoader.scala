@@ -94,7 +94,15 @@ object StreamingLoader {
     * event time (ntile over the ts ordering), so no event ever arrives
     * behind the watermark and update-mode results stay batch-exact. */
   def eventsChunkedStream(spark: SparkSession, dir: String,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4): DataFrame =
+    eventsChunkedStream(spark, dir, chunks, duplicateRows = false)
+
+  /** `duplicateRows = true` plants an exact copy of every event (same
+    * event_id, same ts) in the stream — the at-least-once-delivery shape
+    * a streaming dedup has to absorb. Copies sort adjacent to their
+    * originals, so they always arrive within the watermark horizon. */
+  def eventsChunkedStream(spark: SparkSession, dir: String,
+      chunks: Int, duplicateRows: Boolean): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
@@ -106,11 +114,12 @@ object StreamingLoader {
         else raw
       } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-chunks-")
+    val withDups = if (duplicateRows) ev.unionAll(ev) else ev
     val schema = ev.schema
     // ONE range-shuffle pass: part-0000k holds the k-th contiguous time
     // range, so renaming parts in order yields time-ordered chunk files
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-stage-")
-    ev.repartitionByRange(chunks, col("ts"), col("event_id"))
+    withDups.repartitionByRange(chunks, col("ts"), col("event_id"))
       .write.mode("overwrite").parquet(tmp.toString)
     val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
         java.nio.file.Files.list(tmp).iterator()).asScala

@@ -69,6 +69,28 @@ class StreamingSpec extends AnyFunSuite {
       "nanosAsLong session conf leaked past stream completion")
   }
 
+  test("streaming dedup drops planted duplicates with watermark-bounded key state") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-s5s-").toString)
+    val loader = new StreamingLoader(cat)
+    val src = StreamingLoader.eventsChunkedStream(spark, sf, chunks = 4,
+      duplicateRows = true)
+    val deduped = src.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = loader.start(deduped, "main", "ev", cfg = WriteConfig(retryUnitMs = 1),
+      queryName = "s5spec",
+      checkpoint = Some(Files.createTempDirectory("graft-s5sck-").toString))
+    try q.awaitTermination() finally q.stop()
+    val nEvents = Tables.t(spark, sf, "events").count()
+    // every duplicate dropped, every original kept
+    assert(cat.loadTable("main", "ev").read().count() == nEvents)
+    // seen-key state is evicted by the watermark: it never holds
+    // anything near the full event-id universe
+    val stateRows = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.max < nEvents / 2,
+      s"dedup state ${stateRows.max} rows vs $nEvents events — watermark not evicting")
+  }
+
   test("foreachBatch sink commits snapshots readable mid-stream") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-ss-").toString)
     val loader = new StreamingLoader(cat)
