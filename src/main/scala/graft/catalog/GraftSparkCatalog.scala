@@ -1,0 +1,190 @@
+package graft.catalog
+
+import java.util.{Map => JMap}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** Spark DataSource V2 catalog plugin over the graft warehouse — the
+  * Spark-native query surface:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftSparkCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/warehouse")
+  * spark.sql("SELECT * FROM graft.main.users")
+  * spark.sql("SELECT * FROM graft.main.users VERSION AS OF 3")       // snapshot id
+  * spark.sql("SELECT * FROM graft.main.users TIMESTAMP AS OF '...'") // wall clock
+  * }}}
+  *
+  * Reads resolve the CURRENT (or time-traveled) snapshot's file list and
+  * hand Spark a V2 parquet table with the committed schema imposed, so
+  * catalyst pushdown, column pruning, and sparse null-fill semantics all
+  * apply exactly as in `GraftTable.read()`. DDL (create/drop/namespaces)
+  * maps straight onto the graft catalog; writes keep going through
+  * [[graft.write.GraftWriter]], which owns the disposition semantics the
+  * reference defines (a bare SQL INSERT has no disposition/PK contract,
+  * so exposing it would silently bypass merge semantics — deliberately
+  * unsupported).
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def cat = new GraftCatalog(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def nsOf(ident: Identifier): String = ident.namespace().mkString(".")
+
+  private def graftTable(ident: Identifier): GraftTable = {
+    if (!cat.tableExists(nsOf(ident), ident.name()))
+      throw new NoSuchTableException(ident)
+    cat.loadTable(nsOf(ident), ident.name())
+  }
+
+  private def asV2(ident: Identifier, m: TableMetadata,
+      files: Seq[DataFile]): Table =
+    new ParquetTable(
+      s"$catalogName.${nsOf(ident)}.${ident.name()}",
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      CaseInsensitiveStringMap.empty(),
+      files.map(_.path),
+      Some(m.schema),
+      classOf[ParquetFileFormat])
+
+  override def loadTable(ident: Identifier): Table = {
+    val m = graftTable(ident).metadata
+    asV2(ident, m, m.currentFiles)
+  }
+
+  /** `VERSION AS OF <snapshotId>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = graftTable(ident)
+    val m = t.metadata
+    val snap = m.snapshots.find(_.snapshotId.toString == version)
+      .getOrElse(throw new NoSuchTableException(ident))
+    asV2(ident, m, snap.dataFiles)
+  }
+
+  /** `TIMESTAMP AS OF` time travel; Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = graftTable(ident)
+    val m = t.metadata
+    val asOfMs = timestampMicros / 1000L
+    val snap = m.snapshots.filter(_.timestampMs <= asOfMs)
+      .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
+      .getOrElse(throw new NoSuchTableException(ident))
+    asV2(ident, m, snap.dataFiles)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.mkString(".")
+    if (!cat.namespaceExists(ns)) throw new NoSuchNamespaceException(namespace)
+    cat.listTables(ns).map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    cat.tableExists(nsOf(ident), ident.name())
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val spec = partitions.toSeq.map(toFieldSpec(schema, _))
+    cat.createTable(nsOf(ident), ident.name(), schema, spec,
+      properties.asScala.toMap - TableCatalog.PROP_LOCATION,
+      Option(properties.get(TableCatalog.PROP_LOCATION)))
+    loadTable(ident)
+  }
+
+  /** Map a V2 partition transform onto the engine's hint vocabulary via
+    * the PUBLIC Transform surface (name/references/arguments — the case
+    * classes behind them are private[sql]). */
+  private def toFieldSpec(schema: org.apache.spark.sql.types.StructType,
+      t: Transform): PartitionFieldSpec = {
+    import graft.partition.PartitionHint
+    val colName = t.references().head.fieldNames().mkString(".")
+    val hint = t.name() match {
+      case "identity" => PartitionHint.identity(colName)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: $t"))
+        PartitionHint.bucket(n, colName)
+      case "years" | "year" => PartitionHint.year(colName)
+      case "months" | "month" => PartitionHint.month(colName)
+      case "days" | "day" => PartitionHint.day(colName)
+      case "hours" | "hour" => PartitionHint.hour(colName)
+      case "truncate" =>
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform without a width: $t"))
+        PartitionHint.truncate(w, colName)
+      case other => PartitionHint(colName, Some(other))
+    }
+    graft.partition.Transforms.buildSpec(Seq(hint), schema).head
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: schema evolution happens on write through GraftWriter")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!cat.tableExists(nsOf(ident), ident.name())) false
+    else { cat.dropTable(nsOf(ident), ident.name()); true }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // --- SupportsNamespaces ---
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(ns => Array(ns)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (cat.namespaceExists(namespace.mkString("."))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    cat.namespaceExists(namespace.mkString("."))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (cat.namespaceExists(namespace.mkString(".")))
+      java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    cat.createNamespace(namespace.mkString("."))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.mkString(".")
+    if (!cat.namespaceExists(ns)) false
+    else { cat.dropNamespace(ns, cascade); true }
+  }
+}

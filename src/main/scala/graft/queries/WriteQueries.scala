@@ -171,6 +171,29 @@ object WriteQueries {
          |UNION ALL
          |SELECT o_orderkey, o_totalprice, 'rolled_back' AS phase FROM ($targetSql)""".stripMargin)),
 
+    // the V2 catalog plugin: the committed table queried through plain
+    // `spark.sql("... FROM <catalog>.<ns>.<table>")` — catalog resolution,
+    // snapshot file listing, schema imposition, and pushdown all flow
+    // through Spark's DataSource V2 path instead of the library API
+    "w13_sql_catalog" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-v2q-").toString
+        s.conf.set("spark.sql.catalog.graft_drv",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_drv.warehouse", wh)
+        val w = new GraftWriter(new GraftCatalog(s, wh))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+          |FROM graft_drv.main.orders_t
+          |WHERE o_orderkey % 5 <> 1
+          |GROUP BY o_orderstatus""".stripMargin)
+      },
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+         |FROM ($targetSql) WHERE o_orderkey % 5 <> 1
+         |GROUP BY o_orderstatus""".stripMargin)),
+
     // maintenance: compaction is content-neutral — many small loads,
     // compact, read back; oracle is the plain union of the loads
     "w9_compact" -> ((

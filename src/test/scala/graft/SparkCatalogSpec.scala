@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** The V2 catalog plugin: `spark.sql("... FROM <cat>.<ns>.<table>")`
+  * resolves graft tables natively — current snapshot, VERSION AS OF,
+  * TIMESTAMP AS OF — with the committed schema imposed (sparse
+  * null-fill) and catalyst pushdown intact. */
+class SparkCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(name: String): GraftCatalog = {
+    val wh = Files.createTempDirectory(s"graft-v2-$name-").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    new GraftCatalog(spark, wh)
+  }
+
+  test("SQL over the catalog: current reads, pushdown, DDL") {
+    val cat = freshCatalog("gsql")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "users",
+      Seq((1 to 50).map(i => (i.toLong, s"u$i", i % 5)).toDF("id", "name", "grp")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    assert(spark.sql("SELECT count(*) FROM gsql.main.users").collect()(0).getLong(0) == 50)
+    val grouped = spark.sql(
+      "SELECT grp, count(*) AS n FROM gsql.main.users GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(grouped.toSeq == (0 until 5).map(g => (g, 10L)))
+
+    // filter pushdown reaches the parquet scan through the V2 table
+    val plan = spark.sql("SELECT name FROM gsql.main.users WHERE id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"))
+
+    // DDL through the catalog
+    spark.sql("CREATE TABLE gsql.main.fresh (id BIGINT, v STRING)")
+    assert(cat.tableExists("main", "fresh"))
+    assert(spark.sql("SHOW TABLES IN gsql.main").collect()
+      .map(_.getString(1)).toSet == Set("users", "fresh"))
+    spark.sql("DROP TABLE gsql.main.fresh")
+    assert(!cat.tableExists("main", "fresh"))
+
+    // partitioned create maps V2 transforms onto the engine's spec
+    spark.sql("CREATE TABLE gsql.main.parted (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (bucket(8, id), days(ts))")
+    val spec = cat.loadTable("main", "parted").metadata.partitionSpec
+    assert(spec.map(s => (s.transform, s.param)) ==
+      Seq(("bucket", Some(8)), ("day", None)))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF time travel through SQL") {
+    val cat = freshCatalog("gtt")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val s1 = cat.loadTable("main", "t").metadata.currentSnapshotId.get
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5)
+    w.writeTable("main", "t", Seq(Seq((2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+
+    assert(spark.sql("SELECT count(*) FROM gtt.main.t").collect()(0).getLong(0) == 2)
+    assert(spark.sql(s"SELECT count(*) FROM gtt.main.t VERSION AS OF $s1")
+      .collect()(0).getLong(0) == 1)
+    val ts = new java.sql.Timestamp(tsBetween)
+    assert(spark.sql(s"SELECT count(*) FROM gtt.main.t TIMESTAMP AS OF '$ts'")
+      .collect()(0).getLong(0) == 1)
+  }
+
+  test("schema evolution: old files null-fill through the SQL surface") {
+    val cat = freshCatalog("gevo")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "e", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    w.writeTable("main", "e", Seq(Seq((2L, "b", 9L)).toDF("id", "v", "extra")),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+    val rows = spark.sql("SELECT id, extra FROM gevo.main.e ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toSeq == Seq((1L, null), (2L, 9L)))
+  }
+}
