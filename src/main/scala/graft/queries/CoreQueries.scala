@@ -339,6 +339,49 @@ object CoreQueries {
         |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s.s_suppkey""".stripMargin,
 
+    // TPC-H Q8 shape: one nation's market share inside a region by order
+    // year — an 8-way join feeding a conditional-ratio aggregate
+    "q44_tpch8_market_share" ->
+      """SELECT o_year,
+        |  CAST(ROUND(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+        |    / SUM(volume) + 1e-9, 4) AS DOUBLE) AS mkt_share
+        |FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |        l.l_extendedprice * (1 - l.l_discount) AS volume,
+        |        sn.n_name AS nation
+        |      FROM lineitem l
+        |      JOIN part p ON p.p_partkey = l.l_partkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |      JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |      WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD') t
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    // TPC-H Q21 shape: suppliers who were the ONLY late supplier of a
+    // finalized multi-supplier order — correlated EXISTS + NOT EXISTS
+    // over the same fact table (the test tables carry no receipt/commit
+    // dates, so "late" is shipped > 30 days after the order date)
+    "q45_tpch21_waiting" ->
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '30' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL '30' DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
+
     // sessionization: 30-minute-gap sessions per user via lag + running sum
     "q27_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
