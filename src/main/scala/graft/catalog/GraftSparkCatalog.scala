@@ -67,7 +67,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val m = graftTable(ident).metadata
-    asV2(ident, m, m.currentFiles)
+    new GraftV2Table(nsOf(ident), ident.name(), cat,
+      asV2(ident, m, m.currentFiles), m.schema)
   }
 
   /** `VERSION AS OF <snapshotId>` time travel. */

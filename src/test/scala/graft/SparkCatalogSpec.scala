@@ -55,6 +55,30 @@ class SparkCatalogSpec extends AnyFunSuite {
       Seq(("bucket", Some(8)), ("day", None)))
   }
 
+  test("INSERT INTO / INSERT OVERWRITE route through the engine write path") {
+    val cat = freshCatalog("gins")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    spark.sql("INSERT INTO gins.main.t VALUES (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM gins.main.t").collect()(0).getLong(0) == 3)
+    // the INSERT committed through the engine: one more snapshot, stats attached
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.snapshots.size == 2)
+    assert(t.metadata.currentFiles.forall(_.stats.contains("id")))
+
+    // INSERT with a narrower type gets the engine's safe cast (int -> long)
+    spark.sql("INSERT INTO gins.main.t SELECT CAST(4 AS INT), 'd'")
+    assert(spark.sql("SELECT count(*) FROM gins.main.t").collect()(0).getLong(0) == 4)
+
+    spark.sql("INSERT OVERWRITE gins.main.t VALUES (9, 'z')")
+    val rows = spark.sql("SELECT id, v FROM gins.main.t").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 9L)
+    // overwrite is a Replace load: history intact, time travel works
+    assert(cat.loadTable("main", "t").metadata.snapshots.size == 4)
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF time travel through SQL") {
     val cat = freshCatalog("gtt")
     val w = new GraftWriter(cat)
