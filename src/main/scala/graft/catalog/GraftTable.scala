@@ -228,45 +228,32 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   /** Prune the current file set to those whose [min,max] stats could
     * contain a key in [lo, hi] for `column` — the scan-side analogue of
     * Iceberg manifest pruning, and the merge path's affected-file
-    * selection. Files without stats are conservatively kept. */
+    * selection. TWO-LEVEL: snapshot-stored manifest-ref ranges skip
+    * whole manifests without opening their bodies (the manifest-list
+    * summary idea — a trickle merge on a 10⁴-manifest table opens a
+    * handful), then per-file stats prune within the opened manifests.
+    * Files/manifests without stats are conservatively kept/opened. */
   def filesOverlapping(m: TableMetadata, column: String, lo: String, hi: String): Seq[DataFile] = {
-    val dt = statType(m, column)
-    m.currentFiles.filter { f =>
-      f.stats.get(column) match {
-        case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
-          dt.forall(t => compareTyped(t, mx, lo) >= 0 && compareTyped(t, mn, hi) <= 0)
-        case _ => true
-      }
+    val dt = m.statTypeOf(column)
+    def fileHit(f: DataFile): Boolean = f.stats.get(column) match {
+      case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
+        dt.forall(t => StatCompare.compare(t, mx, lo) >= 0 &&
+          StatCompare.compare(t, mn, hi) <= 0)
+      case _ => true
     }
-  }
-
-  /** Comparison type for a stats column: table schema first, then the
-    * DERIVED type of a partition-transform column (bucket/year → int,
-    * day → date epoch, month/hour → string, identity/truncate → source
-    * type) — without this, scans over transform stats silently compared
-    * nothing and pruned nothing. */
-  private def statType(m: TableMetadata, column: String): Option[DataType] =
-    m.schema.fields.find(_.name == column).map(_.dataType)
-      .orElse(m.partitionSpec.find(_.name == column).flatMap { s =>
-        s.transform match {
-          case "bucket" | "year" => Some(IntegerType)
-          case "day" => Some(DateType)
-          case "month" | "hour" => Some(StringType)
-          case _ => m.schema.fields.find(_.name == s.source).map(_.dataType)
-        }
-      })
-
-  private def compareTyped(dt: DataType, a: String, b: String): Int = dt match {
-    // temporal stats are stored as epoch-day / epoch-micros longs
-    // (`Stager.statColumn`) — variable-width, so they must compare
-    // numerically, never lexically
-    case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType | TimestampNTZType =>
-      java.lang.Long.compare(a.toLong, b.toLong)
-    case FloatType | DoubleType =>
-      java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b) // strings sort lexically
+    def refHit(r: ManifestRef): Boolean =
+      (r.colMin.flatMap(_.get(column)), r.colMax.flatMap(_.get(column))) match {
+        case (Some(mn), Some(mx)) =>
+          dt.forall(t => StatCompare.compare(t, mx, lo) >= 0 &&
+            StatCompare.compare(t, mn, hi) <= 0)
+        case _ => true // no ref-level range: must open
+      }
+    m.currentSnapshot match {
+      case Some(s) if s.manifestRefs.isDefined && s.files.isEmpty =>
+        s.manifestRefs.get.filter(refHit)
+          .flatMap(r => ManifestIO.read(r.path)).filter(fileHit)
+      case _ => m.currentFiles.filter(fileHit)
+    }
   }
 
   /** Atomic commit: reread freshest metadata, apply `update`, CAS-write the

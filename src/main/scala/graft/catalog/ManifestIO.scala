@@ -47,11 +47,15 @@ object ManifestIO {
   val bodyReads = new AtomicLong(0L)
 
   def write(metadataDir: Path, files: Seq[DataFile]): String =
-    writeRef(metadataDir, files).path
+    writeRef(metadataDir, files, _ => None).path
 
   /** Write one immutable manifest and return its snapshot-side ref
-    * (counts + bloom over the member file paths). */
-  def writeRef(metadataDir: Path, files: Seq[DataFile]): ManifestRef = {
+    * (counts + path bloom + typed per-column ranges). `statType`
+    * resolves a stat column's comparison type — columns it cannot
+    * resolve get no ref-level range (conservatively opened by pruning),
+    * never a mis-typed one. */
+  def writeRef(metadataDir: Path, files: Seq[DataFile],
+      statType: String => Option[org.apache.spark.sql.types.DataType]): ManifestRef = {
     Files.createDirectories(metadataDir)
     val p = metadataDir.resolve(
       s"manifest-${java.util.UUID.randomUUID().toString.take(12)}.json")
@@ -60,13 +64,37 @@ object ManifestIO {
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     val key = p.toAbsolutePath.toString
     cache.put(key, files)
-    refOf(key, files)
+    refOf(key, files, statType)
   }
 
-  private def refOf(path: String, files: Seq[DataFile]): ManifestRef =
+  private def refOf(path: String, files: Seq[DataFile],
+      statType: String => Option[org.apache.spark.sql.types.DataType]): ManifestRef = {
+    // aggregate typed ranges for columns EVERY member file has stats for
+    // (a file without stats could hold anything — the whole manifest must
+    // then stay conservatively open for that column)
+    val (mins, maxs) =
+      if (files.isEmpty) (Map.empty[String, String], Map.empty[String, String])
+      else {
+        val shared = files.map(_.stats.collect {
+          case (c, ColumnStats(Some(_), Some(_), _, _)) => c
+        }.toSet).reduce(_ intersect _)
+        val typed = shared.flatMap(c => statType(c).map(c -> _)).toMap
+        val mins = typed.map { case (c, dt) =>
+          c -> files.map(_.stats(c).min.get)
+            .min((a: String, b: String) => StatCompare.compare(dt, a, b))
+        }
+        val maxs = typed.map { case (c, dt) =>
+          c -> files.map(_.stats(c).max.get)
+            .max((a: String, b: String) => StatCompare.compare(dt, a, b))
+        }
+        (mins, maxs)
+      }
     ManifestRef(path, files.size, files.map(_.rowCount).sum,
       files.map(_.sizeBytes).sum,
-      Some(KeyBloom.build(files.map(_.path))))
+      Some(KeyBloom.build(files.map(_.path))),
+      if (mins.isEmpty) None else Some(mins),
+      if (maxs.isEmpty) None else Some(maxs))
+  }
 
   def read(path: String): Seq[DataFile] = {
     val key = Paths.get(path).toAbsolutePath.toString
@@ -84,8 +112,9 @@ object ManifestIO {
 
   /** Build a ref for a legacy bare-path manifest reference (reads the
     * body once; the next snapshot then carries the ref forward). */
-  def refFor(path: String): ManifestRef =
-    refOf(Paths.get(path).toAbsolutePath.toString, read(path))
+  def refFor(path: String,
+      statType: String => Option[org.apache.spark.sql.types.DataType]): ManifestRef =
+    refOf(Paths.get(path).toAbsolutePath.toString, read(path), statType)
 
   /** Drop deleted manifests from the cache (expiry/vacuum). */
   def invalidate(path: String): Unit =

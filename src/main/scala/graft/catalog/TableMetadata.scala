@@ -22,19 +22,46 @@ final case class DataFile(
     sizeBytes: Long,
     stats: Map[String, ColumnStats])
 
+/** Typed comparison of two stat strings — shared by file-level pruning
+  * (`GraftTable`) and manifest-ref-level range aggregation, so both
+  * layers order identically (numeric for numerics/temporals, lexical for
+  * strings; a lexical min of {"9","10"} would be "10" and silently
+  * corrupt pruning). */
+object StatCompare {
+  import org.apache.spark.sql.types._
+  def compare(dt: DataType, a: String, b: String): Int = dt match {
+    // temporal stats are stored as epoch-day / epoch-micros longs
+    // (`Stager.statColumn`) — variable-width, so they must compare
+    // numerically, never lexically
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b) // strings sort lexically
+  }
+}
+
 /** Snapshot-side manifest reference with enough summary metadata to
   * commit and to answer history/describe questions WITHOUT reading the
   * manifest body. Manifests are immutable and uniquely named, so the path
   * alone is the content identity — carrying a ref across snapshots never
   * needs a re-read. `pathBloom` is a [[KeyBloom]] over the manifest's
   * data-file paths: a merge commit tests its removed-path set against it
-  * and only opens the manifests that might actually lose a file. */
+  * and only opens the manifests that might actually lose a file.
+  * `colMin`/`colMax` aggregate the member files' typed column ranges
+  * (only columns EVERY member carries stats for), so scan/merge planning
+  * skips whole manifests without opening them — the Iceberg
+  * manifest-list partition-summary idea. */
 final case class ManifestRef(
     path: String,
     fileCount: Int,
     rowCount: Long,
     sizeBytes: Long,
-    pathBloom: Option[String] = None)
+    pathBloom: Option[String] = None,
+    colMin: Option[Map[String, String]] = None,
+    colMax: Option[Map[String, String]] = None)
 
 /** One table snapshot = the complete file list after a load — 1 snapshot
   * per table per load, the reference's atomicity invariant
@@ -115,6 +142,22 @@ final case class TableMetadata(
   def withSchema(s: StructType): TableMetadata =
     copy(schemaJson = s.json, schemaVersion = schemaVersion + 1)
 
+  /** Comparison type for a stats column: table schema first, then the
+    * DERIVED type of a partition-transform column (bucket/year → int,
+    * day → date epoch, month/hour → string, identity/truncate → source
+    * type). */
+  def statTypeOf(column: String): Option[DataType] =
+    schema.fields.find(_.name == column).map(_.dataType)
+      .orElse(partitionSpec.find(_.name == column).flatMap { s =>
+        import org.apache.spark.sql.types._
+        s.transform match {
+          case "bucket" | "year" => Some(IntegerType)
+          case "day" => Some(DateType)
+          case "month" | "hour" => Some(StringType)
+          case _ => schema.fields.find(_.name == s.source).map(_.dataType)
+        }
+      })
+
   def nextSnapshotId: Long =
     snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
 
@@ -131,7 +174,7 @@ final case class TableMetadata(
       case Some(s) => s.manifestRefs match {
         case Some(refs) => (refs, Nil)
         case None if s.manifests.isDefined =>
-          (s.manifests.get.map(ManifestIO.refFor), Nil)
+          (s.manifests.get.map(ManifestIO.refFor(_, statTypeOf)), Nil)
         case None => (Nil, s.files.getOrElse(Nil))
       }
     }
@@ -171,7 +214,7 @@ final case class TableMetadata(
         survivors ++ added
     val newRefs = kept ++
       (if (newFiles.nonEmpty)
-        Seq(ManifestIO.writeRef(metadataDirPath, newFiles)) else Nil)
+        Seq(ManifestIO.writeRef(metadataDirPath, newFiles, statTypeOf)) else Nil)
     appendSnapshot(op, loadId, mergeSmallManifests(newRefs), nowMs)
   }
 
@@ -192,7 +235,7 @@ final case class TableMetadata(
       val toMerge = sorted.take(refs.size - TableMetadata.TargetManifestsPerSnapshot + 1)
       val keep = sorted.drop(toMerge.size)
       val mergedFiles = toMerge.flatMap(r => ManifestIO.read(r.path))
-      keep :+ ManifestIO.writeRef(metadataDirPath, mergedFiles)
+      keep :+ ManifestIO.writeRef(metadataDirPath, mergedFiles, statTypeOf)
     }
 
   /** Replace-all commit: the snapshot references ONLY `files` (one fresh
@@ -200,7 +243,8 @@ final case class TableMetadata(
   def withSnapshotReplace(op: String, loadId: Option[String],
       files: Seq[DataFile], nowMs: Long = System.currentTimeMillis()): TableMetadata =
     appendSnapshot(op, loadId,
-      if (files.isEmpty) Nil else Seq(ManifestIO.writeRef(metadataDirPath, files)),
+      if (files.isEmpty) Nil
+      else Seq(ManifestIO.writeRef(metadataDirPath, files, statTypeOf)),
       nowMs)
 
   private def appendSnapshot(op: String, loadId: Option[String],

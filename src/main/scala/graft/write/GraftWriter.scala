@@ -230,21 +230,23 @@ final class GraftWriter(catalog: GraftCatalog) {
       }
 
       t.commit({ fresh =>
-        val perColumn = pks.zipWithIndex.flatMap { case (pk, i) =>
+        val perColumn: Seq[Seq[DataFile]] = pks.zipWithIndex.flatMap { case (pk, i) =>
           // an all-null key column can never equality-match: no constraint
           if (range.isNullAt(2 * i)) None
           else {
             val dt = fresh.schema(pk).dataType
             Some(t.filesOverlapping(fresh, pk,
               canonicalKey(dt, range.get(2 * i)),
-              canonicalKey(dt, range.get(2 * i + 1))).map(_.path).toSet)
+              canonicalKey(dt, range.get(2 * i + 1))))
           }
         }
         val affected: Seq[DataFile] =
           if (perColumn.isEmpty) Nil // empty or all-null key batch
           else {
-            val hit = perColumn.reduce(_ intersect _)
-            val ranged = fresh.currentFiles.filter(f => hit.contains(f.path))
+            // intersect WITHOUT materializing the full table file list —
+            // manifests outside every key range are never even opened
+            val hit = perColumn.map(_.map(_.path).toSet).reduce(_ intersect _)
+            val ranged = perColumn.head.filter(f => hit.contains(f.path))
             bloomProbeKeys match {
               case Some(keys) if keys.nonEmpty =>
                 val pk0 = pks.head

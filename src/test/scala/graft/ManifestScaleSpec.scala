@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog._
 import graft.write._
@@ -102,6 +103,44 @@ class ManifestScaleSpec extends AnyFunSuite {
     val after = next.currentSnapshot.get.manifestRefs.get
     assert(after.size == 39)
     assert(!after.exists(_.path == refs(17).path))
+  }
+
+  test("cold-JVM trickle merge opens only range-overlapping manifests") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-mfr-").toString)
+    val w = new GraftWriter(cat)
+    val mcfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"))
+    // 40 appends with DISJOINT key ranges — each manifest's ref carries
+    // its typed id range
+    (1 to 40).foreach { i =>
+      val rows = (1 to 5).map(j => ((i * 1000 + j).toLong, s"v$i-$j"))
+      w.writeTable("main", "t", Seq(rows.toDF("id", "v").coalesce(1)),
+        Append, mcfg, s"l$i")
+    }
+    val t = cat.loadTable("main", "t")
+    val refs = t.metadata.currentSnapshot.get.manifestRefs.get
+    assert(refs.forall(r => r.colMin.exists(_.contains("id"))),
+      "manifest refs must carry typed id ranges")
+
+    // fresh driver: upsert 2 keys living in ONE manifest's range — the
+    // planner must open only that manifest (+ rare bloom FPs), never all 40
+    ManifestIO.clearCacheForTesting()
+    w.writeTable("main", "t",
+      Seq(Seq((17003L, "NEW3"), (17004L, "NEW4")).toDF("id", "v")),
+      Merge("upsert"), mcfg, "up1")
+    assert(ManifestIO.bodyReads.get() <= 6,
+      s"${ManifestIO.bodyReads.get()} manifest body reads for a " +
+        "single-range trickle merge on a 40-manifest table")
+    val got = cat.loadTable("main", "t").read()
+      .filter(col("id").isin(17003L, 17004L))
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(got == Seq("NEW3", "NEW4"))
+    assert(cat.loadTable("main", "t").read().count() == 200)
+
+    // digit-boundary regression at REF level: ranges spanning 9->10
+    // thousand must compare numerically (lexical "9000" > "10003")
+    val nineHit = t.filesOverlapping(cat.loadTable("main", "t").metadata,
+      "id", "9001", "9002")
+    assert(nineHit.nonEmpty && nineHit.forall(_.stats("id").min.get.startsWith("9")))
   }
 
   test("legacy bare-path snapshots upgrade to refs on the next commit") {
