@@ -235,6 +235,56 @@ object TextOps {
         .cast("long").as("n_redacted"),
       md5(regexp_replace(col(textCol), pattern, replacement)).as("redacted_fp"))
 
+  /** Overlapping token-window chunking (the RAG/pretraining document
+    * splitter): windows of `chunkTokens` tokens advancing by
+    * `chunkTokens - overlap`, chunk identity = (doc_id, chunk_idx) with a
+    * content fingerprint. Explode + map-only — one pass, no shuffle; at
+    * 100 TB the output is written straight back out partitioned however
+    * the index wants it. Start positions run 1, 1+stride, … while
+    * start ≤ max(1, n - overlap), so every token lands in ≥ 1 chunk and
+    * no trailing chunk is fully contained in its predecessor. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16, textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("start",
+        explode(sequence(lit(1), greatest(col("n") - overlap, lit(1)), lit(stride))))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        size(slice(col("w"), col("start"), lit(chunkTokens))).cast("long")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start"), lit(chunkTokens))))
+          .as("chunk_fp"))
+  }
+
+  /** Dataset mixture planning: given per-source sampling weights and a
+    * total token budget, compute each source's token mass and the keep
+    * rate that realizes the weighted mixture (capped at 1 — a source
+    * smaller than its share can't be upsampled by filtering). Output is
+    * source-cardinality (metadata-sized); the keep rates feed
+    * [[stratifiedSample]]-style hash filters. One aggregate over the
+    * corpus — the planning step of every pretraining data recipe. */
+  def mixturePlan(docs: DataFrame, budgetTokens: Long,
+      boostedSources: Seq[String] = Nil, boost: Double = 2.0,
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs
+      .select(col("source"), size(split(col(textCol), " ")).cast("long").as("tok"))
+      .groupBy("source").agg(sum(col("tok")).as("toks"))
+      .withColumn("weight",
+        when(col("source").isin(boostedSources.map(x => x: Any): _*), lit(boost))
+          .otherwise(lit(1.0)))
+      .withColumn("w_share", col("weight") / sum(col("weight")).over(w))
+      .withColumn("keep_rate",
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble) * col("w_share") / col("toks")) + 1e-9, 4))
+      .select(col("source"), col("toks"),
+        round(col("w_share") + 1e-9, 4).as("w_share"), col("keep_rate"))
+  }
+
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —
     * portable across engines for oracle checks. */
   def fingerprint(text: Column): Column =

@@ -306,6 +306,41 @@ object LlmQueries {
         |    / 64 + 1e-9, 6) AS mean_abs_err
         |FROM m""".stripMargin))),
 
+    // RAG/pretraining chunking: overlapping 64-token windows, stride 48,
+    // content-fingerprinted — chunk identity survives re-chunking
+    "l33_doc_chunks" -> ((
+      (s: SparkSession, dir: String) =>
+        TextOps.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |s AS (SELECT doc_id, w, n,
+        |  unnest(range(1, greatest(1, n - 16) + 1, 48)) AS start FROM d)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(w, start, least(start + 63, n))) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(w, start, least(start + 63, n)), ' '))
+        |    AS chunk_fp
+        |FROM s""".stripMargin))),
+
+    // pretraining mixture planning: per-source token mass -> weighted
+    // keep rates against a token budget (the recipe-planning aggregate)
+    "l34_mixture_plan" -> ((
+      (s: SparkSession, dir: String) =>
+        TextOps.mixturePlan(docs(s, dir), budgetTokens = 20000,
+          boostedSources = Seq("src0", "src1", "src2")),
+      Some("""WITH t AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |ww AS (SELECT source, toks,
+        |  CASE WHEN source IN ('src0','src1','src2') THEN 2.0 ELSE 1.0 END AS weight
+        |  FROM t)
+        |SELECT source, toks,
+        |  round(weight / SUM(weight) OVER () + 1e-9, 4) AS w_share,
+        |  round(least(1.0, 20000.0 * (weight / SUM(weight) OVER ()) / toks)
+        |    + 1e-9, 4) AS keep_rate
+        |FROM ww""".stripMargin))),
+
     // near-dup pair graph → dedup clusters: min-label propagation on the
     // Spark side, transitive-closure recursive CTE as the DuckDB oracle
     // (pairs come from MinHash-LSH, which matches the exact relation here)
