@@ -35,6 +35,7 @@ class ModelCheckSpec extends AnyFunSuite {
         Files.createTempDirectory(s"graft-model-$seed-").toString)
       val w = new GraftWriter(cat)
       val model = mutable.LinkedHashMap.empty[Long, String]
+      val history = mutable.Buffer.empty[(Long, Map[Long, String])]
       // keys drawn from a range spanning digit-count boundaries and
       // negatives — the r1 stats bug's blind spot
       def key(): Long = rnd.between(-120L, 130L)
@@ -53,6 +54,16 @@ class ModelCheckSpec extends AnyFunSuite {
               targetFileBytes = 8L << 20, retryUnitMs = 1)
             catch { case _: ValidationError => () }
           else Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
+        }
+        // rollback to a recorded (snapshot, model) pair: time travel must
+        // restore EXACTLY the modeled state through the manifest refs
+        if (rnd.nextInt(4) == 0 && history.nonEmpty) {
+          val (snapId, past) = history(rnd.nextInt(history.size))
+          val t = cat.loadTable("main", "t")
+          if (t.metadata.snapshots.exists(_.snapshotId == snapId)) {
+            t.rollbackTo(snapId)
+            model.clear(); past.foreach { case (k, v) => model(k) = v }
+          }
         }
         op match {
           case 0 => // upsert
@@ -75,6 +86,9 @@ class ModelCheckSpec extends AnyFunSuite {
           .select("id", "v").collect()
           .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
         val want = model.toSeq.sortBy(_._1)
+        cat.loadTable("main", "t").metadata.currentSnapshotId.foreach { sid =>
+          history += sid -> model.toMap
+        }
         assert(got == want,
           s"seed=$seed step=$step op=$op: table diverged from model\n" +
             s"extra: ${(got.toSet -- want.toSet).take(5)}\n" +
