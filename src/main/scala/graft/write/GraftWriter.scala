@@ -49,7 +49,11 @@ final case class WriteConfig(
     /** Columns to build per-file KeyBloom membership filters for —
       * decisive for point lookups on random (UUID) keys where min/max
       * range pruning degenerates to a full scan. */
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    /** Upper bound on rows per staged parquet file (0 = off) — the
+      * write.target-file-size analogue; keeps huge loads from emitting
+      * files that defeat split planning. */
+    maxRecordsPerFile: Long = 0L)
 
 /** The disposition engine — the Spark-native rebuild of
   * `_commit_table_files` (`destination_client.py:1256-1520`).
@@ -124,7 +128,8 @@ final class GraftWriter(catalog: GraftCatalog) {
   private def commitAppend(t: GraftTable, m: TableMetadata, df: DataFrame,
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
-      bloomColumns = GraftWriter.bloomColumns(m, cfg))
+      bloomColumns = GraftWriter.bloomColumns(m, cfg),
+      maxRecordsPerFile = cfg.maxRecordsPerFile)
     // delta commit: parent manifests carry by identity — zero manifest
     // body reads even on a cold JVM (the cost every load pays)
     t.commit(fresh => fresh.withSnapshotDelta("append", Some(loadId),
@@ -134,7 +139,8 @@ final class GraftWriter(catalog: GraftCatalog) {
   private def commitReplace(t: GraftTable, m: TableMetadata, df: DataFrame,
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
-      bloomColumns = GraftWriter.bloomColumns(m, cfg))
+      bloomColumns = GraftWriter.bloomColumns(m, cfg),
+      maxRecordsPerFile = cfg.maxRecordsPerFile)
     // truncate-and-insert: snapshot references ONLY the new files; old
     // files stay on disk for time travel (S6)
     t.commit(fresh => fresh.withSnapshotReplace("overwrite", Some(loadId), staged),
@@ -169,7 +175,8 @@ final class GraftWriter(catalog: GraftCatalog) {
         // unmarked rows are replaced by their new versions).
         val delKeys = combined.select(pks.map(col): _*).distinct()
         val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec,
-          if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(m, cfg))
+          if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(m, cfg),
+          cfg.maxRecordsPerFile)
         rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
 
       case _ => // upsert (default)
@@ -194,7 +201,7 @@ final class GraftWriter(catalog: GraftCatalog) {
           val upsertKeys = grouped.select(pks.map(col): _*)
           val staged = Stager.stage(remaining, t.dataDir, loadId,
             t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil,
-            GraftWriter.bloomColumns(t.metadata, cfg))
+            GraftWriter.bloomColumns(t.metadata, cfg), cfg.maxRecordsPerFile)
           rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
         } finally grouped.unpersist()
     }
@@ -269,7 +276,8 @@ final class GraftWriter(catalog: GraftCatalog) {
               .parquet(affected.map(_.path): _*)
             val kept = affectedDf.join(keysCached, pks, "left_anti")
             Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec,
-              if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(fresh, cfg))
+              if (cfg.clusterByKeys) pks else Nil,
+              GraftWriter.bloomColumns(fresh, cfg), cfg.maxRecordsPerFile)
           }
 
         // delta commit: only manifests whose path-bloom hits an affected

@@ -73,7 +73,8 @@ object Stager {
   def stage(df: DataFrame, dataDir: Path, loadId: String,
       spec: Seq[PartitionFieldSpec] = Nil,
       clusterBy: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil): Seq[DataFile] = {
+      bloomColumns: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Seq[DataFile] = {
     val spark = df.sparkSession
     val dest = dataDir.resolve(s"$loadId-${java.util.UUID.randomUUID().toString.take(8)}")
 
@@ -88,7 +89,15 @@ object Stager {
         df.repartitionByRange(clusterBy.map(col): _*)
       else df
 
-    clustered.write.parquet(dest.toString)
+    // upper-bound file size at scale (the Iceberg writers'
+    // write.target-file-size knob): a 1000-executor load must not emit
+    // multi-GB files that defeat split planning. Small-file MERGING is
+    // AQE's shuffle coalescing + Maintenance.compact, not this bound.
+    val writer =
+      if (maxRecordsPerFile > 0)
+        clustered.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      else clustered.write
+    writer.parquet(dest.toString)
 
     val files = Files.walk(dest).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))

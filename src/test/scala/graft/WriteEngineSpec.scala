@@ -431,4 +431,17 @@ class WriteEngineSpec extends AnyFunSuite {
     assert(cat.listTables("main") == Seq("a", "b"))
     assert(cat.loadTable("main", "b").read().count() == 1)
   }
+
+  test("maxRecordsPerFile bounds staged file sizes") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val rows = (1L to 100L).map(i => (i, s"u$i", i)).toDF("user_id", "username", "score")
+      .coalesce(1)
+    w.writeTable("main", "bounded", Seq(rows), Append,
+      fastCfg.copy(maxRecordsPerFile = 30L), "l1")
+    val files = cat.loadTable("main", "bounded").metadata.currentFiles
+    assert(files.size >= 4, s"expected >= 4 bounded files, got ${files.size}")
+    assert(files.forall(_.rowCount <= 30L))
+    assert(files.map(_.rowCount).sum == 100L)
+  }
 }
