@@ -38,4 +38,25 @@ object SkewJoin {
       explode(sequence(lit(0), lit(factor - 1))))
     bigSalted.join(smallSalted, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Measured salting: derive the factor from the big side's actual
+    * hottest-key row count instead of guessing. One planning aggregate
+    * (map-side-combined count per key, cost bounded by key cardinality)
+    * yields the max per-key count; factor = ceil(hottest / target),
+    * clamped to [1, maxFactor]. Unskewed inputs take the plain join with
+    * no salt column at all — so this is safe to use unconditionally where
+    * power-law keys are POSSIBLE but not certain. */
+  def saltedAuto(big: DataFrame, small: DataFrame, keys: Seq[String],
+      targetRowsPerTask: Long = 5000000L, maxFactor: Int = 64,
+      joinType: String = "inner"): DataFrame = {
+    require(targetRowsPerTask > 0)
+    val hottestRow = big.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n")))
+      .collect()(0)
+    val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
+    val factor = math.min(maxFactor.toLong,
+      math.max(1L, (hottest + targetRowsPerTask - 1) / targetRowsPerTask)).toInt
+    if (factor <= 1) big.join(small, keys, joinType)
+    else salted(big, small, keys, factor, joinType)
+  }
 }

@@ -24,6 +24,26 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedAuto matches the plain join and skips salting when unskewed") {
+    // targetRowsPerTask=1 forces salting (hottest key has 3 rows → factor 3)
+    val forced = SkewJoin.saltedAuto(big, small, Seq("k"), targetRowsPerTask = 1)
+    assert(sortedRows(forced) == sortedRows(big.join(small, Seq("k"))))
+    assert(forced.columns.toSeq == big.join(small, Seq("k")).columns.toSeq)
+    // huge target → factor 1 → plain join plan, results identical
+    val plainPath = SkewJoin.saltedAuto(big, small, Seq("k"))
+    assert(sortedRows(plainPath) == sortedRows(big.join(small, Seq("k"))))
+    // empty big side: planning agg yields null max → no NPE, empty result
+    val emptyBig = big.filter("k < 0")
+    assert(SkewJoin.saltedAuto(emptyBig, small, Seq("k")).count() == 0L)
+  }
+
+  test("saltedAuto clamps the factor to maxFactor") {
+    // hottest=3, target=1 → raw factor 3, clamped to 2; results still exact
+    val clamped = SkewJoin.saltedAuto(big, small, Seq("k"),
+      targetRowsPerTask = 1, maxFactor = 2, joinType = "left")
+    assert(sortedRows(clamped) == sortedRows(big.join(small, Seq("k"), "left")))
+  }
+
   test("replication-unsafe join types are rejected") {
     for (jt <- Seq("right", "full", "full_outer", "right_outer")) {
       val e = intercept[IllegalArgumentException] {
