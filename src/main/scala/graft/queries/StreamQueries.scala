@@ -13,6 +13,20 @@ import graft.write.{Merge, WriteConfig}
   * result parity. */
 object StreamQueries {
 
+  /** Stateful streaming creates one state-store instance per shuffle
+    * partition per operator, and every micro-batch pays a checkpoint
+    * commit per store — so state partitioning is sized to the stream's
+    * keyspace/throughput, not inherited from the batch default. The conf
+    * is pinned into the checkpoint at first batch; save/restore it around
+    * the whole run (the foreachBatch commits inside also see the stream
+    * sizing, which matches their micro-batch-sized inputs). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, n.toString)
+    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
 
     // event-time windowed aggregation over a file stream (memory sink)
@@ -90,7 +104,7 @@ object StreamQueries {
     // user should copy at 100 TB. Bounded-state is asserted in
     // StreamingSpec via stateOperators.numRowsTotal.
     "s4_stream_watermarked" -> ((
-      (s: SparkSession, dir: String) => {
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
         val cat = new GraftCatalog(s,
           Files.createTempDirectory("graft-s4-").toString)
         val loader = new graft.streaming.StreamingLoader(cat)
@@ -116,7 +130,7 @@ object StreamQueries {
     // state, unlike a global dropDuplicates. The committed table must
     // equal the original (duplicate-free) events relation.
     "s5_stream_dedup" -> ((
-      (s: SparkSession, dir: String) => {
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
         val cat = new GraftCatalog(s,
           Files.createTempDirectory("graft-s5-").toString)
         val loader = new graft.streaming.StreamingLoader(cat)

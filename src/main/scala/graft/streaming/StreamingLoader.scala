@@ -97,12 +97,30 @@ object StreamingLoader {
       chunks: Int = 4): DataFrame =
     eventsChunkedStream(spark, dir, chunks, duplicateRows = false)
 
+  // Staged chunk directories are immutable once written: memoize per
+  // (source dir, chunks, duplicateRows) so repeated streams over the same
+  // shape (best-of-N benchmarking, spec re-runs) pay the range-shuffle
+  // staging pass once per JVM. Each stream still gets its own checkpoint,
+  // so every query re-reads all chunks from batch 0.
+  private val stagedChunks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean), String]()
+
   /** `duplicateRows = true` plants an exact copy of every event (same
     * event_id, same ts) in the stream — the at-least-once-delivery shape
     * a streaming dedup has to absorb. Copies sort adjacent to their
     * originals, so they always arrive within the watermark horizon. */
   def eventsChunkedStream(spark: SparkSession, dir: String,
       chunks: Int, duplicateRows: Boolean): DataFrame = {
+    val stagedDir = stagedChunks.computeIfAbsent((dir, chunks, duplicateRows),
+      _ => stageChunks(spark, dir, chunks, duplicateRows))
+    val schema = spark.read.parquet(stagedDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+  }
+
+  private def stageChunks(spark: SparkSession, dir: String,
+      chunks: Int, duplicateRows: Boolean): String = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
@@ -115,7 +133,6 @@ object StreamingLoader {
       } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-chunks-")
     val withDups = if (duplicateRows) ev.unionAll(ev) else ev
-    val schema = ev.schema
     // ONE range-shuffle pass: part-0000k holds the k-th contiguous time
     // range, so renaming parts in order yields time-ordered chunk files
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-stage-")
@@ -132,9 +149,7 @@ object StreamingLoader {
       java.nio.file.Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + c * 60000L))
     }
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir.toString)
+    streamDir.toString
   }
 
   /** Event-time windowed aggregation with a watermark — the canonical
