@@ -56,39 +56,51 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def asV2(ident: Identifier, m: TableMetadata,
-      files: Seq[DataFile]): Table =
+      files: Seq[DataFile],
+      schema: org.apache.spark.sql.types.StructType): Table =
     new ParquetTable(
       s"$catalogName.${nsOf(ident)}.${ident.name()}",
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       CaseInsensitiveStringMap.empty(),
       files.map(_.path),
-      Some(m.schema),
+      Some(schema),
       classOf[ParquetFileFormat])
 
   override def loadTable(ident: Identifier): Table = {
     val m = graftTable(ident).metadata
     new GraftV2Table(nsOf(ident), ident.name(), cat,
-      asV2(ident, m, m.currentFiles), m.schema)
+      asV2(ident, m, m.currentFiles, m.schema), m.schema)
   }
 
-  /** `VERSION AS OF <snapshotId>` time travel. */
+  /** `VERSION AS OF <snapshotId>` time travel. Reads resolve under the
+    * SNAPSHOT-TIME schema (Iceberg pins a schema-id per snapshot), so a
+    * time-traveled query never shows columns that did not exist yet. A
+    * missing snapshot id is a version error on an EXISTING table — never
+    * a table-not-found. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = graftTable(ident)
     val m = t.metadata
     val snap = m.snapshots.find(_.snapshotId.toString == version)
-      .getOrElse(throw new NoSuchTableException(ident))
-    asV2(ident, m, snap.dataFiles)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Snapshot $version not found for table " +
+          s"${nsOf(ident)}.${ident.name()}; available snapshot ids: " +
+          m.snapshots.map(_.snapshotId).mkString(", ")))
+    asV2(ident, m, snap.dataFiles, m.schemaForSnapshot(snap))
   }
 
-  /** `TIMESTAMP AS OF` time travel; Spark hands micros since epoch. */
+  /** `TIMESTAMP AS OF` time travel; Spark hands micros since epoch.
+    * Snapshot-time schema, as in the VERSION AS OF overload. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = graftTable(ident)
     val m = t.metadata
     val asOfMs = timestampMicros / 1000L
     val snap = m.snapshots.filter(_.timestampMs <= asOfMs)
       .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
-      .getOrElse(throw new NoSuchTableException(ident))
-    asV2(ident, m, snap.dataFiles)
+      .getOrElse(throw new IllegalArgumentException(
+        s"No snapshot at or before timestamp $asOfMs ms for table " +
+          s"${nsOf(ident)}.${ident.name()} (earliest: " +
+          m.snapshots.map(_.timestampMs).minOption.getOrElse(-1L) + " ms)"))
+    asV2(ident, m, snap.dataFiles, m.schemaForSnapshot(snap))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -160,7 +172,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   // --- SupportsNamespaces ---
 
   override def listNamespaces(): Array[Array[String]] =
-    cat.listNamespaces().map(ns => Array(ns)).toArray
+    // the engine catalog stores a multi-part namespace as one dotted
+    // string; the V2 surface represents it as its parts, consistent with
+    // the Identifier.namespace() splitting used on the way in
+    cat.listNamespaces().map(_.split('.').toArray[String]).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()

@@ -129,7 +129,10 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       val snap = Snapshot(m.nextSnapshotId, m.currentSnapshotId,
         System.currentTimeMillis(), "rollback", None,
         manifests = target.manifests, files = target.files,
-        manifestRefs = target.manifestRefs)
+        manifestRefs = target.manifestRefs,
+        // rollback restores the FILE set but commits under the current
+        // schema, matching read()'s null-fill semantics for old files
+        schemaVersionAt = Some(m.schemaVersion))
       m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
     }

@@ -98,15 +98,22 @@ object ManifestIO {
 
   def read(path: String): Seq[DataFile] = {
     val key = Paths.get(path).toAbsolutePath.toString
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      bodyReads.incrementAndGet()
-      val files = JsonMethods.parse(
-        new String(Files.readAllBytes(Paths.get(path)), UTF_8))
-        .extract[ManifestDoc].files
-      cache.put(key, files)
-      files
+    // the whole miss path holds the cache lock so concurrent readers of
+    // the same uncached manifest parse it exactly once and `bodyReads`
+    // stays an exact cold-read count (the cold-JVM commit-cost specs
+    // assert on it); bodies are small JSON, so IO under the lock is
+    // cheaper than double parses under parallel commits
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        bodyReads.incrementAndGet()
+        val files = JsonMethods.parse(
+          new String(Files.readAllBytes(Paths.get(path)), UTF_8))
+          .extract[ManifestDoc].files
+        cache.put(key, files)
+        files
+      }
     }
   }
 

@@ -82,7 +82,13 @@ final case class Snapshot(
     loadId: Option[String],
     manifests: Option[Seq[String]] = None,
     files: Option[Seq[DataFile]] = None,
-    manifestRefs: Option[Seq[ManifestRef]] = None) {
+    manifestRefs: Option[Seq[ManifestRef]] = None,
+    // schema version in force when this snapshot committed (Iceberg pins a
+    // schema-id per snapshot) — time-traveled SQL reads resolve it through
+    // TableMetadata.schemaAt so they see the columns of THAT point in
+    // history, not ones added later. None on pre-existing metadata ⇒
+    // falls back to the current schema (the old behavior).
+    schemaVersionAt: Option[Int] = None) {
   def dataFiles: Seq[DataFile] = files.getOrElse {
     manifestRefs match {
       case Some(refs) => refs.flatMap(r => ManifestIO.read(r.path))
@@ -128,10 +134,27 @@ final case class TableMetadata(
     partitionSpec: Seq[PartitionFieldSpec],
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
-    snapshots: Seq[Snapshot]) {
+    snapshots: Seq[Snapshot],
+    // superseded schemas by version (current one lives in schemaJson) —
+    // the lookup table behind snapshot-time schema resolution
+    schemaHistory: Option[Map[String, String]] = None) {
 
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** Schema as of `version`: the current schema for the current version,
+    * a historical one from [[schemaHistory]] otherwise; unknown versions
+    * (metadata written before history was recorded) fall back to current. */
+  def schemaAt(version: Int): StructType =
+    if (version == schemaVersion) schema
+    else schemaHistory.flatMap(_.get(version.toString))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(schema)
+
+  /** Schema a snapshot's committed data should be read with under
+    * time travel. */
+  def schemaForSnapshot(s: Snapshot): StructType =
+    schemaAt(s.schemaVersionAt.getOrElse(schemaVersion))
 
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
@@ -140,7 +163,9 @@ final case class TableMetadata(
     currentSnapshot.map(_.dataFiles).getOrElse(Nil)
 
   def withSchema(s: StructType): TableMetadata =
-    copy(schemaJson = s.json, schemaVersion = schemaVersion + 1)
+    copy(schemaJson = s.json, schemaVersion = schemaVersion + 1,
+      schemaHistory = Some(schemaHistory.getOrElse(Map.empty) +
+        (schemaVersion.toString -> schemaJson)))
 
   /** Comparison type for a stats column: table schema first, then the
     * DERIVED type of a partition-transform column (bucket/year → int,
@@ -250,7 +275,7 @@ final case class TableMetadata(
   private def appendSnapshot(op: String, loadId: Option[String],
       refs: Seq[ManifestRef], nowMs: Long): TableMetadata = {
     val snap = Snapshot(nextSnapshotId, currentSnapshotId, nowMs, op, loadId,
-      manifestRefs = Some(refs))
+      manifestRefs = Some(refs), schemaVersionAt = Some(schemaVersion))
     copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)
   }
 

@@ -157,13 +157,17 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("mn", array_min(col("v")))
       .withColumn("mx", array_max(col("v")))
+    // degenerate (constant) vectors have mx == mn: every component maps to
+    // code 0 with zero reconstruction error, never NaN from the 0/0
     val codes = transform(col("v"),
-      x => floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+      x => when(col("mx") === col("mn"), lit(0.0))
+        .otherwise(floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))))
     withRange
       .withColumn("q", codes)
       .withColumn("recon_err", transform(col("v"),
-        x => abs(x - (col("mn") + floor((x - col("mn")) * lit(255.0) /
-          (col("mx") - col("mn"))) * (col("mx") - col("mn")) / lit(255.0)))))
+        x => when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(abs(x - (col("mn") + floor((x - col("mn")) * lit(255.0) /
+            (col("mx") - col("mn"))) * (col("mx") - col("mn")) / lit(255.0))))))
       .select(col(idCol),
         round(col("mn") + lit(1e-9), 4).as("qmin"),
         round(col("mx") + lit(1e-9), 4).as("qmax"),

@@ -300,9 +300,12 @@ object LlmQueries {
         |  round(mn + 1e-9, 4) AS qmin,
         |  round(mx + 1e-9, 4) AS qmax,
         |  CAST(list_sum(list_transform(v,
-        |    x -> floor((x - mn) * 255 / (mx - mn)))) AS BIGINT) AS q_checksum,
+        |    x -> CASE WHEN mx = mn THEN 0
+        |         ELSE floor((x - mn) * 255 / (mx - mn)) END)) AS BIGINT)
+        |    AS q_checksum,
         |  round(list_sum(list_transform(v,
-        |    x -> abs(x - (mn + floor((x - mn) * 255 / (mx - mn)) * (mx - mn) / 255))))
+        |    x -> CASE WHEN mx = mn THEN 0
+        |         ELSE abs(x - (mn + floor((x - mn) * 255 / (mx - mn)) * (mx - mn) / 255)) END))
         |    / 64 + 1e-9, 6) AS mean_abs_err
         |FROM m""".stripMargin))),
 

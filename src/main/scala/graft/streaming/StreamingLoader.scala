@@ -65,27 +65,53 @@ object StreamingLoader {
     * a directory, so the single file is exposed through a symlink in a
     * scratch dir (testdata stays untouched). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // the legacy conf only matters while schemas are resolved (the
+    // the legacy nanos conf only matters while schemas are resolved (the
     // explicit stream schema carries ts as LongType afterwards; verified
-    // by running a stream to completion with the conf restored first) —
-    // save/restore it like graft.Tables.t, never leave session state
-    // flipped under user code
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val (schema, raw) =
-      try {
-        val schema = spark.read.parquet(s"$dir/events.parquet").schema
-        val streamDir = java.nio.file.Files.createTempDirectory("graft-events-src-")
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-        (schema, spark.readStream.schema(schema).parquet(streamDir.toString))
-      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // by running a stream to completion against an un-flipped session) —
+    // resolve it on a cloned session whose SQLConf is isolated, so a
+    // concurrent query in the caller's session can never observe the flag
+    val schema = nanosSchemaOf(spark, s"$dir/events.parquet")
+    val streamDir = registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft-events-src-"))
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Schema of a parquet file that may carry TIMESTAMP(NANOS) columns,
+    * resolved with `nanosAsLong` set on a CLONED session (`newSession()`
+    * shares the SparkContext but isolates SQLConf) — the shared session's
+    * conf is never touched. */
+  private def nanosSchemaOf(spark: SparkSession, path: String):
+      org.apache.spark.sql.types.StructType = {
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    isolated.read.parquet(path).schema
+  }
+
+  // Scratch dirs staged for streaming sources, deleted on JVM exit (they
+  // are tiny re-stagings of test tables; streams may read them for the
+  // whole session lifetime, so exit is the earliest safe point).
+  private val tempDirs = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach(p => deleteRecursively(p))))
+  }
+  private def registerTempDir(p: java.nio.file.Path): java.nio.file.Path = {
+    tempDirs.add(p); p
+  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+          case _: java.io.IOException => ()
+        })
 
   /** The `events` table re-staged as `chunks` time-contiguous parquet
     * files in a scratch dir, exposed as a file stream delivering ONE file
@@ -121,17 +147,17 @@ object StreamingLoader {
 
   private def stageChunks(spark: SparkSession, dir: String,
       chunks: Int, duplicateRows: Boolean): String = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
+    // read on a conf-isolated clone (see nanosSchemaOf) — the caller's
+    // session never sees the nanos flag, even transiently
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = isolated.read.parquet(s"$dir/events.parquet")
     val ev =
-      try {
-        val raw = spark.read.parquet(s"$dir/events.parquet")
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-chunks-")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val streamDir = registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft-events-chunks-"))
     val withDups = if (duplicateRows) ev.unionAll(ev) else ev
     // ONE range-shuffle pass: part-0000k holds the k-th contiguous time
     // range, so renaming parts in order yields time-ordered chunk files
@@ -149,6 +175,7 @@ object StreamingLoader {
       java.nio.file.Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + c * 60000L))
     }
+    deleteRecursively(tmp) // the shuffle-stage leftovers (_SUCCESS, CRCs)
     streamDir.toString
   }
 

@@ -241,6 +241,23 @@ class LlmOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("int8 quantization: degenerate (constant) vectors quantize to zeros, not NaN") {
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f)),              // constant: mx == mn
+      (2L, Array.tabulate(8)(_.toFloat)),     // normal ramp
+      (3L, Array.fill(8)(0.0f)))              // constant at zero
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, dim = 8)
+      .orderBy("vec_id").collect()
+    // constant vectors: checksum 0 (all codes 0), zero reconstruction error
+    assert(q(0).getLong(3) == 0L && q(0).getDouble(4) == 0.0)
+    assert(q(2).getLong(3) == 0L && q(2).getDouble(4) == 0.0)
+    // normal vector still quantizes: nonzero checksum, finite error
+    assert(q(1).getLong(3) > 0L && !q(1).getDouble(4).isNaN)
+    // nothing in the output is NaN/null
+    assert(q.forall(r => !r.anyNull))
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = Multimodal.mediaFeatures(docs, partitions = 4).orderBy("doc_id").collect()
     val f2 = Multimodal.mediaFeatures(docs, partitions = 2).orderBy("doc_id").collect()

@@ -98,6 +98,56 @@ class SparkCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1)
   }
 
+  test("time travel reads under the SNAPSHOT-TIME schema after evolution") {
+    val cat = freshCatalog("gss")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val s1 = cat.loadTable("main", "t").metadata.currentSnapshotId.get
+    w.writeTable("main", "t", Seq(Seq((2L, "b", 9L)).toDF("id", "v", "extra")),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+
+    // current read: evolved schema with null-fill
+    assert(spark.sql("SELECT id, v, extra FROM gss.main.t").columns.length == 3)
+    // time-traveled read: the column added AFTER s1 must not exist at s1
+    val historic = spark.sql(s"SELECT * FROM gss.main.t VERSION AS OF $s1")
+    assert(historic.columns.toSeq == Seq("id", "v"))
+    assert(historic.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a")))
+    // and the engine metadata records the per-snapshot schema versions
+    val m = cat.loadTable("main", "t").metadata
+    val versions = m.snapshots.sortBy(_.snapshotId).flatMap(_.schemaVersionAt)
+    assert(versions == Seq(1, 2) && m.schemaAt(1).fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("missing snapshot id is a version error naming the snapshot, not table-not-found") {
+    val cat = freshCatalog("gver")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gver.main.t VERSION AS OF 999").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("999") && msgs.contains("available snapshot ids"))
+    assert(!msgs.toLowerCase.contains("table or view not found"))
+  }
+
+  test("listNamespaces splits dotted namespaces into V2 parts") {
+    val cat = freshCatalog("gns")
+    cat.createNamespace("a.b")
+    cat.createNamespace("plain")
+    val nss = spark.sql("SHOW NAMESPACES IN gns").collect().map(_.getString(0)).toSet
+    assert(nss.contains("a.b") && nss.contains("plain"))
+    val v2 = new GraftSparkCatalog()
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("warehouse", spark.conf.get("spark.sql.catalog.gns.warehouse"))
+    v2.initialize("gns", new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    assert(v2.listNamespaces().map(_.toSeq).toSet ==
+      Set(Seq("a", "b"), Seq("plain")))
+  }
+
   test("schema evolution: old files null-fill through the SQL surface") {
     val cat = freshCatalog("gevo")
     val w = new GraftWriter(cat)
