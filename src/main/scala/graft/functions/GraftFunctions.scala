@@ -30,5 +30,18 @@ object GraftFunctions {
         ArrayDot(exprs(0), exprs(1))
       },
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_qcode",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_qcode(value, boundsArrayLiteral)")
+        val bounds = exprs(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_qcode bounds must be an array<double> literal, got $other")
+        }
+        QuantileCode(exprs.head, bounds)
+      },
+      "built-in")
   }
 }

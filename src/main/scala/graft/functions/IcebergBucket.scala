@@ -45,7 +45,10 @@ case class IcebergBucket(child: Expression, numBuckets: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val hashCls = IcebergHash.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // the object's static forwarders (janino cannot resolve the Scala
+    // MODULE$ field through the forwarder class — referencing it made
+    // every bucket-staging stage silently fall back to interpreted eval)
+    val hashCls = IcebergHash.getClass.getName.stripSuffix("$")
     val hashCall = child.dataType match {
       case ByteType | ShortType | IntegerType | DateType =>
         (v: String) => s"$hashCls.hashLong((long) $v)"

@@ -42,6 +42,83 @@ object Maintenance {
     true
   }
 
+  /** Z-order clustering rewrite: re-sorts the table's rows along a Morton
+    * (bit-interleaved) curve over `columns` so every data file covers a
+    * narrow range in EACH clustering column simultaneously — min/max file
+    * pruning then works for predicates on any of them, not just a lead
+    * sort column (the Delta/Iceberg OPTIMIZE ZORDER idea).
+    *
+    * Scale shape: cost is one approximate-quantile aggregation pass plus
+    * ONE range shuffle on the computed z-value — never a global sort.
+    * Codes are equi-depth (256 quantile buckets per column), so skewed
+    * distributions still spread evenly across files; boundary literals are
+    * baked into codegen (driver holds 255 doubles per column). Rewrites
+    * the WHOLE current row set; at 100 TB you'd run it per partition-spec
+    * slice or on recent loads — composing that policy is the caller's
+    * loop, the rewrite itself is this commit.
+    *
+    * Restricted to numeric/temporal columns and unpartitioned tables (a
+    * partition spec's derived clustering would fight the z-shuffle; zorder
+    * WITHIN partitions composes but is a different rewrite).
+    * Content-neutral by construction; commits one "zorder" snapshot. */
+  def zorder(t: GraftTable, columns: Seq[String], targetFiles: Int = 0,
+      targetFileBytes: Long = 128L << 20, retryUnitMs: Long = 1000L): Boolean = {
+    import org.apache.spark.sql.types._
+    require(columns.nonEmpty && columns.size <= 4,
+      "zorder takes 1-4 clustering columns")
+    val m = t.metadata
+    require(m.partitionSpec.isEmpty,
+      "zorder applies to unpartitioned tables; partitioned tables already cluster by their spec")
+    columns.foreach { c =>
+      val dt = m.schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType || dt == TimestampNTZType,
+        s"zorder column $c must be numeric or temporal, got $dt")
+    }
+    val files = m.currentFiles
+    if (files.isEmpty) return false
+    val df = t.read()
+
+    // equi-depth 8-bit codes: 255 approx-quantile boundaries per column,
+    // all from ONE aggregation pass; the per-row bucket lookup is the
+    // codegen'd graft_qcode binary search (an unrolled literal-array fold
+    // here blows the janino method limit and drops to interpreted rows)
+    val bits = 8
+    val pcts = (1 until (1 << bits)).map(i => i.toDouble / (1 << bits))
+    val qRow = df.select(columns.map(c =>
+      expr(s"percentile_approx(cast(`$c` as double), array(${pcts.mkString(",")}), 10000)")
+        .as(c)): _*).head()
+    val codes = columns.zipWithIndex.map { case (c, i) =>
+      val bounds = qRow.getSeq[Double](i).distinct.sorted
+      call_function("graft_qcode", col(c).cast("double"),
+        lit(bounds.toArray))
+    }
+    // Morton interleave: bit b of column i lands at position b*k + i
+    val k = columns.size
+    val z = (0 until bits).flatMap(b => codes.zipWithIndex.map { case (c, i) =>
+      shiftleft(shiftright(c, b).bitwiseAND(lit(1)).cast("long"), b * k + i)
+    }).reduce(_ + _)
+
+    val numOut =
+      if (targetFiles > 0) targetFiles
+      else math.max(1, math.ceil(
+        files.map(_.sizeBytes).sum.toDouble / targetFileBytes).toInt)
+    val rewritten = df.withColumn("__graft_z", z)
+      .repartitionByRange(numOut, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+    val staged = Stager.stage(rewritten, t.dataDir, "zorder", Nil,
+      bloomColumns = GraftWriter.tableBloomColumns(m))
+    val priorPaths = files.map(_.path).toSet
+    t.commit({ fresh =>
+      val cur = fresh.currentFiles.map(_.path).toSet
+      if (priorPaths != cur)
+        throw new graft.catalog.ValidationError("zorder superseded by concurrent commit")
+      fresh.withSnapshotDelta("zorder", None, staged, priorPaths)
+    }, unitMs = retryUnitMs)
+    true
+  }
+
   /** Expire snapshots, keeping the most recent `keepLast` (the current
     * snapshot always survives). Data files referenced only by expired
     * snapshots are deleted from disk. Time travel remains valid for every

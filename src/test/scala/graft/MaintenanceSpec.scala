@@ -40,6 +40,44 @@ class MaintenanceSpec extends AnyFunSuite {
       targetFileBytes = 4L << 20, retryUnitMs = 1))
   }
 
+  test("zorder: content-neutral, files cover narrow ranges on EVERY clustering column") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // two independent uniform columns; written hash-shuffled so every
+    // file initially spans the full range of both (worst case for pruning)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 16384).map(i =>
+      (i.toLong, rnd.nextInt(1024), rnd.nextInt(1024)))
+    val df = rows.toDF("id", "x", "y").repartition(16, $"id")
+    w.writeTable("main", "t", Seq(df), Append, cfg, "l1")
+    val t = cat.loadTable("main", "t")
+    val nFiles = t.metadata.currentFiles.size
+    assert(nFiles >= 12, s"expected many files, got $nFiles")
+    val preRows = t.read().orderBy("id").collect().toSeq
+
+    // pre-zorder: a narrow y-slab prunes (almost) nothing
+    def filesHit(c: String, lo: Int, hi: Int): Int =
+      t.filesOverlapping(t.metadata, c,
+        Stager.canonicalKey(IntegerType, lo), Stager.canonicalKey(IntegerType, hi)).size
+    assert(filesHit("y", 0, 255) >= nFiles - 1)
+
+    assert(Maintenance.zorder(t, Seq("x", "y"), targetFiles = 16, retryUnitMs = 1))
+    val m2 = t.metadata
+    assert(m2.currentSnapshot.get.operation == "zorder")
+    // content-neutral
+    assert(t.read().orderBy("id").collect().toSeq == preRows)
+    // a quarter-range slab on EITHER column now opens a fraction of the
+    // files (ideal 4x4 Morton grid: 4 of 16; approx quantiles allow slack)
+    val nAfter = t.metadata.currentFiles.size
+    assert(filesHit("x", 0, 255) <= nAfter / 2,
+      s"x-slab hit ${filesHit("x", 0, 255)} of $nAfter files")
+    assert(filesHit("y", 0, 255) <= nAfter / 2,
+      s"y-slab hit ${filesHit("y", 0, 255)} of $nAfter files")
+    // and the pruned scan returns exactly the right rows
+    val expect = rows.filter(r => r._3 >= 0 && r._3 <= 255).map(_._1).sorted
+    assert(t.scanRange("y", 0, 255).collect().map(_.getLong(0)).sorted.toSeq == expect)
+  }
+
   test("expireSnapshots keeps recent history and deletes dead files") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
