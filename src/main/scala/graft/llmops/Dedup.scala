@@ -38,6 +38,41 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
+  /** Span-level boilerplate removal (the CCNet/RefinedWeb paragraph-dedup
+    * idea, adapted to word spans): documents are segmented into
+    * consecutive `spanWords`-word spans, span frequency is counted over
+    * the WHOLE corpus in one hash aggregate, and spans occurring more
+    * than `maxDf` times are dropped from every document — text that
+    * repeats verbatim across documents (headers, licence blocks,
+    * navigation chrome) is exactly what this removes while unique prose
+    * survives. Returns the audit row per document (span counts + a
+    * fingerprint of the cleaned text): at 100 TB the cleaned corpus is
+    * its own write job; the decision table is this. Cost shape: one
+    * explode + two hash aggregations + one span-keyed join — no
+    * quadratic stage anywhere. */
+  def spanDedup(docs: DataFrame, spanWords: Int = 8, maxDf: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("long")
+    val spansArr = transform(sequence(lit(0), (nSpans - 1).cast("int")),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val spans = docs.select(col(idCol),
+      posexplode(spansArr).as(Seq("pos", "span")))
+    val freq = spans.groupBy("span").agg(count(lit(1)).as("span_df"))
+    val kept = spans.join(freq.filter(col("span_df") <= maxDf), "span")
+    val cleaned = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      // order-restoring fingerprint: sort (pos, span) structs, strip pos
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        s => s.getField("span")), " ")).as("clean_fp"))
+    docs.select(col(idCol), nSpans.as("n_spans"))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
   /** Distinct word n-gram shingles per document: (doc_id, g). */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val w = split(col(textCol), " ")

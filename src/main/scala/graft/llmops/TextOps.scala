@@ -285,6 +285,33 @@ object TextOps {
         round(col("w_share") + 1e-9, 4).as("w_share"), col("keep_rate"))
   }
 
+  /** N-gram novelty: the fraction of a document's DISTINCT word n-grams
+    * that occur in NO other document — the content-freshness signal
+    * (near-1 = unique prose; low = boilerplate, near-dups, or template
+    * output). Complements pairwise dedup: novelty is per-document and
+    * needs no candidate pairs, so it scales as explode + two hash
+    * aggregations + one gram-keyed join. Docs shorter than `n` words
+    * carry zero grams and novelty 0. */
+  def ngramNovelty(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    // guard short docs: sequence() with a negative end DESCENDS
+    val gramsArr = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array())
+    val grams = docs.select(col(idCol), explode(gramsArr).as("g")).distinct()
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val scored = grams.join(freq, "g").groupBy(idCol).agg(
+      count(lit(1)).as("n_grams"),
+      round(avg(when(col("gdf") === 1, 1.0).otherwise(0.0)) + lit(1e-9), 4)
+        .as("novel_frac"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_frac"), lit(0.0)).as("novel_frac"))
+  }
+
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —
     * portable across engines for oracle checks. */
   def fingerprint(text: Column): Column =

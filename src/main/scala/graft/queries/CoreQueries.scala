@@ -445,6 +445,32 @@ object CoreQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) x WHERE rn <= 3""".stripMargin)),
 
+    // TPC-H Q17 (small-quantity-order revenue): the correlated per-part
+    // average becomes a grouped aggregate computed ONLY over lineitems of
+    // qualifying parts — the broadcast semi-restriction comes FIRST, so
+    // at 100 TB the avg shuffle carries the filtered slice, not the whole
+    // fact table (per-part averages are unaffected by the restriction)
+    "q46_tpch17_small_qty" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val smallParts = t(s, dir, "part").filter(col("p_size") <= 10)
+          .select(col("p_partkey"))
+        val relevant = li.join(broadcast(smallParts),
+          li("l_partkey") === smallParts("p_partkey")).drop("p_partkey")
+        val avgQ = relevant.groupBy("l_partkey")
+          .agg(avg(col("l_quantity")).as("aq"))
+        relevant.join(avgQ, "l_partkey")
+          .filter(col("l_quantity") < col("aq") * 0.5)
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).cast("double")
+            .as("avg_yearly"))
+      },
+      """SELECT CAST(ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size <= 10
+        |  AND l.l_quantity < 0.5 * (
+        |    SELECT AVG(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin)),
+
     // DISTINCT
     "q6_distinct" -> ((
       (s: SparkSession, dir: String) =>

@@ -309,6 +309,42 @@ object LlmQueries {
         |    / 64 + 1e-9, 6) AS mean_abs_err
         |FROM m""".stripMargin))),
 
+    // span-level boilerplate removal (CCNet-style): 8-word spans with
+    // corpus df > 1 are dropped from every doc; audit row per doc
+    "l35_span_dedup" -> ((
+      (s: SparkSession, dir: String) => Dedup.spanDedup(docs(s, dir)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i FROM w)),
+        |f AS (SELECT span, count(*) AS c FROM sp GROUP BY span),
+        |k AS (SELECT sp.doc_id, sp.pos, sp.span
+        |  FROM sp JOIN f USING (span) WHERE f.c <= 1),
+        |a AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(span, ' ' ORDER BY pos)) AS clean_fp
+        |  FROM k GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(ceil(len(ws)/8.0) AS BIGINT) AS n_spans,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.clean_fp, md5('')) AS clean_fp
+        |FROM w LEFT JOIN a USING (doc_id)""".stripMargin))),
+
+    // per-doc n-gram novelty: fraction of distinct 5-grams unique to the
+    // doc across the corpus (freshness vs boilerplate signal)
+    "l36_ngram_novelty" -> ((
+      (s: SparkSession, dir: String) => TextOps.ngramNovelty(docs(s, dir)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |i AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS s FROM w),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[s:s+4], ' ') AS gm FROM i),
+        |f AS (SELECT gm, count(*) AS gdf FROM g GROUP BY gm),
+        |a AS (SELECT doc_id, count(*) AS n_grams,
+        |    round(avg(CASE WHEN gdf = 1 THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+        |      AS novel_frac
+        |  FROM g JOIN f USING (gm) GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.novel_frac, 0.0) AS novel_frac
+        |FROM w LEFT JOIN a USING (doc_id)""".stripMargin))),
+
     // RAG/pretraining chunking: overlapping 64-token windows, stride 48,
     // content-fingerprinted — chunk identity survives re-chunking
     "l33_doc_chunks" -> ((

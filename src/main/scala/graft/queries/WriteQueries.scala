@@ -209,6 +209,21 @@ object WriteQueries {
          |UNION ALL
          |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
 
+    // maintenance: z-order clustering rewrite — content-neutral like
+    // compaction, and the pruned range scan on the NON-lead clustering
+    // column must still return exactly the relational filter's rows
+    "w14_zorder" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        val tbl = w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        graft.write.Maintenance.zorder(tbl, Seq("o_orderkey", "o_custkey"),
+          targetFiles = 8, retryUnitMs = 10)
+        tbl.scanRange("o_custkey", 1L, 50L)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM ($targetSql)
+         |WHERE o_custkey BETWEEN 1 AND 50""".stripMargin)),
+
     // S2: stats-pruned range scan — file-level pruning by snapshot
     // min/max + parquet pushdown, equals the plain relational filter
     "w10_pruned_scan" -> ((
