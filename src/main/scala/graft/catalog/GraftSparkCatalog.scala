@@ -177,16 +177,31 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // the Identifier.namespace() splitting used on the way in
     cat.listNamespaces().map(_.split('.').toArray[String]).toArray
 
+  /** A namespace "exists" on the V2 surface when it exists literally OR
+    * is a proper dotted prefix of one that does (an implicit parent:
+    * `a` exists once `a.b` does), keeping `SHOW NAMESPACES IN gns.a`
+    * consistent with the top-level listing of split dotted names. */
+  private def nsExistsOrIsParent(ns: String): Boolean =
+    cat.namespaceExists(ns) ||
+      cat.listNamespaces().exists(_.startsWith(ns + "."))
+
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else if (cat.namespaceExists(namespace.mkString("."))) Array.empty
-    else throw new NoSuchNamespaceException(namespace)
+    else {
+      val prefix = namespace.mkString(".")
+      val children = cat.listNamespaces()
+        .filter(_.startsWith(prefix + "."))
+        .map(full => full.split('.').take(namespace.length + 1).toArray[String])
+        .distinctBy(_.mkString("."))
+      if (children.nonEmpty || cat.namespaceExists(prefix)) children.toArray
+      else throw new NoSuchNamespaceException(namespace)
+    }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    cat.namespaceExists(namespace.mkString("."))
+    nsExistsOrIsParent(namespace.mkString("."))
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
-    if (cat.namespaceExists(namespace.mkString(".")))
+    if (nsExistsOrIsParent(namespace.mkString(".")))
       java.util.Collections.emptyMap()
     else throw new NoSuchNamespaceException(namespace)
 

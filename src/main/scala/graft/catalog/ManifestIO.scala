@@ -96,14 +96,18 @@ object ManifestIO {
       if (maxs.isEmpty) None else Some(maxs))
   }
 
+  /** Striped per-key locks: same-key cold readers serialize (so each
+    * manifest body parses exactly once and `bodyReads` stays an exact
+    * cold-read count — the cold-JVM commit-cost specs assert on it),
+    * while cold reads of DIFFERENT manifests run their IO + parse in
+    * parallel across stripes for multi-table driver-side planning. */
+  private val readStripes = Array.fill(64)(new Object)
+
   def read(path: String): Seq[DataFile] = {
     val key = Paths.get(path).toAbsolutePath.toString
-    // the whole miss path holds the cache lock so concurrent readers of
-    // the same uncached manifest parse it exactly once and `bodyReads`
-    // stays an exact cold-read count (the cold-JVM commit-cost specs
-    // assert on it); bodies are small JSON, so IO under the lock is
-    // cheaper than double parses under parallel commits
-    cache.synchronized {
+    val fast = cache.get(key)
+    if (fast != null) return fast
+    readStripes(math.floorMod(key.hashCode, readStripes.length)).synchronized {
       val hit = cache.get(key)
       if (hit != null) hit
       else {

@@ -34,7 +34,24 @@ object GraftFunctions {
       "graft_qcode",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_qcode(value, boundsArrayLiteral)")
-        val bounds = exprs(1).eval() match {
+        // SQL-side bounds may arrive as array(0.1, 0.2) with decimal or
+        // float element types, so coerce through a Cast before eval; a
+        // non-foldable arg gets the descriptive error instead of an
+        // unresolved-eval crash
+        val boundsExpr = exprs(1)
+        if (!boundsExpr.foldable) throw new IllegalArgumentException(
+          s"graft_qcode bounds must be a foldable array<double> literal, got $boundsExpr")
+        val coerced = boundsExpr.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _) => boundsExpr
+          case _: org.apache.spark.sql.types.ArrayType =>
+            org.apache.spark.sql.catalyst.expressions.Cast(boundsExpr,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType))
+          case other => throw new IllegalArgumentException(
+            s"graft_qcode bounds must be an array<double> literal, got type $other")
+        }
+        val bounds = coerced.eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
             a.toDoubleArray().toSeq
           case other => throw new IllegalArgumentException(

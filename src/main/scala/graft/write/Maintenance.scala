@@ -89,6 +89,8 @@ object Maintenance {
       expr(s"percentile_approx(cast(`$c` as double), array(${pcts.mkString(",")}), 10000)")
         .as(c)): _*).head()
     val codes = columns.zipWithIndex.map { case (c, i) =>
+      require(!qRow.isNullAt(i),
+        s"zorder column $c has no non-null values; cannot derive quantile bounds")
       val bounds = qRow.getSeq[Double](i).distinct.sorted
       call_function("graft_qcode", col(c).cast("double"),
         lit(bounds.toArray))

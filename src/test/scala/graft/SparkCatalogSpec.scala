@@ -146,6 +146,12 @@ class SparkCatalogSpec extends AnyFunSuite {
     v2.initialize("gns", new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
     assert(v2.listNamespaces().map(_.toSeq).toSet ==
       Set(Seq("a", "b"), Seq("plain")))
+    // implicit parent of a dotted namespace exists on the V2 surface and
+    // lists its children, consistent with the top-level split listing
+    assert(v2.namespaceExists(Array("a")))
+    assert(v2.listNamespaces(Array("a")).map(_.toSeq).toSet == Set(Seq("a", "b")))
+    assert(v2.listNamespaces(Array("a", "b")).isEmpty)
+    intercept[Exception] { v2.listNamespaces(Array("nope")) }
   }
 
   test("schema evolution: old files null-fill through the SQL surface") {
