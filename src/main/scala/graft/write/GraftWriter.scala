@@ -159,8 +159,7 @@ final class GraftWriter(catalog: GraftCatalog) {
           combined.filter(col(cfg.hardDeleteColumn).isNotNull))
       else (combined, null)
 
-    val remainingIsEmpty = remaining.isEmpty
-    if (hasMarker && remainingIsEmpty) {
+    if (hasMarker && remaining.isEmpty) {
       // all-deletes fast path (destination_client.py:1412-1417)
       val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
       rewriteCommit(t, delKeys, pks, Nil, "delete", loadId, cfg)
@@ -182,15 +181,21 @@ final class GraftWriter(catalog: GraftCatalog) {
       case _ => // upsert (default)
         // ONE grouped aggregation serves both the duplicate-PK contract
         // check (mirroring PyIceberg's upsert contract) and the distinct
-        // key set for the rewrite — cached so the batch shuffles on the
-        // keys once, not twice
+        // key set for the rewrite — cached so the batch shuffles at most
+        // once on the keys. The dup check, per-key min/max ranges, and
+        // key count all fold into a SINGLE action over it: per-load fixed
+        // action count is what dominates trickle loads and streaming
+        // micro-batches.
         val grouped = remaining.groupBy(pks.map(col): _*)
           .agg(count(lit(1)).as("__n")).cache()
         try {
-          val hasDup = !grouped.filter(col("__n") > 1).limit(1).isEmpty
-          if (hasDup)
+          val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk)))) ++
+            Seq(count(lit(1)).as("__cnt"), max(col("__n")).as("__maxn"))
+          val st = grouped.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+          if (st.getAs[Long]("__maxn") > 1)
             throw new ValidationError(
               s"Upsert batch contains duplicate primary keys on (${pks.mkString(", ")})")
+          val keyCount = st.getAs[Long]("__cnt")
 
           // hard deletes first, as a separate commit (separate PyIceberg
           // transaction in the reference, destination_client.py:1438-1441)
@@ -199,10 +204,19 @@ final class GraftWriter(catalog: GraftCatalog) {
             rewriteCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
           }
           val upsertKeys = grouped.select(pks.map(col): _*)
+          // after the dup check, upsert rows == distinct keys: a batch
+          // small enough to land in one staged file gains nothing from
+          // range clustering (one file's [min,max] IS the batch range) —
+          // skip the range-sampling pass + shuffle it would cost
+          val clusterBy =
+            if (cfg.clusterByKeys && keyCount > GraftWriter.SmallBatchNoClusterRows)
+              pks
+            else Nil
           val staged = Stager.stage(remaining, t.dataDir, loadId,
-            t.metadata.partitionSpec, if (cfg.clusterByKeys) pks else Nil,
+            t.metadata.partitionSpec, clusterBy,
             GraftWriter.bloomColumns(t.metadata, cfg), cfg.maxRecordsPerFile)
-          rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
+          rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg,
+            precomputed = Some((st, keyCount)))
         } finally grouped.unpersist()
     }
   }
@@ -213,28 +227,34 @@ final class GraftWriter(catalog: GraftCatalog) {
     * snapshot. Rebase-safe: the rewrite re-runs against fresh metadata on
     * CAS conflict. */
   private def rewriteCommit(t: GraftTable, keys: DataFrame, pks: Seq[String],
-      stagedNew: Seq[DataFile], op: String, loadId: String, cfg: WriteConfig): Unit = {
+      stagedNew: Seq[DataFile], op: String, loadId: String, cfg: WriteConfig,
+      precomputed: Option[(org.apache.spark.sql.Row, Long)] = None): Unit = {
     val keysCached = keys.cache()
     try {
       // key ranges for file pruning on EVERY PK column (one metadata-scale
       // agg): a file is affected only if its [min,max] overlaps the batch
       // range on ALL key columns. Pruning on the first column alone lets a
       // low-cardinality leading key (e.g. region of a (region, id) PK)
-      // select nearly every file and rewrite far too much.
-      val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk))))
-      val range = keysCached.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+      // select nearly every file and rewrite far too much. The key count
+      // folds into the same action; callers that already aggregated the
+      // key set (upsert's dup check) pass both in and pay zero extra jobs.
+      val (range, keyCount) = precomputed.getOrElse {
+        val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk)))) ++
+          Seq(count(lit(1)).as("__cnt"))
+        val r = keysCached.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+        (r, r.getAs[Long]("__cnt"))
+      }
 
       // Trickle-merge bloom probe: random (UUID) keys make every file's
       // [min,max] span the keyspace, so range pruning keeps everything.
-      // For small key batches, collect the distinct lead-key values once
+      // For small key batches (keys is distinct, so rowCount bounds the
+      // lead-key cardinality), collect the distinct lead-key values once
       // and test them against per-file KeyBloom stats (when present) —
       // a file with no bloom hit for ANY batch key cannot be affected.
-      val bloomProbeKeys: Option[Seq[Any]] = {
-        val sample = keysCached.select(col(pks.head)).distinct()
-          .limit(MaxBloomProbeKeys + 1).collect()
-        if (sample.length > MaxBloomProbeKeys) None
-        else Some(sample.map(_.get(0)).filter(_ != null).toSeq)
-      }
+      val bloomProbeKeys: Option[Seq[Any]] =
+        if (keyCount > MaxBloomProbeKeys) None
+        else Some(keysCached.select(col(pks.head)).distinct().collect()
+          .map(_.get(0)).filter(_ != null).toSeq)
 
       t.commit({ fresh =>
         val perColumn: Seq[Seq[DataFile]] = pks.zipWithIndex.flatMap { case (pk, i) =>
@@ -275,9 +295,17 @@ final class GraftWriter(catalog: GraftCatalog) {
             val affectedDf = spark.read.schema(fresh.schema)
               .parquet(affected.map(_.path): _*)
             val kept = affectedDf.join(keysCached, pks, "left_anti")
+            // manifest metadata already bounds the rewrite size (kept rows
+            // <= sum of affected rowCounts): a rewrite that lands in one
+            // file gains nothing from range clustering — skip its
+            // range-sampling pass, same reasoning as small upsert batches
+            val clusterBy =
+              if (cfg.clusterByKeys &&
+                  affected.map(_.rowCount).sum > GraftWriter.SmallBatchNoClusterRows)
+                pks
+              else Nil
             Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec,
-              if (cfg.clusterByKeys) pks else Nil,
-              GraftWriter.bloomColumns(fresh, cfg), cfg.maxRecordsPerFile)
+              clusterBy, GraftWriter.bloomColumns(fresh, cfg), cfg.maxRecordsPerFile)
           }
 
         // delta commit: only manifests whose path-bloom hits an affected
@@ -294,6 +322,11 @@ object GraftWriter {
     * bloom probe (probe cost is |files| x |keys| bit tests; the payoff —
     * avoiding needless file rewrites — concentrates in trickle merges). */
   val MaxBloomProbeKeys = 64
+
+  /** Upsert batches at or below this many rows (== distinct keys) stage
+    * into one file regardless of clustering, so the range-sampling pass
+    * that `repartitionByRange` costs buys no pruning — skip it. */
+  val SmallBatchNoClusterRows = 10000L
 
   /** Table property naming the columns whose per-file KeyBloom stats
     * every staging pass must rebuild. */
