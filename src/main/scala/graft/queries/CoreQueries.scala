@@ -382,6 +382,100 @@ object CoreQueries {
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 20""".stripMargin,
 
+    // TPC-H Q2 shape: cheapest supplier per part in a region — correlated
+    // MIN subquery repeating the region restriction (the test tables have
+    // no partsupp, so lineitem serves as the part-supplier cost relation;
+    // DISTINCT collapses equal-price repeat shipments). Catalyst rewrites
+    // the correlated aggregate into a grouped min + join.
+    "q47_tpch2_min_cost" ->
+      """SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE p.p_size BETWEEN 10 AND 20 AND r.r_name = 'EUROPE'
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // TPC-H Q9 shape: profit by supplier nation and order year over a
+    // part-name LIKE slice (supplycost stands in as a retailprice
+    // fraction — no partsupp table); 5-way join + two-level group-by
+    // (per-row amounts quantize to integer cents via FLOOR(x*100 + 0.5):
+    // both engines evaluate the same IEEE double expression bit-for-bit,
+    // so the floor — unlike ROUND, whose half-way convention differs — is
+    // deterministic, and the BIGINT sum is order-insensitive; the plain
+    // ROUND(SUM(..), 2) version flipped by a cent between Spark and DuckDB)
+    "q48_tpch9_profit" ->
+      """SELECT nation, o_year,
+        |  CAST(SUM(amount_cents) AS DOUBLE) / 100 AS sum_profit
+        |FROM (SELECT n.n_name AS nation,
+        |        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |        CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+        |          - 0.4 * p.p_retailprice * l.l_quantity) * 100 + 0.5)
+        |          AS BIGINT) AS amount_cents
+        |      FROM lineitem l
+        |      JOIN part p ON p.p_partkey = l.l_partkey
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |      WHERE p.p_name LIKE '%gear%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // TPC-H Q11 shape: parts whose regional revenue exceeds a global
+    // scalar-subquery threshold (1.5x the mean part value keeps the
+    // predicate scale-free across SFs, unlike Q11's fixed fraction)
+    "q49_tpch11_important_parts" ->
+      """WITH ps AS (
+        |  SELECT l.l_partkey AS ps_partkey,
+        |    l.l_extendedprice * (1 - l.l_discount) AS val
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT ps_partkey, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS value
+        |FROM ps
+        |GROUP BY ps_partkey
+        |HAVING SUM(val) > (SELECT 1.5 * SUM(val) / COUNT(DISTINCT ps_partkey) FROM ps)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute bucket
+    // with a NOT IN exclusion subquery
+    "q50_tpch16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#13' AND p.p_type NOT LIKE 'MEDIUM%'
+        |  AND p.p_size IN (1, 4, 7, 10, 15, 22, 25, 49)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+
+    // TPC-H Q20 shape: suppliers who shipped a large 1997 volume of a
+    // part-name slice — nested IN subqueries with a grouped HAVING inside
+    "q51_tpch20_promo_suppliers" ->
+      """SELECT s.s_name, CAST(ROUND(s.s_acctbal, 2) AS DOUBLE) AS s_acctbal
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l.l_suppkey
+        |  HAVING SUM(l.l_quantity) > 50)
+        |ORDER BY s.s_name""".stripMargin,
+
     // sessionization: 30-minute-gap sessions per user via lag + running sum
     "q27_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t
