@@ -290,4 +290,26 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion of N retrieval rankings (hybrid search: e.g.
+    * BM25 lexical ranks fused with embedding-cosine ranks). Each input
+    * carries (idCol, "rank"); a document's fused score is
+    * Σ 1/(rrfK + rank) over the lists it appears in — the standard RRF
+    * formula, robust to incomparable score scales.
+    *
+    * Scale: the inputs are already top-k-truncated rankings (k rows per
+    * list, not corpora), so the union + groupBy is list-sized; fusion
+    * adds no corpus-scale work to the underlying retrievers. */
+  def rrf(rankings: Seq[DataFrame], k: Int = 15, rrfK: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    val tagged = rankings.map(_.select(col(idCol), col("rank")))
+      .reduce(_ unionAll _)
+    tagged.groupBy(idCol)
+      .agg(round(sum(lit(1.0) / (lit(rrfK.toDouble) + col("rank"))) + lit(1e-9), 6)
+          .as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -312,6 +312,49 @@ object TextOps {
         coalesce(col("novel_frac"), lit(0.0)).as("novel_frac"))
   }
 
+  /** BM25 keyword search: score every document against a query term set
+    * and return the global top-k.
+    *
+    * Scale design: corpus statistics (N, avgdl, per-term df) reduce to a
+    * handful of driver literals in ONE metadata-scale aggregation — df is
+    * computed only for the |query| terms, not the whole vocabulary — so
+    * scoring itself is a single map-side codegen pass over the documents
+    * (per-doc tf of ≤ |query| terms via array filtering, no explode, no
+    * shuffle) followed by a global top-k. At 100 TB: one scan + one
+    * tiny-driver-state reduction + one top-k — no corpus-wide join.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 15,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = tokens(col(textCol))
+    val dl = size(toks).cast("double")
+
+    // one action: N, avgdl, and df per query term (conditional distinct
+    // counting keeps it a single pass)
+    val dfAggs = queryTerms.zipWithIndex.map { case (term, i) =>
+      sum(when(array_contains(toks, term), 1L).otherwise(0L)).as(s"__df_$i")
+    }
+    val aggs = Seq(count(lit(1)).as("__n"), avg(dl).as("__avgdl")) ++ dfAggs
+    val statsRow = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nDocs = statsRow.getAs[Long]("__n").toDouble
+    val avgdl = statsRow.getAs[Double]("__avgdl")
+
+    // per-term score expression: tf from one array filter (codegen'd),
+    // idf as a literal — Robertson-Sparck Jones idf with +1 floor
+    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
+      val df = statsRow.getAs[Long](s"__df_$i").toDouble
+      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      val tf = size(filter(toks, x => x === term)).cast("double")
+      lit(idf) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }
+    docs.select(col("doc_id"),
+        round(perTerm.reduce(_ + _) + lit(1e-9), 4).as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —
     * portable across engines for oracle checks. */
   def fingerprint(text: Column): Column =

@@ -345,6 +345,118 @@ object LlmQueries {
         |  COALESCE(a.novel_frac, 0.0) AS novel_frac
         |FROM w LEFT JOIN a USING (doc_id)""".stripMargin))),
 
+    // BM25 keyword search top-k: corpus stats (N, avgdl, per-term df)
+    // reduce to driver literals in one pass, scoring is map-only — the
+    // oracle recomputes the identical Robertson idf / tf saturation math
+    "l37_bm25_topk" -> ((
+      (s: SparkSession, dir: String) =>
+        TextOps.bm25TopK(docs(s, dir), Seq("spark", "merge", "window"), k = 15),
+      Some("""WITH stats AS (
+        |  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |dfs AS (
+        |  SELECT
+        |    SUM(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |        THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN list_contains(string_split(text, ' '), 'merge')
+        |        THEN 1 ELSE 0 END) AS df_merge,
+        |    SUM(CASE WHEN list_contains(string_split(text, ' '), 'window')
+        |        THEN 1 ELSE 0 END) AS df_window
+        |  FROM documents),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    round(
+        |      ln((stats.n - dfs.df_spark + 0.5) / (dfs.df_spark + 0.5) + 1.0)
+        |        * tf_spark * 2.2
+        |        / (tf_spark + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+        |      + ln((stats.n - dfs.df_merge + 0.5) / (dfs.df_merge + 0.5) + 1.0)
+        |        * tf_merge * 2.2
+        |        / (tf_merge + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+        |      + ln((stats.n - dfs.df_window + 0.5) / (dfs.df_window + 0.5) + 1.0)
+        |        * tf_window * 2.2
+        |        / (tf_window + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+        |      + 1e-9, 4) AS bm25
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |          CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+        |            AS DOUBLE) AS tf_spark,
+        |          CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge'))
+        |            AS DOUBLE) AS tf_merge,
+        |          CAST(len(list_filter(string_split(text, ' '), x -> x = 'window'))
+        |            AS DOUBLE) AS tf_window
+        |        FROM documents) d, stats, dfs)
+        |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))),
+
+    // hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
+    // ranks by reciprocal-rank fusion (docs and embeddings share ids in
+    // the test corpus) — the fused lists are top-k-truncated, so fusion
+    // is list-sized work on top of the two retrievers
+    "l38_hybrid_rrf" -> ((
+      (s: SparkSession, dir: String) => {
+        val bm = TextOps.bm25TopK(docs(s, dir),
+            Seq("spark", "merge", "window"), k = 50)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("bm25").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val e = emb(s, dir)
+        val cos = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
+          .select(col("nbr_id").as("doc_id"), col("rank"))
+        Similarity.rrf(Seq(bm, cos), k = 15)
+      },
+      Some("""WITH stats AS (
+        |  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |dfs AS (
+        |  SELECT
+        |    SUM(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |        THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN list_contains(string_split(text, ' '), 'merge')
+        |        THEN 1 ELSE 0 END) AS df_merge,
+        |    SUM(CASE WHEN list_contains(string_split(text, ' '), 'window')
+        |        THEN 1 ELSE 0 END) AS df_window
+        |  FROM documents),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    round(
+        |      ln((stats.n - dfs.df_spark + 0.5) / (dfs.df_spark + 0.5) + 1.0)
+        |        * tf_spark * 2.2
+        |        / (tf_spark + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+        |      + ln((stats.n - dfs.df_merge + 0.5) / (dfs.df_merge + 0.5) + 1.0)
+        |        * tf_merge * 2.2
+        |        / (tf_merge + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+        |      + ln((stats.n - dfs.df_window + 0.5) / (dfs.df_window + 0.5) + 1.0)
+        |        * tf_window * 2.2
+        |        / (tf_window + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+        |      + 1e-9, 4) AS bm25
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |          CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+        |            AS DOUBLE) AS tf_spark,
+        |          CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge'))
+        |            AS DOUBLE) AS tf_merge,
+        |          CAST(len(list_filter(string_split(text, ' '), x -> x = 'window'))
+        |            AS DOUBLE) AS tf_window
+        |        FROM documents) d, stats, dfs),
+        |bm AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+        |        ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cs AS (SELECT nbr_id AS doc_id, rnk FROM (
+        |    SELECT e.vec_id AS nbr_id,
+        |      row_number() OVER (
+        |        ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rnk
+        |    FROM e, q WHERE e.vec_id <> 0) x WHERE rnk <= 50),
+        |u AS (SELECT doc_id, rnk FROM bm UNION ALL SELECT doc_id, rnk FROM cs)
+        |SELECT doc_id,
+        |  round(SUM(1.0 / (60.0 + rnk)) + 1e-9, 6) AS rrf_score,
+        |  COUNT(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin))),
+
     // RAG/pretraining chunking: overlapping 64-token windows, stride 48,
     // content-fingerprinted — chunk identity survives re-chunking
     "l33_doc_chunks" -> ((
