@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llmops.{Dedup, Multimodal, SemanticDedup, Similarity, TextOps}
 
 /** ★ North-star LLM-data-pipeline operators (SURVEY §2.11) as
   * driver-checkable queries over `documents` / `embeddings`.
@@ -522,6 +522,17 @@ object LlmQueries {
     "l8_simhash" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.simHashPairs(docs(s, dir), maxHamming = 3),
+      None)),
+
+    // SemDeDup: deterministic k-means over embeddings, then cosine
+    // near-dup pruning WITHIN clusters only — k-means has no SQL oracle
+    // (rows-only); SemanticDedupSpec pins the distributed assignment to
+    // an exact driver-side Lloyd replay, determinism across runs, planted
+    // exact-duplicate recall, and pruning precision vs direct cosine
+    "l39_semantic_dedup" -> ((
+      (s: SparkSession, dir: String) =>
+        SemanticDedup.clusterStats(emb(s, dir), k = 8, iters = 5,
+          threshold = 0.4),
       None)),
 
     // --- similarity search ---
