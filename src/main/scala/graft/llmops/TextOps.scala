@@ -312,6 +312,49 @@ object TextOps {
         coalesce(col("novel_frac"), lit(0.0)).as("novel_frac"))
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021 §A1.1, public paper):
+    * the canonical reference-free document filters — word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+    * ratios, alphabetic-word fraction, minimum distinct stopwords. One
+    * map-side codegen pass emitting per-rule booleans + the combined
+    * verdict (booleans, not ratios, so the oracle comparison has no
+    * float-boundary surface beyond the shared IEEE divisions). */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks)
+    val mwl = length(regexp_replace(col(textCol), " ", "")).cast("double") /
+      nWords.cast("double")
+    val nSymbols = size(regexp_extract_all(col(textCol),
+      lit("#|\\.\\.\\."), lit(0)))
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val bulletFrac = size(filter(lines, l => l.rlike("^[-*•]")))
+      .cast("double") / nLines.cast("double")
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+      .cast("double") / nLines.cast("double")
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(array_distinct(array_intersect(toks, stopArr)))
+
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+      (mwl >= 3.0 && mwl <= 10.0).as("r_mean_word_len"),
+      (nSymbols.cast("double") / nWords.cast("double") <= 0.1)
+        .as("r_symbol_ratio"),
+      (bulletFrac <= 0.9).as("r_bullet_lines"),
+      (ellipsisFrac <= 0.3).as("r_ellipsis_lines"),
+      (alphaFrac >= 0.8).as("r_alpha_words"),
+      (nStop >= 2).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stopwords"))
+  }
+
   /** BM25 keyword search: score every document against a query term set
     * and return the global top-k.
     *

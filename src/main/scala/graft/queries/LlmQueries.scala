@@ -388,6 +388,41 @@ object LlmQueries {
         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))),
 
+    // Gopher quality-rule battery: per-rule booleans + combined verdict,
+    // one map-only codegen pass; the oracle recomputes every rule with
+    // the same IEEE divisions (no rounded floats cross the hash compare)
+    "l40_gopher_rules" -> ((
+      (s: SparkSession, dir: String) => TextOps.gopherRules(docs(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, text,
+        |    string_split(text, ' ') AS ws,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    length(replace(text, ' ', '')) * 1.0 / len(ws) AS mwl,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / len(ws) AS symr,
+        |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) * 1.0
+        |      / len(ls) AS bulletf,
+        |    len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$'))) * 1.0
+        |      / len(ls) AS ellipsisf,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1.0
+        |      / len(ws) AS alphaf,
+        |    len(list_distinct(list_intersect(ws,
+        |      ['the','a','of','and','in','to','is','it','for','on']))) AS nstop
+        |  FROM d)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |  mwl >= 3.0 AND mwl <= 10.0 AS r_mean_word_len,
+        |  symr <= 0.1 AS r_symbol_ratio,
+        |  bulletf <= 0.9 AS r_bullet_lines,
+        |  ellipsisf <= 0.3 AS r_ellipsis_lines,
+        |  alphaf >= 0.8 AS r_alpha_words,
+        |  nstop >= 2 AS r_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+        |    AND symr <= 0.1 AND bulletf <= 0.9 AND ellipsisf <= 0.3
+        |    AND alphaf >= 0.8 AND nstop >= 2 AS pass
+        |FROM m""".stripMargin))),
+
     // hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
     // ranks by reciprocal-rank fusion (docs and embeddings share ids in
     // the test corpus) — the fused lists are top-k-truncated, so fusion
