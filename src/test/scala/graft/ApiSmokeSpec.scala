@@ -36,10 +36,10 @@ class ApiSmokeSpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     assert(qs.size >= 60)
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // rows-only entries are the documented three (custom hashing /
-    // sampled centroids that portable SQL can't express; semantics
-    // pinned in LlmOpsSpec)
+    // rows-only entries are the documented four (custom hashing / sampled
+    // centroids / iterative k-means that portable SQL can't express;
+    // semantics pinned in LlmOpsSpec and SemanticDedupSpec)
     assert((qs.keySet -- SparkEntry.oracleSql.keySet) ==
-      Set("l8_simhash", "l11_ann_lsh", "l20_ann_ivf"))
+      Set("l8_simhash", "l11_ann_lsh", "l20_ann_ivf", "l39_semantic_dedup"))
   }
 }
