@@ -50,6 +50,34 @@ class PlanAuditSpec extends AnyFunSuite {
       !p41.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("round-5 entries keep scale-shaped plans") {
+    // BM25 scoring is one map pass + a global top-k: no shuffle Exchange,
+    // no join anywhere in the plan (corpus stats are baked literals)
+    val p37 = plan("l37_bm25_topk")
+    assert(!p37.contains("Join"), "l37 must not join — stats are literals")
+    assert(p37.contains("TakeOrderedAndProject"),
+      "l37 top-k should be TakeOrderedAndProject, not a global sort")
+    assert(!p37.contains("Exchange") || !p37.split("TakeOrdered")(0).contains("Exchange"),
+      "l37 scoring pass must be shuffle-free before the top-k")
+    // Gopher rules: single map-side pass — no Exchange, no aggregate
+    val p40 = plan("l40_gopher_rules")
+    assert(!p40.contains("Exchange"), "l40 must be map-only")
+    assert(!p40.contains("Join"), "l40 must not join")
+    // SemDeDup assignment under fixed centroids: map-only scan
+    val centroids = Array.fill(4)(Array.fill(64)(0.5))
+    val pAssign = graft.llmops.SemanticDedup
+      .assign(Tables.t(spark, sf, "embeddings"), centroids)
+      .queryExecution.executedPlan.toString
+    assert(!pAssign.contains("Exchange") && !pAssign.contains("Join"),
+      "SemDeDup assignment must be a map-only scan")
+    // TPC-H q47/q50/q51 subquery shapes stay hash joins, never cartesian
+    for (q <- Seq("q47_tpch2_min_cost", "q50_tpch16_supplier_cnt",
+        "q51_tpch20_promo_suppliers", "q48_tpch9_profit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan contains a cartesian product")
+    }
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
