@@ -103,8 +103,12 @@ object StreamQueries {
     // folds re-emitted windows into the committed table — the pattern a
     // user should copy at 100 TB. Bounded-state is asserted in
     // StreamingSpec via stateOperators.numRowsTotal.
+    // 4 state partitions: the rollup keyspace is ~40 (event_type x day)
+    // windows, and every micro-batch pays a checkpoint commit per state
+    // store — sizing to the keyspace, not the batch default, is the knob
+    // (s5 keeps 8: its dedup state is event-id-sized)
     "s4_stream_watermarked" -> ((
-      (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      (s: SparkSession, dir: String) => withStatePartitions(s, 4) {
         val cat = new GraftCatalog(s,
           Files.createTempDirectory("graft-s4-").toString)
         val loader = new graft.streaming.StreamingLoader(cat)

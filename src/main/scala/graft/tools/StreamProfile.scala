@@ -20,10 +20,11 @@ object StreamProfile {
     val dir = "/root/testdata/sf0.1"
     graft.SparkEntry.entry(spark).count()
 
+    val parts = sys.env.getOrElse("SP_PARTS", "8")
     (1 to 2).foreach { run =>
       val t0 = System.nanoTime()
       val prevP = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
       val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-sp-").toString)
       val loader = new StreamingLoader(cat)
       val src = StreamingLoader.eventsChunkedStream(spark, dir, chunks = 4)
