@@ -128,6 +128,44 @@ object StreamQueries {
         |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin))),
 
+    // stream-stream inner join: conversion attribution — each purchase
+    // joins the same user's views from the preceding 30 minutes. BOTH
+    // sides are watermarked and the join carries a time-range condition,
+    // so Spark bounds the join state (views evict once view_ts + 30min
+    // drops behind the watermark) — the join-state analogue of s4's
+    // bounded aggregation state. Committed through the same foreachBatch
+    // protocol; the oracle is the equivalent batch self-join.
+    "s6_stream_stream_join" -> ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 4) {
+        val cat = new GraftCatalog(s,
+          Files.createTempDirectory("graft-s6-").toString)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val src = StreamingLoader.eventsChunkedStream(s, dir, chunks = 4)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = views.join(purchases,
+          expr("user_id = p_user_id AND " +
+            "purchase_ts >= view_ts AND " +
+            "purchase_ts <= view_ts + INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+        val q = loader.start(joined, "main", "attributions",
+          cfg = WriteConfig(retryUnitMs = 10), queryName = "s6",
+          checkpoint = Some(Files.createTempDirectory("graft-s6ck-").toString))
+        try q.awaitTermination() finally q.stop()
+        cat.loadTable("main", "attributions").read()
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30' MINUTE""".stripMargin))),
+
     // streaming exact dedup: every event arrives TWICE (at-least-once
     // delivery); dropDuplicatesWithinWatermark keys state on event_id and
     // the watermark evicts seen-keys once their horizon passes — bounded

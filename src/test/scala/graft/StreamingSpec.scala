@@ -91,6 +91,50 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup state ${stateRows.max} rows vs $nEvents events — watermark not evicting")
   }
 
+  test("stream-stream join matches the batch self-join with bounded join state") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-s6s-").toString)
+    val loader = new StreamingLoader(cat)
+    val src = StreamingLoader.eventsChunkedStream(spark, sf, chunks = 4)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("user_id = p_user_id AND purchase_ts >= view_ts AND " +
+        "purchase_ts <= view_ts + INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    val q = loader.start(joined, "main", "attr", cfg = WriteConfig(retryUnitMs = 1),
+      queryName = "s6spec",
+      checkpoint = Some(Files.createTempDirectory("graft-s6sck-").toString))
+    try q.awaitTermination() finally q.stop()
+
+    val ev = Tables.t(spark, sf, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val expected = v.join(p,
+        expr("user_id = p_user_id AND purchase_ts >= view_ts AND " +
+          "purchase_ts <= view_ts + INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .orderBy("view_id", "purchase_id").collect()
+    val got = cat.loadTable("main", "attr").read()
+      .orderBy("view_id", "purchase_id").collect()
+    assert(got.sameElements(expected))
+
+    // join state evicts behind the watermark: it never approaches the
+    // full view+purchase row count
+    val nRows = v.count() + p.count()
+    val stateRows = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.max < nRows,
+      s"join state ${stateRows.max} rows vs $nRows inputs — watermark not evicting")
+  }
+
   test("foreachBatch sink commits snapshots readable mid-stream") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-ss-").toString)
     val loader = new StreamingLoader(cat)
