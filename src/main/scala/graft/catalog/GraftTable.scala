@@ -99,12 +99,18 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     * Files written under older schema versions null-fill missing columns
     * via the imposed read schema (sparse semantics, `test_sparse_schema
     * .py:80-106`). Empty table ⇒ empty DataFrame with the right schema. */
-  def read(): DataFrame = readFiles(metadata, metadata.currentFiles)
+  def read(): DataFrame = {
+    val m = metadata
+    val s = m.currentSnapshot
+    readFiles(m, m.currentFiles, s.map(_.deletes).getOrElse(Nil))
+  }
 
-  /** Time travel: read the file set of a specific snapshot. */
+  /** Time travel: read the file set of a specific snapshot (with the
+    * equality deletes live AT that snapshot). */
   def readSnapshot(snapshotId: Long): DataFrame = {
     val m = metadata
-    readFiles(m, findSnapshot(m, snapshotId).dataFiles)
+    val s = findSnapshot(m, snapshotId)
+    readFiles(m, s.dataFiles, s.deletes)
   }
 
   /** Time travel by wall clock: the latest snapshot committed at or
@@ -116,7 +122,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
       .getOrElse(throw new ValidationError(
         s"No snapshot at or before $asOfMs in ${m.identifier}"))
-    readFiles(m, snap.dataFiles)
+    readFiles(m, snap.dataFiles, snap.deletes)
   }
 
   /** Roll the table back to `snapshotId`: commits a NEW snapshot
@@ -132,7 +138,10 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         manifestRefs = target.manifestRefs,
         // rollback restores the FILE set but commits under the current
         // schema, matching read()'s null-fill semantics for old files
-        schemaVersionAt = Some(m.schemaVersion))
+        schemaVersionAt = Some(m.schemaVersion),
+        // restore the equality deletes live at the target, too — the
+        // rolled-back row SET is snapshot state, not just its files
+        deleteFiles = target.deleteFiles)
       m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
     }
@@ -144,19 +153,77 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   def readAppendsSince(sinceSnapshotId: Long): DataFrame = {
     val m = metadata
     val base = findSnapshot(m, sinceSnapshotId).dataFiles.map(_.path).toSet
-    readFiles(m, m.currentFiles.filterNot(f => base.contains(f.path)))
+    readFiles(m, m.currentFiles.filterNot(f => base.contains(f.path)),
+      m.currentSnapshot.map(_.deletes).getOrElse(Nil))
   }
+
+  // ---- Branches / tags (write-audit-publish) -------------------------
+
+  /** Create a named ref at `fromSnapshotId` (default: current snapshot).
+    * Branches and tags share the mechanism; a "tag" is simply a ref the
+    * caller never commits to. */
+  def createBranch(name: String, fromSnapshotId: Option[Long] = None): TableMetadata =
+    commit { m =>
+      require(name.nonEmpty && name != "main", s"invalid branch name '$name'")
+      if (m.refId(name).isDefined)
+        throw new ValidationError(s"Branch '$name' already exists in ${m.identifier}")
+      val at = fromSnapshotId.orElse(m.currentSnapshotId).getOrElse(
+        throw new ValidationError("Cannot branch an empty table"))
+      findSnapshot(m, at) // validate target exists
+      m.copy(refs = Some(m.refs.getOrElse(Map.empty) + (name -> at)))
+    }
+
+  /** Read a branch/tag head (deletes live at that head apply). */
+  def readBranch(name: String): DataFrame = {
+    val m = metadata
+    val id = m.refId(name).getOrElse(
+      throw new ValidationError(s"No branch '$name' in ${m.identifier}"))
+    val s = findSnapshot(m, id)
+    readFiles(m, s.dataFiles, s.deletes)
+  }
+
+  /** Publish (fast-forward): point the MAIN table state at the branch
+    * head. Requires the current snapshot to be an ancestor of the head —
+    * the audit flow's invariant that main cannot silently lose commits;
+    * a diverged main fails loudly and the caller rebases by re-running
+    * the branch load. The ref is dropped after publishing. */
+  def publish(name: String): TableMetadata =
+    commit { m =>
+      val head = m.refId(name).getOrElse(
+        throw new ValidationError(s"No branch '$name' in ${m.identifier}"))
+      // walk the parent chain from head rootward (stops at expired
+      // ancestors, which can no longer equal a live current snapshot)
+      val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+      var ancestors = Set.empty[Long]
+      var cur: Option[Long] = Some(head)
+      while (cur.isDefined && !ancestors.contains(cur.get)) {
+        ancestors += cur.get
+        cur = byId.get(cur.get).flatMap(_.parentId)
+      }
+      if (!m.currentSnapshotId.forall(ancestors.contains))
+        throw new ValidationError(
+          s"Cannot fast-forward: main diverged from branch '$name' in ${m.identifier}")
+      m.copy(currentSnapshotId = Some(head),
+        refs = Some(m.refs.getOrElse(Map.empty) - name).filter(_.nonEmpty))
+    }
+
+  def dropBranch(name: String): TableMetadata =
+    commit { m =>
+      if (m.refId(name).isEmpty)
+        throw new ValidationError(s"No branch '$name' in ${m.identifier}")
+      m.copy(refs = Some(m.refs.getOrElse(Map.empty) - name).filter(_.nonEmpty))
+    }
 
   private def findSnapshot(m: TableMetadata, snapshotId: Long): Snapshot =
     m.snapshots.find(_.snapshotId == snapshotId)
       .getOrElse(throw new ValidationError(
         s"No snapshot $snapshotId in ${m.identifier}"))
 
-  private def readFiles(m: TableMetadata, files: Seq[DataFile]): DataFrame =
+  private def readFiles(m: TableMetadata, files: Seq[DataFile],
+      deletes: Seq[DeleteFile] = Nil): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-    else
-      spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+    else MorRead.read(spark, m.schema, files, deletes)
 
   /** S2 parity: scan with a range predicate pushed through BOTH layers —
     * file-level pruning via snapshot min/max stats (the manifest-pruning
@@ -167,7 +234,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val dt = m.schema(column).dataType
     val canonical = (v: Any) => graft.write.Stager.canonicalKey(dt, v)
     val hit = filesOverlapping(m, column, canonical(lo), canonical(hi))
-    val df = readFiles(m, hit)
+    val df = readFiles(m, hit, m.currentSnapshot.map(_.deletes).getOrElse(Nil))
     df.filter(org.apache.spark.sql.functions.col(column)
       .between(org.apache.spark.sql.functions.lit(lo),
         org.apache.spark.sql.functions.lit(hi)))
@@ -197,8 +264,20 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
           }
         }
       }
-    readFiles(m, hit).filter(org.apache.spark.sql.functions.col(column) ===
-      org.apache.spark.sql.functions.lit(value))
+    // point probes prune the DELETE side too: a delete file whose key
+    // range excludes the probed value (when probing a delete-key column)
+    // cannot affect the result
+    val deletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil).filter { d =>
+      !d.keyColumns.contains(column) || (d.stats.get(column) match {
+        case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
+          StatCompare.compare(dt, mx, key) >= 0 &&
+            StatCompare.compare(dt, mn, key) <= 0
+        case _ => true
+      })
+    }
+    readFiles(m, hit, deletes)
+      .filter(org.apache.spark.sql.functions.col(column) ===
+        org.apache.spark.sql.functions.lit(value))
   }
 
   /** Driver-side mirror of the IcebergBucket transform for partition

@@ -1,0 +1,72 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Merge-on-read scan: applies equality [[DeleteFile]]s to a data-file
+  * scan at read time (Iceberg v2 semantics — a delete hits rows of data
+  * files with `dataSeq < delete.seq` whose key tuple matches).
+  *
+  * Plan shape at scale: ONE broadcast join against the (metadata-scale)
+  * path→seq map to recover each row's data sequence, then one broadcast
+  * left-outer join per key-column group against the aggregated delete
+  * keys. Delete files are trickle-merge-sized by design — the whole point
+  * of MoR is that the delete side is tiny relative to the data — so both
+  * joins broadcast and the scan stays a single pass with no shuffle.
+  * Compaction applies deletes physically and clears them, bounding the
+  * delete-key working set between maintenance runs.
+  */
+object MorRead {
+
+  /** `_metadata.file_path` is a URI (`file:///…`); our [[DataFile]] paths
+    * are POSIX. Strip the scheme so they join. */
+  private def posixPath(c: Column): Column =
+    regexp_replace(c, "^file:(//)?", "")
+
+  def read(spark: SparkSession, schema: StructType, files: Seq[DataFile],
+      deletes: Seq[DeleteFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else
+      applyDeletes(spark,
+        spark.read.schema(schema).parquet(files.map(_.path): _*),
+        files, deletes)
+
+  /** Apply `deletes` to `base`, which must be a scan of exactly `files`
+    * (the hidden `_metadata` column recovers row→file attribution).
+    * No-op (and no extra plan nodes) when no delete can hit. */
+  def applyDeletes(spark: SparkSession, base: DataFrame, files: Seq[DataFile],
+      deletes: Seq[DeleteFile]): DataFrame = {
+    if (files.isEmpty) return base
+    val minSeq = files.map(_.dataSeq).min
+    val live = deletes.filter(_.seq > minSeq)
+    if (live.isEmpty) return base
+    import spark.implicits._
+
+    val seqDf = broadcast(files.map(f => (f.path, f.dataSeq))
+      .toDF("__gf_path", "__gf_fseq"))
+    val withSeq = base
+      .withColumn("__gf_path", posixPath(col("_metadata.file_path")))
+      .join(seqDf, Seq("__gf_path"), "left")
+      // a file missing from the map (cannot happen for a well-formed scan)
+      // conservatively keeps its rows: null fseq fails no delete test
+      .withColumn("__gf_fseq", coalesce(col("__gf_fseq"), lit(Long.MaxValue)))
+
+    val out = live.groupBy(_.keyColumns).toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(withSeq) { case (df, (keyCols, dels)) =>
+        // max delete-seq per key: a row dies iff ANY delete newer than its
+        // file matches, iff the max matching seq does
+        val delKeys = dels.map(d =>
+            spark.read.parquet(d.path).select(keyCols.map(col): _*)
+              .withColumn("__gf_dseq", lit(d.seq)))
+          .reduce(_ unionByName _)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col("__gf_dseq")).as("__gf_dseq"))
+        df.join(broadcast(delKeys), keyCols, "left_outer")
+          .filter(col("__gf_dseq").isNull || col("__gf_dseq") <= col("__gf_fseq"))
+          .drop("__gf_dseq")
+      }
+    out.drop("__gf_path", "__gf_fseq")
+  }
+}

@@ -20,7 +20,31 @@ final case class DataFile(
     path: String,
     rowCount: Long,
     sizeBytes: Long,
-    stats: Map[String, ColumnStats])
+    stats: Map[String, ColumnStats],
+    /** Data sequence number = snapshotId of the commit that ADDED this
+      * file (stamped in the commit path). An equality [[DeleteFile]]
+      * applies to a data file iff `file.seq < delete.seq` — rows written
+      * in the same commit as (or after) a delete are never its victims,
+      * the Iceberg v2 sequence-number rule. None on pre-MoR metadata ⇒
+      * treated as 0 (every later delete applies). */
+    seq: Option[Long] = None) {
+  def dataSeq: Long = seq.getOrElse(0L)
+}
+
+/** Equality-delete file (Iceberg v2 merge-on-read): a parquet file of
+  * DISTINCT key tuples whose matching rows in OLDER data files
+  * (`dataSeq < seq`) are logically deleted at read time. Trickle
+  * merges/deletes commit one tiny delete file instead of rewriting every
+  * affected data file — the write amplification fix for streaming
+  * upserts at scale; compaction applies deletes physically and clears
+  * them. `stats` carry per-key-column min/max so scans outside the key
+  * range skip the anti-join entirely. */
+final case class DeleteFile(
+    path: String,
+    keyColumns: Seq[String],
+    rowCount: Long,
+    seq: Long,
+    stats: Map[String, ColumnStats] = Map.empty)
 
 /** Typed comparison of two stat strings — shared by file-level pruning
   * (`GraftTable`) and manifest-ref-level range aggregation, so both
@@ -88,7 +112,13 @@ final case class Snapshot(
     // TableMetadata.schemaAt so they see the columns of THAT point in
     // history, not ones added later. None on pre-existing metadata ⇒
     // falls back to the current schema (the old behavior).
-    schemaVersionAt: Option[Int] = None) {
+    schemaVersionAt: Option[Int] = None,
+    // Live equality-delete files (merge-on-read). Inline in the snapshot:
+    // their count is bounded by merges-since-last-compaction, and
+    // MaintenancePolicy-driven compaction applies + clears them, so the
+    // list never grows unboundedly the way the data-file list would.
+    deleteFiles: Option[Seq[DeleteFile]] = None) {
+  def deletes: Seq[DeleteFile] = deleteFiles.getOrElse(Nil)
   def dataFiles: Seq[DataFile] = files.getOrElse {
     manifestRefs match {
       case Some(refs) => refs.flatMap(r => ManifestIO.read(r.path))
@@ -137,7 +167,14 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     // superseded schemas by version (current one lives in schemaJson) —
     // the lookup table behind snapshot-time schema resolution
-    schemaHistory: Option[Map[String, String]] = None) {
+    schemaHistory: Option[Map[String, String]] = None,
+    // named refs (Iceberg branches/tags): ref name → snapshotId. Branch
+    // commits advance their ref instead of currentSnapshotId — the
+    // write-audit-publish staging surface; `publish` fast-forwards main
+    // onto a ref. Snapshots are shared, so refs are pure metadata.
+    refs: Option[Map[String, Long]] = None) {
+
+  def refId(name: String): Option[Long] = refs.flatMap(_.get(name))
 
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -193,8 +230,8 @@ final case class TableMetadata(
     * (one body read per legacy manifest, paid once — the next snapshot
     * carries refs). Legacy INLINE file lists return no refs; the caller
     * folds those files into its new manifest. */
-  private def parentRefs: (Seq[ManifestRef], Seq[DataFile]) =
-    currentSnapshot match {
+  private def parentRefsOf(base: Option[Snapshot]): (Seq[ManifestRef], Seq[DataFile]) =
+    base match {
       case None => (Nil, Nil)
       case Some(s) => s.manifestRefs match {
         case Some(refs) => (refs, Nil)
@@ -203,6 +240,18 @@ final case class TableMetadata(
         case None => (Nil, s.files.getOrElse(Nil))
       }
     }
+
+  /** The snapshot a commit builds on: the branch head when `branch` is
+    * given (must exist — see `GraftTable.createBranch`), else the
+    * current snapshot. */
+  def baseSnapshot(branch: Option[String]): Option[Snapshot] = branch match {
+    case None => currentSnapshot
+    case Some(b) =>
+      val id = refId(b).getOrElse(throw new ValidationError(
+        s"No branch '$b' in $identifier — createBranch first"))
+      Some(snapshots.find(_.snapshotId == id).getOrElse(
+        throw new ValidationError(s"Branch '$b' points at missing snapshot $id")))
+  }
 
   /** Delta commit — THE scale-critical form. Appends a snapshot whose
     * file set is `parent - removedPaths + added`, deciding manifest reuse
@@ -219,10 +268,14 @@ final case class TableMetadata(
     * "unchanged" and reuse-by-identity is sound. */
   def withSnapshotDelta(op: String, loadId: Option[String],
       added: Seq[DataFile], removedPaths: Set[String],
-      nowMs: Long = System.currentTimeMillis()): TableMetadata = {
-    val (refs, inlineLegacy) = parentRefs
+      nowMs: Long = System.currentTimeMillis(),
+      newDeletes: Seq[DeleteFile] = Nil,
+      clearDeletes: Boolean = false,
+      branch: Option[String] = None): TableMetadata = {
+    val base = baseSnapshot(branch)
+    val (baseRefs, inlineLegacy) = parentRefsOf(base)
     var survivors = Vector.empty[DataFile]
-    val kept = refs.filter { ref =>
+    val kept = baseRefs.filter { ref =>
       val mayBeAffected = removedPaths.nonEmpty &&
         ref.pathBloom.forall(b =>
           removedPaths.exists(KeyBloom.mightContain(b, _)))
@@ -234,13 +287,26 @@ final case class TableMetadata(
         else { survivors ++= keep; false }
       }
     }
+    // Stamp this commit's snapshotId as the data sequence of added files;
+    // survivors restaged by a CoW rewrite also count as added (their path
+    // changed), which is sound because the rewrite applies every
+    // outstanding delete before restaging.
+    val seqId = nextSnapshotId
     val newFiles =
       inlineLegacy.filterNot(f => removedPaths.contains(f.path)) ++
-        survivors ++ added
+        survivors ++ added.map(_.copy(seq = Some(seqId)))
     val newRefs = kept ++
       (if (newFiles.nonEmpty)
         Seq(ManifestIO.writeRef(metadataDirPath, newFiles, statTypeOf)) else Nil)
-    appendSnapshot(op, loadId, mergeSmallManifests(newRefs), nowMs)
+    // a delete targeting an EMPTY parent can never have victims (every
+    // data file would be newer) — drop it; decided here so the rule
+    // re-evaluates correctly under CAS rebase
+    val parentHasData = baseRefs.nonEmpty || inlineLegacy.nonEmpty
+    appendSnapshot(op, loadId, mergeSmallManifests(newRefs), nowMs,
+      deletes = if (clearDeletes) Nil
+        else base.map(_.deletes).getOrElse(Nil) ++
+          (if (parentHasData) newDeletes.map(_.copy(seq = seqId)) else Nil),
+      branch = branch)
   }
 
   /** Manifest merging (the Iceberg merge-manifests idea): one manifest
@@ -265,18 +331,33 @@ final case class TableMetadata(
 
   /** Replace-all commit: the snapshot references ONLY `files` (one fresh
     * manifest, no parent reads — nothing can be reused by construction). */
+  /** Replace-all commits clear delete files: the snapshot's whole row set
+    * is the new files, so no prior delete can have surviving victims. */
   def withSnapshotReplace(op: String, loadId: Option[String],
-      files: Seq[DataFile], nowMs: Long = System.currentTimeMillis()): TableMetadata =
+      files: Seq[DataFile], nowMs: Long = System.currentTimeMillis(),
+      branch: Option[String] = None): TableMetadata =
     appendSnapshot(op, loadId,
       if (files.isEmpty) Nil
-      else Seq(ManifestIO.writeRef(metadataDirPath, files, statTypeOf)),
-      nowMs)
+      else Seq(ManifestIO.writeRef(metadataDirPath,
+        files.map(_.copy(seq = Some(nextSnapshotId))), statTypeOf)),
+      nowMs, deletes = Nil, branch = branch)
 
   private def appendSnapshot(op: String, loadId: Option[String],
-      refs: Seq[ManifestRef], nowMs: Long): TableMetadata = {
-    val snap = Snapshot(nextSnapshotId, currentSnapshotId, nowMs, op, loadId,
-      manifestRefs = Some(refs), schemaVersionAt = Some(schemaVersion))
-    copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)
+      manifestRefList: Seq[ManifestRef], nowMs: Long,
+      deletes: Seq[DeleteFile],
+      branch: Option[String] = None): TableMetadata = {
+    val parent = branch.fold(currentSnapshotId)(refId)
+    val snap = Snapshot(nextSnapshotId, parent, nowMs, op, loadId,
+      manifestRefs = Some(manifestRefList), schemaVersionAt = Some(schemaVersion),
+      deleteFiles = if (deletes.isEmpty) None else Some(deletes))
+    branch match {
+      case None =>
+        copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)
+      case Some(b) =>
+        // branch commit: the named ref advances, main does not
+        copy(refs = Some(refs.getOrElse(Map.empty) + (b -> snap.snapshotId)),
+          snapshots = snapshots :+ snap)
+    }
   }
 
   /** Flat-list commit (compatibility form): derives the delta against the

@@ -224,6 +224,56 @@ object WriteQueries {
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM ($targetSql)
          |WHERE o_custkey BETWEEN 1 AND 50""".stripMargin)),
 
+    // D4 merge-on-read (Iceberg v2 equality deletes): same relational
+    // end state as w3+w5, but each merge commits ONE tiny delete-key
+    // file instead of rewriting affected data files — O(batch) commit IO
+    // for trickle upserts. The returned frame goes through the
+    // sequence-fenced broadcast anti-join read (MorRead); the physical
+    // apply-deletes rewrite is pinned content-neutral in MergeOnReadSpec.
+    "w15_merge_on_read" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        val morCfg = cfg.copy(mergeOnRead = true)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)),
+          Merge("upsert"), morCfg, "l1")
+        val marked = source(s, dir).withColumn("_dlt_deleted_at",
+          when(col("o_orderkey") % 10 === 0, current_timestamp()))
+        val tbl = w.writeTable("main", "orders_t", Seq(marked),
+          Merge("upsert"), morCfg, "l2")
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql) tgt
+         |WHERE tgt.o_orderkey NOT IN (SELECT o_orderkey FROM ($sourceSql))
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)
+         |WHERE o_orderkey % 10 <> 0""".stripMargin)),
+
+    // Write-audit-publish via named refs (Iceberg branch semantics):
+    // the second load commits to an "audit" branch — main readers see
+    // only the first load until publish fast-forwards main onto the
+    // audited head. The returned frame is the post-publish main read;
+    // isolation before publish and divergence refusal are pinned in
+    // BranchSpec.
+    "w16_wap_branch" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = new GraftWriter(scratch(s))
+        val tbl = w.writeTable("main", "orders_t", Seq(target(s, dir)),
+          Append, cfg, "l1")
+        tbl.createBranch("audit")
+        w.writeTable("main", "orders_t", Seq(source(s, dir)), Append,
+          cfg.copy(toBranch = Some("audit")), "l2")
+        val mainBefore = tbl.read().count()
+        tbl.publish("audit")
+        // main saw ONLY l1 pre-publish; surface that invariant in the
+        // result by failing the row count if isolation broke
+        if (tbl.read().count() == mainBefore)
+          throw new IllegalStateException("publish did not advance main")
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
+
     // S2: stats-pruned range scan — file-level pruning by snapshot
     // min/max + parquet pushdown, equals the plain relational filter
     "w10_pruned_scan" -> ((

@@ -53,7 +53,22 @@ final case class WriteConfig(
     /** Upper bound on rows per staged parquet file (0 = off) — the
       * write.target-file-size analogue; keeps huge loads from emitting
       * files that defeat split planning. */
-    maxRecordsPerFile: Long = 0L)
+    maxRecordsPerFile: Long = 0L,
+    /** Write-audit-publish: commit this load onto a named branch
+      * (created via `GraftTable.createBranch`) instead of main — main
+      * readers see nothing until `publish(branch)` fast-forwards.
+      * Supported for append, replace, and merge-on-read merges; a
+      * copy-on-write merge to a branch is rejected (its affected-file
+      * planning reads main state). */
+    toBranch: Option[String] = None,
+    /** Merge-on-read (Iceberg v2 equality deletes): merge commits write
+      * the staged batch plus ONE tiny delete-key file instead of
+      * rewriting every key-affected data file — O(batch) write cost per
+      * trickle merge instead of O(affected files), the write-amplification
+      * fix for streaming upserts. Reads apply deletes via broadcast
+      * anti-join ([[graft.catalog.MorRead]]); compaction applies them
+      * physically. Copy-on-write (the default) keeps scans join-free. */
+    mergeOnRead: Boolean = false)
 
 /** The disposition engine — the Spark-native rebuild of
   * `_commit_table_files` (`destination_client.py:1256-1520`).
@@ -133,7 +148,8 @@ final class GraftWriter(catalog: GraftCatalog) {
     // delta commit: parent manifests carry by identity — zero manifest
     // body reads even on a cold JVM (the cost every load pays)
     t.commit(fresh => fresh.withSnapshotDelta("append", Some(loadId),
-      staged, Set.empty), cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      staged, Set.empty, branch = cfg.toBranch),
+      cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
   }
 
   private def commitReplace(t: GraftTable, m: TableMetadata, df: DataFrame,
@@ -143,12 +159,16 @@ final class GraftWriter(catalog: GraftCatalog) {
       maxRecordsPerFile = cfg.maxRecordsPerFile)
     // truncate-and-insert: snapshot references ONLY the new files; old
     // files stay on disk for time travel (S6)
-    t.commit(fresh => fresh.withSnapshotReplace("overwrite", Some(loadId), staged),
-      cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    t.commit(fresh => fresh.withSnapshotReplace("overwrite", Some(loadId), staged,
+      branch = cfg.toBranch), cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
   }
 
   private def commitMerge(t: GraftTable, m: TableMetadata, combined: DataFrame,
       pks: Seq[String], strategy: String, loadId: String, cfg: WriteConfig): Unit = {
+    if (cfg.toBranch.isDefined && !cfg.mergeOnRead)
+      throw new ValidationError(
+        "Copy-on-write merge to a branch is not supported: its affected-file " +
+          "planning reads main state. Use mergeOnRead = true for branch merges.")
     val hasMarker = combined.schema.fieldNames.contains(cfg.hardDeleteColumn)
 
     // Hard-delete split (P3, `_prepare_hard_deletes`,
@@ -162,7 +182,8 @@ final class GraftWriter(catalog: GraftCatalog) {
     if (hasMarker && remaining.isEmpty) {
       // all-deletes fast path (destination_client.py:1412-1417)
       val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
-      rewriteCommit(t, delKeys, pks, Nil, "delete", loadId, cfg)
+      if (cfg.mergeOnRead) morCommit(t, delKeys, pks, Nil, "delete", loadId, cfg)
+      else rewriteCommit(t, delKeys, pks, Nil, "delete", loadId, cfg)
       return
     }
 
@@ -176,7 +197,9 @@ final class GraftWriter(catalog: GraftCatalog) {
         val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec,
           if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(m, cfg),
           cfg.maxRecordsPerFile)
-        rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
+        if (cfg.mergeOnRead)
+          morCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
+        else rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
 
       case _ => // upsert (default)
         // ONE grouped aggregation serves both the duplicate-PK contract
@@ -201,7 +224,9 @@ final class GraftWriter(catalog: GraftCatalog) {
           // transaction in the reference, destination_client.py:1438-1441)
           if (hasMarker && !hardDeleted.isEmpty) {
             val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
-            rewriteCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
+            if (cfg.mergeOnRead)
+              morCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
+            else rewriteCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
           }
           val upsertKeys = grouped.select(pks.map(col): _*)
           // after the dup check, upsert rows == distinct keys: a batch
@@ -215,10 +240,33 @@ final class GraftWriter(catalog: GraftCatalog) {
           val staged = Stager.stage(remaining, t.dataDir, loadId,
             t.metadata.partitionSpec, clusterBy,
             GraftWriter.bloomColumns(t.metadata, cfg), cfg.maxRecordsPerFile)
-          rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg,
+          if (cfg.mergeOnRead)
+            morCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
+          else rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg,
             precomputed = Some((st, keyCount)))
         } finally grouped.unpersist()
     }
+  }
+
+  /** Merge-on-read commit: stage the batch's delete-key set as ONE tiny
+    * parquet [[graft.catalog.DeleteFile]] and add it (plus the staged
+    * data files) to the snapshot — parent data files are never read or
+    * rewritten, so the commit does O(batch) IO regardless of how many
+    * files the keys touch. The read-side anti-join lives in
+    * [[graft.catalog.MorRead]]; sequence stamping (added files and the
+    * delete get this commit's snapshotId, so a batch never deletes its
+    * own rows) happens in `withSnapshotDelta`. */
+  private def morCommit(t: GraftTable, keys: DataFrame, pks: Seq[String],
+      stagedNew: Seq[DataFile], op: String, loadId: String, cfg: WriteConfig): Unit = {
+    // one tiny file: MoR targets trickle batches, and the read side
+    // broadcasts the delete keys — a 32-way shuffle write of 5 keys
+    // would cost more files than rows
+    val delFiles = Stager
+      .stage(keys.coalesce(1), t.dir.resolve("deletes"), loadId)
+      .map(f => DeleteFile(f.path, pks, f.rowCount, 0L, f.stats))
+    t.commit(fresh => fresh.withSnapshotDelta(op, Some(loadId), stagedNew,
+      Set.empty, newDeletes = delFiles, branch = cfg.toBranch),
+      cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
   }
 
   /** The heart of every merge variant: rewrite the key-affected subset of
@@ -294,7 +342,13 @@ final class GraftWriter(catalog: GraftCatalog) {
           else {
             val affectedDf = spark.read.schema(fresh.schema)
               .parquet(affected.map(_.path): _*)
-            val kept = affectedDf.join(keysCached, pks, "left_anti")
+            // a CoW rewrite on a table with outstanding MoR delete files
+            // must apply them to the rows it restages — the restaged
+            // files get a NEW data sequence, putting them out of those
+            // deletes' reach
+            val delApplied = MorRead.applyDeletes(spark, affectedDf, affected,
+              fresh.currentSnapshot.map(_.deletes).getOrElse(Nil))
+            val kept = delApplied.join(keysCached, pks, "left_anti")
             // manifest metadata already bounds the rewrite size (kept rows
             // <= sum of affected rowCounts): a rewrite that lands in one
             // file gains nothing from range clustering — skip its

@@ -24,20 +24,75 @@ object Maintenance {
     if (small.size < 2) return false
     val totalBytes = small.map(_.sizeBytes).sum
     val numOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = t.spark.read.schema(m.schema).parquet(small.map(_.path): _*)
+    // apply outstanding MoR deletes to the rows being restaged — the
+    // compacted files get a fresh data sequence, which puts them out of
+    // those deletes' reach; copying deleted rows verbatim would resurrect
+    // them
+    val df = graft.catalog.MorRead.applyDeletes(t.spark,
+        t.spark.read.schema(m.schema).parquet(small.map(_.path): _*),
+        small, m.currentSnapshot.map(_.deletes).getOrElse(Nil))
       .coalesce(numOut)
     // rebuild table-property bloom stats: compacted files must keep the
     // membership filters or point lookups degrade to full scans
     val staged = Stager.stage(df, t.dataDir, "compact", m.partitionSpec,
       bloomColumns = GraftWriter.tableBloomColumns(m))
     val smallPaths = small.map(_.path).toSet
+    val plannedDeletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)
+      .map(_.path).toSet
     t.commit({ fresh =>
       // rebase-safe only if the small set is still current; if a
       // concurrent writer rewrote any of them, drop this compaction
       val cur = fresh.currentFiles.map(_.path).toSet
       if (!smallPaths.subsetOf(cur))
         throw new graft.catalog.ValidationError("compaction superseded by concurrent commit")
+      // restaged files get a NEW data sequence, so a delete file that
+      // arrived after planning would silently skip them — refuse the
+      // stale restage instead
+      if (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil)
+          .map(_.path).toSet != plannedDeletes)
+        throw new graft.catalog.ValidationError(
+          "compaction superseded by concurrent merge-on-read delete")
       fresh.withSnapshotDelta("compact", None, staged, smallPaths)
+    }, unitMs = retryUnitMs)
+    true
+  }
+
+  /** Physically apply every outstanding merge-on-read [[graft.catalog
+    * .DeleteFile]] and clear them — scans join-free again afterwards.
+    * Only data files a delete could actually hit (`dataSeq < delete.seq`)
+    * are rewritten; newer files carry over as metadata. Content-neutral
+    * with respect to `read()` by construction. Returns false when there
+    * is nothing to apply. */
+  def applyDeletes(t: GraftTable, retryUnitMs: Long = 1000L): Boolean = {
+    val m = t.metadata
+    val deletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)
+    if (deletes.isEmpty) return false
+    val maxSeq = deletes.map(_.seq).max
+    val affected = m.currentFiles.filter(_.dataSeq < maxSeq)
+    val staged =
+      if (affected.isEmpty) Nil
+      else {
+        val applied = graft.catalog.MorRead.applyDeletes(t.spark,
+          t.spark.read.schema(m.schema).parquet(affected.map(_.path): _*),
+          affected, deletes)
+        Stager.stage(applied, t.dataDir, "apply-deletes", m.partitionSpec,
+          bloomColumns = GraftWriter.tableBloomColumns(m))
+      }
+    val priorPaths = affected.map(_.path).toSet
+    val plannedDeletes = deletes.map(_.path).toSet
+    t.commit({ fresh =>
+      val cur = fresh.currentFiles.map(_.path).toSet
+      if (!priorPaths.subsetOf(cur))
+        throw new graft.catalog.ValidationError(
+          "apply-deletes superseded by concurrent commit")
+      // clearDeletes wipes the WHOLE delete list — refuse if a delete
+      // file this pass did not apply arrived concurrently
+      if (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil)
+          .map(_.path).toSet != plannedDeletes)
+        throw new graft.catalog.ValidationError(
+          "apply-deletes superseded by concurrent merge-on-read delete")
+      fresh.withSnapshotDelta("apply-deletes", None, staged, priorPaths,
+        clearDeletes = true)
     }, unitMs = retryUnitMs)
     true
   }
@@ -112,11 +167,21 @@ object Maintenance {
     val staged = Stager.stage(rewritten, t.dataDir, "zorder", Nil,
       bloomColumns = GraftWriter.tableBloomColumns(m))
     val priorPaths = files.map(_.path).toSet
+    val plannedDeletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)
+      .map(_.path).toSet
     t.commit({ fresh =>
       val cur = fresh.currentFiles.map(_.path).toSet
       if (priorPaths != cur)
         throw new graft.catalog.ValidationError("zorder superseded by concurrent commit")
-      fresh.withSnapshotDelta("zorder", None, staged, priorPaths)
+      // the whole-table restage applied the deletes t.read() saw at
+      // planning; refuse if a newer MoR delete arrived (its victims were
+      // copied into new-sequence files), and clear the applied ones
+      if (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil)
+          .map(_.path).toSet != plannedDeletes)
+        throw new graft.catalog.ValidationError(
+          "zorder superseded by concurrent merge-on-read delete")
+      fresh.withSnapshotDelta("zorder", None, staged, priorPaths,
+        clearDeletes = true)
     }, unitMs = retryUnitMs)
     true
   }
@@ -132,16 +197,22 @@ object Maintenance {
     var removedManifests: Seq[String] = Nil
     t.commit({ fresh =>
       val keep = fresh.snapshots.sortBy(_.snapshotId).takeRight(keepLast) ++
-        fresh.currentSnapshot.toSeq
+        fresh.currentSnapshot.toSeq ++
+        // branch/tag heads stay live regardless of age
+        fresh.refs.getOrElse(Map.empty).values
+          .flatMap(id => fresh.snapshots.find(_.snapshotId == id))
       val keepIds = keep.map(_.snapshotId).toSet
       val retained = fresh.snapshots.filter(s => keepIds.contains(s.snapshotId))
       val expired = fresh.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
       val liveFiles = retained.flatMap(_.dataFiles.map(_.path)).toSet
       removed = expired.flatMap(_.dataFiles.map(_.path))
         .distinct.filterNot(liveFiles.contains)
-      // manifests referenced only by expired snapshots go too
-      val liveManifests = retained.flatMap(_.manifestPaths).toSet
-      removedManifests = expired.flatMap(_.manifestPaths)
+      // manifests and MoR delete files referenced only by expired
+      // snapshots go too
+      val liveManifests = retained.flatMap(_.manifestPaths).toSet ++
+        retained.flatMap(_.deletes.map(_.path))
+      removedManifests = (expired.flatMap(_.manifestPaths) ++
+        expired.flatMap(_.deletes.map(_.path)))
         .distinct.filterNot(liveManifests.contains)
       fresh.copy(snapshots = retained)
     }, unitMs = retryUnitMs)
@@ -168,14 +239,20 @@ object Maintenance {
     if (!Files.isDirectory(t.dataDir)) return Nil
     val m = t.metadata
     val referenced = m.snapshots
-      .flatMap(_.dataFiles.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet
+      .flatMap(_.dataFiles.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet ++
+      m.snapshots.flatMap(_.deletes.map(d =>
+        Paths.get(d.path).toAbsolutePath.toString))
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val orphans = Files.walk(t.dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .map(_.toAbsolutePath.toString)
-      .filterNot(referenced.contains)
-      .toSeq
+    // MoR delete files stage under dir/deletes — same orphan rules
+    val deletesDir = t.dir.resolve("deletes")
+    val scanRoots = Seq(t.dataDir) ++
+      (if (Files.isDirectory(deletesDir)) Seq(deletesDir) else Nil)
+    val orphans = scanRoots.flatMap(root =>
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .map(_.toAbsolutePath.toString)
+        .filterNot(referenced.contains))
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     // manifests left by failed/rebased CAS attempts: delete any manifest
     // file no snapshot references (same age guard)

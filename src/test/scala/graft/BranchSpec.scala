@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Write-audit-publish branches (Iceberg-style named refs): branch
+  * commits advance a ref instead of main; `publish` fast-forwards main
+  * onto an audited head and refuses divergence; tags are refs nobody
+  * commits to; expiry keeps ref heads alive. */
+class BranchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-br-").toString)
+
+  private def users(rows: (Long, String, Long)*): DataFrame =
+    rows.toSeq.toDF("user_id", "username", "score")
+
+  private val cfg = WriteConfig(primaryKey = Seq("user_id"), retryUnitMs = 1)
+
+  test("write-audit-publish: branch isolates, publish fast-forwards, ref drops") {
+    val w = new GraftWriter(freshCatalog())
+    val t = w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, cfg, "l1")
+    t.createBranch("audit")
+    w.writeTable("main", "u", Seq(users((2, "b", 20))), Append,
+      cfg.copy(toBranch = Some("audit")), "l2")
+
+    // audit sees both loads; main still sees only l1
+    assert(t.readBranch("audit").count() == 2)
+    assert(t.read().count() == 1)
+
+    t.publish("audit")
+    assert(t.read().count() == 2)
+    assert(t.metadata.refId("audit").isEmpty, "publish drops the ref")
+  }
+
+  test("publish refuses a diverged main; branch MoR merge works") {
+    val w = new GraftWriter(freshCatalog())
+    val t = w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20))), Append, cfg, "l1")
+    t.createBranch("audit")
+    // MoR upsert lands on the branch only
+    w.writeTable("main", "u", Seq(users((2, "b2", 21))), Merge("upsert"),
+      cfg.copy(toBranch = Some("audit"), mergeOnRead = true), "l2")
+    assert(t.readBranch("audit").select("username")
+      .as[String].collect().toSet == Set("a", "b2"))
+    assert(t.read().select("username").as[String].collect().toSet == Set("a", "b"))
+
+    // CoW merge to a branch is rejected loudly
+    intercept[ValidationError] {
+      w.writeTable("main", "u", Seq(users((3, "c", 30))), Merge("upsert"),
+        cfg.copy(toBranch = Some("audit")), "l3")
+    }
+
+    // main advances independently -> publish must refuse
+    w.writeTable("main", "u", Seq(users((9, "z", 90))), Append, cfg, "l4")
+    intercept[ValidationError] { t.publish("audit") }
+    t.dropBranch("audit")
+    assert(t.metadata.refId("audit").isEmpty)
+  }
+
+  test("tags pin history through expiry") {
+    val w = new GraftWriter(freshCatalog())
+    val t = w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, cfg, "l1")
+    val v1 = t.metadata.currentSnapshotId.get
+    t.createBranch("v1.0", Some(v1))
+    (2 to 5).foreach(i =>
+      w.writeTable("main", "u", Seq(users((i.toLong, s"u$i", i * 10L))),
+        Append, cfg, s"l$i"))
+    Maintenance.expireSnapshots(t, keepLast = 1, retryUnitMs = 1)
+    // the tag's snapshot survived expiry and still reads
+    assert(t.readBranch("v1.0").count() == 1)
+    assert(t.read().count() == 5)
+  }
+}

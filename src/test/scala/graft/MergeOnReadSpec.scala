@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Merge-on-read (Iceberg v2 equality deletes): MoR merges commit a tiny
+  * delete-key file instead of rewriting affected data files; reads apply
+  * deletes via broadcast anti-join with sequence-number fencing
+  * (a delete hits only data files OLDER than it). Pins:
+  * result-equivalence with copy-on-write, the no-rewrite commit-cost
+  * invariant, sequence fencing on reinserts, mixed CoW/MoR, compaction
+  * safety, physical apply, rollback, and time travel. */
+class MergeOnReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-mor-").toString)
+
+  private def users(rows: (Long, String, Long)*): DataFrame =
+    rows.toSeq.toDF("user_id", "username", "score")
+
+  private val cfg = WriteConfig(primaryKey = Seq("user_id"),
+    retryUnitMs = 1, mergeOnRead = true)
+  private val cowCfg = cfg.copy(mergeOnRead = false)
+
+  // hard-delete batches evolve `_dlt_deleted_at` into the table schema —
+  // project the user columns so content comparisons stay stable
+  private def rowsOf(t: GraftTable): Set[(Long, String, Long)] =
+    t.read().select("user_id", "username", "score")
+      .as[(Long, String, Long)].collect().toSet
+
+  test("MoR upsert matches CoW on the same batches, without rewriting data files") {
+    val b1 = users((1, "a", 10), (2, "b", 20), (3, "c", 30))
+    val b2 = users((2, "b2", 21), (4, "d", 40))
+    val mor = {
+      val w = new GraftWriter(freshCatalog())
+      w.writeTable("main", "u", Seq(b1), Merge("upsert"), cfg, "l1")
+      w.writeTable("main", "u", Seq(b2), Merge("upsert"), cfg, "l2")
+    }
+    val cow = {
+      val w = new GraftWriter(freshCatalog())
+      w.writeTable("main", "u", Seq(b1), Merge("upsert"), cowCfg, "l1")
+      w.writeTable("main", "u", Seq(b2), Merge("upsert"), cowCfg, "l2")
+    }
+    assert(rowsOf(mor) == rowsOf(cow))
+    // commit-cost invariant: l1's data file survives VERBATIM in the
+    // current snapshot (no rewrite), and the snapshot carries one delete
+    // file for l2's keys
+    val m = mor.metadata
+    val snaps = m.snapshots.sortBy(_.snapshotId)
+    val l1Files = snaps.head.dataFiles.map(_.path).toSet
+    assert(l1Files.subsetOf(m.currentFiles.map(_.path).toSet),
+      "MoR merge must not rewrite parent data files")
+    val dels = m.currentSnapshot.get.deletes
+    assert(dels.size == 1 && dels.head.rowCount == 2 &&
+      dels.head.keyColumns == Seq("user_id"))
+    // sequence fencing: the delete's seq equals the second commit, and
+    // l2's own files are NOT its victims
+    assert(dels.head.seq == snaps(1).snapshotId)
+    val l2Files = snaps(1).dataFiles.filterNot(f => l1Files.contains(f.path))
+    assert(l2Files.forall(_.dataSeq == snaps(1).snapshotId))
+  }
+
+  test("MoR delete-insert and hard deletes match the relational result") {
+    val w = new GraftWriter(freshCatalog())
+    w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20), (3, "c", 30))),
+      Merge("delete-insert"), cfg, "l1")
+    // 2 replaced, 3 hard-deleted, 4 inserted
+    val marked = users((2, "b2", 21), (3, "c", 30), (4, "d", 40))
+      .withColumn("_dlt_deleted_at",
+        org.apache.spark.sql.functions.when($"user_id" === 3,
+          org.apache.spark.sql.functions.current_timestamp()))
+    val t = w.writeTable("main", "u", Seq(marked), Merge("delete-insert"), cfg, "l2")
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)))
+  }
+
+  test("reinsert after MoR delete survives (sequence fencing)") {
+    val w = new GraftWriter(freshCatalog())
+    w.writeTable("main", "u", Seq(users((1, "a", 10))), Merge("upsert"), cfg, "l1")
+    // delete key 1 via hard-delete, then re-insert it in a later load
+    val dead = users((1, "a", 10)).withColumn("_dlt_deleted_at",
+      org.apache.spark.sql.functions.current_timestamp())
+    w.writeTable("main", "u", Seq(dead), Merge("upsert"), cfg, "l2")
+    val t = w.writeTable("main", "u", Seq(users((1, "a3", 12))),
+      Merge("upsert"), cfg, "l3")
+    assert(rowsOf(t) == Set((1L, "a3", 12L)),
+      "older deletes must not swallow newer reinserts")
+    // and the intermediate state really was empty
+    val snaps = t.metadata.snapshots.sortBy(_.snapshotId)
+    assert(t.readSnapshot(snaps(1).snapshotId).count() == 0)
+  }
+
+  test("CoW merge on a table with outstanding MoR deletes applies them to restaged rows") {
+    val w = new GraftWriter(freshCatalog())
+    w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20), (3, "c", 30))),
+      Merge("upsert"), cfg, "l1")
+    w.writeTable("main", "u", Seq(users((2, "b2", 21))), Merge("upsert"), cfg, "l2")
+    // CoW upsert touching key 1's file: the rewrite restages keys 2,3 from
+    // l1's file — key 2's stale version must stay dead
+    val t = w.writeTable("main", "u", Seq(users((1, "a2", 11))),
+      Merge("upsert"), cowCfg, "l3")
+    assert(rowsOf(t) == Set((1L, "a2", 11L), (2L, "b2", 21L), (3L, "c", 30L)))
+  }
+
+  test("compact and applyDeletes keep content and clear applied deletes") {
+    val w = new GraftWriter(freshCatalog())
+    w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20), (3, "c", 30))),
+      Merge("upsert"), cfg, "l1")
+    w.writeTable("main", "u", Seq(users((2, "b2", 21), (4, "d", 40))),
+      Merge("upsert"), cfg, "l2")
+    val t = w.writeTable("main", "u", Seq(users((3, "c2", 31))),
+      Merge("upsert"), cfg, "l3")
+    val before = rowsOf(t)
+    assert(t.metadata.currentSnapshot.get.deletes.size == 2)
+
+    // compaction restages small files WITH deletes applied (no
+    // resurrection), carrying the delete files forward
+    assert(Maintenance.compact(t, retryUnitMs = 1))
+    assert(rowsOf(t) == before)
+
+    // physical apply clears every delete file and keeps content
+    assert(Maintenance.applyDeletes(t, retryUnitMs = 1))
+    assert(rowsOf(t) == before)
+    assert(t.metadata.currentSnapshot.get.deletes.isEmpty)
+    assert(!Maintenance.applyDeletes(t, retryUnitMs = 1))
+  }
+
+  test("rollback restores the delete set; time travel sees per-snapshot deletes") {
+    val w = new GraftWriter(freshCatalog())
+    w.writeTable("main", "u", Seq(users((1, "a", 10), (2, "b", 20))),
+      Merge("upsert"), cfg, "l1")
+    val t = w.writeTable("main", "u", Seq(users((2, "b2", 21))),
+      Merge("upsert"), cfg, "l2")
+    val snaps = t.metadata.snapshots.sortBy(_.snapshotId)
+    assert(t.readSnapshot(snaps(0).snapshotId).as[(Long, String, Long)]
+      .collect().toSet == Set((1L, "a", 10L), (2L, "b", 20L)))
+    t.rollbackTo(snaps(0).snapshotId)
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b", 20L)))
+    assert(t.metadata.currentSnapshot.get.deletes.isEmpty)
+    t.rollbackTo(snaps(1).snapshotId)
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b2", 21L)))
+    assert(t.metadata.currentSnapshot.get.deletes.size == 1)
+  }
+
+  test("point lookup and range scan apply deletes") {
+    val w = new GraftWriter(freshCatalog())
+    w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20), (3, "c", 30))),
+      Merge("upsert"), cfg, "l1")
+    val t = w.writeTable("main", "u", Seq(users((2, "b2", 21))),
+      Merge("upsert"), cfg, "l2")
+    assert(t.readPointLookup("user_id", 2L).as[(Long, String, Long)]
+      .collect().toSet == Set((2L, "b2", 21L)))
+    assert(t.scanRange("user_id", 1L, 3L).as[(Long, String, Long)]
+      .collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+  }
+}
