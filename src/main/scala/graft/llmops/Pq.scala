@@ -1,0 +1,141 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the classic IVF-PQ memory lever
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011): split each d-dim vector into `m` subvectors, k-means each
+  * subspace into `ksub` centroids, and store per vector only the m
+  * centroid codes — m bytes instead of 4d, a 32× footprint cut at d=64 /
+  * m=8, which is what lets a 100 TB embedding corpus's index live in
+  * cluster RAM.
+  *
+  * Query scoring is ADC (asymmetric distance computation) re-expressed
+  * relationally: the per-query lookup table of subspace partial dot
+  * products is a tiny literal DataFrame (|Q|·m·ksub rows), broadcast and
+  * joined against the exploded (vec_id, subspace, code) corpus, then
+  * summed per (query, vector) — one broadcast join + one partial-agg
+  * shuffle, no full-vector reads at query time. Codebook norms fold into
+  * the same LUT so the score is a true cosine against the RECONSTRUCTED
+  * vector.
+  *
+  * Determinism: codebooks come from [[SemanticDedup.kmeansCentroids]]
+  * (fixed-iteration Lloyd, xxhash64-seeded, 1e-6 quantized), so encode
+  * and top-k replay bit-identically — pinned in `PqSpec`.
+  */
+object Pq {
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Per-subspace codebooks: `m` × `ksub` × (dim/m) centroid matrix. One
+    * deterministic k-means per subspace over the SLICED corpus — driver
+    * holds m·ksub·(dim/m) doubles (= dim·ksub, corpus-size-independent). */
+  def codebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subdim = dim / m
+    (0 until m).map { mi =>
+      val sub = embeddings.select(col(idCol),
+        slice(asDouble(col(vecCol)), mi * subdim + 1, subdim).as(vecCol))
+      SemanticDedup.kmeansCentroids(sub, ksub, iters, idCol, vecCol)
+    }.toArray
+  }
+
+  /** Argmin-distance code of subvector `v` against one subspace's
+    * codebook — same cancellation as SemanticDedup.argminCluster. */
+  private def codeOf(v: Column, book: Array[Array[Double]]): Column = {
+    val scores = book.map { c =>
+      val c2 = c.map(x => x * x).sum
+      lit(c2) - lit(2.0) * Similarity.fastDot(v, typedlit(c.toSeq))
+    }
+    val arr = array(scores: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** Encode the corpus: one row per vector with its m codes — the
+    * compressed index (map-only pass; codes are what you'd persist). */
+  def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+      dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val subdim = dim / m
+    val codes = books.zipWithIndex.map { case (book, mi) =>
+      codeOf(slice(asDouble(col(vecCol)), mi * subdim + 1, subdim), book)
+    }
+    embeddings.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** ADC cosine top-k: queries (small by contract — they are collected to
+    * build the LUT, exactly as IVF bakes centroids into literals) against
+    * the PQ-encoded corpus, with exact re-ranking of the ADC shortlist
+    * (the standard IVF-PQ refinement): ADC ranks `k·rerank` candidates
+    * from codes alone, then ONLY those |Q|·k·rerank vectors are read at
+    * full precision for the final cosine — the full corpus is never
+    * scanned at query time. `rerank = 1` disables refinement. */
+  def adcTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, iters: Int = 4, dim: Int = 64,
+      rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = codebooks(embeddings, m, ksub, iters, dim, idCol, vecCol)
+    val subdim = dim / m
+
+    val encoded = encode(embeddings, books, dim, idCol, vecCol)
+      .select(col(idCol).as("nbr_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+
+    // LUT: per (query, subspace, code) the partial dot against that
+    // centroid plus the centroid's squared norm (for the reconstructed
+    // vector's norm); |Q|·m·ksub rows — broadcast-sized by construction
+    val qRows = queries.select(col(idCol), asDouble(col(vecCol))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lut = qRows.flatMap { case (qid, qv) =>
+      val qnrm = math.sqrt(qv.map(x => x * x).sum)
+      books.zipWithIndex.flatMap { case (book, mi) =>
+        val qSub = qv.slice(mi * subdim, (mi + 1) * subdim)
+        book.zipWithIndex.map { case (c, code) =>
+          val partial = c.zip(qSub).map { case (a, b) => a * b }.sum
+          val cNormSq = c.map(x => x * x).sum
+          (qid, mi, code, partial, cNormSq, qnrm)
+        }
+      }
+    }.toSeq.toDF("query_id", "m", "code", "partial", "c_nsq", "qnrm")
+
+    val scored = encoded.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum(col("partial")).as("dot"),
+        sum(col("c_nsq")).as("r_nsq"), first(col("qnrm")).as("qnrm"))
+      .withColumn("cosine", col("dot") / (sqrt(col("r_nsq")) * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    if (rerank <= 1)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k * rerank)
+        .select(col("query_id"), col("nbr_id"))
+      // exact rescoring of the shortlist ONLY: broadcast the |Q|·k·rerank
+      // candidate ids against the corpus, read those full vectors once
+      val qv = qRows.toSeq.toDF("query_id", "qv")
+      val full = embeddings.select(col(idCol).as("nbr_id"),
+        asDouble(col(vecCol)).as("v"))
+      val exact = full.join(broadcast(shortlist), Seq("nbr_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cosine", Similarity.fastDot(col("v"), col("qv")) /
+          (sqrt(Similarity.fastDot(col("v"), col("v"))) *
+            sqrt(Similarity.fastDot(col("qv"), col("qv")))))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }
+  }
+}

@@ -93,6 +93,43 @@ object TextOps {
         .getField("score") + 1e-9, 4).as("lang_score"))
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much its HASHED-unigram distribution looks
+    * like a target domain (here: the `lang = targetLang` slice) versus
+    * the raw corpus. Features are md5-prefix buckets (3 hex chars =
+    * 4096), so the feature space is fixed-size regardless of vocabulary;
+    * the weight is the mean per-token log-likelihood ratio
+    * ln(p_target(b)/p_raw(b)) with add-one smoothing.
+    *
+    * Scale shape: one pass builds the 4096-row bucket table (map-side
+    * combined), which then BROADCASTS back onto the exploded tokens —
+    * per-doc scoring never shuffles the corpus on anything wider than
+    * doc_id. `keep` (weight > 0) is the resampling decision at
+    * acceptance-ratio 1; callers resample with any quota by ranking on
+    * the weight. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col(textCol))).as("t"))
+      .withColumn("bk", substring(md5(col("t")), 1, 3))
+    val totals = tok.agg(count(lit(1)).as("nr"),
+      count(when(col("lang") === targetLang, 1)).as("nt")).collect()(0)
+    val (nr, nt) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+    val lr = tok.groupBy(col("bk"))
+      .agg(count(lit(1)).cast("double").as("cr"),
+        count(when(col("lang") === targetLang, 1)).cast("double").as("ct"))
+      .select(col("bk"), log(
+        ((col("ct") + 1.0) / (nt + buckets)) /
+          ((col("cr") + 1.0) / (nr + buckets))).as("lr"))
+    tok.join(broadcast(lr), "bk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        // + 1e-9: see tokenStats
+        round(avg(col("lr")) + 1e-9, 4).as("dsir_weight"))
+      .withColumn("keep", col("dsir_weight") > 0)
+  }
+
   /** Corpus-statistics quality proxy: mean unigram log-probability per
     * document against the corpus's own token distribution — the cheap
     * stand-in for LM-perplexity filtering (gibberish and rare-token spam

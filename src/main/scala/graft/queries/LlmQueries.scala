@@ -391,6 +391,41 @@ object LlmQueries {
     // Gopher quality-rule battery: per-rule booleans + combined verdict,
     // one map-only codegen pass; the oracle recomputes every rule with
     // the same IEEE divisions (no rounded floats cross the hash compare)
+    // PQ-ANN (product quantization, Jégou et al. 2011): corpus stored as
+    // m=8 4-bit codes per vector (32x memory cut — the index that fits
+    // cluster RAM at 100 TB); queries score via a broadcast ADC
+    // lookup-table join. Deterministic codebooks, but driver-side k-means
+    // isn't portable SQL — rows-only here; recall vs l9 brute force and
+    // bit-replay determinism are pinned in PqSpec.
+    "l41_ann_pq" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        graft.llmops.Pq.adcTopK(e, e.filter(col("vec_id") < 10), k = 3)
+      },
+      None)),
+
+    // DSIR importance weighting (Xie et al. 2023): per-doc mean
+    // log-likelihood ratio of md5-bucket hashed unigrams, target = the
+    // English slice vs the raw corpus; keep = weight > 0. Fully
+    // SQL-portable (md5 prefixes hash identically in both engines).
+    "l42_dsir_weights" -> ((
+      (s: SparkSession, dir: String) => TextOps.dsirWeights(docs(s, dir)),
+      Some("""WITH b AS (SELECT doc_id, lang, substr(md5(t), 1, 3) AS bk
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)),
+        |tot AS (SELECT count(*) * 1.0 AS nr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 AS nt FROM b),
+        |lr AS (SELECT bk,
+        |    ln(((ct + 1) / ((SELECT nt FROM tot) + 4096)) /
+        |       ((cr + 1) / ((SELECT nr FROM tot) + 4096))) AS lr
+        |  FROM (SELECT bk, count(*) * 1.0 AS cr,
+        |      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 AS ct
+        |    FROM b GROUP BY bk))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(lr) + 1e-9, 4) AS dsir_weight,
+        |  round(avg(lr) + 1e-9, 4) > 0 AS keep
+        |FROM b JOIN lr USING (bk) GROUP BY doc_id""".stripMargin))),
+
     "l40_gopher_rules" -> ((
       (s: SparkSession, dir: String) => TextOps.gopherRules(docs(s, dir)),
       Some("""WITH d AS (SELECT doc_id, text,
