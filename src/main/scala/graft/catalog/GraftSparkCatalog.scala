@@ -66,26 +66,37 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       Some(schema),
       classOf[ParquetFileFormat])
 
-  override def loadTable(ident: Identifier): Table = {
-    val m = graftTable(ident).metadata
+  private def v2Of(ident: Identifier, m: TableMetadata, snap: Option[Snapshot],
+      schema: org.apache.spark.sql.types.StructType): Table = {
+    val files = snap.map(_.dataFiles).getOrElse(Nil)
+    val deletes = snap.map(_.deletes).getOrElse(Nil)
     new GraftV2Table(nsOf(ident), ident.name(), cat,
-      asV2(ident, m, m.currentFiles, m.schema), m.schema)
+      asV2(ident, m, files, schema), schema, files, deletes)
   }
 
-  /** `VERSION AS OF <snapshotId>` time travel. Reads resolve under the
-    * SNAPSHOT-TIME schema (Iceberg pins a schema-id per snapshot), so a
-    * time-traveled query never shows columns that did not exist yet. A
-    * missing snapshot id is a version error on an EXISTING table — never
-    * a table-not-found. */
+  override def loadTable(ident: Identifier): Table = {
+    val m = graftTable(ident).metadata
+    v2Of(ident, m, m.currentSnapshot, m.schema)
+  }
+
+  /** `VERSION AS OF <snapshotId | 'branch-or-tag-name'>` time travel.
+    * Reads resolve under the SNAPSHOT-TIME schema (Iceberg pins a
+    * schema-id per snapshot), so a time-traveled query never shows
+    * columns that did not exist yet. A named ref resolves to its head
+    * (Iceberg's branch/tag read); a missing snapshot id is a version
+    * error on an EXISTING table — never a table-not-found. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = graftTable(ident)
     val m = t.metadata
-    val snap = m.snapshots.find(_.snapshotId.toString == version)
+    val id = m.refId(version).map(_.toString).getOrElse(version)
+    val snap = m.snapshots.find(_.snapshotId.toString == id)
       .getOrElse(throw new IllegalArgumentException(
-        s"Snapshot $version not found for table " +
+        s"Snapshot or ref '$version' not found for table " +
           s"${nsOf(ident)}.${ident.name()}; available snapshot ids: " +
-          m.snapshots.map(_.snapshotId).mkString(", ")))
-    asV2(ident, m, snap.dataFiles, m.schemaForSnapshot(snap))
+          m.snapshots.map(_.snapshotId).mkString(", ") +
+          (if (m.refs.exists(_.nonEmpty))
+            s"; refs: ${m.refs.get.keys.mkString(", ")}" else "")))
+    v2Of(ident, m, Some(snap), m.schemaForSnapshot(snap))
   }
 
   /** `TIMESTAMP AS OF` time travel; Spark hands micros since epoch.
@@ -100,7 +111,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         s"No snapshot at or before timestamp $asOfMs ms for table " +
           s"${nsOf(ident)}.${ident.name()} (earliest: " +
           m.snapshots.map(_.timestampMs).minOption.getOrElse(-1L) + " ms)"))
-    asV2(ident, m, snap.dataFiles, m.schemaForSnapshot(snap))
+    v2Of(ident, m, Some(snap), m.schemaForSnapshot(snap))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

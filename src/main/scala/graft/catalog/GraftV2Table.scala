@@ -1,10 +1,11 @@
 package graft.catalog
 
 import java.util.{Set => JSet}
+import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
@@ -17,13 +18,21 @@ import scala.jdk.CollectionConverters._
   * safe-casting, schema-evolution, staging stats, and atomic CAS commit
   * as programmatic loads (a raw file-writing V2 sink would bypass all of
   * it). Merge keeps requiring the programmatic API: a bare INSERT
-  * carries no primary-key/disposition contract. */
+  * carries no primary-key/disposition contract.
+  *
+  * Merge-on-read snapshots (outstanding equality [[DeleteFile]]s) cannot
+  * be served by a raw parquet scan — that would resurrect deleted rows —
+  * so the scan falls back to a V1 relation wrapping [[MorRead]] (filters
+  * re-applied by Spark above it; parquet-level pushdown returns after
+  * `Maintenance.applyDeletes`). */
 final class GraftV2Table(
     ns: String,
     tableName: String,
     cat: GraftCatalog,
     reader: Table,
-    committedSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+    committedSchema: StructType,
+    morFiles: Seq[DataFile] = Nil,
+    morDeletes: Seq[DeleteFile] = Nil) extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = reader.name()
   override def schema(): StructType = committedSchema
@@ -33,7 +42,22 @@ final class GraftV2Table(
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    reader.asInstanceOf[SupportsRead].newScanBuilder(options)
+    if (morDeletes.isEmpty)
+      reader.asInstanceOf[SupportsRead].newScanBuilder(options)
+    else new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = committedSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = committedSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              MorRead.read(context.sparkSession, committedSchema,
+                morFiles, morDeletes).rdd
+          }.asInstanceOf[T]
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

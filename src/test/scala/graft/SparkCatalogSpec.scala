@@ -120,6 +120,42 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(versions == Seq(1, 2) && m.schemaAt(1).fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("SQL reads apply merge-on-read deletes; VERSION AS OF resolves refs") {
+    val cat = freshCatalog("gmor")
+    val w = new GraftWriter(cat)
+    val mcfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
+      mergeOnRead = true)
+    w.writeTable("main", "m",
+      Seq(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")),
+      Merge("upsert"), mcfg, "l1")
+    val t = w.writeTable("main", "m", Seq(Seq((2L, "b2")).toDF("id", "v")),
+      Merge("upsert"), mcfg, "l2")
+
+    // a raw parquet scan would show 4 rows (stale id=2 included) — the
+    // MoR-aware scan must not
+    val got = spark.sql("SELECT id, v FROM gmor.main.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // filters still correct through the V1 fallback
+    assert(spark.sql("SELECT v FROM gmor.main.m WHERE id = 2")
+      .collect().map(_.getString(0)).toSeq == Seq("b2"))
+
+    // branch read through SQL: VERSION AS OF '<ref>'
+    t.createBranch("audit")
+    w.writeTable("main", "m", Seq(Seq((9L, "z")).toDF("id", "v")), Append,
+      WriteConfig(retryUnitMs = 1, toBranch = Some("audit")), "l3")
+    assert(spark.sql("SELECT count(*) FROM gmor.main.m VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) == 4)
+    assert(spark.sql("SELECT count(*) FROM gmor.main.m").collect()(0).getLong(0) == 3)
+
+    // after physical apply, the fast pushdown path returns
+    graft.write.Maintenance.applyDeletes(t, retryUnitMs = 1)
+    val plan = spark.sql("SELECT v FROM gmor.main.m WHERE id = 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      "pushdown must return once deletes are applied")
+  }
+
   test("missing snapshot id is a version error naming the snapshot, not table-not-found") {
     val cat = freshCatalog("gver")
     val w = new GraftWriter(cat)
