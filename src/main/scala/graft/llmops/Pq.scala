@@ -21,27 +21,71 @@ import org.apache.spark.sql.functions._
   * the same LUT so the score is a true cosine against the RECONSTRUCTED
   * vector.
   *
-  * Determinism: codebooks come from [[SemanticDedup.kmeansCentroids]]
-  * (fixed-iteration Lloyd, xxhash64-seeded, 1e-6 quantized), so encode
+  * Determinism: fixed-iteration Lloyd (xxhash64-seeded, 1e-6-quantized
+  * means, same rules as [[SemanticDedup.kmeansCentroids]]), so encode
   * and top-k replay bit-identically — pinned in `PqSpec`.
   */
 object Pq {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Per-subspace codebooks: `m` × `ksub` × (dim/m) centroid matrix. One
-    * deterministic k-means per subspace over the SLICED corpus — driver
-    * holds m·ksub·(dim/m) doubles (= dim·ksub, corpus-size-independent). */
+  private def ensureRegistered(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession); df
+  }
+
+  private def quantize(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  /** Per-subspace codebooks: `m` × `ksub` × (dim/m) centroid matrix.
+    * All m subspace k-means run JOINTLY — subspace assignments are
+    * independent, so one Lloyd iteration for every subspace is a single
+    * distributed pass (assign m codes per vector, then one
+    * (subspace, cluster, pos) partial-sum aggregation) instead of m
+    * separate jobs; the fixpoint is identical to running them apart.
+    * Driver holds m·ksub·(dim/m) = dim·ksub doubles — corpus-size-
+    * independent. Deterministic: xxhash64-seeded, 1e-6-quantized means. */
   def codebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subdim = dim / m
-    (0 until m).map { mi =>
-      val sub = embeddings.select(col(idCol),
-        slice(asDouble(col(vecCol)), mi * subdim + 1, subdim).as(vecCol))
-      SemanticDedup.kmeansCentroids(sub, ksub, iters, idCol, vecCol)
-    }.toArray
+    val e = ensureRegistered(embeddings)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+
+    // seeds: the ksub vectors with smallest xxhash64(id) (same spread rule
+    // as SemanticDedup.seedIds), sliced per subspace — ONE collect
+    val seedRows = e.orderBy(xxhash64(col("id")), col("id")).limit(ksub).collect()
+    require(seedRows.length == ksub, s"found ${seedRows.length} of $ksub seeds")
+    val seeds: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      seedRows.map(_.getSeq[Double](1)
+        .slice(mi * subdim, (mi + 1) * subdim).toArray.map(quantize))
+    }
+
+    (1 to iters).foldLeft(seeds) { (books, _) =>
+      val codes = array(books.zipWithIndex.map { case (book, mi) =>
+        codeOf(slice(col("v"), mi * subdim + 1, subdim), book)
+      }: _*)
+      // m·ksub·dim partial sums per partition — corpus-size-independent
+      val rows = e.withColumn("codes", codes)
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("mi", (col("pos") / subdim).cast("int"))
+        .withColumn("cluster", element_at(col("codes"), col("mi") + 1))
+        .groupBy(col("mi"), col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = rows.groupBy(r => (r.getAs[Int]("mi"), r.getAs[Int]("cluster")))
+      Array.tabulate(m) { mi =>
+        books(mi).zipWithIndex.map { case (prev, ci) =>
+          byKey.get((mi, ci)).fold(prev) { rs => // empty cluster keeps its centroid
+            val next = Array.ofDim[Double](subdim)
+            rs.foreach { r =>
+              next(r.getAs[Int]("pos") - mi * subdim) =
+                quantize(r.getAs[Double]("s") / r.getAs[Long]("n"))
+            }
+            next
+          }
+        }
+      }
+    }
   }
 
   /** Argmin-distance code of subvector `v` against one subspace's
@@ -65,7 +109,7 @@ object Pq {
     val codes = books.zipWithIndex.map { case (book, mi) =>
       codeOf(slice(asDouble(col(vecCol)), mi * subdim + 1, subdim), book)
     }
-    embeddings.select(col(idCol), array(codes: _*).as("codes"))
+    ensureRegistered(embeddings).select(col(idCol), array(codes: _*).as("codes"))
   }
 
   /** ADC cosine top-k: queries (small by contract — they are collected to

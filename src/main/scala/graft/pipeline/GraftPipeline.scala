@@ -26,6 +26,10 @@ final case class MaintenancePolicy(
     targetFileBytes: Long = 128L << 20,
     expireEveryLoads: Int = 0,
     keepSnapshots: Int = 10,
+    /** Physically apply merge-on-read delete files every N loads — bounds
+      * the outstanding delete set (and the read-side anti-join cost) for
+      * MoR trickle-upsert tables. 0 = manual only. */
+    applyDeletesEveryLoads: Int = 0,
     retryUnitMs: Long = 1000L)
 
 final class GraftPipeline(
@@ -91,9 +95,13 @@ final class GraftPipeline(
     * expiry — keeping file and snapshot counts bounded across unbounded
     * loads without manual `Maintenance` calls. */
   private def applyMaintenancePolicy(table: String): Unit = {
-    if (policy.compactEveryLoads <= 0 && policy.expireEveryLoads <= 0) return
+    if (policy.compactEveryLoads <= 0 && policy.expireEveryLoads <= 0 &&
+      policy.applyDeletesEveryLoads <= 0) return
     val t = catalog.loadTable(namespace, table)
     val n = t.metadata.snapshots.size
+    if (policy.applyDeletesEveryLoads > 0 && n % policy.applyDeletesEveryLoads == 0)
+      try graft.write.Maintenance.applyDeletes(t, policy.retryUnitMs)
+      catch { case _: graft.catalog.ValidationError => () }
     if (policy.compactEveryLoads > 0 && n % policy.compactEveryLoads == 0)
       // best effort: a concurrent writer superseding the compaction input
       // aborts THIS compaction, never the load that triggered it

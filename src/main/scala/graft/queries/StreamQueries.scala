@@ -113,10 +113,14 @@ object StreamQueries {
           Files.createTempDirectory("graft-s4-").toString)
         val loader = new graft.streaming.StreamingLoader(cat)
         val src = StreamingLoader.eventsChunkedStream(s, dir, chunks = 4)
+        // merge-on-read: each micro-batch commits its staged rows + ONE
+        // delete-key file instead of rewriting the windows it re-emits —
+        // the trickle-upsert shape MoR exists for (O(batch) commit IO;
+        // the final read applies deletes via broadcast anti-join)
         val q = loader.start(StreamingLoader.dailyRollup(src),
           "main", "daily_rollup", disposition = Merge("upsert"),
           cfg = WriteConfig(retryUnitMs = 10,
-            primaryKey = Seq("event_type", "event_day")),
+            primaryKey = Seq("event_type", "event_day"), mergeOnRead = true),
           queryName = "s4",
           checkpoint = Some(Files.createTempDirectory("graft-s4ck-").toString),
           outputMode = Some("update"))

@@ -60,6 +60,35 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a2"), (100L, "x2")))
   }
 
+  test("concurrent merge-on-read merges both land; overlapping keys resolve by sequence") {
+    val cat = freshCatalog()
+    val w0 = new GraftWriter(cat)
+    val mcfg = cfg.copy(primaryKey = Seq("id"), mergeOnRead = true)
+    w0.writeTable("main", "m",
+      Seq(Seq((1L, "a"), (100L, "x")).toDF("id", "v")), Merge("upsert"), mcfg, "seed")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = Seq((1L, "a2"), (100L, "x2")).zipWithIndex.map { case ((id, v), i) =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          new GraftWriter(cat).writeTable("main", "m",
+            Seq(Seq((id, v)).toDF("id", "v")), Merge("upsert"), mcfg, s"m-$i")
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val t = cat.loadTable("main", "m")
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (100L, "x2")))
+    // both MoR commits' delete files survived the CAS rebase; physical
+    // apply converges to the same content
+    assert(t.metadata.currentSnapshot.get.deletes.size == 2)
+    Maintenance.applyDeletes(t, retryUnitMs = 1)
+    val applied = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(applied.toSeq == Seq((1L, "a2"), (100L, "x2")))
+  }
+
   test("empty batch append commits an empty snapshot; empty merge is safe") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)

@@ -132,6 +132,41 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(!Maintenance.applyDeletes(t, retryUnitMs = 1))
   }
 
+  test("MoR merge commits with ZERO manifest body reads on a cold JVM") {
+    val w = new GraftWriter(freshCatalog())
+    w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20), (3, "c", 30))),
+      Merge("upsert"), cfg, "l1")
+    val t = {
+      // simulate a fresh driver process: empty manifest cache
+      graft.catalog.ManifestIO.clearCacheForTesting()
+      val tt = w.writeTable("main", "u", Seq(users((2, "b2", 21))),
+        Merge("upsert"), cfg, "l2")
+      assert(graft.catalog.ManifestIO.bodyReads.get() == 0L,
+        s"MoR merge read ${graft.catalog.ManifestIO.bodyReads.get()} manifest " +
+          "bodies; its commit must be O(batch) — parent manifests carry by identity")
+      tt
+    }
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+  }
+
+  test("maintenance policy bounds the outstanding delete set across trickle loads") {
+    val cat = freshCatalog()
+    val p = new graft.pipeline.GraftPipeline(cat, "main",
+      policy = graft.pipeline.MaintenancePolicy(
+        applyDeletesEveryLoads = 4, retryUnitMs = 1))
+    (1 to 12).foreach { i =>
+      p.stage("u", users((i.toLong % 3, s"u$i", i.toLong)), Merge("upsert"), cfg)
+      p.completeLoad(s"load-$i")
+    }
+    val t = cat.loadTable("main", "u")
+    val outstanding = t.metadata.currentSnapshot.get.deletes.size
+    assert(outstanding < 4,
+      s"$outstanding delete files outstanding — policy hook not applying")
+    // last-writer-wins content: keys 0,1,2 from the latest loads
+    assert(rowsOf(t).map(_._1) == Set(0L, 1L, 2L))
+  }
+
   test("rollback restores the delete set; time travel sees per-snapshot deletes") {
     val w = new GraftWriter(freshCatalog())
     w.writeTable("main", "u", Seq(users((1, "a", 10), (2, "b", 20))),

@@ -78,6 +78,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-5b entries keep scale-shaped plans") {
+    // merge-on-read scan: delete application is broadcast joins ONLY —
+    // the corpus side must not shuffle for the anti-join
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.catalog.GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-pa-").toString)
+    val w = new graft.write.GraftWriter(cat)
+    import spark.implicits._
+    val mcfg = graft.write.WriteConfig(primaryKey = Seq("id"),
+      retryUnitMs = 1, mergeOnRead = true)
+    w.writeTable("main", "m", Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      graft.write.Merge("upsert"), mcfg, "l1")
+    val t = w.writeTable("main", "m", Seq(Seq((2L, "b2")).toDF("id", "v")),
+      graft.write.Merge("upsert"), mcfg, "l2")
+    val pMor = t.read().queryExecution.executedPlan.toString
+    assert(pMor.contains("BroadcastHashJoin"), "MoR read must broadcast-join")
+    assert(!pMor.contains("SortMergeJoin") && !pMor.contains("ShuffledHashJoin"),
+      "MoR delete application must never shuffle the corpus")
+
+    // PQ ADC scoring: the code join is a broadcast hash join on (m, code),
+    // never cartesian/nested-loop
+    val p41 = plan("l41_ann_pq")
+    assert(!p41.contains("CartesianProduct") &&
+      !p41.contains("BroadcastNestedLoopJoin"),
+      "l41 ADC join degraded to cartesian/nested-loop")
+    assert(p41.contains("BroadcastHashJoin"), "l41 LUT join must broadcast")
+
+    // DSIR: bucket table broadcasts back onto tokens; the only wide
+    // shuffles are the doc_id aggregation + bucket aggregation
+    val p42 = plan("l42_dsir_weights")
+    assert(p42.contains("BroadcastHashJoin"), "l42 bucket join must broadcast")
+    assert(!p42.contains("SortMergeJoin"),
+      "l42 token-bucket join must not shuffle the exploded corpus")
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
