@@ -56,9 +56,16 @@ object MorRead {
     val out = live.groupBy(_.keyColumns).toSeq.sortBy(_._1.mkString(","))
       .foldLeft(withSeq) { case (df, (keyCols, dels)) =>
         // max delete-seq per key: a row dies iff ANY delete newer than its
-        // file matches, iff the max matching seq does
+        // file matches, iff the max matching seq does. Key columns are
+        // CAST to the base scan's current types — a delete file written
+        // before an int→long key promotion must still join (Iceberg reads
+        // old deletes under the evolved schema the same way).
+        val keyTypes = keyCols.map(k =>
+          k -> base.schema.fields.find(_.name == k).map(_.dataType)).toMap
         val delKeys = dels.map(d =>
-            spark.read.parquet(d.path).select(keyCols.map(col): _*)
+            spark.read.parquet(d.path)
+              .select(keyCols.map(k =>
+                keyTypes(k).fold(col(k))(col(k).cast(_)).as(k)): _*)
               .withColumn("__gf_dseq", lit(d.seq)))
           .reduce(_ unionByName _)
           .groupBy(keyCols.map(col): _*)

@@ -184,6 +184,23 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.metadata.currentSnapshot.get.deletes.size == 1)
   }
 
+  test("delete files written before a key-type promotion still apply") {
+    val w = new GraftWriter(freshCatalog())
+    // int-typed key in the first loads; the delete file stores int keys
+    val intBatch = Seq((1, "a"), (2, "b")).toDF("user_id", "v")
+    w.writeTable("main", "u", Seq(intBatch), Merge("upsert"), cfg, "l1")
+    w.writeTable("main", "u", Seq(Seq((2, "b2")).toDF("user_id", "v")),
+      Merge("upsert"), cfg, "l2")
+    // long-typed batch promotes the key column (C7 int→long)
+    val t = w.writeTable("main", "u",
+      Seq(Seq((3L, "c")).toDF("user_id", "v")), Merge("upsert"), cfg, "l3")
+    assert(t.metadata.schema("user_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = t.read().select("user_id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+      "int-keyed delete file must still fence rows under the promoted schema")
+  }
+
   test("point lookup and range scan apply deletes") {
     val w = new GraftWriter(freshCatalog())
     w.writeTable("main", "u",

@@ -10,10 +10,13 @@ import scala.collection.mutable
 /** Model-based testing of the disposition engine: random sequences of
   * keyed writes (upsert, delete-insert, replace, hard delete) replayed
   * against a trivial in-memory pk→row model; after every operation the
-  * committed table must equal the model exactly. Deterministic seeds, so
-  * failures replay. This is the class of test that catches silent
-  * pruning/rewrite bugs (e.g. lexicographic stats) that per-scenario
-  * specs miss. */
+  * committed table must equal the model exactly. Every merge flips a
+  * coin between copy-on-write and merge-on-read (the model is
+  * mode-blind — both must read back identically, including across
+  * rollbacks and interleaved maintenance), and applyDeletes joins the
+  * content-neutral maintenance pool. Deterministic seeds, so failures
+  * replay. This is the class of test that catches silent
+  * pruning/rewrite/sequence-fencing bugs that per-scenario specs miss. */
 class ModelCheckSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -49,11 +52,14 @@ class ModelCheckSpec extends AnyFunSuite {
         // and must NEVER change what the table reads as
         if (rnd.nextInt(3) == 0 && cat.tableExists("main", "t")) {
           val t = cat.loadTable("main", "t")
-          if (rnd.nextBoolean())
-            try Maintenance.compact(t, smallFileBytes = 1L << 20,
-              targetFileBytes = 8L << 20, retryUnitMs = 1)
-            catch { case _: ValidationError => () }
-          else Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
+          rnd.nextInt(3) match {
+            case 0 =>
+              try Maintenance.compact(t, smallFileBytes = 1L << 20,
+                targetFileBytes = 8L << 20, retryUnitMs = 1)
+              catch { case _: ValidationError => () }
+            case 1 => Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
+            case _ => Maintenance.applyDeletes(t, retryUnitMs = 1)
+          }
         }
         // rollback to a recorded (snapshot, model) pair: time travel must
         // restore EXACTLY the modeled state through the manifest refs
@@ -65,12 +71,15 @@ class ModelCheckSpec extends AnyFunSuite {
             model.clear(); past.foreach { case (k, v) => model(k) = v }
           }
         }
+        // the model is merge-mode-blind: CoW and MoR must be
+        // indistinguishable to readers
+        val mcfg = cfg.copy(mergeOnRead = rnd.nextBoolean())
         op match {
           case 0 => // upsert
-            w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), cfg, s"l$seed-$step")
+            w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg, s"l$seed-$step")
             rows.foreach { case (k, v, _) => model(k) = v }
           case 1 => // delete-insert
-            w.writeTable("main", "t", Seq(df(rows)), Merge("delete-insert"), cfg, s"l$seed-$step")
+            w.writeTable("main", "t", Seq(df(rows)), Merge("delete-insert"), mcfg, s"l$seed-$step")
             rows.foreach { case (k, v, _) => model(k) = v }
           case 2 => // replace
             w.writeTable("main", "t", Seq(df(rows)), Replace, cfg, s"l$seed-$step")
@@ -79,7 +88,7 @@ class ModelCheckSpec extends AnyFunSuite {
           case 3 => // hard delete of a sample of existing keys (plus misses)
             val victims = (batchKeys.take(5) ++ model.keys.take(5)).distinct
             val marked = victims.map(k => (k, "del", java.lang.Long.valueOf(1700000000000L)))
-            w.writeTable("main", "t", Seq(df(marked)), Merge("upsert"), cfg, s"l$seed-$step")
+            w.writeTable("main", "t", Seq(df(marked)), Merge("upsert"), mcfg, s"l$seed-$step")
             victims.foreach(model.remove)
         }
         val got = cat.loadTable("main", "t").read()
