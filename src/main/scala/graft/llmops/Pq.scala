@@ -112,6 +112,105 @@ object Pq {
     ensureRegistered(embeddings).select(col(idCol), array(codes: _*).as("codes"))
   }
 
+  /** IVF-PQ composite (the FAISS production architecture): a coarse
+    * quantizer routes every vector to one of `nlist` inverted lists
+    * (bounding the CANDIDATE set per query to ~nprobe/nlist of the
+    * corpus), and inside the lists vectors exist only as PQ codes
+    * (bounding MEMORY to m bytes/vector). A query probes its `nprobe`
+    * nearest lists, ADC-scores only those lists' codes via the broadcast
+    * LUT join, and exact-reranks the shortlist. At 100 TB both bounds
+    * matter: IVF cuts compute ~nlist/nprobe-fold, PQ keeps the index
+    * resident. Shared (non-residual) codebooks — the standard simplified
+    * variant; determinism as in [[codebooks]]. */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 4, dim: Int = 64, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe <= nlist, "nprobe must not exceed nlist")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = ensureRegistered(embeddings)
+
+    // coarse centroids: deterministic xxhash64 sample (same rule as
+    // Similarity.ivfTopK) baked as literals
+    val cents: Seq[(Int, Seq[Double], Double)] = e
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"), col(idCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) =>
+        val v = r.getSeq[Double](r.fieldIndex("v"))
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }.toSeq
+    def probeLists(v: Column, take: Int): Column = {
+      val scored = cents.map { case (idx, c, nrm) =>
+        struct((Similarity.fastDot(v, typedlit(c)) /
+          (sqrt(Similarity.fastDot(v, v)) * lit(nrm))).as("score"),
+          lit(idx).as("list"))
+      }
+      slice(sort_array(array(scored: _*), asc = false), 1, take)
+    }
+
+    val books = codebooks(e, m, ksub, iters, dim, idCol, vecCol)
+    val subdim = dim / m
+    // the persisted index shape: (list, nbr_id, codes) — m small ints per
+    // vector, routed once
+    val encoded = encode(e, books, dim, idCol, vecCol)
+      .join(e.select(col(idCol),
+        probeLists(asDouble(col(vecCol)), 1).getItem(0)
+          .getField("list").as("list")), Seq(idCol))
+      .select(col(idCol).as("nbr_id"), col("list"), col("codes"))
+
+    val qRows = queries.select(col(idCol), asDouble(col(vecCol))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // query probes: (query_id, list) pairs — |Q|·nprobe rows
+    val probes = qRows.flatMap { case (qid, qv) =>
+      val scored = cents.map { case (idx, c, nrm) =>
+        val d = c.zip(qv).map { case (a, b) => a * b }.sum
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        (d / (qn * nrm), idx)
+      }
+      scored.sortBy(-_._1).take(nprobe).map { case (_, l) => (qid, l) }
+    }.toSeq.toDF("query_id", "list")
+
+    val lut = qRows.flatMap { case (qid, qv) =>
+      val qnrm = math.sqrt(qv.map(x => x * x).sum)
+      books.zipWithIndex.flatMap { case (book, mi) =>
+        val qSub = qv.slice(mi * subdim, (mi + 1) * subdim)
+        book.zipWithIndex.map { case (c, code) =>
+          (qid, mi, code, c.zip(qSub).map { case (a, b) => a * b }.sum,
+            c.map(x => x * x).sum, qnrm)
+        }
+      }
+    }.toSeq.toDF("query_id", "m", "code", "partial", "c_nsq", "qnrm")
+
+    // candidates = probed lists only, then the same ADC pipeline as adcTopK
+    val scored = encoded.join(broadcast(probes), Seq("list"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum(col("partial")).as("dot"),
+        sum(col("c_nsq")).as("r_nsq"), first(col("qnrm")).as("qnrm"))
+      .withColumn("cosine", col("dot") / (sqrt(col("r_nsq")) * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * rerank)
+      .select(col("query_id"), col("nbr_id"))
+    val qv = qRows.toSeq.toDF("query_id", "qv")
+    val full = e.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("v"))
+    full.join(broadcast(shortlist), Seq("nbr_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", Similarity.fastDot(col("v"), col("qv")) /
+        (sqrt(Similarity.fastDot(col("v"), col("v"))) *
+          sqrt(Similarity.fastDot(col("qv"), col("qv")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** ADC cosine top-k: queries (small by contract — they are collected to
     * build the LUT, exactly as IVF bakes centroids into literals) against
     * the PQ-encoded corpus, with exact re-ranking of the ADC shortlist

@@ -404,6 +404,18 @@ object LlmQueries {
       },
       None)),
 
+    // IVF-PQ composite (the FAISS production shape): coarse lists bound
+    // per-query candidates to ~nprobe/nlist of the corpus, PQ codes bound
+    // index memory to m bytes/vector, exact re-ranking bounds the
+    // full-precision reads to the shortlist. Rows-only; recall pinned in
+    // PqSpec.
+    "l43_ann_ivfpq" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        graft.llmops.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 3)
+      },
+      None)),
+
     // DSIR importance weighting (Xie et al. 2023): per-doc mean
     // log-likelihood ratio of md5-bucket hashed unigrams, target = the
     // English slice vs the raw corpus; keep = weight > 0. Fully

@@ -36,11 +36,11 @@ class ApiSmokeSpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     assert(qs.size >= 60)
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // rows-only entries are the documented five (custom hashing / sampled
+    // rows-only entries are the documented six (custom hashing / sampled
     // centroids / iterative k-means that portable SQL can't express;
     // semantics pinned in LlmOpsSpec, SemanticDedupSpec, and PqSpec)
     assert((qs.keySet -- SparkEntry.oracleSql.keySet) ==
       Set("l8_simhash", "l11_ann_lsh", "l20_ann_ivf", "l39_semantic_dedup",
-        "l41_ann_pq"))
+        "l41_ann_pq", "l43_ann_ivfpq"))
   }
 }

@@ -46,6 +46,23 @@ class PqSpec extends AnyFunSuite {
     info(s"PQ-ADC recall@10 = $recall")
   }
 
+  test("l43 pin at sf0.1: IVF-PQ recall floor, deterministic, candidates bounded") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Pq.ivfPqTopK(emb, queries, k = 10)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run()
+    assert(got == run(), "IVF-PQ must be deterministic")
+    val recall = (brute & got).size.toDouble / brute.size
+    // two approximations stack (list pruning x 4-bit codes) on the
+    // worst-case near-orthogonal corpus; rerank recovers most of PQ's
+    // loss, IVF keeps what lands in probed lists
+    assert(recall >= 0.15, s"sf0.1 IVF-PQ recall $recall below floor")
+    info(s"IVF-PQ recall@10 = $recall")
+  }
+
   test("ADC cosine approximates the exact cosine within quantization error") {
     val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
       .select(col("query_id"), col("nbr_id"), col("cosine").as("c_exact"))
