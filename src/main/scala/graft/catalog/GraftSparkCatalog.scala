@@ -167,9 +167,57 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     graft.partition.Transforms.buildSpec(Seq(hint), schema).head
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: schema evolution happens on write through GraftWriter")
+  /** `ALTER TABLE` DDL routed through the SAME evolution rules the write
+    * path enforces (add = nullable only, type change = safe promotion per
+    * C7, drop = nullable only): SQL cannot reach a schema state a load
+    * could not. The change commits as a new schema version, so
+    * time-traveled reads keep their snapshot-time schema. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val t = graftTable(ident)
+    t.commit { m =>
+      var schema = m.schema
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames.length != 1)
+            throw new UnsupportedOperationException("nested ADD COLUMN is not supported")
+          val name = add.fieldNames()(0)
+          if (schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"Column $name already exists")
+          if (!add.isNullable)
+            throw new IllegalArgumentException(
+              s"New column $name must be nullable: existing files cannot " +
+                "carry a required value for it (same rule as evolution-on-write)")
+          schema = StructType(schema.fields :+
+            StructField(name, add.dataType, nullable = true))
+        case upd: TableChange.UpdateColumnType =>
+          val name = upd.fieldNames()(0)
+          val old = schema(name).dataType
+          if (!graft.types.TypeLattice.canPromote(old, upd.newDataType))
+            throw new IllegalArgumentException(
+              s"Unsafe type change for $name: $old -> ${upd.newDataType} " +
+                "(only int->long, float->double, decimal widening)")
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == name) f.copy(dataType = upd.newDataType) else f))
+        case del: TableChange.DeleteColumn =>
+          val name = del.fieldNames()(0)
+          val f = schema.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"No column $name"))
+          if (!f.nullable)
+            throw new IllegalArgumentException(
+              s"Cannot drop required column $name")
+          if (m.partitionSpec.exists(_.source == name))
+            throw new IllegalArgumentException(
+              s"Cannot drop partition source column $name")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE change $other is not supported")
+      }
+      m.withSchema(schema)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!cat.tableExists(nsOf(ident), ident.name())) false

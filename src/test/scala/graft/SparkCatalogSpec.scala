@@ -156,6 +156,47 @@ class SparkCatalogSpec extends AnyFunSuite {
       "pushdown must return once deletes are applied")
   }
 
+  test("ALTER TABLE routes through the engine's evolution rules") {
+    val cat = freshCatalog("gddl")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq(Seq((1, "a")).toDF("id", "v")), Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    // add nullable column: old rows read back null
+    spark.sql("ALTER TABLE gddl.main.t ADD COLUMN score BIGINT")
+    val r = spark.sql("SELECT id, score FROM gddl.main.t").collect()(0)
+    assert(r.getInt(0) == 1 && r.isNullAt(1))
+
+    // safe promotion int -> bigint
+    spark.sql("ALTER TABLE gddl.main.t ALTER COLUMN id TYPE BIGINT")
+    assert(cat.loadTable("main", "t").metadata.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT id FROM gddl.main.t").collect()(0).getLong(0) == 1L)
+
+    // unsafe narrowing is rejected — by Spark's own analyzer when it
+    // catches it first, and by the engine's C7 guard for programmatic
+    // TableChange callers
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gddl.main.t ALTER COLUMN id TYPE INT")
+    }
+    assert(e.getMessage.contains("Unsafe type change") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    val e2 = intercept[IllegalArgumentException] {
+      val cat2 = spark.sessionState.catalogManager.catalog("gddl")
+        .asInstanceOf[GraftSparkCatalog]
+      cat2.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("main"), "t"),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("id"), org.apache.spark.sql.types.IntegerType))
+    }
+    assert(e2.getMessage.contains("Unsafe type change"))
+
+    // drop nullable column; old data files keep it on disk, reads hide it
+    spark.sql("ALTER TABLE gddl.main.t DROP COLUMN score")
+    assert(!spark.sql("SELECT * FROM gddl.main.t").schema.fieldNames.contains("score"))
+  }
+
   test("missing snapshot id is a version error naming the snapshot, not table-not-found") {
     val cat = freshCatalog("gver")
     val w = new GraftWriter(cat)
