@@ -73,6 +73,31 @@ object Dedup {
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
   }
 
+  /** Cross-source overlap matrix: for every pair of sources, the number
+    * of distinct `spanWords`-token spans they share — the dataset-
+    * curation signal behind "these two crawls overlap, dedup before
+    * mixing" (and the cheap pre-check before pairwise near-dup runs).
+    *
+    * Scale shape: spans are DISTINCT per source before the equality
+    * self-join on the span key, so the join input is bounded by distinct
+    * span volume (shuffle-partitioned on span, never all-pairs of docs);
+    * the pair aggregation output is at most |sources|² rows — metadata-
+    * sized. Same span definition as [[spanDedup]]. */
+  def sourceOverlap(docs: DataFrame, spanWords: Int = 8,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("long")
+    val spansArr = transform(sequence(lit(0), (nSpans - 1).cast("int")),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val spans = docs.select(col(sourceCol).as("source"),
+        explode(spansArr).as("span")).distinct()
+    spans.as("a").join(spans.as("b"),
+        col("a.span") === col("b.span") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   /** Distinct word n-gram shingles per document: (doc_id, g). */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val w = split(col(textCol), " ")

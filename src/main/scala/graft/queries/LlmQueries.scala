@@ -438,6 +438,21 @@ object LlmQueries {
         |  round(avg(lr) + 1e-9, 4) > 0 AS keep
         |FROM b JOIN lr USING (bk) GROUP BY doc_id""".stripMargin))),
 
+    // cross-source overlap matrix: shared distinct 8-token spans per
+    // source pair — the "these two crawls overlap, dedup before mixing"
+    // curation signal; output is |sources|² metadata-sized
+    "l44_source_overlap" -> ((
+      (s: SparkSession, dir: String) => Dedup.sourceOverlap(docs(s, dir)),
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (SELECT DISTINCT source,
+        |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+        |  FROM (SELECT source, ws,
+        |    unnest(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i FROM w))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared_spans
+        |FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin))),
+
     "l40_gopher_rules" -> ((
       (s: SparkSession, dir: String) => TextOps.gopherRules(docs(s, dir)),
       Some("""WITH d AS (SELECT doc_id, text,
