@@ -70,8 +70,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       schema: org.apache.spark.sql.types.StructType): Table = {
     val files = snap.map(_.dataFiles).getOrElse(Nil)
     val deletes = snap.map(_.deletes).getOrElse(Nil)
+    val posDeletes = snap.map(_.posDeletes).getOrElse(Nil)
     new GraftV2Table(nsOf(ident), ident.name(), cat,
-      asV2(ident, m, files, schema), schema, files, deletes)
+      asV2(ident, m, files, schema), schema, files, deletes, posDeletes)
   }
 
   override def loadTable(ident: Identifier): Table = {

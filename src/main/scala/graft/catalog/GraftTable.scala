@@ -102,7 +102,8 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   def read(): DataFrame = {
     val m = metadata
     val s = m.currentSnapshot
-    readFiles(m, m.currentFiles, s.map(_.deletes).getOrElse(Nil))
+    readFiles(m, m.currentFiles, s.map(_.deletes).getOrElse(Nil),
+      s.map(_.posDeletes).getOrElse(Nil))
   }
 
   /** Time travel: read the file set of a specific snapshot (with the
@@ -110,7 +111,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   def readSnapshot(snapshotId: Long): DataFrame = {
     val m = metadata
     val s = findSnapshot(m, snapshotId)
-    readFiles(m, s.dataFiles, s.deletes)
+    readFiles(m, s.dataFiles, s.deletes, s.posDeletes)
   }
 
   /** Time travel by wall clock: the latest snapshot committed at or
@@ -122,7 +123,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
       .getOrElse(throw new ValidationError(
         s"No snapshot at or before $asOfMs in ${m.identifier}"))
-    readFiles(m, snap.dataFiles, snap.deletes)
+    readFiles(m, snap.dataFiles, snap.deletes, snap.posDeletes)
   }
 
   /** Roll the table back to `snapshotId`: commits a NEW snapshot
@@ -139,9 +140,10 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         // rollback restores the FILE set but commits under the current
         // schema, matching read()'s null-fill semantics for old files
         schemaVersionAt = Some(m.schemaVersion),
-        // restore the equality deletes live at the target, too — the
-        // rolled-back row SET is snapshot state, not just its files
-        deleteFiles = target.deleteFiles)
+        // restore the deletes live at the target, too — the rolled-back
+        // row SET is snapshot state, not just its files
+        deleteFiles = target.deleteFiles,
+        posDeleteFiles = target.posDeleteFiles)
       m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
     }
@@ -154,7 +156,8 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val m = metadata
     val base = findSnapshot(m, sinceSnapshotId).dataFiles.map(_.path).toSet
     readFiles(m, m.currentFiles.filterNot(f => base.contains(f.path)),
-      m.currentSnapshot.map(_.deletes).getOrElse(Nil))
+      m.currentSnapshot.map(_.deletes).getOrElse(Nil),
+      m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
   }
 
   // ---- Branches / tags (write-audit-publish) -------------------------
@@ -179,7 +182,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val id = m.refId(name).getOrElse(
       throw new ValidationError(s"No branch '$name' in ${m.identifier}"))
     val s = findSnapshot(m, id)
-    readFiles(m, s.dataFiles, s.deletes)
+    readFiles(m, s.dataFiles, s.deletes, s.posDeletes)
   }
 
   /** Publish (fast-forward): point the MAIN table state at the branch
@@ -220,10 +223,11 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         s"No snapshot $snapshotId in ${m.identifier}"))
 
   private def readFiles(m: TableMetadata, files: Seq[DataFile],
-      deletes: Seq[DeleteFile] = Nil): DataFrame =
+      deletes: Seq[DeleteFile] = Nil,
+      posDeletes: Seq[PosDeleteFile] = Nil): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-    else MorRead.read(spark, m.schema, files, deletes)
+    else MorRead.read(spark, m.schema, files, deletes, posDeletes)
 
   /** S2 parity: scan with a range predicate pushed through BOTH layers —
     * file-level pruning via snapshot min/max stats (the manifest-pruning
@@ -234,7 +238,8 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val dt = m.schema(column).dataType
     val canonical = (v: Any) => graft.write.Stager.canonicalKey(dt, v)
     val hit = filesOverlapping(m, column, canonical(lo), canonical(hi))
-    val df = readFiles(m, hit, m.currentSnapshot.map(_.deletes).getOrElse(Nil))
+    val df = readFiles(m, hit, m.currentSnapshot.map(_.deletes).getOrElse(Nil),
+      m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
     df.filter(org.apache.spark.sql.functions.col(column)
       .between(org.apache.spark.sql.functions.lit(lo),
         org.apache.spark.sql.functions.lit(hi)))
@@ -275,7 +280,8 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         case _ => true
       })
     }
-    readFiles(m, hit, deletes)
+    readFiles(m, hit, deletes,
+        m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
       .filter(org.apache.spark.sql.functions.col(column) ===
         org.apache.spark.sql.functions.lit(value))
   }

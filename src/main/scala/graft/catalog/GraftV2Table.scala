@@ -1,11 +1,13 @@
 package graft.catalog
 
 import java.util.{Set => JSet}
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
@@ -32,7 +34,9 @@ final class GraftV2Table(
     reader: Table,
     committedSchema: StructType,
     morFiles: Seq[DataFile] = Nil,
-    morDeletes: Seq[DeleteFile] = Nil) extends Table with SupportsRead with SupportsWrite {
+    morDeletes: Seq[DeleteFile] = Nil,
+    morPosDeletes: Seq[PosDeleteFile] = Nil)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = reader.name()
   override def schema(): StructType = committedSchema
@@ -42,7 +46,7 @@ final class GraftV2Table(
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (morDeletes.isEmpty)
+    if (morDeletes.isEmpty && morPosDeletes.isEmpty)
       reader.asInstanceOf[SupportsRead].newScanBuilder(options)
     else new ScanBuilder {
       override def build(): Scan = new V1Scan {
@@ -54,10 +58,32 @@ final class GraftV2Table(
             override def schema: StructType = committedSchema
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
               MorRead.read(context.sparkSession, committedSchema,
-                morFiles, morDeletes).rdd
+                morFiles, morDeletes, morPosDeletes).rdd
           }.asInstanceOf[T]
       }
     }
+
+  /** `DELETE FROM <table> WHERE <cond>` — routed through the engine's
+    * predicate-delete path. Mode comes from the `graft.delete.mode`
+    * table property: `merge-on-read` commits a positional delete vector
+    * (no rewrite); anything else (default) is copy-on-write, restaging
+    * only the files with matching rows. Spark only calls this when the
+    * WHOLE condition translated to source filters, so the semantics are
+    * exact. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftV2Table.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftV2Table.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val mor = cat.loadTable(ns, tableName).metadata.properties
+      .get("graft.delete.mode").contains("merge-on-read")
+    val w = new graft.write.GraftWriter(cat)
+    w.deleteWhere(ns, tableName, cond,
+      graft.write.WriteConfig(retryUnitMs = 50, mergeOnRead = mor),
+      loadId = s"sql-del-${java.util.UUID.randomUUID().toString.take(12)}")
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -75,4 +101,33 @@ final class GraftV2Table(
           }
       }
     }
+}
+
+object GraftV2Table {
+  /** V1 `Filter` → `Column` translation for the delete path; `None`
+    * marks a filter the engine cannot express, which makes
+    * `canDeleteWhere` refuse (Spark then fails the DELETE loudly rather
+    * than running it with weaker semantics). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(not)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }

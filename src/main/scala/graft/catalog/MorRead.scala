@@ -25,29 +25,39 @@ object MorRead {
     regexp_replace(c, "^file:(//)?", "")
 
   def read(spark: SparkSession, schema: StructType, files: Seq[DataFile],
-      deletes: Seq[DeleteFile]): DataFrame =
+      deletes: Seq[DeleteFile],
+      posDeletes: Seq[PosDeleteFile] = Nil): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else
       applyDeletes(spark,
         spark.read.schema(schema).parquet(files.map(_.path): _*),
-        files, deletes)
+        files, deletes, posDeletes)
 
-  /** Apply `deletes` to `base`, which must be a scan of exactly `files`
-    * (the hidden `_metadata` column recovers row→file attribution).
-    * No-op (and no extra plan nodes) when no delete can hit. */
+  /** Apply equality and positional deletes to `base`, which must be a
+    * scan of exactly `files` (the hidden `_metadata` column recovers
+    * row→file attribution and row position — captured ONCE up front,
+    * because `_metadata` resolves only on the scan relation, not above
+    * joins). No-op (and no extra plan nodes) when no delete can hit. */
   def applyDeletes(spark: SparkSession, base: DataFrame, files: Seq[DataFile],
-      deletes: Seq[DeleteFile]): DataFrame = {
+      deletes: Seq[DeleteFile],
+      posDeletes: Seq[PosDeleteFile] = Nil): DataFrame = {
     if (files.isEmpty) return base
     val minSeq = files.map(_.dataSeq).min
     val live = deletes.filter(_.seq > minSeq)
-    if (live.isEmpty) return base
+    if (live.isEmpty && posDeletes.isEmpty) return base
     import spark.implicits._
+
+    val withMeta = base
+      .withColumn("__gf_path", posixPath(col("_metadata.file_path")))
+      .withColumn("__gf_pidx", col("_metadata.row_index"))
+    val withPos = applyPositional(spark, withMeta, posDeletes)
+      .drop("__gf_pidx")
+    if (live.isEmpty) return withPos.drop("__gf_path")
 
     val seqDf = broadcast(files.map(f => (f.path, f.dataSeq))
       .toDF("__gf_path", "__gf_fseq"))
-    val withSeq = base
-      .withColumn("__gf_path", posixPath(col("_metadata.file_path")))
+    val withSeq = withPos
       .join(seqDf, Seq("__gf_path"), "left")
       // a file missing from the map (cannot happen for a well-formed scan)
       // conservatively keeps its rows: null fseq fails no delete test
@@ -75,5 +85,18 @@ object MorRead {
           .drop("__gf_dseq")
       }
     out.drop("__gf_path", "__gf_fseq")
+  }
+
+  /** Positional application: one broadcast anti-join on the
+    * (`__gf_path`, `__gf_pidx`) columns the caller captured from
+    * `_metadata`. Entries for files no longer in the scan simply never
+    * match — positions are self-fencing by path. */
+  private def applyPositional(spark: SparkSession, withMeta: DataFrame,
+      posDeletes: Seq[PosDeleteFile]): DataFrame = {
+    if (posDeletes.isEmpty) return withMeta
+    val pos = spark.read.parquet(posDeletes.map(_.path): _*)
+      .select(col("file_path").as("__gf_path"),
+        col("row_index").as("__gf_pidx")).distinct()
+    withMeta.join(broadcast(pos), Seq("__gf_path", "__gf_pidx"), "left_anti")
   }
 }

@@ -46,6 +46,18 @@ final case class DeleteFile(
     seq: Long,
     stats: Map[String, ColumnStats] = Map.empty)
 
+/** Positional-delete file (Iceberg-style delete vector): a parquet of
+  * `(file_path string, row_index long)` rows marking individual row
+  * positions of named data files as deleted — what `DELETE FROM ...
+  * WHERE` commits in merge-on-read mode (no key columns required, unlike
+  * equality deletes). Self-fencing by construction: positions bind to an
+  * immutable data-file PATH, so a rewrite that restages rows under a new
+  * path automatically escapes stale entries — no sequence numbers
+  * needed. */
+final case class PosDeleteFile(
+    path: String,
+    rowCount: Long)
+
 /** Typed comparison of two stat strings — shared by file-level pruning
   * (`GraftTable`) and manifest-ref-level range aggregation, so both
   * layers order identically (numeric for numerics/temporals, lexical for
@@ -117,8 +129,12 @@ final case class Snapshot(
     // their count is bounded by merges-since-last-compaction, and
     // MaintenancePolicy-driven compaction applies + clears them, so the
     // list never grows unboundedly the way the data-file list would.
-    deleteFiles: Option[Seq[DeleteFile]] = None) {
+    deleteFiles: Option[Seq[DeleteFile]] = None,
+    // Live positional-delete files (DELETE FROM in merge-on-read mode);
+    // same growth bound (applyDeletes clears them).
+    posDeleteFiles: Option[Seq[PosDeleteFile]] = None) {
   def deletes: Seq[DeleteFile] = deleteFiles.getOrElse(Nil)
+  def posDeletes: Seq[PosDeleteFile] = posDeleteFiles.getOrElse(Nil)
   def dataFiles: Seq[DataFile] = files.getOrElse {
     manifestRefs match {
       case Some(refs) => refs.flatMap(r => ManifestIO.read(r.path))
@@ -271,7 +287,8 @@ final case class TableMetadata(
       nowMs: Long = System.currentTimeMillis(),
       newDeletes: Seq[DeleteFile] = Nil,
       clearDeletes: Boolean = false,
-      branch: Option[String] = None): TableMetadata = {
+      branch: Option[String] = None,
+      newPosDeletes: Seq[PosDeleteFile] = Nil): TableMetadata = {
     val base = baseSnapshot(branch)
     val (baseRefs, inlineLegacy) = parentRefsOf(base)
     var survivors = Vector.empty[DataFile]
@@ -306,7 +323,10 @@ final case class TableMetadata(
       deletes = if (clearDeletes) Nil
         else base.map(_.deletes).getOrElse(Nil) ++
           (if (parentHasData) newDeletes.map(_.copy(seq = seqId)) else Nil),
-      branch = branch)
+      branch = branch,
+      posDeletes = if (clearDeletes) Nil
+        else base.map(_.posDeletes).getOrElse(Nil) ++
+          (if (parentHasData) newPosDeletes else Nil))
   }
 
   /** Manifest merging (the Iceberg merge-manifests idea): one manifest
@@ -345,11 +365,13 @@ final case class TableMetadata(
   private def appendSnapshot(op: String, loadId: Option[String],
       manifestRefList: Seq[ManifestRef], nowMs: Long,
       deletes: Seq[DeleteFile],
-      branch: Option[String] = None): TableMetadata = {
+      branch: Option[String] = None,
+      posDeletes: Seq[PosDeleteFile] = Nil): TableMetadata = {
     val parent = branch.fold(currentSnapshotId)(refId)
     val snap = Snapshot(nextSnapshotId, parent, nowMs, op, loadId,
       manifestRefs = Some(manifestRefList), schemaVersionAt = Some(schemaVersion),
-      deleteFiles = if (deletes.isEmpty) None else Some(deletes))
+      deleteFiles = if (deletes.isEmpty) None else Some(deletes),
+      posDeleteFiles = if (posDeletes.isEmpty) None else Some(posDeletes))
     branch match {
       case None =>
         copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)

@@ -274,6 +274,23 @@ object WriteQueries {
          |UNION ALL
          |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
 
+    // DELETE FROM ... WHERE in both modes: copy-on-write first (restages
+    // only the files with matching rows), then a second predicate delete
+    // in merge-on-read mode (ONE positional delete vector, no rewrite);
+    // the returned read goes through the delete-vector anti-join
+    "w17_delete_where" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        w.deleteWhere("main", "orders_t", col("o_orderkey") % 7 === 0, cfg, "d1")
+        w.deleteWhere("main", "orders_t", col("o_totalprice") > 300000.0,
+          cfg.copy(mergeOnRead = true), "d2")
+        keyPrice(cat.loadTable("main", "orders_t").read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |WHERE o_orderkey % 7 <> 0 AND o_totalprice <= 300000.0""".stripMargin)),
+
     // S2: stats-pruned range scan — file-level pruning by snapshot
     // min/max + parquet pushdown, equals the plain relational filter
     "w10_pruned_scan" -> ((

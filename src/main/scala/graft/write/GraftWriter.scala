@@ -248,6 +248,89 @@ final class GraftWriter(catalog: GraftCatalog) {
     }
   }
 
+  /** `DELETE FROM <table> WHERE <cond>` — predicate deletes with NO
+    * primary-key requirement, in either mode:
+    *
+    *  - merge-on-read: scan the current files once, record the matching
+    *    (file path, row index) pairs as ONE positional-delete file
+    *    (Iceberg delete vector), commit — no data rewrite; reads apply
+    *    the positions via broadcast anti-join.
+    *  - copy-on-write: restage only the files that actually contain
+    *    matching rows (row-level attribution via `_metadata`), carrying
+    *    untouched files as metadata.
+    *
+    * Outstanding MoR deletes are honored in both modes. Returns the
+    * number of deleted rows. */
+  def deleteWhere(ns: String, name: String, cond: org.apache.spark.sql.Column,
+      cfg: WriteConfig = WriteConfig(),
+      loadId: String = java.util.UUID.randomUUID().toString): Long = {
+    val t = catalog.loadTable(ns, name)
+    val m = t.metadata
+    val files = m.currentFiles
+    if (files.isEmpty) return 0L
+    val snap = m.currentSnapshot
+    // materialize row attribution BEFORE delete application: `_metadata`
+    // resolves only on the scan relation itself, and MorRead's joins
+    // would hide it
+    val scan = spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+      .withColumn("__dw_path",
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+      .withColumn("__dw_idx", col("_metadata.row_index"))
+    val liveRows = MorRead.applyDeletes(spark, scan, files,
+      snap.map(_.deletes).getOrElse(Nil), snap.map(_.posDeletes).getOrElse(Nil))
+
+    // per-file match attribution (metadata-scale: one row per hit file)
+    val hitPaths = liveRows.filter(cond)
+      .groupBy(col("__dw_path")).agg(count(lit(1)).as("n")).collect()
+    if (hitPaths.isEmpty) return 0L
+    val targetPaths = hitPaths.map(_.getString(0)).toSet
+    val deleted = hitPaths.map(_.getAs[Long]("n")).sum
+    // the planned positions/attribution bind to the snapshot this scan
+    // read: if a concurrent commit rewrote any target file, the plan is
+    // stale (its rows moved to a new path) — refuse instead of silently
+    // losing the delete, matching the compaction guards
+    def requireTargetsLive(fresh: TableMetadata): Unit =
+      if (!targetPaths.subsetOf(fresh.currentFiles.map(_.path).toSet))
+        throw new ValidationError(
+          "deleteWhere superseded by a concurrent rewrite of a target file")
+
+    if (cfg.mergeOnRead) {
+      // matching row positions -> ONE delete-vector parquet; no rewrite
+      val dest = t.dir.resolve("deletes")
+        .resolve(s"$loadId-pos-${java.util.UUID.randomUUID().toString.take(8)}")
+      liveRows.filter(cond)
+        .select(col("__dw_path").as("file_path"),
+          col("__dw_idx").as("row_index"))
+        .coalesce(1).write.parquet(dest.toString)
+      import scala.jdk.CollectionConverters._
+      val posFiles = java.nio.file.Files.walk(dest).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => PosDeleteFile(p.toString, deleted)).toSeq
+      t.commit({ fresh =>
+        requireTargetsLive(fresh)
+        fresh.withSnapshotDelta("delete", Some(loadId), Nil,
+          Set.empty, newPosDeletes = posFiles)
+      }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    } else {
+      // copy-on-write: restage ONLY the files with matching rows
+      t.commit({ fresh =>
+        requireTargetsLive(fresh)
+        val affected = fresh.currentFiles.filter(f => targetPaths.contains(f.path))
+        val affectedDf = spark.read.schema(fresh.schema)
+          .parquet(affected.map(_.path): _*)
+        val kept = MorRead.applyDeletes(spark, affectedDf, affected,
+            fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
+            fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
+          .filter(!cond)
+        val staged = Stager.stage(kept, t.dataDir, s"$loadId-dw",
+          fresh.partitionSpec,
+          bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+        fresh.withSnapshotDelta("delete", Some(loadId), staged, targetPaths)
+      }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    }
+    deleted
+  }
+
   /** Merge-on-read commit: stage the batch's delete-key set as ONE tiny
     * parquet [[graft.catalog.DeleteFile]] and add it (plus the staged
     * data files) to the snapshot — parent data files are never read or
@@ -347,7 +430,8 @@ final class GraftWriter(catalog: GraftCatalog) {
             // files get a NEW data sequence, putting them out of those
             // deletes' reach
             val delApplied = MorRead.applyDeletes(spark, affectedDf, affected,
-              fresh.currentSnapshot.map(_.deletes).getOrElse(Nil))
+              fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
+              fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
             val kept = delApplied.join(keysCached, pks, "left_anti")
             // manifest metadata already bounds the rewrite size (kept rows
             // <= sum of affected rowCounts): a rewrite that lands in one

@@ -30,26 +30,29 @@ object Maintenance {
     // them
     val df = graft.catalog.MorRead.applyDeletes(t.spark,
         t.spark.read.schema(m.schema).parquet(small.map(_.path): _*),
-        small, m.currentSnapshot.map(_.deletes).getOrElse(Nil))
+        small, m.currentSnapshot.map(_.deletes).getOrElse(Nil),
+        m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
       .coalesce(numOut)
     // rebuild table-property bloom stats: compacted files must keep the
     // membership filters or point lookups degrade to full scans
     val staged = Stager.stage(df, t.dataDir, "compact", m.partitionSpec,
       bloomColumns = GraftWriter.tableBloomColumns(m))
     val smallPaths = small.map(_.path).toSet
-    val plannedDeletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)
-      .map(_.path).toSet
+    val plannedDeletes = (m.currentSnapshot.map(_.deletes).getOrElse(Nil)
+      .map(_.path) ++ m.currentSnapshot.map(_.posDeletes).getOrElse(Nil)
+      .map(_.path)).toSet
     t.commit({ fresh =>
       // rebase-safe only if the small set is still current; if a
       // concurrent writer rewrote any of them, drop this compaction
       val cur = fresh.currentFiles.map(_.path).toSet
       if (!smallPaths.subsetOf(cur))
         throw new graft.catalog.ValidationError("compaction superseded by concurrent commit")
-      // restaged files get a NEW data sequence, so a delete file that
-      // arrived after planning would silently skip them — refuse the
-      // stale restage instead
-      if (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil)
-          .map(_.path).toSet != plannedDeletes)
+      // restaged files get a NEW data sequence and new PATHS, so a
+      // delete (equality or positional) that arrived after planning
+      // would silently skip them — refuse the stale restage instead
+      if ((fresh.currentSnapshot.map(_.deletes).getOrElse(Nil).map(_.path) ++
+          fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil).map(_.path))
+          .toSet != plannedDeletes)
         throw new graft.catalog.ValidationError(
           "compaction superseded by concurrent merge-on-read delete")
       fresh.withSnapshotDelta("compact", None, staged, smallPaths)
@@ -66,20 +69,28 @@ object Maintenance {
   def applyDeletes(t: GraftTable, retryUnitMs: Long = 1000L): Boolean = {
     val m = t.metadata
     val deletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)
-    if (deletes.isEmpty) return false
-    val maxSeq = deletes.map(_.seq).max
-    val affected = m.currentFiles.filter(_.dataSeq < maxSeq)
+    val posDeletes = m.currentSnapshot.map(_.posDeletes).getOrElse(Nil)
+    if (deletes.isEmpty && posDeletes.isEmpty) return false
+    // a file needs rewriting if an equality delete could fence it OR a
+    // positional delete targets it by path
+    val maxSeq = deletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
+    val posTargets: Set[String] =
+      if (posDeletes.isEmpty) Set.empty
+      else t.spark.read.parquet(posDeletes.map(_.path): _*)
+        .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val affected = m.currentFiles.filter(f =>
+      f.dataSeq < maxSeq || posTargets.contains(f.path))
     val staged =
       if (affected.isEmpty) Nil
       else {
         val applied = graft.catalog.MorRead.applyDeletes(t.spark,
           t.spark.read.schema(m.schema).parquet(affected.map(_.path): _*),
-          affected, deletes)
+          affected, deletes, posDeletes)
         Stager.stage(applied, t.dataDir, "apply-deletes", m.partitionSpec,
           bloomColumns = GraftWriter.tableBloomColumns(m))
       }
     val priorPaths = affected.map(_.path).toSet
-    val plannedDeletes = deletes.map(_.path).toSet
+    val plannedDeletes = (deletes.map(_.path) ++ posDeletes.map(_.path)).toSet
     t.commit({ fresh =>
       val cur = fresh.currentFiles.map(_.path).toSet
       if (!priorPaths.subsetOf(cur))
@@ -87,8 +98,9 @@ object Maintenance {
           "apply-deletes superseded by concurrent commit")
       // clearDeletes wipes the WHOLE delete list — refuse if a delete
       // file this pass did not apply arrived concurrently
-      if (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil)
-          .map(_.path).toSet != plannedDeletes)
+      if ((fresh.currentSnapshot.map(_.deletes).getOrElse(Nil).map(_.path) ++
+          fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil).map(_.path))
+          .toSet != plannedDeletes)
         throw new graft.catalog.ValidationError(
           "apply-deletes superseded by concurrent merge-on-read delete")
       fresh.withSnapshotDelta("apply-deletes", None, staged, priorPaths,
@@ -167,8 +179,9 @@ object Maintenance {
     val staged = Stager.stage(rewritten, t.dataDir, "zorder", Nil,
       bloomColumns = GraftWriter.tableBloomColumns(m))
     val priorPaths = files.map(_.path).toSet
-    val plannedDeletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)
-      .map(_.path).toSet
+    val plannedDeletes = (m.currentSnapshot.map(_.deletes).getOrElse(Nil)
+      .map(_.path) ++ m.currentSnapshot.map(_.posDeletes).getOrElse(Nil)
+      .map(_.path)).toSet
     t.commit({ fresh =>
       val cur = fresh.currentFiles.map(_.path).toSet
       if (priorPaths != cur)
@@ -176,8 +189,9 @@ object Maintenance {
       // the whole-table restage applied the deletes t.read() saw at
       // planning; refuse if a newer MoR delete arrived (its victims were
       // copied into new-sequence files), and clear the applied ones
-      if (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil)
-          .map(_.path).toSet != plannedDeletes)
+      if ((fresh.currentSnapshot.map(_.deletes).getOrElse(Nil).map(_.path) ++
+          fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil).map(_.path))
+          .toSet != plannedDeletes)
         throw new graft.catalog.ValidationError(
           "zorder superseded by concurrent merge-on-read delete")
       fresh.withSnapshotDelta("zorder", None, staged, priorPaths,
@@ -210,9 +224,11 @@ object Maintenance {
       // manifests and MoR delete files referenced only by expired
       // snapshots go too
       val liveManifests = retained.flatMap(_.manifestPaths).toSet ++
-        retained.flatMap(_.deletes.map(_.path))
+        retained.flatMap(_.deletes.map(_.path)) ++
+        retained.flatMap(_.posDeletes.map(_.path))
       removedManifests = (expired.flatMap(_.manifestPaths) ++
-        expired.flatMap(_.deletes.map(_.path)))
+        expired.flatMap(_.deletes.map(_.path)) ++
+        expired.flatMap(_.posDeletes.map(_.path)))
         .distinct.filterNot(liveManifests.contains)
       fresh.copy(snapshots = retained)
     }, unitMs = retryUnitMs)
@@ -241,6 +257,8 @@ object Maintenance {
     val referenced = m.snapshots
       .flatMap(_.dataFiles.map(f => Paths.get(f.path).toAbsolutePath.toString)).toSet ++
       m.snapshots.flatMap(_.deletes.map(d =>
+        Paths.get(d.path).toAbsolutePath.toString)) ++
+      m.snapshots.flatMap(_.posDeletes.map(d =>
         Paths.get(d.path).toAbsolutePath.toString))
     val cutoff = System.currentTimeMillis() - minAgeMs
     // MoR delete files stage under dir/deletes — same orphan rules

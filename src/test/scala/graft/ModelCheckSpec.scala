@@ -44,7 +44,7 @@ class ModelCheckSpec extends AnyFunSuite {
       def key(): Long = rnd.between(-120L, 130L)
 
       (1 to 6).foreach { step =>
-        val op = rnd.nextInt(4)
+        val op = rnd.nextInt(5)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
         // content-neutral maintenance interleaved at random: compaction
@@ -90,6 +90,19 @@ class ModelCheckSpec extends AnyFunSuite {
             val marked = victims.map(k => (k, "del", java.lang.Long.valueOf(1700000000000L)))
             w.writeTable("main", "t", Seq(df(marked)), Merge("upsert"), mcfg, s"l$seed-$step")
             victims.foreach(model.remove)
+          case 4 => // predicate delete over a random key range (both modes)
+            if (!cat.tableExists("main", "t")) {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
+            val (lo, hi) = {
+              val a = key(); val b = key(); (math.min(a, b), math.max(a, b))
+            }
+            w.deleteWhere("main", "t",
+              org.apache.spark.sql.functions.col("id").between(lo, hi), mcfg,
+              s"dw$seed-$step")
+            model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
         }
         val got = cat.loadTable("main", "t").read()
           .select("id", "v").collect()
