@@ -291,6 +291,30 @@ object WriteQueries {
       s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
          |WHERE o_orderkey % 7 <> 0 AND o_totalprice <= 300000.0""".stripMargin)),
 
+    // UPDATE ... SET ... WHERE in both modes: copy-on-write applies the
+    // SET in place on the matching files only; the merge-on-read pass
+    // commits the updated rows as a new file plus a positional vector
+    // over their old positions — the read stacks vector + append
+    "w18_update_where" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        w.updateWhere("main", "orders_t", col("o_orderkey") % 7 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 5.0)), cfg, "u1")
+        w.updateWhere("main", "orders_t", col("o_orderkey") % 11 === 0,
+          Map("o_orderpriority" -> lit("0-URGENT")),
+          cfg.copy(mergeOnRead = true), "u2")
+        cat.loadTable("main", "orders_t").read()
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      },
+      s"""SELECT o_orderkey,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+         |       ELSE o_totalprice END AS o_totalprice,
+         |  CASE WHEN o_orderkey % 11 = 0 THEN '0-URGENT'
+         |       ELSE o_orderpriority END AS o_orderpriority
+         |FROM ($targetSql)""".stripMargin)),
+
     // S2: stats-pruned range scan — file-level pruning by snapshot
     // min/max + parquet pushdown, equals the plain relational filter
     "w10_pruned_scan" -> ((

@@ -331,6 +331,98 @@ final class GraftWriter(catalog: GraftCatalog) {
     deleted
   }
 
+  /** `UPDATE <table> SET ... WHERE <cond>` — predicate updates with no
+    * primary-key requirement:
+    *
+    *  - copy-on-write: restage only the files with matching rows, with
+    *    the SET expressions applied in place (`when(cond, set)` per
+    *    column — no join);
+    *  - merge-on-read: commit the updated matching rows as a NEW data
+    *    file plus a positional delete vector over their old positions —
+    *    one commit, no rewrite of existing files.
+    *
+    * SET expressions are cast to the column's committed type. Returns
+    * the number of updated rows. */
+  def updateWhere(ns: String, name: String, cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      cfg: WriteConfig = WriteConfig(),
+      loadId: String = java.util.UUID.randomUUID().toString): Long = {
+    val t = catalog.loadTable(ns, name)
+    val m = t.metadata
+    val files = m.currentFiles
+    if (files.isEmpty) return 0L
+    set.keys.foreach(k => require(m.schema.fieldNames.contains(k),
+      s"SET column $k not in table schema"))
+    val snap = m.currentSnapshot
+    val scan = spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+      .withColumn("__dw_path",
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+      .withColumn("__dw_idx", col("_metadata.row_index"))
+    val liveRows = MorRead.applyDeletes(spark, scan, files,
+      snap.map(_.deletes).getOrElse(Nil), snap.map(_.posDeletes).getOrElse(Nil))
+
+    val hitPaths = liveRows.filter(cond)
+      .groupBy(col("__dw_path")).agg(count(lit(1)).as("n")).collect()
+    if (hitPaths.isEmpty) return 0L
+    val targetPaths = hitPaths.map(_.getString(0)).toSet
+    val updated = hitPaths.map(_.getAs[Long]("n")).sum
+    def requireTargetsLive(fresh: TableMetadata): Unit =
+      if (!targetPaths.subsetOf(fresh.currentFiles.map(_.path).toSet))
+        throw new ValidationError(
+          "updateWhere superseded by a concurrent rewrite of a target file")
+    def applySet(schema: org.apache.spark.sql.types.StructType,
+        onlyWhen: Option[org.apache.spark.sql.Column]) =
+      schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            val cast = e.cast(f.dataType)
+            onlyWhen.fold(cast)(c => when(c, cast).otherwise(col(f.name)))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }
+
+    if (cfg.mergeOnRead) {
+      // updated rows -> new data file; old positions -> delete vector
+      val matches = liveRows.filter(cond)
+      val staged = Stager.stage(
+        matches.select(applySet(m.schema, None): _*),
+        t.dataDir, s"$loadId-up", m.partitionSpec,
+        bloomColumns = GraftWriter.bloomColumns(m, cfg))
+      val dest = t.dir.resolve("deletes")
+        .resolve(s"$loadId-pos-${java.util.UUID.randomUUID().toString.take(8)}")
+      matches.select(col("__dw_path").as("file_path"),
+          col("__dw_idx").as("row_index"))
+        .coalesce(1).write.parquet(dest.toString)
+      import scala.jdk.CollectionConverters._
+      val posFiles = java.nio.file.Files.walk(dest).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => PosDeleteFile(p.toString, updated)).toSeq
+      t.commit({ fresh =>
+        requireTargetsLive(fresh)
+        fresh.withSnapshotDelta("update", Some(loadId), staged,
+          Set.empty, newPosDeletes = posFiles)
+      }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    } else {
+      // copy-on-write: in-place when(cond, set) rewrite of affected files
+      t.commit({ fresh =>
+        requireTargetsLive(fresh)
+        val affected = fresh.currentFiles.filter(f => targetPaths.contains(f.path))
+        val affectedDf = spark.read.schema(fresh.schema)
+          .parquet(affected.map(_.path): _*)
+        val rewritten = MorRead.applyDeletes(spark, affectedDf, affected,
+            fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
+            fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
+          .select(applySet(fresh.schema, Some(cond)): _*)
+        val staged = Stager.stage(rewritten, t.dataDir, s"$loadId-up",
+          fresh.partitionSpec,
+          bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+        fresh.withSnapshotDelta("update", Some(loadId), staged, targetPaths)
+      }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    }
+    updated
+  }
+
   /** Merge-on-read commit: stage the batch's delete-key set as ONE tiny
     * parquet [[graft.catalog.DeleteFile]] and add it (plus the staged
     * data files) to the snapshot — parent data files are never read or

@@ -98,6 +98,44 @@ class DeleteWhereSpec extends AnyFunSuite {
       t.metadata.currentSnapshot.get.posDeletes.isEmpty)
   }
 
+  test("updateWhere applies SET in place (copy-on-write) and via vector+append (MoR)") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(users((1, "a", 10), (2, "b", 20))), Append, cfg, "l1")
+    val t = w.writeTable("main", "u", Seq(users((3, "c", 90))), Append, cfg, "l2")
+    val l1Files = t.metadata.snapshots.sortBy(_.snapshotId).head
+      .dataFiles.map(_.path).toSet
+
+    // CoW: only l2's file (the match) rewrites
+    val n1 = w.updateWhere("main", "u", col("score") >= 90,
+      Map("username" -> concat(col("username"), lit("!")),
+        "score" -> (col("score") + 1)), cfg)
+    assert(n1 == 1L)
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c!", 91L)))
+    assert(l1Files.subsetOf(t.metadata.currentFiles.map(_.path).toSet))
+    assert(t.metadata.currentSnapshot.get.posDeletes.isEmpty)
+
+    // MoR: existing files untouched; vector + new file; update-of-update
+    val before = t.metadata.currentFiles.map(_.path).toSet
+    val n2 = w.updateWhere("main", "u", col("user_id") <= 2,
+      Map("score" -> (col("score") * 10)), cfg.copy(mergeOnRead = true))
+    assert(n2 == 2L)
+    assert(before.subsetOf(t.metadata.currentFiles.map(_.path).toSet))
+    assert(t.metadata.currentSnapshot.get.posDeletes.size == 1)
+    assert(rowsOf(t) == Set((1L, "a", 100L), (2L, "b", 200L), (3L, "c!", 91L)))
+
+    // second MoR update hits the previously-updated rows (new file's
+    // positions get their own vector entries)
+    val n3 = w.updateWhere("main", "u", col("score") === 100L,
+      Map("username" -> lit("z")), cfg.copy(mergeOnRead = true))
+    assert(n3 == 1L)
+    assert(rowsOf(t) == Set((1L, "z", 100L), (2L, "b", 200L), (3L, "c!", 91L)))
+
+    // physical apply collapses everything back to plain files
+    assert(Maintenance.applyDeletes(t, retryUnitMs = 1))
+    assert(rowsOf(t) == Set((1L, "z", 100L), (2L, "b", 200L), (3L, "c!", 91L)))
+  }
+
   test("SQL DELETE FROM routes through the engine in both modes") {
     val wh = Files.createTempDirectory("graft-dwsql-").toString
     spark.conf.set("spark.sql.catalog.gdel",

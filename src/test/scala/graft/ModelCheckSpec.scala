@@ -44,7 +44,7 @@ class ModelCheckSpec extends AnyFunSuite {
       def key(): Long = rnd.between(-120L, 130L)
 
       (1 to 6).foreach { step =>
-        val op = rnd.nextInt(5)
+        val op = rnd.nextInt(6)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
         // content-neutral maintenance interleaved at random: compaction
@@ -103,6 +103,21 @@ class ModelCheckSpec extends AnyFunSuite {
               org.apache.spark.sql.functions.col("id").between(lo, hi), mcfg,
               s"dw$seed-$step")
             model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+          case 5 => // predicate update over a random key range (both modes)
+            if (!cat.tableExists("main", "t")) {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
+            val (lo, hi) = {
+              val a = key(); val b = key(); (math.min(a, b), math.max(a, b))
+            }
+            import org.apache.spark.sql.functions.{col => c, concat, lit}
+            w.updateWhere("main", "t", c("id").between(lo, hi),
+              Map("v" -> concat(c("v"), lit(s"+u$step"))), mcfg,
+              s"uw$seed-$step")
+            model.keys.filter(k => k >= lo && k <= hi).toSeq
+              .foreach(k => model(k) = model(k) + s"+u$step")
         }
         val got = cat.loadTable("main", "t").read()
           .select("id", "v").collect()
