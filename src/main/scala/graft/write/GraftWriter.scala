@@ -321,7 +321,10 @@ final class GraftWriter(catalog: GraftCatalog) {
         val kept = MorRead.applyDeletes(spark, affectedDf, affected,
             fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
             fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
-          .filter(!cond)
+          // three-valued logic: a NULL condition must KEEP the row
+          // (it did not match the delete predicate) — bare !cond would
+          // silently drop it
+          .filter(!coalesce(cond, lit(false)))
         val staged = Stager.stage(kept, t.dataDir, s"$loadId-dw",
           fresh.partitionSpec,
           bloomColumns = GraftWriter.bloomColumns(fresh, cfg))

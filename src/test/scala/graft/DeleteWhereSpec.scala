@@ -136,6 +136,25 @@ class DeleteWhereSpec extends AnyFunSuite {
     assert(rowsOf(t) == Set((1L, "z", 100L), (2L, "b", 200L), (3L, "c!", 91L)))
   }
 
+  test("NULL predicate values keep their rows (three-valued logic)") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // score null for user 2 — a delete on score >= 90 must keep it
+    val withNull = Seq((1L, "a", java.lang.Long.valueOf(95L)),
+      (2L, "b", null: java.lang.Long), (3L, "c", java.lang.Long.valueOf(10L)))
+      .toDF("user_id", "username", "score")
+    w.writeTable("main", "u", Seq(withNull), Append, cfg, "l1")
+    // CoW: the null-score row shares a file with the match — it must
+    // survive the rewrite
+    assert(w.deleteWhere("main", "u", col("score") >= 90, cfg) == 1L)
+    val t = cat.loadTable("main", "u")
+    assert(t.read().select("user_id").as[Long].collect().toSet == Set(2L, 3L))
+    // MoR mode: same rule
+    assert(w.deleteWhere("main", "u", col("score") < 50,
+      cfg.copy(mergeOnRead = true)) == 1L)
+    assert(t.read().select("user_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("SQL DELETE FROM routes through the engine in both modes") {
     val wh = Files.createTempDirectory("graft-dwsql-").toString
     spark.conf.set("spark.sql.catalog.gdel",
