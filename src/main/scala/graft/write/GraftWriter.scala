@@ -264,6 +264,8 @@ final class GraftWriter(catalog: GraftCatalog) {
   def deleteWhere(ns: String, name: String, cond: org.apache.spark.sql.Column,
       cfg: WriteConfig = WriteConfig(),
       loadId: String = java.util.UUID.randomUUID().toString): Long = {
+    require(cfg.toBranch.isEmpty,
+      "predicate deletes target main state; branch deletes are not supported")
     val t = catalog.loadTable(ns, name)
     val m = t.metadata
     val files = m.currentFiles
@@ -350,6 +352,8 @@ final class GraftWriter(catalog: GraftCatalog) {
       set: Map[String, org.apache.spark.sql.Column],
       cfg: WriteConfig = WriteConfig(),
       loadId: String = java.util.UUID.randomUUID().toString): Long = {
+    require(cfg.toBranch.isEmpty,
+      "predicate updates target main state; branch updates are not supported")
     val t = catalog.loadTable(ns, name)
     val m = t.metadata
     val files = m.currentFiles
