@@ -192,6 +192,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           schema = StructType(schema.fields :+
             StructField(name, add.dataType, nullable = true))
         case upd: TableChange.UpdateColumnType =>
+          if (upd.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              "nested ALTER COLUMN TYPE is not supported")
           val name = upd.fieldNames()(0)
           val old = schema(name).dataType
           if (!graft.types.TypeLattice.canPromote(old, upd.newDataType))
@@ -201,6 +204,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           schema = StructType(schema.fields.map(f =>
             if (f.name == name) f.copy(dataType = upd.newDataType) else f))
         case del: TableChange.DeleteColumn =>
+          if (del.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              "nested DROP COLUMN is not supported")
           val name = del.fieldNames()(0)
           val f = schema.fields.find(_.name == name).getOrElse(
             throw new IllegalArgumentException(s"No column $name"))
@@ -210,6 +216,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           if (m.partitionSpec.exists(_.source == name))
             throw new IllegalArgumentException(
               s"Cannot drop partition source column $name")
+          // outstanding equality-delete files join on their key columns
+          // at every read — dropping one would brick the table (even
+          // applyDeletes could no longer run)
+          if (m.currentSnapshot.map(_.deletes).getOrElse(Nil)
+              .exists(_.keyColumns.contains(name)))
+            throw new IllegalArgumentException(
+              s"Cannot drop column $name: outstanding merge-on-read delete " +
+                "files key on it — run Maintenance.applyDeletes first")
           schema = StructType(schema.fields.filterNot(_.name == name))
         case other =>
           throw new UnsupportedOperationException(

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** DSIR hashed-feature space: 16³ md5-prefix buckets. */
+  val DsirBuckets = 4096
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -109,7 +112,11 @@ object TextOps {
     * acceptance-ratio 1; callers resample with any quota by ranking on
     * the weight. */
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
-      buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame = {
+    // feature space is FIXED at 4096 buckets (3 hex chars of md5): the
+    // smoothing denominator below must equal the actual bucket count, so
+    // it is not a parameter
+    val buckets = DsirBuckets
     val tok = docs.select(col("doc_id"), col("lang"),
         explode(tokens(col(textCol))).as("t"))
       .withColumn("bk", substring(md5(col("t")), 1, 3))

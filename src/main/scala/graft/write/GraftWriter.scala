@@ -281,8 +281,12 @@ final class GraftWriter(catalog: GraftCatalog) {
     val liveRows = MorRead.applyDeletes(spark, scan, files,
       snap.map(_.deletes).getOrElse(Nil), snap.map(_.posDeletes).getOrElse(Nil))
 
-    // per-file match attribution (metadata-scale: one row per hit file)
-    val hitPaths = liveRows.filter(cond)
+    // one cached pass over the delete-applied scan serves BOTH the
+    // per-file attribution and (in MoR mode) the vector write
+    val matchPos = liveRows.filter(cond)
+      .select(col("__dw_path"), col("__dw_idx")).cache()
+    try {
+    val hitPaths = matchPos
       .groupBy(col("__dw_path")).agg(count(lit(1)).as("n")).collect()
     if (hitPaths.isEmpty) return 0L
     val targetPaths = hitPaths.map(_.getString(0)).toSet
@@ -300,7 +304,7 @@ final class GraftWriter(catalog: GraftCatalog) {
       // matching row positions -> ONE delete-vector parquet; no rewrite
       val dest = t.dir.resolve("deletes")
         .resolve(s"$loadId-pos-${java.util.UUID.randomUUID().toString.take(8)}")
-      liveRows.filter(cond)
+      matchPos
         .select(col("__dw_path").as("file_path"),
           col("__dw_idx").as("row_index"))
         .coalesce(1).write.parquet(dest.toString)
@@ -334,6 +338,7 @@ final class GraftWriter(catalog: GraftCatalog) {
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
     }
     deleted
+    } finally matchPos.unpersist()
   }
 
   /** `UPDATE <table> SET ... WHERE <cond>` — predicate updates with no
@@ -390,26 +395,42 @@ final class GraftWriter(catalog: GraftCatalog) {
       }
 
     if (cfg.mergeOnRead) {
-      // updated rows -> new data file; old positions -> delete vector
-      val matches = liveRows.filter(cond)
-      val staged = Stager.stage(
-        matches.select(applySet(m.schema, None): _*),
-        t.dataDir, s"$loadId-up", m.partitionSpec,
-        bloomColumns = GraftWriter.bloomColumns(m, cfg))
-      val dest = t.dir.resolve("deletes")
-        .resolve(s"$loadId-pos-${java.util.UUID.randomUUID().toString.take(8)}")
-      matches.select(col("__dw_path").as("file_path"),
-          col("__dw_idx").as("row_index"))
-        .coalesce(1).write.parquet(dest.toString)
-      import scala.jdk.CollectionConverters._
-      val posFiles = java.nio.file.Files.walk(dest).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => PosDeleteFile(p.toString, updated)).toSeq
-      t.commit({ fresh =>
-        requireTargetsLive(fresh)
-        fresh.withSnapshotDelta("update", Some(loadId), staged,
-          Set.empty, newPosDeletes = posFiles)
-      }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      // updated rows -> new data file; old positions -> delete vector.
+      // Cache the matches: they feed BOTH the staged write and the
+      // vector write, and recomputing means re-running the whole
+      // delete-applied scan.
+      val matches = liveRows.filter(cond).cache()
+      try {
+        val staged = Stager.stage(
+          matches.select(applySet(m.schema, None): _*),
+          t.dataDir, s"$loadId-up", m.partitionSpec,
+          bloomColumns = GraftWriter.bloomColumns(m, cfg))
+        val dest = t.dir.resolve("deletes")
+          .resolve(s"$loadId-pos-${java.util.UUID.randomUUID().toString.take(8)}")
+        matches.select(col("__dw_path").as("file_path"),
+            col("__dw_idx").as("row_index"))
+          .coalesce(1).write.parquet(dest.toString)
+        import scala.jdk.CollectionConverters._
+        val posFiles = java.nio.file.Files.walk(dest).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => PosDeleteFile(p.toString, updated)).toSeq
+        // the staged rows were computed against THIS delete set; a
+        // concurrent MoR delete would no longer fence them (they commit
+        // with a newer sequence) — refuse the stale restage, same rule
+        // as compaction
+        val plannedDeletes = (snap.map(_.deletes).getOrElse(Nil).map(_.path) ++
+          snap.map(_.posDeletes).getOrElse(Nil).map(_.path)).toSet
+        t.commit({ fresh =>
+          requireTargetsLive(fresh)
+          if ((fresh.currentSnapshot.map(_.deletes).getOrElse(Nil).map(_.path) ++
+              fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil).map(_.path))
+              .toSet != plannedDeletes)
+            throw new ValidationError(
+              "updateWhere superseded by a concurrent merge-on-read delete")
+          fresh.withSnapshotDelta("update", Some(loadId), staged,
+            Set.empty, newPosDeletes = posFiles)
+        }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      } finally matches.unpersist()
     } else {
       // copy-on-write: in-place when(cond, set) rewrite of affected files
       t.commit({ fresh =>

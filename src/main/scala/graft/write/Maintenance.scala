@@ -210,11 +210,37 @@ object Maintenance {
     var removed: Seq[String] = Nil
     var removedManifests: Seq[String] = Nil
     t.commit({ fresh =>
+      // branch/tag chains stay live from their head down to the first
+      // snapshot shared with main's ancestry (the branch point): publish
+      // proves fast-forward safety by walking exactly that chain, so
+      // expiring an intermediate branch snapshot would permanently block
+      // a legitimate publish. Everything below the branch point ages out
+      // under the normal keepLast rule.
+      val byId = fresh.snapshots.map(s => s.snapshotId -> s).toMap
+      def chainOf(start: Option[Long]): Seq[Long] = {
+        var cur = start
+        val buf = Seq.newBuilder[Long]
+        while (cur.isDefined && byId.contains(cur.get)) {
+          buf += cur.get
+          cur = byId(cur.get).parentId
+        }
+        buf.result()
+      }
+      val mainChain = chainOf(fresh.currentSnapshotId).toSet
+      val refChains = fresh.refs.getOrElse(Map.empty).values.flatMap { head =>
+        val buf = Seq.newBuilder[Long]
+        var cur: Option[Long] = Some(head)
+        var done = false
+        while (!done && cur.isDefined && byId.contains(cur.get)) {
+          buf += cur.get
+          if (mainChain.contains(cur.get)) done = true
+          else cur = byId(cur.get).parentId
+        }
+        buf.result()
+      }.toSet
       val keep = fresh.snapshots.sortBy(_.snapshotId).takeRight(keepLast) ++
         fresh.currentSnapshot.toSeq ++
-        // branch/tag heads stay live regardless of age
-        fresh.refs.getOrElse(Map.empty).values
-          .flatMap(id => fresh.snapshots.find(_.snapshotId == id))
+        refChains.flatMap(id => fresh.snapshots.find(_.snapshotId == id))
       val keepIds = keep.map(_.snapshotId).toSet
       val retained = fresh.snapshots.filter(s => keepIds.contains(s.snapshotId))
       val expired = fresh.snapshots.filterNot(s => keepIds.contains(s.snapshotId))

@@ -63,6 +63,44 @@ class BranchSpec extends AnyFunSuite {
     assert(t.metadata.refId("audit").isEmpty)
   }
 
+  test("publish still fast-forwards after expiry trims the branch chain's age class") {
+    val w = new GraftWriter(freshCatalog())
+    val t = w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, cfg, "l1")
+    t.createBranch("audit")
+    // 12 branch commits: more than keepLast, so mid-chain snapshots
+    // would age out without the branch-chain retention rule
+    (2 to 13).foreach(i =>
+      w.writeTable("main", "u", Seq(users((i.toLong, s"u$i", i * 10L))),
+        Append, cfg.copy(toBranch = Some("audit")), s"l$i"))
+    Maintenance.expireSnapshots(t, keepLast = 3, retryUnitMs = 1)
+    t.publish("audit")
+    assert(t.read().count() == 13)
+  }
+
+  test("ALTER TABLE cannot drop a column outstanding MoR deletes key on") {
+    val cat = freshCatalog()
+    val wh = cat.warehousePath.toString
+    spark.conf.set("spark.sql.catalog.gbr",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    val w = new GraftWriter(cat)
+    val mcfg = cfg.copy(primaryKey = Seq("user_id"), mergeOnRead = true)
+    w.writeTable("main", "u", Seq(users((1, "a", 10), (2, "b", 20))),
+      Merge("upsert"), mcfg, "l1")
+    val t = w.writeTable("main", "u", Seq(users((2, "b2", 21))),
+      Merge("upsert"), mcfg, "l2")
+    assert(t.metadata.currentSnapshot.get.deletes.nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gbr.main.u DROP COLUMN user_id")
+    }
+    assert(e.getMessage.contains("applyDeletes"),
+      s"wrong error: ${e.getMessage}")
+    // after physical apply, the drop goes through
+    Maintenance.applyDeletes(t, retryUnitMs = 1)
+    spark.sql("ALTER TABLE gbr.main.u DROP COLUMN user_id")
+    assert(!cat.loadTable("main", "u").metadata.schema.fieldNames.contains("user_id"))
+  }
+
   test("tags pin history through expiry") {
     val w = new GraftWriter(freshCatalog())
     val t = w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, cfg, "l1")
