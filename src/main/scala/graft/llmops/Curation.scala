@@ -1,0 +1,91 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed pipeline a training-data
+  * team actually runs, built from the same primitives the individual
+  * operators expose — proof that the pieces CHAIN, not just pass their
+  * own oracles.
+  *
+  * Stages (each a pure DataFrame transform, all engine-portable):
+  *  1. language filter (metadata column);
+  *  2. quality gate: word count + alphabetic-word fraction (the two
+  *     highest-yield Gopher rules);
+  *  3. exact dedup: min-doc_id survivor per md5(text) fingerprint;
+  *  4. span near-dedup: drop docs whose distinct 8-token spans are
+  *     mostly (> 50%) shared with OTHER surviving docs — the cheap
+  *     boilerplate-page filter (novelty gate, cf. l35/l36);
+  *  5. decontamination: drop docs sharing any 5-gram with the
+  *     benchmark set (here: doc_id % 97 = 0 as the held-out stand-in);
+  *  6. leakage-safe split: md5-bucket train/val/test (80/10/10).
+  *
+  * Scale shape: stages 1-3 are map + one hash-agg each; stage 4 is one
+  * span-frequency aggregation joined back (shuffle on span, never
+  * all-pairs); stage 5 is a broadcast-ish semi-join against the (small)
+  * benchmark grams; stage 6 is map-only. Nothing materializes pairs and
+  * every shuffle key is bounded (fingerprint, span, gram). */
+object Curation {
+
+  def curate(docs: DataFrame, lang: String = "en",
+      minWords: Int = 30, alphaFrac: Double = 0.8,
+      spanWords: Int = 8, maxSharedFrac: Double = 0.5): DataFrame = {
+    val words = split(col("text"), " ")
+
+    // 1+2: language + quality gate
+    val gated = docs
+      .filter(col("lang") === lang)
+      .withColumn("__n_words", size(words))
+      .withColumn("__alpha_frac",
+        size(filter(words, w => w.rlike("[a-z]"))) / size(words))
+      .filter(col("__n_words") >= minWords &&
+        col("__alpha_frac") >= alphaFrac)
+
+    // 3: exact dedup (min-id survivor per content fingerprint)
+    val fp = gated.withColumn("__fp", md5(col("text")))
+    val survivors = fp.withColumn("__min_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .filter(col("doc_id") === col("__min_id"))
+      .drop("__fp", "__min_id")
+
+    // 4: span novelty gate — fraction of the doc's DISTINCT spans that
+    // also appear in some other surviving doc
+    val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("int")
+    val spansArr = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val docSpans = survivors
+      .select(col("doc_id"), explode(spansArr).as("span")).distinct()
+    val spanDf = docSpans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("span_docs"))
+    val shared = docSpans.join(spanDf, "span")
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("span_docs") > 1, 1).otherwise(0)) /
+        count(lit(1))).as("__shared_frac"))
+    val novel = survivors.join(shared, "doc_id")
+      .filter(col("__shared_frac") <= maxSharedFrac)
+
+    // 5: decontamination against the benchmark grams (5-grams)
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+    def grams5(df: DataFrame): DataFrame = {
+      val w = split(col("text"), " ")
+      df.select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(w) - 5),
+            i => array_join(slice(w, i + 1, lit(5)), " "))).as("g"))
+        .distinct()
+    }
+    val contaminated = grams5(novel)
+      .join(grams5(benchmark).select(col("g")).distinct(), "g")
+      .select(col("doc_id")).distinct()
+    val clean = novel.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 6: leakage-safe split by content-independent hash bucket — the
+    // same rule as TextOps.splitAssign (md5 of the id, 80/10/10)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100).cast("int")
+    clean.select(col("doc_id"),
+      col("__n_words").cast("long").as("n_words"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
+}

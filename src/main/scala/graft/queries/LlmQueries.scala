@@ -453,6 +453,54 @@ object LlmQueries {
         |FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin))),
 
+    // the composed curation pipeline: language filter -> quality gate ->
+    // exact dedup -> span-novelty near-dedup -> benchmark
+    // decontamination -> leakage-safe split, each stage one of the
+    // individual operators — proof the primitives CHAIN, with the whole
+    // pipeline hash-checked against a single staged SQL oracle
+    "l45_curation_pipeline" -> ((
+      (s: SparkSession, dir: String) => graft.llmops.Curation.curate(docs(s, dir)),
+      Some("""WITH gated AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n_words
+        |  FROM documents
+        |  WHERE lang = 'en' AND len(string_split(text, ' ')) >= 30
+        |    AND len(list_filter(string_split(text, ' '),
+        |          w -> regexp_matches(w, '[a-z]'))) * 1.0
+        |        / len(string_split(text, ' ')) >= 0.8),
+        |surv AS (SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+        |    FROM gated) WHERE doc_id = min_id),
+        |sp AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i FROM surv)),
+        |sdf AS (SELECT span, count(DISTINCT doc_id) AS span_docs
+        |  FROM sp GROUP BY span),
+        |novel AS (SELECT s.doc_id FROM sp s JOIN sdf USING (span)
+        |  GROUP BY s.doc_id
+        |  HAVING sum(CASE WHEN span_docs > 1 THEN 1 ELSE 0 END) * 1.0
+        |    / count(*) <= 0.5),
+        |bg AS (SELECT DISTINCT array_to_string(ws[(i+1):(i+5)], ' ') AS g
+        |  FROM (SELECT string_split(text, ' ') AS ws,
+        |      unnest(range(len(string_split(text, ' ')) - 4)) AS i
+        |    FROM documents WHERE doc_id % 97 = 0)),
+        |ng AS (SELECT DISTINCT s.doc_id, array_to_string(s.ws[(i+1):(i+5)], ' ') AS g
+        |  FROM (SELECT surv.doc_id, surv.ws FROM surv
+        |        JOIN novel USING (doc_id)) s,
+        |    unnest(range(len(s.ws) - 4)) AS t(i)),
+        |dirty AS (SELECT DISTINCT doc_id FROM ng JOIN bg USING (g)),
+        |clean AS (SELECT surv.doc_id, surv.n_words FROM surv
+        |  JOIN novel USING (doc_id)
+        |  WHERE surv.doc_id NOT IN (SELECT doc_id FROM dirty))
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clean""".stripMargin))),
+
     "l40_gopher_rules" -> ((
       (s: SparkSession, dir: String) => TextOps.gopherRules(docs(s, dir)),
       Some("""WITH d AS (SELECT doc_id, text,
