@@ -111,6 +111,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p42.contains("BroadcastHashJoin"), "l42 bucket join must broadcast")
     assert(!p42.contains("SortMergeJoin"),
       "l42 token-bucket join must not shuffle the exploded corpus")
+
+    // the composed curation pipeline: every stage joins on a bounded key
+    // (fingerprint window, span, gram) — never cartesian/nested-loop
+    val p45 = plan("l45_curation_pipeline")
+    assert(!p45.contains("CartesianProduct") &&
+      !p45.contains("BroadcastNestedLoopJoin"),
+      "l45 pipeline degraded to a pair-materializing join")
   }
 
   test("the deliberate exceptions stay deliberate") {
