@@ -76,8 +76,30 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    if (!cat.tableExists(nsOf(ident), ident.name()))
+      metaTableFor(ident).foreach(t => return t)
     val m = graftTable(ident).metadata
     v2Of(ident, m, m.currentSnapshot, m.schema)
+  }
+
+  /** Iceberg-style SQL metadata tables: `SELECT * FROM cat.ns.t.history`
+    * (also `.snapshots`, `.files`, `.refs`, `.deletes`). The suffix
+    * resolves only when no real table shadows it. */
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    val metaNames = Set("history", "snapshots", "files", "refs", "deletes")
+    if (!metaNames.contains(ident.name()) || ident.namespace().isEmpty)
+      return None
+    val ns = ident.namespace().init.mkString(".")
+    val tbl = ident.namespace().last
+    if (ns.isEmpty || !cat.tableExists(ns, tbl)) return None
+    val t = cat.loadTable(ns, tbl)
+    val df = ident.name() match {
+      case "history" | "snapshots" => t.history()
+      case "files" => t.files()
+      case "refs" => t.refs()
+      case "deletes" => t.deletesTable()
+    }
+    Some(new GraftMetaTable(s"$catalogName.$ns.$tbl.${ident.name()}", df))
   }
 
   /** `VERSION AS OF <snapshotId | 'branch-or-tag-name'>` time travel.

@@ -95,6 +95,36 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       "load_id", "n_files", "n_rows")
   }
 
+  /** Named refs (branches/tags) as data — the `table.refs` metadata
+    * table. */
+  def refs(): DataFrame = {
+    import spark.implicits._
+    metadata.refs.getOrElse(Map.empty).toSeq.sortBy(_._1)
+      .toDF("name", "snapshot_id")
+  }
+
+  /** Current data files as data — the `table.files` metadata table
+    * (metadata + manifest reads only, no data scan). */
+  def files(): DataFrame = {
+    import spark.implicits._
+    val m = metadata
+    m.currentFiles.map(f =>
+      (f.path, f.rowCount, f.sizeBytes, f.dataSeq, f.stats.size))
+      .toDF("path", "row_count", "size_bytes", "data_seq", "n_stat_columns")
+  }
+
+  /** Outstanding merge-on-read delete files as data — the
+    * `table.deletes` metadata table. */
+  def deletesTable(): DataFrame = {
+    import spark.implicits._
+    val s = metadata.currentSnapshot
+    val eq = s.map(_.deletes).getOrElse(Nil).map(d =>
+      ("equality", d.path, d.rowCount, d.keyColumns.mkString(","), d.seq))
+    val pos = s.map(_.posDeletes).getOrElse(Nil).map(d =>
+      ("positional", d.path, d.rowCount, "", -1L))
+    (eq ++ pos).toDF("kind", "path", "row_count", "key_columns", "seq")
+  }
+
   /** Read the current snapshot as a DataFrame with the committed schema.
     * Files written under older schema versions null-fill missing columns
     * via the imposed read schema (sparse semantics, `test_sparse_schema

@@ -131,3 +131,28 @@ object GraftV2Table {
     case _ => None
   }
 }
+
+/** Read-only V2 table serving a driver-computed metadata DataFrame
+  * (history/snapshots/files/refs/deletes) through the V1Scan shim —
+  * metadata-scale by construction. */
+final class GraftMetaTable(tableName: String,
+    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = df.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              df.rdd
+          }.asInstanceOf[T]
+      }
+    }
+}

@@ -197,6 +197,33 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SELECT * FROM gddl.main.t").schema.fieldNames.contains("score"))
   }
 
+  test("SQL metadata tables: .history/.files/.refs/.deletes") {
+    val cat = freshCatalog("gmeta")
+    val w = new GraftWriter(cat)
+    val mcfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
+      mergeOnRead = true)
+    w.writeTable("main", "t", Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Merge("upsert"), mcfg, "l1")
+    val t = w.writeTable("main", "t", Seq(Seq((2L, "b2")).toDF("id", "v")),
+      Merge("upsert"), mcfg, "l2")
+    t.createBranch("audit")
+
+    assert(spark.sql("SELECT count(*) FROM gmeta.main.t.history")
+      .collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT load_id FROM gmeta.main.t.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq == Seq("l1", "l2"))
+    assert(spark.sql("SELECT count(*) FROM gmeta.main.t.files")
+      .collect()(0).getLong(0) == t.metadata.currentFiles.size)
+    assert(spark.sql("SELECT name FROM gmeta.main.t.refs").collect()
+      .map(_.getString(0)).toSeq == Seq("audit"))
+    val dels = spark.sql("SELECT kind, row_count FROM gmeta.main.t.deletes")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dels.toSeq == Seq(("equality", 1L)))
+    // the data table itself still resolves normally
+    assert(spark.sql("SELECT count(*) FROM gmeta.main.t")
+      .collect()(0).getLong(0) == 2)
+  }
+
   test("missing snapshot id is a version error naming the snapshot, not table-not-found") {
     val cat = freshCatalog("gver")
     val w = new GraftWriter(cat)
