@@ -190,6 +190,15 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
   }
 
+  /** Evolve the partition spec (Iceberg-style): future loads cluster and
+    * stat under the new spec; existing files keep their layout and stay
+    * conservatively un-pruned on the new derived columns. Validated
+    * against historical name reuse (see
+    * [[TableMetadata.withPartitionSpec]]). */
+  def updatePartitionSpec(hints: Seq[graft.partition.PartitionHint]): TableMetadata =
+    commit(m => m.withPartitionSpec(
+      graft.partition.Transforms.buildSpec(hints, m.schema)))
+
   // ---- Branches / tags (write-audit-publish) -------------------------
 
   /** Create a named ref at `fromSnapshotId` (default: current snapshot).

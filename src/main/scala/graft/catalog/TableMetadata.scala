@@ -188,7 +188,12 @@ final case class TableMetadata(
     // commits advance their ref instead of currentSnapshotId — the
     // write-audit-publish staging surface; `publish` fast-forwards main
     // onto a ref. Snapshots are shared, so refs are pure metadata.
-    refs: Option[Map[String, Long]] = None) {
+    refs: Option[Map[String, Long]] = None,
+    // superseded partition specs (Iceberg spec evolution): kept so a
+    // NEW spec field can never reuse a historical derived-column NAME
+    // with different semantics — old files' stats under that name would
+    // be re-typed through the new transform and corrupt pruning.
+    specHistory: Option[Seq[Seq[PartitionFieldSpec]]] = None) {
 
   def refId(name: String): Option[Long] = refs.flatMap(_.get(name))
 
@@ -214,6 +219,31 @@ final case class TableMetadata(
 
   def currentFiles: Seq[DataFile] =
     currentSnapshot.map(_.dataFiles).getOrElse(Nil)
+
+  /** Partition-spec evolution (Iceberg-style): the new spec applies to
+    * FUTURE staged files only; files written under older specs keep
+    * their old derived stats and are conservatively retained by pruning
+    * on the new derived columns (they lack those stats). A new field may
+    * not reuse a historical derived-column name unless the whole field
+    * (source, transform, param) is identical — otherwise old stats under
+    * that name would be re-typed through the new transform. */
+  def withPartitionSpec(spec: Seq[PartitionFieldSpec]): TableMetadata = {
+    val historical = (specHistory.getOrElse(Nil) :+ partitionSpec).flatten
+    spec.foreach { f =>
+      historical.find(h => h.name == f.name && h != f).foreach { h =>
+        throw new ValidationError(
+          s"Partition field name '${f.name}' was previously " +
+            s"${h.transform}(${h.source}) — reusing it as " +
+            s"${f.transform}(${f.source}) would corrupt stats pruning; " +
+            "pick a fresh name")
+      }
+      if (schema.fields.exists(_.name == f.name) && f.transform != "identity")
+        throw new ValidationError(
+          s"Derived partition field '${f.name}' collides with a data column")
+    }
+    copy(partitionSpec = spec,
+      specHistory = Some(specHistory.getOrElse(Nil) :+ partitionSpec))
+  }
 
   def withSchema(s: StructType): TableMetadata =
     copy(schemaJson = s.json, schemaVersion = schemaVersion + 1,

@@ -315,6 +315,28 @@ object WriteQueries {
          |       ELSE o_orderpriority END AS o_orderpriority
          |FROM ($targetSql)""".stripMargin)),
 
+    // Partition-spec evolution: first load partitions by status, then
+    // the spec evolves to bucket[8](o_orderkey) and a second load stages
+    // under it; the range scan prunes across BOTH vintages (new files by
+    // their bucket/key stats, old files conservatively kept)
+    "w19_partition_evolution" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append,
+          cfg.copy(partitions =
+            Seq(graft.partition.PartitionHint.identity("o_orderstatus"))), "l1")
+        val tbl = cat.loadTable("main", "orders_t")
+        tbl.updatePartitionSpec(
+          Seq(graft.partition.PartitionHint.bucket(8, "o_orderkey")))
+        w.writeTable("main", "orders_t", Seq(source(s, dir)), Append, cfg, "l2")
+        tbl.scanRange("o_orderkey", 1000L, 3000L)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM (
+         |  SELECT * FROM ($targetSql) UNION ALL SELECT * FROM ($sourceSql))
+         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)),
+
     // S2: stats-pruned range scan — file-level pruning by snapshot
     // min/max + parquet pushdown, equals the plain relational filter
     "w10_pruned_scan" -> ((

@@ -201,6 +201,41 @@ class MergeOnReadSpec extends AnyFunSuite {
       "int-keyed delete file must still fence rows under the promoted schema")
   }
 
+  test("partition-spec evolution: new loads cluster under the new spec, old files stay readable") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val pcfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.identity("username")))
+    w.writeTable("main", "u", Seq(users((1, "a", 10), (2, "b", 20))),
+      Append, pcfg, "l1")
+    val t = cat.loadTable("main", "u")
+    assert(t.metadata.partitionSpec.map(_.transform) == Seq("identity"))
+
+    t.updatePartitionSpec(Seq(graft.partition.PartitionHint.bucket(4, "user_id")))
+    assert(t.metadata.partitionSpec.map(_.transform) == Seq("bucket"))
+
+    // new load stages under the bucket spec; reads union both vintages
+    w.writeTable("main", "u", Seq(users((3, "c", 30), (4, "d", 40))),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    // new files carry the derived bucket stat; old ones don't (and are
+    // conservatively kept by pruning)
+    val bucketName = t.metadata.partitionSpec.head.name
+    val newFiles = t.metadata.snapshots.sortBy(_.snapshotId).last.dataFiles
+      .filterNot(t.metadata.snapshots.sortBy(_.snapshotId).head
+        .dataFiles.map(_.path).toSet contains _.path)
+    assert(newFiles.nonEmpty && newFiles.forall(_.stats.contains(bucketName)))
+    assert(t.readPointLookup("user_id", 3L).count() == 1)
+    assert(t.readPointLookup("user_id", 1L).count() == 1)
+
+    // historical name reuse with different semantics is rejected
+    intercept[ValidationError] {
+      t.updatePartitionSpec(Seq(graft.partition.PartitionHint.bucket(8,
+        "user_id", name = t.metadata.partitionSpec.head.name)))
+    }
+  }
+
   test("point lookup and range scan apply deletes") {
     val w = new GraftWriter(freshCatalog())
     w.writeTable("main", "u",
