@@ -190,6 +190,78 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
   }
 
+  /** Changelog scan (Iceberg changelog / CDC): the row-level changes
+    * between two snapshots, as the table schema plus a `_change_type`
+    * column (`insert` | `delete`).
+    *
+    *  - inserts: rows of data files ADDED in the window, with the
+    *    window-end delete set applied (a row inserted and deleted inside
+    *    the window nets out);
+    *  - deletes: equality-delete keys added in the window (key columns
+    *    populated, other columns null — the same partial-row shape
+    *    Iceberg changelogs emit for equality deletes) plus
+    *    positional-delete victims resolved back to FULL rows from their
+    *    target files.
+    *
+    * Exact only for append + merge-on-read windows: if a data file was
+    * REMOVED in the window (copy-on-write rewrite, compaction, replace),
+    * row-level attribution is lost and this throws — the caller falls
+    * back to a full-snapshot diff. */
+  def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = metadata
+    val from = findSnapshot(m, fromSnapshotId)
+    val to = findSnapshot(m, toSnapshotId)
+    val fromPaths = from.dataFiles.map(_.path).toSet
+    val toFiles = to.dataFiles
+    val toPaths = toFiles.map(_.path).toSet
+    if (!fromPaths.subsetOf(toPaths))
+      throw new ValidationError(
+        s"changesBetween($fromSnapshotId, $toSnapshotId): a data file was " +
+          "removed in the window (rewrite/compact/replace) — row-level " +
+          "attribution is lost; diff full snapshots instead")
+    val schemaCols = m.schema.fieldNames.toSeq
+
+    val newFiles = toFiles.filterNot(f => fromPaths.contains(f.path))
+    val inserts = readFiles(m, newFiles, to.deletes, to.posDeletes)
+      .withColumn("_change_type", lit("insert"))
+
+    // equality deletes added in the window -> partial key rows
+    val fromDel = from.deletes.map(_.path).toSet
+    val newEq = to.deletes.filterNot(d => fromDel.contains(d.path))
+    val eqRows = newEq.groupBy(_.keyColumns).toSeq.sortBy(_._1.mkString(","))
+      .map { case (keyCols, dels) =>
+        val keys = dels.map(d => spark.read.parquet(d.path)
+            .select(keyCols.map(col): _*))
+          .reduce(_ unionByName _).distinct()
+        keys.select(schemaCols.map(c =>
+          (if (keyCols.contains(c)) col(c)
+           else lit(null).cast(m.schema(c).dataType)).as(c)): _*)
+          .withColumn("_change_type", lit("delete"))
+      }
+
+    // positional deletes added in the window -> full victim rows
+    val fromPos = from.posDeletes.map(_.path).toSet
+    val newPos = to.posDeletes.filterNot(d => fromPos.contains(d.path))
+    val posRows =
+      if (newPos.isEmpty) Nil
+      else {
+        val pos = spark.read.parquet(newPos.map(_.path): _*)
+          .select(col("file_path").as("__gf_path"),
+            col("row_index").as("__gf_pidx")).distinct()
+        val targets = spark.read.schema(m.schema)
+          .parquet(from.dataFiles.map(_.path): _*)
+          .withColumn("__gf_path",
+            regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+          .withColumn("__gf_pidx", col("_metadata.row_index"))
+        Seq(targets.join(broadcast(pos), Seq("__gf_path", "__gf_pidx"))
+          .select(schemaCols.map(col): _*)
+          .withColumn("_change_type", lit("delete")))
+      }
+
+    (Seq(inserts) ++ eqRows ++ posRows).reduce(_ unionByName _)
+  }
+
   /** Evolve the partition spec (Iceberg-style): future loads cluster and
     * stat under the new spec; existing files keep their layout and stay
     * conservatively un-pruned on the new derived columns. Validated

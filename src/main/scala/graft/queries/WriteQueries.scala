@@ -337,6 +337,32 @@ object WriteQueries {
          |  SELECT * FROM ($targetSql) UNION ALL SELECT * FROM ($sourceSql))
          |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)),
 
+    // Changelog scan (CDC): the row-level changes a MoR upsert window
+    // produces — inserts = the staged batch (window-end deletes
+    // applied), deletes = the equality-delete keys as partial rows (the
+    // Iceberg changelog shape)
+    "w20_changelog" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        val morCfg = cfg.copy(mergeOnRead = true)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)),
+          Merge("upsert"), morCfg, "l1")
+        val tbl = cat.loadTable("main", "orders_t")
+        val s1 = tbl.metadata.currentSnapshotId.get
+        w.writeTable("main", "orders_t", Seq(source(s, dir)),
+          Merge("upsert"), morCfg, "l2")
+        val s2 = tbl.metadata.currentSnapshotId.get
+        tbl.changesBetween(s1, s2)
+          .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
+      },
+      s"""SELECT o_orderkey, o_totalprice, 'insert' AS _change_type
+         |FROM ($sourceSql)
+         |UNION ALL
+         |SELECT DISTINCT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+         |  'delete' AS _change_type
+         |FROM ($sourceSql)""".stripMargin)),
+
     // S2: stats-pruned range scan — file-level pruning by snapshot
     // min/max + parquet pushdown, equals the plain relational filter
     "w10_pruned_scan" -> ((

@@ -236,6 +236,40 @@ class MergeOnReadSpec extends AnyFunSuite {
     }
   }
 
+  test("changelog scan: inserts, equality-delete keys, positional victims") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20), (3, "c", 30))),
+      Merge("upsert"), cfg, "l1")
+    val t = cat.loadTable("main", "u")
+    val s1 = t.metadata.currentSnapshotId.get
+    // MoR upsert: update 2, insert 4; then a positional delete of 3
+    w.writeTable("main", "u", Seq(users((2, "b2", 21), (4, "d", 40))),
+      Merge("upsert"), cfg, "l2")
+    w.deleteWhere("main", "u", org.apache.spark.sql.functions.col("username") === "c",
+      cfg.copy(mergeOnRead = true), "d1")
+    val s3 = t.metadata.currentSnapshotId.get
+
+    val ch = t.changesBetween(s1, s3)
+      .select("user_id", "username", "score", "_change_type")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), r.getString(3))).toSet
+    val want: Set[(Option[Any], Option[Any], Option[Any], String)] = Set(
+      (Some(2L), Some("b2"), Some(21L), "insert"),
+      (Some(4L), Some("d"), Some(40L), "insert"),
+      (Some(2L), None, None, "delete"), // equality-delete key (partial row)
+      (Some(4L), None, None, "delete"),
+      (Some(3L), Some("c"), Some(30L), "delete")) // positional victim, full row
+    assert(ch == want, s"changelog mismatch: $ch")
+
+    // a rewrite in the window loses attribution -> loud refusal
+    Maintenance.applyDeletes(t, retryUnitMs = 1)
+    intercept[ValidationError] {
+      t.changesBetween(s1, t.metadata.currentSnapshotId.get)
+    }
+  }
+
   test("point lookup and range scan apply deletes") {
     val w = new GraftWriter(freshCatalog())
     w.writeTable("main", "u",
