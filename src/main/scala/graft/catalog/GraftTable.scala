@@ -246,15 +246,12 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val posRows =
       if (newPos.isEmpty) Nil
       else {
-        val pos = spark.read.parquet(newPos.map(_.path): _*)
-          .select(col("file_path").as("__gf_path"),
-            col("row_index").as("__gf_pidx")).distinct()
         val targets = spark.read.schema(m.schema)
           .parquet(from.dataFiles.map(_.path): _*)
-          .withColumn("__gf_path",
-            regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+          .withColumn("__gf_path", MorRead.posixPath(col("_metadata.file_path")))
           .withColumn("__gf_pidx", col("_metadata.row_index"))
-        Seq(targets.join(broadcast(pos), Seq("__gf_path", "__gf_pidx"))
+        Seq(targets.join(broadcast(MorRead.posKeys(spark, newPos)),
+            Seq("__gf_path", "__gf_pidx"))
           .select(schemaCols.map(col): _*)
           .withColumn("_change_type", lit("delete")))
       }
@@ -268,8 +265,17 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     * against historical name reuse (see
     * [[TableMetadata.withPartitionSpec]]). */
   def updatePartitionSpec(hints: Seq[graft.partition.PartitionHint]): TableMetadata =
-    commit(m => m.withPartitionSpec(
-      graft.partition.Transforms.buildSpec(hints, m.schema)))
+    commit { m =>
+      val spec = graft.partition.Transforms.buildSpec(hints, m.schema)
+      // buildSpec skips hints for unknown columns (reasonable for
+      // create-time inference, silent data loss for an explicit
+      // evolution API): a typo must fail loudly, not drop partitioning
+      if (spec.size != hints.size)
+        throw new ValidationError(
+          s"Partition hints named column(s) not in the schema: " +
+            hints.map(_.column).diff(spec.map(_.source)).mkString(", "))
+      m.withPartitionSpec(spec)
+    }
 
   // ---- Branches / tags (write-audit-publish) -------------------------
 

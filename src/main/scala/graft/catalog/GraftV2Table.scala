@@ -48,20 +48,9 @@ final class GraftV2Table(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (morDeletes.isEmpty && morPosDeletes.isEmpty)
       reader.asInstanceOf[SupportsRead].newScanBuilder(options)
-    else new ScanBuilder {
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = committedSchema
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = committedSchema
-            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              MorRead.read(context.sparkSession, committedSchema,
-                morFiles, morDeletes, morPosDeletes).rdd
-          }.asInstanceOf[T]
-      }
-    }
+    else GraftV2Table.v1ScanOf(committedSchema,
+      ctx => MorRead.read(ctx.sparkSession, committedSchema,
+        morFiles, morDeletes, morPosDeletes))
 
   /** `DELETE FROM <table> WHERE <cond>` — routed through the engine's
     * predicate-delete path. Mode comes from the `graft.delete.mode`
@@ -104,6 +93,25 @@ final class GraftV2Table(
 }
 
 object GraftV2Table {
+  /** One V1Scan shim for every DataFrame-backed read path (the MoR
+    * fallback scan and the metadata tables): a ScanBuilder whose scan
+    * materializes `mkDf(ctx)` through a V1 TableScan relation. */
+  def v1ScanOf(outSchema: StructType,
+      mkDf: SQLContext => org.apache.spark.sql.DataFrame): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = outSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = outSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              mkDf(context).rdd
+          }.asInstanceOf[T]
+      }
+    }
+
   /** V1 `Filter` → `Column` translation for the delete path; `None`
     * marks a filter the engine cannot express, which makes
     * `canDeleteWhere` refuse (Spark then fails the DELETE loudly rather
@@ -142,17 +150,5 @@ final class GraftMetaTable(tableName: String,
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = df.schema
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = df.schema
-            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              df.rdd
-          }.asInstanceOf[T]
-      }
-    }
+    GraftV2Table.v1ScanOf(df.schema, _ => df)
 }

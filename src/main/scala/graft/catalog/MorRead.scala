@@ -21,8 +21,15 @@ object MorRead {
 
   /** `_metadata.file_path` is a URI (`file:///…`); our [[DataFile]] paths
     * are POSIX. Strip the scheme so they join. */
-  private def posixPath(c: Column): Column =
+  def posixPath(c: Column): Column =
     regexp_replace(c, "^file:(//)?", "")
+
+  /** Distinct (path, row index) keys of positional-delete files, under
+    * the join-column names the scan side uses. */
+  def posKeys(spark: SparkSession, posDeletes: Seq[PosDeleteFile]): DataFrame =
+    spark.read.parquet(posDeletes.map(_.path): _*)
+      .select(col("file_path").as("__gf_path"),
+        col("row_index").as("__gf_pidx")).distinct()
 
   def read(spark: SparkSession, schema: StructType, files: Seq[DataFile],
       deletes: Seq[DeleteFile],
@@ -94,9 +101,7 @@ object MorRead {
   private def applyPositional(spark: SparkSession, withMeta: DataFrame,
       posDeletes: Seq[PosDeleteFile]): DataFrame = {
     if (posDeletes.isEmpty) return withMeta
-    val pos = spark.read.parquet(posDeletes.map(_.path): _*)
-      .select(col("file_path").as("__gf_path"),
-        col("row_index").as("__gf_pidx")).distinct()
-    withMeta.join(broadcast(pos), Seq("__gf_path", "__gf_pidx"), "left_anti")
+    withMeta.join(broadcast(posKeys(spark, posDeletes)),
+      Seq("__gf_path", "__gf_pidx"), "left_anti")
   }
 }

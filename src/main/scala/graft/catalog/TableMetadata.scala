@@ -228,6 +228,10 @@ final case class TableMetadata(
     * (source, transform, param) is identical — otherwise old stats under
     * that name would be re-typed through the new transform. */
   def withPartitionSpec(spec: Seq[PartitionFieldSpec]): TableMetadata = {
+    val dupes = spec.groupBy(_.name).filter(_._2.size > 1).keys
+    if (dupes.nonEmpty)
+      throw new ValidationError(
+        s"Duplicate partition field name(s) ${dupes.mkString(", ")} in one spec")
     val historical = (specHistory.getOrElse(Nil) :+ partitionSpec).flatten
     spec.foreach { f =>
       historical.find(h => h.name == f.name && h != f).foreach { h =>
@@ -237,7 +241,11 @@ final case class TableMetadata(
             s"${f.transform}(${f.source}) would corrupt stats pruning; " +
             "pick a fresh name")
       }
-      if (schema.fields.exists(_.name == f.name) && f.transform != "identity")
+      // a derived field may only share a data column's name when it IS
+      // that column (identity of itself) — identity(a) named "b" would
+      // overwrite b's staged stats with a's values
+      if (schema.fields.exists(_.name == f.name) &&
+          !(f.transform == "identity" && f.name == f.source))
         throw new ValidationError(
           s"Derived partition field '${f.name}' collides with a data column")
     }

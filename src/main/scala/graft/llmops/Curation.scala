@@ -69,7 +69,11 @@ object Curation {
     val benchmark = docs.filter(col("doc_id") % 97 === 0)
     def grams5(df: DataFrame): DataFrame = {
       val w = split(col("text"), " ")
-      df.select(col("doc_id"),
+      // guard: sequence(0, size-5) DESCENDS for docs under 5 words and
+      // slice(w, 0, _) then throws; the oracle's range() yields nothing
+      // for them, so filter to match
+      df.filter(size(w) >= 5)
+        .select(col("doc_id"),
           explode(transform(sequence(lit(0), size(w) - 5),
             i => array_join(slice(w, i + 1, lit(5)), " "))).as("g"))
         .distinct()
@@ -79,10 +83,9 @@ object Curation {
       .select(col("doc_id")).distinct()
     val clean = novel.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 6: leakage-safe split by content-independent hash bucket — the
-    // same rule as TextOps.splitAssign (md5 of the id, 80/10/10)
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long") % 100).cast("int")
+    // 6: leakage-safe split by content-independent hash bucket —
+    // TextOps.splitBucket, the single definition of the split rule
+    val bucket = TextOps.splitBucket(col("doc_id"))
     clean.select(col("doc_id"),
       col("__n_words").cast("long").as("n_words"),
       when(bucket < 80, "train").when(bucket < 90, "val")

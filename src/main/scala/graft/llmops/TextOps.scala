@@ -203,14 +203,20 @@ object TextOps {
     * move a document across splits. The bucket is the first 8 hex chars
     * of md5 taken mod `buckets` — engine-portable (Spark `conv(_,16,10)`
     * ≡ DuckDB `('0x'||_)::BIGINT`), uniform to ~1/2³², map-only codegen. */
+  /** md5-of-key split bucket in [0, buckets) — THE assignment rule for
+    * every leakage-safe split in the engine (splitAssign, Curation);
+    * one definition so the rule cannot diverge between call sites. */
+  def splitBucket(key: Column, buckets: Int = 100): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8),
+      16, 10).cast("long") % buckets).cast("int")
+
   def splitAssign(docs: DataFrame, keyCol: String = "doc_id",
       fractions: Seq[(String, Int)] =
         Seq("train" -> 80, "val" -> 10, "test" -> 10),
       buckets: Int = 100): DataFrame = {
     require(fractions.map(_._2).sum == buckets,
       s"split fractions must sum to $buckets")
-    val bucket = (conv(substring(md5(col(keyCol).cast("string")), 1, 8),
-      16, 10).cast("long") % buckets).cast("int")
+    val bucket = splitBucket(col(keyCol), buckets)
     val cuts = fractions.scanLeft(0) { case (a, (_, p)) => a + p }.tail
     val pairs = fractions.map(_._1).zip(cuts) // (name, upper bound)
     val split = pairs.init.foldRight(lit(pairs.last._1): Column) {

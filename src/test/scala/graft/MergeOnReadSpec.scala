@@ -234,6 +234,22 @@ class MergeOnReadSpec extends AnyFunSuite {
       t.updatePartitionSpec(Seq(graft.partition.PartitionHint.bucket(8,
         "user_id", name = t.metadata.partitionSpec.head.name)))
     }
+    // a typo'd column fails loudly instead of silently dropping the spec
+    intercept[ValidationError] {
+      t.updatePartitionSpec(Seq(graft.partition.PartitionHint.bucket(8, "user_iD")))
+    }
+    // intra-spec duplicate names rejected
+    intercept[ValidationError] {
+      t.updatePartitionSpec(Seq(
+        graft.partition.PartitionHint.bucket(2, "user_id", name = "x"),
+        graft.partition.PartitionHint.bucket(4, "score", name = "x")))
+    }
+    // an identity field may not shadow a DIFFERENT data column's name
+    // (it would overwrite that column's staged stats)
+    intercept[ValidationError] {
+      t.updatePartitionSpec(Seq(
+        graft.partition.PartitionHint.identity("username", name = "score")))
+    }
   }
 
   test("changelog scan: inserts, equality-delete keys, positional victims") {
