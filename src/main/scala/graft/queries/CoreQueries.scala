@@ -442,7 +442,7 @@ object CoreQueries {
         |  JOIN nation n ON n.n_nationkey = s.s_nationkey
         |  JOIN region r ON r.r_regionkey = n.n_regionkey
         |  WHERE r.r_name = 'EUROPE')
-        |SELECT ps_partkey, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS value
+        |SELECT ps_partkey, CAST(ROUND(SUM(val) + 1e-9, 2) AS DOUBLE) AS value
         |FROM ps
         |GROUP BY ps_partkey
         |HAVING SUM(val) > (SELECT 1.5 * SUM(val) / COUNT(DISTINCT ps_partkey) FROM ps)
