@@ -31,8 +31,12 @@ class ModelCheckSpec extends AnyFunSuite {
           .timestamp_millis(org.apache.spark.sql.functions.col("_dlt_deleted_at_raw")))
       .drop("_dlt_deleted_at_raw")
 
+  // deep-fuzz knob: CI runs 5 seeds; set GRAFT_MODEL_SEEDS for longer
+  // offline sessions (failures replay by seed)
+  private val nSeeds = sys.env.get("GRAFT_MODEL_SEEDS").map(_.toInt).getOrElse(5)
+
   test("random disposition sequences match the in-memory model") {
-    for (seed <- 1 to 5) {
+    for (seed <- 1 to nSeeds) {
       val rnd = new scala.util.Random(1000 + seed)
       val cat = new GraftCatalog(spark,
         Files.createTempDirectory(s"graft-model-$seed-").toString)
