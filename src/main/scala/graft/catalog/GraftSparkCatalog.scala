@@ -111,7 +111,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = graftTable(ident)
     val m = t.metadata
-    val id = m.refId(version).map(_.toString).getOrElse(version)
+    // an exact snapshot-id match wins over a same-spelled ref name, so a
+    // legacy all-numeric ref can never shadow numeric time travel
+    val id =
+      if (m.snapshots.exists(_.snapshotId.toString == version)) version
+      else m.refId(version).map(_.toString).getOrElse(version)
     val snap = m.snapshots.find(_.snapshotId.toString == id)
       .getOrElse(throw new IllegalArgumentException(
         s"Snapshot or ref '$version' not found for table " +

@@ -226,14 +226,22 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     val inserts = readFiles(m, newFiles, to.deletes, to.posDeletes)
       .withColumn("_change_type", lit("insert"))
 
-    // equality deletes added in the window -> partial key rows
+    // equality deletes added in the window -> partial key rows. MoR
+    // upserts write delete keys for brand-new keys too (cheap blind
+    // fencing), so restrict to keys LIVE at the window start — a key
+    // that never existed produces no delete event (an in-window upsert
+    // of an existing key still emits its delete+insert pair).
     val fromDel = from.deletes.map(_.path).toSet
     val newEq = to.deletes.filterNot(d => fromDel.contains(d.path))
+    lazy val fromLive =
+      readFiles(m, from.dataFiles, from.deletes, from.posDeletes)
     val eqRows = newEq.groupBy(_.keyColumns).toSeq.sortBy(_._1.mkString(","))
       .map { case (keyCols, dels) =>
         val keys = dels.map(d => spark.read.parquet(d.path)
-            .select(keyCols.map(col): _*))
+            .select(keyCols.map(k =>
+              col(k).cast(m.schema(k).dataType).as(k)): _*))
           .reduce(_ unionByName _).distinct()
+          .join(fromLive.select(keyCols.map(col): _*), keyCols, "left_semi")
         keys.select(schemaCols.map(c =>
           (if (keyCols.contains(c)) col(c)
            else lit(null).cast(m.schema(c).dataType)).as(c)): _*)
@@ -250,9 +258,14 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
           .parquet(from.dataFiles.map(_.path): _*)
           .withColumn("__gf_path", MorRead.posixPath(col("_metadata.file_path")))
           .withColumn("__gf_pidx", col("_metadata.row_index"))
-        Seq(targets.join(broadcast(MorRead.posKeys(spark, newPos)),
-            Seq("__gf_path", "__gf_pidx"))
-          .select(schemaCols.map(col): _*)
+        // positions already dead at the window start emit no event
+        val victims = targets.join(broadcast(MorRead.posKeys(spark, newPos)),
+          Seq("__gf_path", "__gf_pidx"))
+        val alive =
+          if (from.posDeletes.isEmpty) victims
+          else victims.join(broadcast(MorRead.posKeys(spark, from.posDeletes)),
+            Seq("__gf_path", "__gf_pidx"), "left_anti")
+        Seq(alive.select(schemaCols.map(col): _*)
           .withColumn("_change_type", lit("delete")))
       }
 
@@ -285,6 +298,10 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   def createBranch(name: String, fromSnapshotId: Option[Long] = None): TableMetadata =
     commit { m =>
       require(name.nonEmpty && name != "main", s"invalid branch name '$name'")
+      // all-digit names would be ambiguous with snapshot ids in
+      // `VERSION AS OF` (Iceberg refs are names, ids are numbers)
+      require(!name.forall(_.isDigit),
+        s"invalid branch name '$name': all-numeric names collide with snapshot ids")
       if (m.refId(name).isDefined)
         throw new ValidationError(s"Branch '$name' already exists in ${m.identifier}")
       val at = fromSnapshotId.orElse(m.currentSnapshotId).getOrElse(

@@ -160,7 +160,7 @@ object Pq {
           .getField("list").as("list")), Seq(idCol))
       .select(col(idCol).as("nbr_id"), col("list"), col("codes"))
 
-    val qRows = queries.select(col(idCol), asDouble(col(vecCol))).collect()
+    val qRows = queries.select(col(idCol).cast("long"), asDouble(col(vecCol))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // query probes: (query_id, list) pairs — |Q|·nprobe rows
     val probes = qRows.flatMap { case (qid, qv) =>
@@ -234,7 +234,7 @@ object Pq {
     // LUT: per (query, subspace, code) the partial dot against that
     // centroid plus the centroid's squared norm (for the reconstructed
     // vector's norm); |Q|·m·ksub rows — broadcast-sized by construction
-    val qRows = queries.select(col(idCol), asDouble(col(vecCol))).collect()
+    val qRows = queries.select(col(idCol).cast("long"), asDouble(col(vecCol))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val lut = qRows.flatMap { case (qid, qv) =>
       val qnrm = math.sqrt(qv.map(x => x * x).sum)

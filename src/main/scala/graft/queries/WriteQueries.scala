@@ -361,7 +361,8 @@ object WriteQueries {
          |UNION ALL
          |SELECT DISTINCT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
          |  'delete' AS _change_type
-         |FROM ($sourceSql)""".stripMargin)),
+         |FROM ($sourceSql)
+         |WHERE o_orderkey IN (SELECT o_orderkey FROM ($targetSql))""".stripMargin)),
 
     // S2: stats-pruned range scan — file-level pruning by snapshot
     // min/max + parquet pushdown, equals the plain relational filter

@@ -312,32 +312,48 @@ final class GraftWriter(catalog: GraftCatalog) {
       val posFiles = java.nio.file.Files.walk(dest).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => PosDeleteFile(p.toString, deleted)).toSeq
+      // the planned positions (and the returned count) bind to the
+      // planning snapshot's delete set; a concurrent MoR delete would
+      // make both stale — refuse, same rule as updateWhere
+      val plannedDeletes = (snap.map(_.deletes).getOrElse(Nil).map(_.path) ++
+        snap.map(_.posDeletes).getOrElse(Nil).map(_.path)).toSet
       t.commit({ fresh =>
         requireTargetsLive(fresh)
+        if ((fresh.currentSnapshot.map(_.deletes).getOrElse(Nil).map(_.path) ++
+            fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil).map(_.path))
+            .toSet != plannedDeletes)
+          throw new ValidationError(
+            "deleteWhere superseded by a concurrent merge-on-read delete")
         fresh.withSnapshotDelta("delete", Some(loadId), Nil,
           Set.empty, newPosDeletes = posFiles)
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      deleted
     } else {
-      // copy-on-write: restage ONLY the files with matching rows
+      // copy-on-write: restage ONLY the files with matching rows. The
+      // closure recomputes against post-rebase state, so the returned
+      // count is recomputed there too (a concurrent MoR delete may have
+      // already removed some planned matches).
+      var committedCount = deleted
       t.commit({ fresh =>
         requireTargetsLive(fresh)
         val affected = fresh.currentFiles.filter(f => targetPaths.contains(f.path))
         val affectedDf = spark.read.schema(fresh.schema)
           .parquet(affected.map(_.path): _*)
-        val kept = MorRead.applyDeletes(spark, affectedDf, affected,
+        val live = MorRead.applyDeletes(spark, affectedDf, affected,
             fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
             fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
-          // three-valued logic: a NULL condition must KEEP the row
-          // (it did not match the delete predicate) — bare !cond would
-          // silently drop it
-          .filter(!coalesce(cond, lit(false)))
+        committedCount = live.filter(coalesce(cond, lit(false))).count()
+        // three-valued logic: a NULL condition must KEEP the row
+        // (it did not match the delete predicate) — bare !cond would
+        // silently drop it
+        val kept = live.filter(!coalesce(cond, lit(false)))
         val staged = Stager.stage(kept, t.dataDir, s"$loadId-dw",
           fresh.partitionSpec,
           bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
         fresh.withSnapshotDelta("delete", Some(loadId), staged, targetPaths)
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      committedCount
     }
-    deleted
     } finally matchPos.unpersist()
   }
 
@@ -431,24 +447,29 @@ final class GraftWriter(catalog: GraftCatalog) {
             Set.empty, newPosDeletes = posFiles)
         }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
       } finally matches.unpersist()
+      updated
     } else {
-      // copy-on-write: in-place when(cond, set) rewrite of affected files
+      // copy-on-write: in-place when(cond, set) rewrite of affected
+      // files. The count is recomputed inside the closure so it reflects
+      // the committed (post-rebase) state, not the planning snapshot.
+      var committedCount = updated
       t.commit({ fresh =>
         requireTargetsLive(fresh)
         val affected = fresh.currentFiles.filter(f => targetPaths.contains(f.path))
         val affectedDf = spark.read.schema(fresh.schema)
           .parquet(affected.map(_.path): _*)
-        val rewritten = MorRead.applyDeletes(spark, affectedDf, affected,
+        val live = MorRead.applyDeletes(spark, affectedDf, affected,
             fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
             fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
-          .select(applySet(fresh.schema, Some(cond)): _*)
+        committedCount = live.filter(coalesce(cond, lit(false))).count()
+        val rewritten = live.select(applySet(fresh.schema, Some(cond)): _*)
         val staged = Stager.stage(rewritten, t.dataDir, s"$loadId-up",
           fresh.partitionSpec,
           bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
         fresh.withSnapshotDelta("update", Some(loadId), staged, targetPaths)
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      committedCount
     }
-    updated
   }
 
   /** Merge-on-read commit: stage the batch's delete-key set as ONE tiny

@@ -114,4 +114,12 @@ class BranchSpec extends AnyFunSuite {
     assert(t.readBranch("v1.0").count() == 1)
     assert(t.read().count() == 5)
   }
+
+  test("all-numeric ref names are rejected (would shadow snapshot ids)") {
+    val w = new GraftWriter(freshCatalog())
+    val t = w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, cfg, "l1")
+    intercept[IllegalArgumentException] { t.createBranch("123") }
+    t.createBranch("v123") // digits allowed when not ALL digits
+    assert(t.metadata.refId("v123").isDefined)
+  }
 }

@@ -275,7 +275,8 @@ class MergeOnReadSpec extends AnyFunSuite {
       (Some(2L), Some("b2"), Some(21L), "insert"),
       (Some(4L), Some("d"), Some(40L), "insert"),
       (Some(2L), None, None, "delete"), // equality-delete key (partial row)
-      (Some(4L), None, None, "delete"),
+      // NO (4, delete): key 4 never existed at the window start — the
+      // upsert's blind delete-key fence must not surface as CDC
       (Some(3L), Some("c"), Some(30L), "delete")) // positional victim, full row
     assert(ch == want, s"changelog mismatch: $ch")
 

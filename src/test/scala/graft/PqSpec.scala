@@ -29,6 +29,14 @@ class PqSpec extends AnyFunSuite {
       "codes must index the ksub=16 codebook (4 bits/subspace)")
   }
 
+  test("non-long id columns are accepted (cast to long at collect)") {
+    val intIds = emb.limit(200)
+      .withColumn("vec_id", col("vec_id").cast("int"))
+    val q = intIds.filter(col("vec_id") < 5)
+    val out = Pq.adcTopK(intIds, q, k = 3, iters = 1)
+    assert(out.count() > 0, "IntegerType vec_id must not throw at collect")
+  }
+
   test("l41 pin at sf0.1: ADC top-k recall floor vs brute force, deterministic") {
     val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
       .select("query_id", "nbr_id")
