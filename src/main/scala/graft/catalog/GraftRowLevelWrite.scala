@@ -1,0 +1,224 @@
+package graft.catalog
+
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL `UPDATE` / `MERGE INTO` through the V2 catalog — the group-based
+  * (copy-on-write) row-level operation protocol. Spark rewrites the DML
+  * into a [[org.apache.spark.sql.connector.read.Scan]] of the table's
+  * pinned snapshot (full rows, merge-on-read deletes applied) followed
+  * by a `ReplaceData` write of the post-DML row set; this class supplies
+  * the executor-side write: each task streams its partition into ONE
+  * staged parquet file (Spark's own codegen'd parquet writer — no
+  * per-row driver involvement), and commit folds footer stats and swaps
+  * the planned file set for the staged one through the snapshot CAS
+  * protocol. The reference reaches the same end state via PyIceberg
+  * upsert (`destination_client.py:1437-1469`); here the whole operation
+  * stays declarative so Catalyst plans the join/update itself.
+  *
+  * Scale shape: the rewrite is a full-group replace — group granularity
+  * is the planned file set, so cost is one distributed scan + one
+  * distributed write of the table, the same as any CoW engine's
+  * worst-case MERGE. File-targeted SQL DML (runtime group filtering) can
+  * narrow this later; the engine-native `deleteWhere`/`updateWhere`
+  * already rewrite only affected files.
+  *
+  * Concurrency: commit refuses when the live file set OR delete set no
+  * longer equals the planning snapshot's (the scan's row basis) — the
+  * same staleness rule as compaction and `deleteWhere`. */
+final class GraftRowLevelOperation(
+    ns: String,
+    tableName: String,
+    cat: GraftCatalog,
+    scanOf: CaseInsensitiveStringMap => ScanBuilder,
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command,
+    plannedPaths: Set[String],
+    plannedDeletePaths: Set[String]) extends RowLevelOperation {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** The operation scan: the table's own scan (parquet reader, or the
+    * MoR-applied DataFrame behind a V1Scan). Row-level scan planning
+    * (`GroupBasedRowLevelOperationScanPlanning`) builds the scan
+    * relation directly and skips the V1 fallback conversion the normal
+    * read path gets, so a raw V1Scan would plan as an (unsupported)
+    * batch scan — pre-wrap it the way `V2ScanRelationPushDown` would. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = scanOf(options)
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        inner.build() match {
+          case v1: org.apache.spark.sql.connector.read.V1Scan =>
+            org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(v1, Nil,
+              org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
+                None, None, None, None, Nil, Nil, Nil, None))
+          case s => s
+        }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(ns, tableName, cat, tableSchema,
+            cmd.toString.toLowerCase, plannedPaths, plannedDeletePaths)
+      }
+    }
+}
+
+/** Per-task result: the staged file (empty string when the task saw no
+  * rows and wrote nothing) and its row count. */
+final case class GraftWriteMessage(path: String, rows: Long)
+  extends WriterCommitMessage
+
+final class GraftReplaceBatchWrite(
+    ns: String,
+    tableName: String,
+    cat: GraftCatalog,
+    schema: StructType,
+    op: String,
+    plannedPaths: Set[String],
+    plannedDeletePaths: Set[String]) extends BatchWrite {
+
+  private val loadId =
+    s"sql-$op-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  private def table: GraftTable = cat.loadTable(ns, tableName)
+
+  private lazy val destDir = {
+    val d = table.dataDir.resolve(loadId)
+    java.nio.file.Files.createDirectories(d)
+    d
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // ParquetFileFormat.prepareWrite wires the session's parquet output
+    // conf (codec, legacy format, timestamp type, rebase modes) into the
+    // job conf and returns the serializable writer factory Spark's own
+    // file sink uses — the executor-side writer is exactly the codegen'd
+    // ParquetOutputWriter, not a re-implementation
+    val owf = new ParquetFileFormat()
+      .prepareWrite(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        job, Map.empty, schema)
+    new GraftDataWriterFactory(owf,
+      new SerializableConfiguration(job.getConfiguration), schema,
+      destDir.toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.collect { case m: GraftWriteMessage => m }
+    val staged = all.filter(m => m.rows > 0 && m.path.nonEmpty)
+    val files = staged.map(_.path).sorted.toSeq
+    val t = table
+    val spec = t.metadata.partitionSpec
+    // partitioned tables need stats over DERIVED transform values (one
+    // column-pruned scan); unpartitioned fold straight from footers
+    val dataFiles =
+      if (files.isEmpty) Nil
+      else if (spec.isEmpty) graft.write.FooterStats.collect(files, schema)
+      else graft.write.Stager.collectStats(
+        SparkSession.active, files, schema, spec)
+    t.commit({ fresh =>
+      if (fresh.currentFiles.map(_.path).toSet != plannedPaths)
+        throw new ValidationError(
+          s"SQL $op superseded by a concurrent commit that changed the " +
+            "data-file set; re-run the statement")
+      val freshDeletes =
+        (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil).map(_.path) ++
+          fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil).map(_.path)).toSet
+      if (freshDeletes != plannedDeletePaths)
+        throw new ValidationError(
+          s"SQL $op superseded by a concurrent merge-on-read delete; " +
+            "re-run the statement")
+      // full-group replace: every planned file is rewritten with deletes
+      // applied, so outstanding delete files have no remaining victims
+      fresh.withSnapshotDelta(op, Some(loadId), dataFiles, plannedPaths,
+        clearDeletes = true)
+    }, maxRetries = 5, backoffBase = 2.0, unitMs = 50L)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case GraftWriteMessage(p, _) if p.nonEmpty => p }
+      .foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    ()
+  }
+}
+
+/** Ships the parquet writer factory + job conf to executors; each task
+  * writes at most one file (created lazily, so empty partitions emit
+  * nothing). */
+final class GraftDataWriterFactory(
+    owf: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    schema: StructType,
+    destDir: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var writer: OutputWriter = null
+      private var path: String = ""
+      private var rows = 0L
+      // group-based ReplaceData rows arrive as [__row_operation:int,
+      // <data cols in table order>] when the plain writing task runs
+      // (Spark applies its row projection only on the metadata path);
+      // the projection below strips the operation column
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = null
+      private var checkedShape = false
+
+      private def open(): Unit = {
+        val ctx = new TaskAttemptContextImpl(conf.value,
+          new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
+            partitionId), (taskId % Int.MaxValue).toInt))
+        // taskId in the name keeps speculative/retried attempts distinct;
+        // the commit coordinator admits exactly one message per partition
+        path = s"$destDir/part-$partitionId-$taskId${owf.getFileExtension(ctx)}"
+        writer = owf.newInstance(path, schema, ctx)
+      }
+
+      override def write(row: InternalRow): Unit = {
+        if (writer == null) open()
+        if (!checkedShape) {
+          checkedShape = true
+          if (row.numFields == schema.length + 1)
+            proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+              schema, (1 to schema.length).toIndexedSeq)
+          else if (row.numFields != schema.length)
+            throw new IllegalStateException(
+              s"row-level write expected ${schema.length} or " +
+                s"${schema.length + 1} fields, got ${row.numFields}")
+        }
+        if (proj == null) writer.write(row)
+        else { proj.project(row); writer.write(proj) }
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        GraftWriteMessage(path, rows)
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) {
+          writer.close()
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}

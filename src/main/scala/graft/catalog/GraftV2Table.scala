@@ -2,9 +2,9 @@ package graft.catalog
 
 import java.util.{Set => JSet}
 import org.apache.spark.sql.{Column, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -36,7 +36,8 @@ final class GraftV2Table(
     morFiles: Seq[DataFile] = Nil,
     morDeletes: Seq[DeleteFile] = Nil,
     morPosDeletes: Seq[PosDeleteFile] = Nil)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   override def name(): String = reader.name()
   override def schema(): StructType = committedSchema
@@ -73,6 +74,21 @@ final class GraftV2Table(
       loadId = s"sql-del-${java.util.UUID.randomUUID().toString.take(12)}")
     ()
   }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose predicate cannot
+    * translate to source filters, e.g. with subqueries): the group-based
+    * row-level protocol — Spark scans this table's pinned snapshot and
+    * [[GraftReplaceBatchWrite]] swaps the planned file set for the
+    * post-DML rows through the snapshot CAS commit. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(ns, tableName, cat,
+          opts => newScanBuilder(opts), committedSchema, info.command(),
+          morFiles.map(_.path).toSet,
+          (morDeletes.map(_.path) ++ morPosDeletes.map(_.path)).toSet)
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

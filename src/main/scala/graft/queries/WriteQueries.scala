@@ -315,6 +315,43 @@ object WriteQueries {
          |       ELSE o_orderpriority END AS o_orderpriority
          |FROM ($targetSql)""".stripMargin)),
 
+    // SQL MERGE INTO + UPDATE through the V2 catalog: the group-based
+    // row-level protocol (GraftRowLevelOperation) — Spark plans the
+    // merge join/update itself, the executor-side BatchWrite stages
+    // parquet per task, and the commit swaps the planned file set
+    // through the snapshot CAS. Exercises all three MERGE actions.
+    "w21_sql_merge" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-v2m-").toString
+        s.conf.set("spark.sql.catalog.graft_mrg",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_mrg.warehouse", wh)
+        val w = new GraftWriter(new GraftCatalog(s, wh))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        source(s, dir).createOrReplaceTempView("w21_src")
+        s.sql("""MERGE INTO graft_mrg.main.orders_t AS t
+          |USING w21_src AS s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_totalprice > 400000.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("""UPDATE graft_mrg.main.orders_t
+          |SET o_totalprice = o_totalprice + 1.0
+          |WHERE o_orderkey % 10 = 3""".stripMargin)
+        s.sql("SELECT o_orderkey, o_totalprice FROM graft_mrg.main.orders_t")
+      },
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 2 = 0
+         |    AND NOT (o_totalprice + 10.0 > 400000.0 AND o_orderkey % 3 <> 0)
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+         |)
+         |SELECT o_orderkey,
+         |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+         |       ELSE o_totalprice END AS o_totalprice
+         |FROM merged""".stripMargin)),
+
     // Partition-spec evolution: first load partitions by status, then
     // the spec evolves to bucket[8](o_orderkey) and a second load stages
     // under it; the range scan prunes across BOTH vintages (new files by

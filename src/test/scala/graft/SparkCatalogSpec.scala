@@ -269,4 +269,70 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
       .toSeq == Seq((1L, null), (2L, 9L)))
   }
+
+  test("SQL UPDATE rewrites through the row-level BatchWrite") {
+    val cat = freshCatalog("gupd")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "users",
+      Seq((1 to 20).map(i => (i.toLong, s"u$i", i % 5)).toDF("id", "name", "grp")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    spark.sql("UPDATE gupd.main.users SET name = concat(name, '!') WHERE grp = 2")
+    val names = spark.sql(
+      "SELECT name FROM gupd.main.users WHERE grp = 2 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("u2!", "u7!", "u12!", "u17!"))
+    assert(spark.sql("SELECT count(*) FROM gupd.main.users")
+      .collect()(0).getLong(0) == 20, "non-matching rows survive the rewrite")
+    // the DML committed a real snapshot through the engine protocol
+    val t = cat.loadTable("main", "users")
+    assert(t.metadata.snapshots.last.operation == "update")
+  }
+
+  test("SQL MERGE INTO upserts through the row-level BatchWrite") {
+    val cat = freshCatalog("gmrg")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "name", "score")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    Seq((2L, "b2", 21L), (4L, "d", 40L)).toDF("id", "name", "score")
+      .createOrReplaceTempView("mrg_src")
+
+    spark.sql("""MERGE INTO gmrg.main.t AS t USING mrg_src AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.name = s.name, t.score = s.score
+      WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (s.id, s.name, s.score)""")
+
+    val got = spark.sql("SELECT id, name, score FROM gmrg.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L), (4L, "d", 40L)))
+
+    // MERGE with a DELETE action
+    Seq(1L, 4L).toDF("id").createOrReplaceTempView("mrg_del")
+    spark.sql("""MERGE INTO gmrg.main.t AS t USING mrg_del AS s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM gmrg.main.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("row-level DML applies merge-on-read deletes before rewriting") {
+    val cat = freshCatalog("grlo")
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "score")),
+      Append, cfg, "l1")
+    // MoR upsert leaves an outstanding equality-delete file
+    w.writeTable("main", "t", Seq(Seq((2L, 21L)).toDF("id", "score")),
+      Merge("upsert"), cfg.copy(mergeOnRead = true), "l2")
+
+    spark.sql("UPDATE grlo.main.t SET score = score + 1 WHERE id >= 2")
+    val got = spark.sql("SELECT id, score FROM grlo.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 22L), (3L, 31L)),
+      "the MoR-deleted (2,20) row must not resurrect")
+    // the full-group rewrite cleared the applied delete files
+    val snap = cat.loadTable("main", "t").metadata.currentSnapshot.get
+    assert(snap.deletes.isEmpty && snap.posDeletes.isEmpty)
+  }
 }
