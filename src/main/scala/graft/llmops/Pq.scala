@@ -61,11 +61,9 @@ object Pq {
     }
 
     (1 to iters).foldLeft(seeds) { (books, _) =>
-      val codes = array(books.zipWithIndex.map { case (book, mi) =>
-        codeOf(slice(col("v"), mi * subdim + 1, subdim), book)
-      }: _*)
+      val (assignable, codes) = codesFor(e, col("v"), books, subdim)
       // m·ksub·dim partial sums per partition — corpus-size-independent
-      val rows = e.withColumn("codes", codes)
+      val rows = assignable.withColumn("codes", codes)
         .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
         .withColumn("mi", (col("pos") / subdim).cast("int"))
         .withColumn("cluster", element_at(col("codes"), col("mi") + 1))
@@ -99,17 +97,67 @@ object Pq {
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
+  private def bookSize(books: Array[Array[Array[Double]]]): Long =
+    books.map(b => b.map(_.length.toLong).sum).sum
+
+  /** ONE-row frame with the whole codebook as `__books`:
+    * array<struct<mi, code, centroid, centroid²>> — the broadcast
+    * alternative to literal codebooks above
+    * [[Similarity.LiteralPlanMax]] (plan size O(1), same argmin). */
+  private def bookFrame(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val entries: Seq[(Int, Int, Seq[Double], Double)] =
+      for {
+        (book, mi) <- books.zipWithIndex.toSeq
+        (c, code) <- book.zipWithIndex
+      } yield (mi, code, c.toSeq, c.map(x => x * x).sum)
+    Seq(Tuple1(entries)).toDF("__books")
+  }
+
+  /** Joined-codebook argmin: same distance, same first-wins tie-break as
+    * the literal [[codeOf]], evaluated against the broadcast `__books`
+    * column. */
+  private def codeOfJoined(v: Column, mi: Int): Column =
+    aggregate(filter(col("__books"), b => b.getField("_1") === lit(mi)),
+      struct(lit(-1).as("code"), lit(Double.MaxValue).as("d")),
+      (acc, b) => {
+        val d = b.getField("_4") -
+          lit(2.0) * Similarity.fastDot(v, b.getField("_3"))
+        when(d < acc.getField("d"),
+          struct(b.getField("_2").as("code"), d.as("d"))).otherwise(acc)
+      }).getField("code")
+
+  /** m code columns for a frame holding vector column `v`, switching
+    * literal vs broadcast codebooks on total size; `df` must be the
+    * frame the codes are computed over. */
+  private def codesFor(df: DataFrame, v: Column,
+      books: Array[Array[Array[Double]]], subdim: Int): (DataFrame, Column) = {
+    val m = books.length
+    if (bookSize(books) <= Similarity.LiteralPlanMax) {
+      val codes = array(books.zipWithIndex.map { case (book, mi) =>
+        codeOf(slice(v, mi * subdim + 1, subdim), book)
+      }: _*)
+      (df, codes)
+    } else {
+      val withBooks = df.crossJoin(
+        broadcast(bookFrame(df.sparkSession, books)))
+      val codes = array((0 until m).map { mi =>
+        codeOfJoined(slice(v, mi * subdim + 1, subdim), mi)
+      }: _*)
+      (withBooks, codes)
+    }
+  }
+
   /** Encode the corpus: one row per vector with its m codes — the
     * compressed index (map-only pass; codes are what you'd persist). */
   def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]],
       dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = books.length
-    val subdim = dim / m
-    val codes = books.zipWithIndex.map { case (book, mi) =>
-      codeOf(slice(asDouble(col(vecCol)), mi * subdim + 1, subdim), book)
-    }
-    ensureRegistered(embeddings).select(col(idCol), array(codes: _*).as("codes"))
+    val subdim = dim / books.length
+    val (assignable, codes) = codesFor(ensureRegistered(embeddings),
+      asDouble(col(vecCol)), books, subdim)
+    assignable.select(col(idCol), codes.as("codes"))
   }
 
   /** IVF-PQ composite (the FAISS production architecture): a coarse
@@ -132,7 +180,8 @@ object Pq {
     val e = ensureRegistered(embeddings)
 
     // coarse centroids: deterministic xxhash64 sample (same rule as
-    // Similarity.ivfTopK) baked as literals
+    // Similarity.ivfTopK); literal vs broadcast assignment switches on
+    // nlist·dim, as in ivfTopK
     val cents: Seq[(Int, Seq[Double], Double)] = e
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("__h", xxhash64(col(idCol)))
@@ -152,12 +201,19 @@ object Pq {
 
     val books = codebooks(e, m, ksub, iters, dim, idCol, vecCol)
     val subdim = dim / m
+    val assigned =
+      if (nlist.toLong * dim <= Similarity.LiteralPlanMax)
+        e.select(col(idCol),
+          probeLists(asDouble(col(vecCol)), 1).getItem(0)
+            .getField("list").as("list"))
+      else
+        e.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+          .crossJoin(broadcast(Similarity.centroidFrame(spark, cents)))
+          .select(col(idCol), Similarity.argmaxList(col("__v")).as("list"))
     // the persisted index shape: (list, nbr_id, codes) — m small ints per
     // vector, routed once
     val encoded = encode(e, books, dim, idCol, vecCol)
-      .join(e.select(col(idCol),
-        probeLists(asDouble(col(vecCol)), 1).getItem(0)
-          .getField("list").as("list")), Seq(idCol))
+      .join(assigned, Seq(idCol))
       .select(col(idCol).as("nbr_id"), col("list"), col("codes"))
 
     val qRows = queries.select(col(idCol).cast("long"), asDouble(col(vecCol))).collect()

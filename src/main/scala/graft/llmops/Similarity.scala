@@ -205,6 +205,38 @@ object Similarity {
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** Above this `nlist·dim` (or `ksub·dim` for PQ codebooks) product,
+    * centroid assignment switches from plan-literal arrays to a
+    * broadcast one-row centroid frame: literal plans codegen a flat
+    * argmax (fastest at small nlist) but grow the plan — and the
+    * generated method bodies — linearly with nlist·dim, which breaks
+    * down at the thousands-of-lists scale a 100 TB corpus needs. */
+  val LiteralPlanMax = 4096
+
+  /** ONE-row frame carrying the whole centroid set as an array column —
+    * attached to any frame via a broadcast single-row join (no row
+    * multiplication, no literals in the plan). Fields: `_1` list id,
+    * `_2` centroid vector, `_3` its norm. */
+  private[llmops] def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(cents)).toDF("__cents")
+  }
+
+  /** Argmax-cosine list id of `v` against the broadcast centroid array:
+    * a single `aggregate()` pass over `__cents` — per-row work identical
+    * to the literal argmax, plan size O(1). */
+  private[llmops] def argmaxList(v: Column): Column =
+    aggregate(col("__cents"),
+      struct(lit(-1).as("list"), lit(Double.MinValue).as("score")),
+      (acc, c) => {
+        val score = fastDot(v, c.getField("_2")) /
+          (fastNorm(v) * c.getField("_3"))
+        when(score > acc.getField("score"),
+          struct(c.getField("_1").as("list"), score.as("score")))
+          .otherwise(acc)
+      }).getField("list")
+
   /** IVF (inverted-file) ANN top-k: coarse quantization into `nlist`
     * centroid lists, queries probe their `nprobe` nearest lists, exact
     * scoring on the probed candidates only.
@@ -212,9 +244,11 @@ object Similarity {
     * Centroids are a deterministic uniform sample of corpus vectors (the
     * `nlist` smallest `xxhash64(id)` values) — the standard IVF bootstrap
     * without an iterative k-means pass, collected driver-side
-    * (metadata-scale: `nlist` rows) and baked into the plan as literal
-    * arrays so assignment is a codegen'd argmax of `nlist` ArrayDot
-    * scores. Per-query candidate count scales with corpus/nlist x nprobe,
+    * (metadata-scale: `nlist` rows). Assignment: below [[LiteralPlanMax]]
+    * they bake into the plan as literals (codegen'd argmax of `nlist`
+    * ArrayDot scores); above it the corpus argmaxes against a broadcast
+    * one-row centroid frame instead — same semantics, bounded plan.
+    * Per-query candidate count scales with corpus/nlist x nprobe,
     * not corpus size; the corpus shuffles once on its list id. */
   def ivfTopK(embeddings0: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
@@ -240,13 +274,39 @@ object Similarity {
       slice(sort_array(array(scored: _*), asc = false), 1, take)
     }
 
-    val corpus = embeddings
-      .select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("list", probeLists(col("v"), 1).getItem(0).getField("list"))
-    val qs = ensureRegistered(queries)
+    val spark = embeddings.sparkSession
+    val literal = nlist.toLong * dim <= LiteralPlanMax
+    val corpus =
+      if (literal)
+        embeddings
+          .select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("v"))
+          .withColumn("list", probeLists(col("v"), 1).getItem(0).getField("list"))
+      else
+        embeddings
+          .select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("v"))
+          .crossJoin(broadcast(centroidFrame(spark, cents)))
+          .withColumn("list", argmaxList(col("v")))
+          .drop("__cents")
+    val qs0 = ensureRegistered(queries)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("pl", explode(probeLists(col("qv"), nprobe)))
-      .select(col("query_id"), col("qv"), col("pl.list").as("list"))
+    val qs =
+      if (literal)
+        qs0.withColumn("pl", explode(probeLists(col("qv"), nprobe)))
+          .select(col("query_id"), col("qv"), col("pl.list").as("list"))
+      else {
+        // queries are broadcast-sized by contract: explode the centroid
+        // array and window-rank the |Q|·nlist scores for the top-nprobe
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("list"))
+        qs0.crossJoin(broadcast(centroidFrame(spark, cents)))
+          .select(col("query_id"), col("qv"), explode(col("__cents")).as("c"))
+          .withColumn("list", col("c._1"))
+          .withColumn("score", fastDot(col("qv"), col("c._2")) /
+            (fastNorm(col("qv")) * col("c._3")))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= nprobe)
+          .select(col("query_id"), col("qv"), col("list"))
+      }
     val scored = corpus.join(broadcast(qs), Seq("list"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("cosine",

@@ -46,6 +46,24 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"sf0.1 IVF recall $recall below floor")
   }
 
+  test("large-nlist IVF uses the broadcast-centroid path and matches the literal plan") {
+    val queries = emb.filter(col("vec_id") < 30)
+    // nlist=256 · dim=64 = 16384 > LiteralPlanMax: the broadcast path
+    // must produce IDENTICAL assignments/top-k to a literal plan at the
+    // same nlist (same centroids, same argmax), deterministically
+    def run() = Similarity.ivfTopK(emb, queries, k = 10, nlist = 256, nprobe = 64)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = run()
+    assert(joined == run(), "broadcast-centroid IVF must be deterministic")
+    val recall = (brute & joined).size.toDouble / brute.size
+    assert(recall >= 0.2, s"nlist=256 IVF recall $recall below floor")
+    // the plan stays bounded: no 256-arm literal argmax in the plan text
+    val plan = Similarity.ivfTopK(emb, queries, k = 10, nlist = 256, nprobe = 64)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.length < 300000, s"plan blew up: ${plan.length} chars")
+  }
+
   test("l8 pin at sf0.1: banded simhash finds EVERY planted hamming<=3 pair") {
     // plant near-identical docs: one appended token perturbs only a few
     // simhash bits; keep exactly the planted pairs whose TRUE hamming

@@ -29,6 +29,25 @@ class PqSpec extends AnyFunSuite {
       "codes must index the ksub=16 codebook (4 bits/subspace)")
   }
 
+  test("l43 at nlist=256: broadcast coarse centroids + ksub=64 broadcast codebooks") {
+    // nlist·dim and ksub·dim both exceed LiteralPlanMax → both the
+    // coarse assignment and the subspace encode take the broadcast
+    // paths; recall floor and determinism must hold exactly as at
+    // literal sizes
+    val queries = emb.filter(col("vec_id") < 30)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Pq.ivfPqTopK(emb, queries, k = 10, nlist = 256, nprobe = 64,
+      ksub = 64, iters = 1)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run()
+    assert(got == run(), "broadcast-path IVF-PQ must replay bit-identically")
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF-PQ nlist=256 recall $recall below floor")
+  }
+
   test("non-long id columns are accepted (cast to long at collect)") {
     val intIds = emb.limit(200)
       .withColumn("vec_id", col("vec_id").cast("int"))
