@@ -432,20 +432,27 @@ object CoreQueries {
 
     // TPC-H Q11 shape: parts whose regional revenue exceeds a global
     // scalar-subquery threshold (1.5x the mean part value keeps the
-    // predicate scale-free across SFs, unlike Q11's fixed fraction)
+    // predicate scale-free across SFs, unlike Q11's fixed fraction).
+    // Money math in DECIMAL: the inputs carry <=2 decimal digits, so the
+    // products are exact at scale 4 and BOTH the threshold comparison
+    // and the final 2dp round are exact in both engines — no epsilon.
+    // The mean threshold is cross-multiplied (SUM*count > 1.5*total)
+    // because decimal division would fall back to double in DuckDB.
     "q49_tpch11_important_parts" ->
       """WITH ps AS (
         |  SELECT l.l_partkey AS ps_partkey,
-        |    l.l_extendedprice * (1 - l.l_discount) AS val
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS val
         |  FROM lineitem l
         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |  JOIN nation n ON n.n_nationkey = s.s_nationkey
         |  JOIN region r ON r.r_regionkey = n.n_regionkey
         |  WHERE r.r_name = 'EUROPE')
-        |SELECT ps_partkey, CAST(ROUND(SUM(val) + 1e-9, 2) AS DOUBLE) AS value
+        |SELECT ps_partkey, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS value
         |FROM ps
         |GROUP BY ps_partkey
-        |HAVING SUM(val) > (SELECT 1.5 * SUM(val) / COUNT(DISTINCT ps_partkey) FROM ps)
+        |HAVING SUM(val) * (SELECT COUNT(DISTINCT ps_partkey) FROM ps)
+        |     > (SELECT 1.5 * SUM(val) FROM ps)
         |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     // TPC-H Q16 shape: distinct-supplier counts per part attribute bucket
