@@ -140,10 +140,16 @@ object CastValidator {
     case (ArrayType(ae, _), ArrayType(be, _)) => typesCompatible(ae, be)
     case (MapType(ak, av, _), MapType(bk, bv, _)) =>
       typesCompatible(ak, bk) && typesCompatible(av, bv)
+    // structs compare BY NAME with evolution semantics (SafeCast rebuilds
+    // them field-by-name): shared fields must be compatible, target-only
+    // fields null-fill when nullable, source-only fields are dropped only
+    // if nullable (mirrors the top-level sparse rules, recursively —
+    // schema_casting.py:63-69)
     case (StructType(af), StructType(bf)) =>
-      af.length == bf.length && af.zip(bf).forall { case (x, y) =>
-        x.name == y.name && typesCompatible(x.dataType, y.dataType)
-      }
+      val aByName = af.map(f => f.name -> f).toMap
+      bf.forall(b => aByName.get(b.name).fold(b.nullable)(a =>
+        typesCompatible(a.dataType, b.dataType))) &&
+        af.forall(a => a.nullable || bf.exists(_.name == a.name))
     case _ => false
   }
 }

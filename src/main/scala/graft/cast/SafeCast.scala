@@ -1,8 +1,8 @@
 package graft.cast
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, struct, transform, transform_values, when}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Safe cast execution (`cast_table_safe`, `schema_casting.py:414-490`):
   * validate → fail on missing required columns (even non-strict) → fail on
@@ -36,15 +36,43 @@ object SafeCast {
       throw new CastingError(msg.toString)
     }
 
-    val sourceNames = source.fieldNames.toSet
+    val sourceByName = source.fields.map(f => f.name -> f).toMap
     val projected = target.fields.toSeq.map { tf =>
-      if (sourceNames.contains(tf.name))
-        col(tf.name).cast(tf.dataType).as(tf.name)
-      else
-        // sparse incoming batch: null-fill target-only nullable columns
-        // (schema_casting.py:469-477)
-        lit(null).cast(tf.dataType).as(tf.name)
+      sourceByName.get(tf.name) match {
+        case Some(sf) =>
+          castExpr(col(tf.name), sf.dataType, tf.dataType).as(tf.name)
+        case None =>
+          // sparse incoming batch: null-fill target-only nullable columns
+          // (schema_casting.py:469-477)
+          lit(null).cast(tf.dataType).as(tf.name)
+      }
     }
     df.select(projected: _*)
   }
+
+  /** Cast expression recursing through nested types
+    * (`schema_casting.py:63-69` recurses the same way): Spark's plain
+    * `cast` between structs is positional and arity-strict, so an
+    * evolved struct target (added/missing nested fields, field-wise
+    * promotion) needs an explicit field-by-name rebuild with null-fill —
+    * preserving struct-level NULLs. Arrays/maps recurse element-/
+    * value-wise; scalars fall back to `cast`. */
+  private def castExpr(src: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => src
+      case (StructType(ff), StructType(tf)) =>
+        val fByName = ff.map(f => f.name -> f).toMap
+        val rebuilt = struct(tf.toSeq.map { t2 =>
+          (fByName.get(t2.name) match {
+            case Some(sf) => castExpr(src.getField(t2.name), sf.dataType, t2.dataType)
+            case None => lit(null).cast(t2.dataType)
+          }).as(t2.name)
+        }: _*)
+        when(src.isNull, lit(null).cast(to)).otherwise(rebuilt)
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        transform(src, x => castExpr(x, fe, te))
+      case (MapType(_, fv, _), MapType(_, tv, _)) =>
+        transform_values(src, (_, v) => castExpr(v, fv, tv))
+      case (_, t) => src.cast(t)
+    }
 }

@@ -199,6 +199,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * C7, drop = nullable only): SQL cannot reach a schema state a load
     * could not. The change commits as a new schema version, so
     * time-traveled reads keep their snapshot-time schema. */
+  /** Rewrite the struct at `parent` (a dotted path of struct columns)
+    * via `leaf` — the shared walker for nested ALTER TABLE targets. */
+  private def mapStructAt(schema: org.apache.spark.sql.types.StructType,
+      parent: Seq[String])(
+      leaf: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    if (parent.isEmpty) leaf(schema)
+    else {
+      val head = parent.head
+      val f = schema.fields.find(_.name == head).getOrElse(
+        throw new IllegalArgumentException(s"No column $head"))
+      val inner = f.dataType match {
+        case st: StructType => mapStructAt(st, parent.tail)(leaf)
+        case other => throw new IllegalArgumentException(
+          s"Column $head is not a struct (${other.simpleString}); " +
+            "cannot alter a nested field inside it")
+      }
+      StructType(schema.fields.map(x =>
+        if (x.name == head) x.copy(dataType = inner) else x))
+    }
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val t = graftTable(ident)
@@ -206,51 +229,62 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       var schema = m.schema
       changes.foreach {
         case add: TableChange.AddColumn =>
-          if (add.fieldNames.length != 1)
-            throw new UnsupportedOperationException("nested ADD COLUMN is not supported")
-          val name = add.fieldNames()(0)
-          if (schema.fieldNames.contains(name))
-            throw new IllegalArgumentException(s"Column $name already exists")
+          val path = add.fieldNames().toSeq
+          val name = path.last
           if (!add.isNullable)
             throw new IllegalArgumentException(
-              s"New column $name must be nullable: existing files cannot " +
-                "carry a required value for it (same rule as evolution-on-write)")
-          schema = StructType(schema.fields :+
-            StructField(name, add.dataType, nullable = true))
+              s"New column ${path.mkString(".")} must be nullable: existing " +
+                "files cannot carry a required value for it (same rule as " +
+                "evolution-on-write)")
+          schema = mapStructAt(schema, path.init) { st =>
+            if (st.fieldNames.contains(name))
+              throw new IllegalArgumentException(
+                s"Column ${path.mkString(".")} already exists")
+            StructType(st.fields :+
+              StructField(name, add.dataType, nullable = true))
+          }
         case upd: TableChange.UpdateColumnType =>
-          if (upd.fieldNames.length != 1)
-            throw new UnsupportedOperationException(
-              "nested ALTER COLUMN TYPE is not supported")
-          val name = upd.fieldNames()(0)
-          val old = schema(name).dataType
-          if (!graft.types.TypeLattice.canPromote(old, upd.newDataType))
-            throw new IllegalArgumentException(
-              s"Unsafe type change for $name: $old -> ${upd.newDataType} " +
-                "(only int->long, float->double, decimal widening)")
-          schema = StructType(schema.fields.map(f =>
-            if (f.name == name) f.copy(dataType = upd.newDataType) else f))
+          val path = upd.fieldNames().toSeq
+          val name = path.last
+          schema = mapStructAt(schema, path.init) { st =>
+            val old = st.fields.find(_.name == name).getOrElse(
+              throw new IllegalArgumentException(
+                s"No column ${path.mkString(".")}")).dataType
+            if (!graft.types.TypeLattice.canPromote(old, upd.newDataType))
+              throw new IllegalArgumentException(
+                s"Unsafe type change for ${path.mkString(".")}: $old -> " +
+                  s"${upd.newDataType} (only int->long, float->double, " +
+                  "decimal widening)")
+            StructType(st.fields.map(f =>
+              if (f.name == name) f.copy(dataType = upd.newDataType) else f))
+          }
         case del: TableChange.DeleteColumn =>
-          if (del.fieldNames.length != 1)
-            throw new UnsupportedOperationException(
-              "nested DROP COLUMN is not supported")
-          val name = del.fieldNames()(0)
-          val f = schema.fields.find(_.name == name).getOrElse(
-            throw new IllegalArgumentException(s"No column $name"))
-          if (!f.nullable)
-            throw new IllegalArgumentException(
-              s"Cannot drop required column $name")
-          if (m.partitionSpec.exists(_.source == name))
-            throw new IllegalArgumentException(
-              s"Cannot drop partition source column $name")
-          // outstanding equality-delete files join on their key columns
-          // at every read — dropping one would brick the table (even
-          // applyDeletes could no longer run)
-          if (m.currentSnapshot.map(_.deletes).getOrElse(Nil)
-              .exists(_.keyColumns.contains(name)))
-            throw new IllegalArgumentException(
-              s"Cannot drop column $name: outstanding merge-on-read delete " +
-                "files key on it — run Maintenance.applyDeletes first")
-          schema = StructType(schema.fields.filterNot(_.name == name))
+          val path = del.fieldNames().toSeq
+          val name = path.last
+          // top-level structural guards: partition sources and MoR delete
+          // keys are top-level names by construction
+          if (path.length == 1) {
+            if (m.partitionSpec.exists(_.source == name))
+              throw new IllegalArgumentException(
+                s"Cannot drop partition source column $name")
+            // outstanding equality-delete files join on their key columns
+            // at every read — dropping one would brick the table (even
+            // applyDeletes could no longer run)
+            if (m.currentSnapshot.map(_.deletes).getOrElse(Nil)
+                .exists(_.keyColumns.contains(name)))
+              throw new IllegalArgumentException(
+                s"Cannot drop column $name: outstanding merge-on-read delete " +
+                  "files key on it — run Maintenance.applyDeletes first")
+          }
+          schema = mapStructAt(schema, path.init) { st =>
+            val f = st.fields.find(_.name == name).getOrElse(
+              throw new IllegalArgumentException(
+                s"No column ${path.mkString(".")}"))
+            if (!f.nullable)
+              throw new IllegalArgumentException(
+                s"Cannot drop required column ${path.mkString(".")}")
+            StructType(st.fields.filterNot(_.name == name))
+          }
         case other =>
           throw new UnsupportedOperationException(
             s"ALTER TABLE change $other is not supported")

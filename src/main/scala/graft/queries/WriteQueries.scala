@@ -315,6 +315,37 @@ object WriteQueries {
          |       ELSE o_orderpriority END AS o_orderpriority
          |FROM ($targetSql)""".stripMargin)),
 
+    // C8/C9 nested variant of w6: schema evolution recursing into a
+    // struct column — load 2 adds meta.pr AND promotes meta.ck
+    // int->long; old files read back under the evolved nested schema
+    // (ck widened, pr null-filled). Flattened for the oracle.
+    "w22_struct_evolution" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir).select(col("o_orderkey"),
+            struct(col("o_custkey").cast("int").as("ck"),
+              col("o_orderstatus").as("st")).as("meta"))),
+          Append, WriteConfig(retryUnitMs = 10), "l1")
+        w.writeTable("main", "orders_t",
+          Seq(source(s, dir).select(col("o_orderkey"),
+            struct(col("o_custkey").cast("long").as("ck"),
+              col("o_orderstatus").as("st"),
+              col("o_orderpriority").as("pr")).as("meta"))),
+          Append, WriteConfig(retryUnitMs = 10), "l2")
+        cat.loadTable("main", "orders_t").read()
+          .select(col("o_orderkey"), col("meta.ck").as("ck"),
+            col("meta.st").as("st"), col("meta.pr").as("pr"))
+      },
+      s"""SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+         |  o_orderstatus AS st, CAST(NULL AS VARCHAR) AS pr
+         |FROM ($targetSql)
+         |UNION ALL
+         |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+         |  o_orderstatus AS st, o_orderpriority AS pr
+         |FROM ($sourceSql)""".stripMargin)),
+
     // SQL MERGE INTO + UPDATE through the V2 catalog: the group-based
     // row-level protocol (GraftRowLevelOperation) — Spark plans the
     // merge join/update itself, the executor-side BatchWrite stages

@@ -50,18 +50,56 @@ object SchemaEvolution {
   }
 
   /** Unsafe-change validation (`validate_schema_changes`,
-    * `schema_evolution.py:141-172`). */
+    * `schema_evolution.py:141-172`). A type "change" on a nested type is
+    * judged by [[mergeType]]'s rules — structs evolve field-wise with
+    * the same sparse/add/promote semantics as top-level columns. */
   def validate(diff: SchemaDiff): Unit = {
-    val errors = diff.typeChanges.collect {
-      case (name, oldT, newT) if !TypeLattice.canPromote(oldT, newT) =>
-        s"Unsafe type change for column '$name': ${oldT.simpleString} -> " +
-          s"${newT.simpleString}. Only safe promotions are allowed " +
-          "(int->long, float->double, decimal widening)."
+    val errors = diff.typeChanges.flatMap { case (name, oldT, newT) =>
+      try { mergeType(name, oldT, newT); None }
+      catch { case e: SchemaEvolutionError => Some(e.getMessage) }
     }
     if (errors.nonEmpty)
       throw new SchemaEvolutionError(
         "Schema evolution validation failed:\n" + errors.map("  - " + _).mkString("\n"))
   }
+
+  /** Evolved type of a column whose incoming type differs: scalars only
+    * safe-promote; structs MERGE field-wise (`schema_casting.py:63-69`
+    * recurses the same way) — existing fields keep their slot (with
+    * nested promotion), incoming-missing nullable fields stay as sparse
+    * null-fill, incoming-missing required fields are an error, and
+    * incoming-only fields are appended nullable. Arrays and maps merge
+    * element-/value-wise. */
+  def mergeType(path: String, oldT: DataType, newT: DataType): DataType =
+    (oldT, newT) match {
+      case (o, n) if o == n => o
+      case (o: StructType, n: StructType) =>
+        val nByName = n.fields.map(f => f.name -> f).toMap
+        val oldNames = o.fields.map(_.name).toSet
+        val kept = o.fields.toSeq.map { of =>
+          nByName.get(of.name) match {
+            case Some(nf) =>
+              of.copy(dataType =
+                mergeType(s"$path.${of.name}", of.dataType, nf.dataType))
+            case None if of.nullable => of // nested sparse: null-fill
+            case None => throw new SchemaEvolutionError(
+              s"Incoming data is missing required nested field '$path.${of.name}'")
+          }
+        }
+        val added = n.fields.toSeq
+          .filterNot(f => oldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(kept ++ added)
+      case (ArrayType(oe, n1), ArrayType(ne, _)) =>
+        ArrayType(mergeType(s"$path[]", oe, ne), n1)
+      case (MapType(ok, ov, n1), MapType(nk, nv, _)) if ok == nk =>
+        MapType(ok, mergeType(s"$path{}", ov, nv), n1)
+      case (o, n) if TypeLattice.canPromote(o, n) => n
+      case (o, n) => throw new SchemaEvolutionError(
+        s"Unsafe type change for column '$path': ${o.simpleString} -> " +
+          s"${n.simpleString}. Only safe promotions are allowed " +
+          "(int->long, float->double, decimal widening, struct field adds).")
+    }
 
   private def requiredDropped(existing: StructType, dropped: Seq[String]): Seq[String] = {
     val droppedSet = dropped.toSet
@@ -96,11 +134,15 @@ object SchemaEvolution {
     if (!allowColumnDrops && diff.added.isEmpty && diff.typeChanges.isEmpty)
       return EvolutionResult(existing, evolved = false)
 
-    val promotions = diff.typeChanges.map { case (n, _, t) => n -> t }.toMap
+    val promotions = diff.typeChanges
+      .map { case (n, o, t) => n -> mergeType(n, o, t) }.toMap
     val droppedSet = if (allowColumnDrops) diff.dropped.toSet else Set.empty[String]
     val kept = existing.fields.toSeq
       .filterNot(f => droppedSet.contains(f.name))
       .map(f => promotions.get(f.name).fold(f)(t => f.copy(dataType = t)))
-    EvolutionResult(StructType(kept ++ diff.added), evolved = true)
+    val next = StructType(kept ++ diff.added)
+    // a struct "change" that merges back to the existing type (e.g. a
+    // nested-sparse batch) is not an evolution
+    EvolutionResult(next, evolved = next != existing)
   }
 }

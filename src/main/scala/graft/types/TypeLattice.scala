@@ -43,13 +43,26 @@ object TypeLattice {
 
   /** Safe type promotions per the Iceberg spec, as the reference enforces
     * them (`schema_evolution.py:53-87`): int→long, float→double, decimal
-    * widening (p'>=p && s'>=s), same-type identity. */
+    * widening (p'>=p && s'>=s), same-type identity. Nested types recurse
+    * (`schema_casting.py:63-69`): a struct promotes when every source
+    * field promotes to its target counterpart and every target-only
+    * field is nullable (Iceberg's add-optional-field rule); arrays/maps
+    * promote element-/value-wise. */
   def canPromote(from: DataType, to: DataType): Boolean = (from, to) match {
     case (f, t) if f == t => true
     case (f: DecimalType, t: DecimalType) =>
       t.precision >= f.precision && t.scale >= f.scale
     case (IntegerType, LongType) => true
     case (FloatType, DoubleType) => true
+    case (StructType(ff), StructType(tf)) =>
+      val fByName = ff.map(f => f.name -> f).toMap
+      tf.forall(t =>
+        fByName.get(t.name).fold(t.nullable)(f =>
+          canPromote(f.dataType, t.dataType))) &&
+        ff.forall(f => tf.exists(_.name == f.name))
+    case (ArrayType(fe, _), ArrayType(te, _)) => canPromote(fe, te)
+    case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
+      fk == tk && canPromote(fv, tv)
     case _ => false
   }
 

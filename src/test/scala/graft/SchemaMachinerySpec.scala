@@ -207,4 +207,72 @@ class SchemaMachinerySpec extends AnyFunSuite {
     assert(r.evolved)
     assert(r.schema.fieldNames.toSeq == Seq("id", "old", "fresh"))
   }
+
+  // --- Nested-struct evolution (schema_casting.py:63-69 recursion) ---
+
+  private def nested(fields: (String, DataType, Boolean)*): StructType =
+    StructType(fields.map { case (n, t, nl) => StructField(n, t, nl) })
+
+  test("nested: adding a nullable field inside a struct evolves field-wise") {
+    val existing = s(("id", LongType, true),
+      ("meta", nested(("a", IntegerType, true)), true))
+    val incoming = s(("id", LongType, true),
+      ("meta", nested(("a", IntegerType, true), ("b", StringType, true)), true))
+    val r = SchemaEvolution.evolve(existing, incoming)
+    assert(r.evolved)
+    assert(r.schema("meta").dataType ==
+      nested(("a", IntegerType, true), ("b", StringType, true)))
+  }
+
+  test("nested: sparse struct batch (missing nullable nested field) is no evolution") {
+    val existing = s(("id", LongType, true),
+      ("meta", nested(("a", IntegerType, true), ("b", StringType, true)), true))
+    val incoming = s(("id", LongType, true),
+      ("meta", nested(("a", IntegerType, true)), true))
+    val r = SchemaEvolution.evolve(existing, incoming)
+    assert(!r.evolved && r.schema == existing)
+  }
+
+  test("nested: int->long promotion inside a struct; unsafe nested change raises") {
+    val existing = s(("meta", nested(("a", IntegerType, true)), true))
+    val good = s(("meta", nested(("a", LongType, true)), true))
+    val r = SchemaEvolution.evolve(existing, good)
+    assert(r.evolved && r.schema("meta").dataType == nested(("a", LongType, true)))
+    val bad = s(("meta", nested(("a", StringType, true)), true))
+    intercept[SchemaEvolutionError] { SchemaEvolution.evolve(existing, bad) }
+  }
+
+  test("nested: missing required nested field raises") {
+    val existing = s(("meta", nested(("a", IntegerType, false)), true))
+    val incoming = s(("meta", nested(("b", StringType, true)), true))
+    intercept[SchemaEvolutionError] { SchemaEvolution.evolve(existing, incoming) }
+  }
+
+  test("nested: safe cast rebuilds structs by name — null-fill, promote, keep NULLs") {
+    import org.apache.spark.sql.functions.col
+    val srcSchema = s(("id", LongType, true),
+      ("meta", nested(("a", IntegerType, true)), true))
+    val target = s(("id", LongType, true),
+      ("meta", nested(("a", LongType, true), ("b", StringType, true)), true))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, Row(7)))
+    rows.add(Row(2L, null)) // struct-level NULL must survive the rebuild
+    val df = spark.createDataFrame(rows, srcSchema)
+    val out = SafeCast(df, target)
+    assert(out.schema == target)
+    val got = out.orderBy(col("id")).collect()
+    assert(got(0).getStruct(1) == Row(7L, null))
+    assert(got(1).isNullAt(1), "NULL struct became non-null in the rebuild")
+  }
+
+  test("nested: array-of-struct element evolution casts through transform") {
+    val srcSchema = s(("xs", ArrayType(nested(("a", IntegerType, true))), true))
+    val target = s(("xs",
+      ArrayType(nested(("a", LongType, true), ("b", DoubleType, true))), true))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Seq(Row(1), Row(2))))
+    val out = SafeCast(spark.createDataFrame(rows, srcSchema), target)
+    assert(out.schema == target)
+    assert(out.collect()(0).getSeq[Row](0) == Seq(Row(1L, null), Row(2L, null)))
+  }
 }

@@ -270,6 +270,38 @@ class SparkCatalogSpec extends AnyFunSuite {
       .toSeq == Seq((1L, null), (2L, 9L)))
   }
 
+  test("nested ALTER TABLE: add/retype/drop fields inside a struct") {
+    val cat = freshCatalog("gnst")
+    val w = new GraftWriter(cat)
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    w.writeTable("main", "t",
+      Seq(Seq((1L, 7)).toDF("id", "a")
+        .select(col("id"), struct(col("a"), lit("x").as("s")).as("meta"))),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    spark.sql("ALTER TABLE gnst.main.t ADD COLUMN meta.fresh DOUBLE")
+    spark.sql("ALTER TABLE gnst.main.t ALTER COLUMN meta.a TYPE BIGINT")
+    val m1 = cat.loadTable("main", "t").metadata.schema
+    val meta = m1("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("a", "s", "fresh"))
+    assert(meta("a").dataType == org.apache.spark.sql.types.LongType)
+
+    // reads serve the evolved nested schema (old file: fresh null-fills,
+    // a widens)
+    val row = spark.sql("SELECT id, meta.a, meta.s, meta.fresh FROM gnst.main.t")
+      .collect()(0)
+    assert(row.getLong(1) == 7L && row.getString(2) == "x" && row.isNullAt(3))
+
+    spark.sql("ALTER TABLE gnst.main.t DROP COLUMN meta.fresh")
+    val m2 = cat.loadTable("main", "t").metadata.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(m2.fieldNames.toSeq == Seq("a", "s"))
+    // non-struct parent and required-field guards still fire
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gnst.main.t ADD COLUMN id.sub INT")
+    }
+  }
+
   test("SQL UPDATE rewrites through the row-level BatchWrite") {
     val cat = freshCatalog("gupd")
     val w = new GraftWriter(cat)

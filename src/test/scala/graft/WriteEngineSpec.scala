@@ -193,6 +193,44 @@ class WriteEngineSpec extends AnyFunSuite {
     assert(t.metadata.schema.fieldNames.length == 3) // schema unchanged
   }
 
+  test("evolution on write recurses into structs: nested add + promote + sparse") {
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // load 1: meta = struct<a:int, s:string>
+    w.writeTable("main", "ns",
+      Seq(Seq((1L, 7)).toDF("id", "a")
+        .select(col("id"), struct(col("a"), lit("x").as("s")).as("meta"))),
+      Append, fastCfg, "l1")
+    // load 2: meta = struct<a:long, s:string, p:double> — nested promote + add
+    w.writeTable("main", "ns",
+      Seq(Seq((2L, 9L, 1.5)).toDF("id", "a", "p")
+        .select(col("id"),
+          struct(col("a"), lit("y").as("s"), col("p")).as("meta"))),
+      Append, fastCfg, "l2")
+    val t = cat.loadTable("main", "ns")
+    val meta = t.metadata.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("a", "s", "p"))
+    assert(meta("a").dataType == org.apache.spark.sql.types.LongType)
+    val got = t.read().orderBy("id")
+      .select(col("id"), col("meta.a"), col("meta.s"), col("meta.p")).collect()
+    assert(got(0).getLong(1) == 7L && got(0).getString(2) == "x" && got(0).isNullAt(3))
+    assert(got(1).getLong(1) == 9L && got(1).getString(2) == "y" &&
+      got(1).getDouble(3) == 1.5)
+
+    // load 3: nested-sparse batch (meta without p) — no evolution, null-fill
+    w.writeTable("main", "ns",
+      Seq(Seq((3L, 11L)).toDF("id", "a")
+        .select(col("id"), struct(col("a"), lit("z").as("s")).as("meta"))),
+      Append, fastCfg, "l3")
+    val t2 = cat.loadTable("main", "ns")
+    assert(t2.metadata.schema("meta").dataType == meta, "sparse batch must not evolve")
+    val r3 = t2.read().filter(col("id") === 3)
+      .select(col("meta.a"), col("meta.p")).collect()(0)
+    assert(r3.getLong(0) == 11L && r3.isNullAt(1))
+  }
+
   test("merge rewrites only key-affected files; untouched files carry over") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
