@@ -315,6 +315,47 @@ object WriteQueries {
          |       ELSE o_orderpriority END AS o_orderpriority
          |FROM ($targetSql)""".stripMargin)),
 
+    // Table services (Iceberg expire_snapshots + remove_orphan_files):
+    // 4 loads -> tag the first -> expire keepLast=2 -> plant an orphan
+    // file -> vacuum. Invariants enforced in-query via require():
+    // expiry keeps {last 2} + the tag chain and nothing else, vacuum
+    // collects exactly the orphan, and BOTH the tag head and the current
+    // snapshot still read correctly afterwards (if expiry dropped a live
+    // file or vacuum over-deleted, these reads diverge from the oracle).
+    "w23_expire_vacuum" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        def slice(i: Int) = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === i)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val cfg0 = WriteConfig(retryUnitMs = 10)
+        w.writeTable("main", "orders_t", Seq(slice(1)), Append, cfg0, "l1")
+        val tbl = cat.loadTable("main", "orders_t")
+        tbl.createBranch("v1") // tag at load 1
+        (Seq(2, 3, 0)).zipWithIndex.foreach { case (i, n) =>
+          w.writeTable("main", "orders_t", Seq(slice(i)), Append, cfg0, s"l${n + 2}")
+        }
+        graft.write.Maintenance.expireSnapshots(tbl, keepLast = 2,
+          retryUnitMs = 10)
+        val m = tbl.metadata
+        require(m.snapshots.length == 3,
+          s"expected last-2 + tagged snapshot, got ${m.snapshots.length}")
+        // plant an orphan data file, then vacuum with no age guard
+        val orphan = tbl.dataDir.resolve("orphan-plant")
+        slice(0).limit(5).write.parquet(orphan.toString)
+        val removed = graft.write.Maintenance.vacuumOrphans(tbl, minAgeMs = 0)
+        require(removed.exists(_.contains("orphan-plant")),
+          s"vacuum missed the planted orphan: $removed")
+        tbl.readBranch("v1").withColumn("src", lit("tag"))
+          .unionByName(tbl.read().withColumn("src", lit("cur")))
+          .select(col("o_orderkey"), col("o_totalprice"), col("src"))
+      },
+      """SELECT o_orderkey, o_totalprice, 'tag' AS src FROM orders
+        |WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'cur' AS src FROM orders""".stripMargin)),
+
     // C8/C9 nested variant of w6: schema evolution recursing into a
     // struct column — load 2 adds meta.pr AND promotes meta.ck
     // int->long; old files read back under the evolved nested schema
