@@ -27,9 +27,20 @@ import org.apache.spark.sql.functions._
   * every shuffle key is bounded (fingerprint, span, gram). */
 object Curation {
 
+  /** @param clusterDedup adds a MinHash-LSH near-dup clustering stage
+    *   (between exact dedup and the span gate): LSH candidate pairs →
+    *   [[Dedup.nearDupClusters]] → min-id survivor per cluster.
+    * @param driverUnionFindMax passed through to
+    *   [[Dedup.nearDupClusters]] — edge count above which clustering
+    *   switches from the driver union-find to distributed min-label
+    *   propagation. Shared-driver deployments should LOWER this (the
+    *   default holds ~64 MB of edges on the driver); the results are
+    *   identical on either side of the threshold. */
   def curate(docs: DataFrame, lang: String = "en",
       minWords: Int = 30, alphaFrac: Double = 0.8,
-      spanWords: Int = 8, maxSharedFrac: Double = 0.5): DataFrame = {
+      spanWords: Int = 8, maxSharedFrac: Double = 0.5,
+      clusterDedup: Boolean = false,
+      driverUnionFindMax: Long = 4000000L): DataFrame = {
     val words = split(col("text"), " ")
 
     // 1+2: language + quality gate
@@ -49,12 +60,26 @@ object Curation {
       .filter(col("doc_id") === col("__min_id"))
       .drop("__fp", "__min_id")
 
+    // 3.5 (optional): near-dup clustering — LSH-banded candidate pairs,
+    // connected components, min-id survivor per component
+    val afterCluster =
+      if (!clusterDedup) survivors
+      else {
+        val pairs = Dedup.minHashLshPairs(survivors).select(col("a"), col("b"))
+        val clusters = Dedup.nearDupClusters(pairs,
+          driverUnionFindMax = driverUnionFindMax)
+        val losers = clusters
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        survivors.join(losers, Seq("doc_id"), "left_anti")
+      }
+
     // 4: span novelty gate — fraction of the doc's DISTINCT spans that
     // also appear in some other surviving doc
     val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("int")
     val spansArr = transform(sequence(lit(0), nSpans - 1),
       i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
-    val docSpans = survivors
+    val docSpans = afterCluster
       .select(col("doc_id"), explode(spansArr).as("span")).distinct()
     val spanDf = docSpans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("span_docs"))
@@ -62,7 +87,7 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg((sum(when(col("span_docs") > 1, 1).otherwise(0)) /
         count(lit(1))).as("__shared_frac"))
-    val novel = survivors.join(shared, "doc_id")
+    val novel = afterCluster.join(shared, "doc_id")
       .filter(col("__shared_frac") <= maxSharedFrac)
 
     // 5: decontamination against the benchmark grams (5-grams)

@@ -39,17 +39,30 @@ final class StreamingLoader(catalog: GraftCatalog) {
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the commit path runs several actions (emptiness probe, dup
-        // check, staging write, stats pass) — without persisting, EACH
-        // action re-executes the whole upstream plan including any
-        // stateful aggregation (measured: 5x state-store replays per
-        // micro-batch)
-        batch.persist()
-        try {
-          if (!batch.isEmpty)
-            writer.writeTable(ns, table, Seq(batch), disposition, cfg,
-              loadId = s"$queryName-batch-$batchId")
-        } finally batch.unpersist()
+        val loadId = s"$queryName-batch-$batchId"
+        // exactly-once across restarts: a crash between the table commit
+        // and the checkpoint commit makes Spark REPLAY this batch id on
+        // recovery — the snapshot log is the committed-batch ledger, so
+        // an already-present loadId is skipped, never re-applied (the
+        // same idempotence contract Iceberg's streaming sink keeps via
+        // its batch-id snapshot property)
+        val alreadyCommitted =
+          catalog.tableExists(ns, table) &&
+            catalog.loadTable(ns, table).metadata.snapshots
+              .exists(_.loadId.contains(loadId))
+        if (!alreadyCommitted) {
+          // the commit path runs several actions (emptiness probe, dup
+          // check, staging write, stats pass) — without persisting, EACH
+          // action re-executes the whole upstream plan including any
+          // stateful aggregation (measured: 5x state-store replays per
+          // micro-batch)
+          batch.persist()
+          try {
+            if (!batch.isEmpty)
+              writer.writeTable(ns, table, Seq(batch), disposition, cfg,
+                loadId = loadId)
+          } finally batch.unpersist()
+        }
         ()
       }
     outputMode.foreach(w.outputMode)

@@ -268,4 +268,22 @@ class LlmOpsSpec extends AnyFunSuite {
       val w = r.getAs[Int]("width"); w >= 64 && w < 64 + 577
     })
   }
+
+  test("curation clusterDedup: driverUnionFindMax plumbs through; both sides agree") {
+    import graft.llmops.Curation
+    def run(threshold: Long) =
+      Curation.curate(docs, clusterDedup = true,
+        driverUnionFindMax = threshold)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // threshold=0 forces the distributed label-propagation path; the
+    // default takes the driver union-find — identical output required
+    val distributed = run(0L)
+    val driverSide = run(4000000L)
+    assert(distributed == driverSide,
+      "cluster dedup must be threshold-invariant")
+    assert(distributed.nonEmpty)
+    // note: the output is NOT a subset of the un-clustered run — removing
+    // near-dups before the span-novelty gate can let formerly-shared docs
+    // pass it; only threshold-invariance is the contract here
+  }
 }

@@ -135,6 +135,52 @@ class StreamingSpec extends AnyFunSuite {
       s"join state ${stateRows.max} rows vs $nRows inputs — watermark not evicting")
   }
 
+  test("checkpoint restart is exactly-once: a replayed batch commits nothing") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-rst-").toString)
+    val loader = new StreamingLoader(cat)
+    val ck = Files.createTempDirectory("graft-rst-ck-").toString
+    def run(): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          val q = loader.start(
+            StreamingLoader.eventsChunkedStream(spark, sf, chunks = 3),
+            "main", "ev", cfg = WriteConfig(retryUnitMs = 1), queryName = "rst",
+            checkpoint = Some(ck))
+          try q.awaitTermination() finally q.stop()
+          done = true
+        } catch {
+          // the manager releases a terminated query's checkpoint claim
+          // asynchronously; a restart on the same checkpoint can race it
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if e.getMessage.contains("concurrently using") && attempts < 40 =>
+            attempts += 1; Thread.sleep(250)
+        }
+      }
+    }
+    run()
+    val t = cat.loadTable("main", "ev")
+    val total = Tables.t(spark, sf, "events").count()
+    assert(t.read().count() == total)
+    val committed = t.metadata.snapshots.flatMap(_.loadId)
+    assert(committed.distinct.length == committed.length)
+
+    // simulate the crash window: the LAST batch's table commit landed but
+    // its checkpoint commit didn't — delete the checkpoint commit marker
+    // so restart replays that batch id against the already-committed table
+    val lastBatch = committed.map(_.stripPrefix("rst-batch-").toInt).max
+    val marker = java.nio.file.Paths.get(ck, "commits", lastBatch.toString)
+    assert(java.nio.file.Files.deleteIfExists(marker),
+      s"expected checkpoint commit marker $marker")
+    run() // replays batch `lastBatch`
+    val t2 = cat.loadTable("main", "ev")
+    assert(t2.read().count() == total,
+      "replayed batch must not duplicate rows")
+    assert(t2.metadata.snapshots.flatMap(_.loadId) == committed,
+      "replayed batch must be skipped, not re-committed")
+  }
+
   test("foreachBatch sink commits snapshots readable mid-stream") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-ss-").toString)
     val loader = new StreamingLoader(cat)
