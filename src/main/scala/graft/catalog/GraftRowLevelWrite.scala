@@ -4,8 +4,9 @@ import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
@@ -219,6 +220,203 @@ final class GraftDataWriterFactory(
         }
       }
 
+      override def close(): Unit = ()
+    }
+}
+
+/** Merge-on-read SQL DML — the delta-based row-level protocol
+  * ([[SupportsDelta]]), selected by [[GraftV2Table]] when the table
+  * carries `graft.delete.mode = merge-on-read` AND a
+  * `graft.primary-key` property. Row identity is the PRIMARY KEY (the
+  * same equality-delete key model the engine's MoR writes use —
+  * Iceberg v2 equality deletes), so no hidden metadata columns are
+  * needed: Spark scans ONLY the matched rows, and each task streams
+  * its deletes into one tiny equality-delete key file and its
+  * inserts/updated rows into one data file. Commit is O(delta):
+  * parent data files are never read or rewritten, sequence stamping in
+  * `withSnapshotDelta` fences the new delete keys so a batch never
+  * deletes its own inserts — exactly the `morCommit` contract, now
+  * reachable from SQL UPDATE / MERGE INTO / DELETE.
+  *
+  * `representUpdateAsDeleteAndInsert = true`: an update IS
+  * delete-key + reinsert under equality-delete semantics. */
+final class GraftDeltaOperation(
+    ns: String,
+    tableName: String,
+    cat: GraftCatalog,
+    scanOf: CaseInsensitiveStringMap => ScanBuilder,
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command,
+    pk: Seq[String]) extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    pk.map(Expressions.column).toArray
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = scanOf(options)
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        inner.build() match {
+          case v1: org.apache.spark.sql.connector.read.V1Scan =>
+            org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(v1, Nil,
+              org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
+                None, None, None, None, Nil, Nil, Nil, None))
+          case s => s
+        }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new GraftDeltaBatchWrite(ns, tableName, cat, tableSchema, pk,
+            cmd.toString.toLowerCase)
+      }
+    }
+}
+
+final case class GraftDeltaMessage(
+    dataPath: String, dataRows: Long,
+    delPath: String, delRows: Long) extends WriterCommitMessage
+
+final class GraftDeltaBatchWrite(
+    ns: String,
+    tableName: String,
+    cat: GraftCatalog,
+    schema: StructType,
+    pk: Seq[String],
+    op: String) extends DeltaBatchWrite {
+
+  private val loadId =
+    s"sql-mor-$op-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  private val keySchema =
+    StructType(pk.map(n => schema.fields.find(_.name == n).getOrElse(
+      throw new ValidationError(
+        s"graft.primary-key column '$n' not in table schema"))))
+
+  private def table: GraftTable = cat.loadTable(ns, tableName)
+
+  private lazy val dataDir = {
+    val d = table.dataDir.resolve(loadId)
+    java.nio.file.Files.createDirectories(d)
+    d
+  }
+  private lazy val delDir = {
+    val d = table.dir.resolve("deletes").resolve(loadId)
+    java.nio.file.Files.createDirectories(d)
+    d
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val dataJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob, Map.empty, schema)
+    val keyJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    val keyOwf = new ParquetFileFormat().prepareWrite(spark, keyJob, Map.empty, keySchema)
+    new GraftDeltaWriterFactory(
+      dataOwf, new SerializableConfiguration(dataJob.getConfiguration), schema,
+      dataDir.toString,
+      keyOwf, new SerializableConfiguration(keyJob.getConfiguration), keySchema,
+      delDir.toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.collect { case m: GraftDeltaMessage => m }
+    val dataFiles = {
+      val fs = all.filter(m => m.dataRows > 0 && m.dataPath.nonEmpty)
+        .map(_.dataPath).sorted.toSeq
+      if (fs.isEmpty) Nil else graft.write.FooterStats.collect(fs, schema)
+    }
+    val delFiles = {
+      val fs = all.filter(m => m.delRows > 0 && m.delPath.nonEmpty)
+        .map(_.delPath).sorted.toSeq
+      if (fs.isEmpty) Nil
+      else graft.write.FooterStats.collect(fs, keySchema)
+        .map(f => DeleteFile(f.path, pk, f.rowCount, 0L, f.stats))
+    }
+    if (dataFiles.isEmpty && delFiles.isEmpty) return
+    // O(delta) commit, same shape as morCommit: no parent file is read
+    // or rewritten; sequence fencing makes the delete keys apply only
+    // to OLDER files, so this batch never deletes its own inserts. A
+    // concurrent rewrite needs no guard — equality deletes re-fence
+    // against whatever files are live at commit time.
+    table.commit(fresh =>
+      fresh.withSnapshotDelta(op, Some(loadId), dataFiles, Set.empty,
+        newDeletes = delFiles),
+      maxRetries = 5, backoffBase = 2.0, unitMs = 50L)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: GraftDeltaMessage => m }.foreach { m =>
+      if (m.dataPath.nonEmpty)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.dataPath))
+      if (m.delPath.nonEmpty)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.delPath))
+    }
+    ()
+  }
+}
+
+final class GraftDeltaWriterFactory(
+    dataOwf: OutputWriterFactory, dataConf: SerializableConfiguration,
+    dataSchema: StructType, dataDir: String,
+    keyOwf: OutputWriterFactory, keyConf: SerializableConfiguration,
+    keySchema: StructType, delDir: String) extends DeltaWriterFactory {
+
+  private final class LazyFile(owf: OutputWriterFactory,
+      conf: SerializableConfiguration, schema: StructType, dir: String,
+      partitionId: Int, taskId: Long) {
+    private var writer: OutputWriter = null
+    var path: String = ""
+    var rows = 0L
+    def write(row: InternalRow): Unit = {
+      if (writer == null) {
+        val ctx = new TaskAttemptContextImpl(conf.value,
+          new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
+            partitionId), (taskId % Int.MaxValue).toInt))
+        path = s"$dir/part-$partitionId-$taskId${owf.getFileExtension(ctx)}"
+        writer = owf.newInstance(path, schema, ctx)
+      }
+      writer.write(row)
+      rows += 1
+    }
+    def close(): Unit = if (writer != null) writer.close()
+    def abort(): Unit = {
+      close()
+      if (path.nonEmpty)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    }
+  }
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val data =
+        new LazyFile(dataOwf, dataConf, dataSchema, dataDir, partitionId, taskId)
+      private val keys =
+        new LazyFile(keyOwf, keyConf, keySchema, delDir, partitionId, taskId)
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        keys.write(id)
+      override def insert(row: InternalRow): Unit = data.write(row)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        // not reached with representUpdateAsDeleteAndInsert=true, but
+        // the semantics are identical either way
+        keys.write(id); data.write(row)
+      }
+      override def commit(): WriterCommitMessage = {
+        data.close(); keys.close()
+        GraftDeltaMessage(data.path, data.rows, keys.path, keys.rows)
+      }
+      override def abort(): Unit = { data.abort(); keys.abort() }
       override def close(): Unit = ()
     }
 }

@@ -67,7 +67,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       classOf[ParquetFileFormat])
 
   private def v2Of(ident: Identifier, m: TableMetadata, snap: Option[Snapshot],
-      schema: org.apache.spark.sql.types.StructType): Table = {
+      schema0: org.apache.spark.sql.types.StructType): Table = {
+    // a declared primary key (graft.primary-key) is an Iceberg
+    // identifier-field set: those columns are required by contract, and
+    // delta row-level writes need non-nullable row-id attributes
+    val pk = m.properties.get("graft.primary-key").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet
+    val schema =
+      if (pk.isEmpty) schema0
+      else org.apache.spark.sql.types.StructType(schema0.fields.map(f =>
+        if (pk.contains(f.name)) f.copy(nullable = false) else f))
     val files = snap.map(_.dataFiles).getOrElse(Nil)
     val deletes = snap.map(_.deletes).getOrElse(Nil)
     val posDeletes = snap.map(_.posDeletes).getOrElse(Nil)
@@ -225,9 +234,25 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val t = graftTable(ident)
+    // property-only changes commit without a schema version bump
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty)
+      t.commit { m =>
+        val props = propChanges.foldLeft(m.properties) {
+          case (p, set: TableChange.SetProperty) =>
+            p.updated(set.property(), set.value())
+          case (p, rm: TableChange.RemoveProperty) => p - rm.property()
+          case (p, _) => p
+        }
+        m.copy(properties = props)
+      }
+    if (schemaChanges.isEmpty) return loadTable(ident)
     t.commit { m =>
       var schema = m.schema
-      changes.foreach {
+      schemaChanges.foreach {
         case add: TableChange.AddColumn =>
           val path = add.fieldNames().toSeq
           val name = path.last

@@ -76,18 +76,32 @@ final class GraftV2Table(
   }
 
   /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose predicate cannot
-    * translate to source filters, e.g. with subqueries): the group-based
-    * row-level protocol — Spark scans this table's pinned snapshot and
-    * [[GraftReplaceBatchWrite]] swaps the planned file set for the
-    * post-DML rows through the snapshot CAS commit. */
+    * translate to source filters, e.g. with subqueries). Two modes:
+    *
+    *  - default: the group-based (copy-on-write) protocol —
+    *    [[GraftReplaceBatchWrite]] swaps the planned file set for the
+    *    post-DML rows through the snapshot CAS commit;
+    *  - `graft.delete.mode = merge-on-read` plus a `graft.primary-key`
+    *    table property: the delta protocol ([[GraftDeltaOperation]]) —
+    *    Spark scans only MATCHED rows, the write commits equality-delete
+    *    key files + new data files, O(delta) instead of O(table). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(ns, tableName, cat,
-          opts => newScanBuilder(opts), committedSchema, info.command(),
-          morFiles.map(_.path).toSet,
-          (morDeletes.map(_.path) ++ morPosDeletes.map(_.path)).toSet)
+      override def build(): RowLevelOperation = {
+        val props = cat.loadTable(ns, tableName).metadata.properties
+        val pk = props.get("graft.primary-key").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        if (props.get("graft.delete.mode").contains("merge-on-read") &&
+            pk.nonEmpty)
+          new GraftDeltaOperation(ns, tableName, cat,
+            opts => newScanBuilder(opts), committedSchema, info.command(), pk)
+        else
+          new GraftRowLevelOperation(ns, tableName, cat,
+            opts => newScanBuilder(opts), committedSchema, info.command(),
+            morFiles.map(_.path).toSet,
+            (morDeletes.map(_.path) ++ morPosDeletes.map(_.path)).toSet)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

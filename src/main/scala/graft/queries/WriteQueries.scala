@@ -424,6 +424,45 @@ object WriteQueries {
          |       ELSE o_totalprice END AS o_totalprice
          |FROM merged""".stripMargin)),
 
+    // Merge-on-read SQL MERGE INTO (the delta row-level protocol,
+    // SupportsDelta): graft.primary-key + graft.delete.mode properties
+    // route the DML through equality-delete key files + new data files —
+    // O(delta) commits, parent files untouched; the in-query require()
+    // pins that no parent file was rewritten.
+    "w24_sql_mor_merge" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-v2dm-").toString
+        s.conf.set("spark.sql.catalog.graft_dmr",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_dmr.warehouse", wh)
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        s.sql("""ALTER TABLE graft_dmr.main.orders_t SET TBLPROPERTIES (
+          |'graft.delete.mode' = 'merge-on-read',
+          |'graft.primary-key' = 'o_orderkey')""".stripMargin)
+        val before = cat.loadTable("main", "orders_t")
+          .metadata.currentFiles.map(_.path).toSet
+        source(s, dir).createOrReplaceTempView("w24_src")
+        s.sql("""MERGE INTO graft_dmr.main.orders_t AS t
+          |USING w24_src AS s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_totalprice > 400000.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val m = cat.loadTable("main", "orders_t").metadata
+        require(before.subsetOf(m.currentFiles.map(_.path).toSet),
+          "delta MERGE must not rewrite parent files")
+        require(m.currentSnapshot.get.deletes.nonEmpty,
+          "delta MERGE must commit equality-delete files")
+        s.sql("SELECT o_orderkey, o_totalprice FROM graft_dmr.main.orders_t")
+      },
+      s"""SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+         |FROM orders WHERE o_orderkey % 2 = 0
+         |  AND NOT (o_totalprice + 10.0 > 400000.0 AND o_orderkey % 3 <> 0)
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0""".stripMargin)),
+
     // Partition-spec evolution: first load partitions by status, then
     // the spec evolves to bucket[8](o_orderkey) and a second load stages
     // under it; the range scan prunes across BOTH vintages (new files by

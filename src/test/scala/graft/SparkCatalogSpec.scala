@@ -347,6 +347,49 @@ class SparkCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("merge-on-read SQL DML: delta writes commit O(delta), not a rewrite") {
+    val cat = freshCatalog("gdlt")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "name", "score")),
+      Append, WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1), "l1")
+    spark.sql("ALTER TABLE gdlt.main.t SET TBLPROPERTIES (" +
+      "'graft.delete.mode' = 'merge-on-read', 'graft.primary-key' = 'id')")
+    val before = cat.loadTable("main", "t").metadata.currentFiles.map(_.path).toSet
+
+    // UPDATE: delete-key + reinsert, original files untouched
+    spark.sql("UPDATE gdlt.main.t SET score = score + 1 WHERE id >= 2")
+    val m1 = cat.loadTable("main", "t").metadata
+    assert(before.subsetOf(m1.currentFiles.map(_.path).toSet),
+      "delta UPDATE must not rewrite parent files")
+    assert(m1.currentSnapshot.get.deletes.nonEmpty,
+      "delta UPDATE must commit an equality-delete file")
+    assert(spark.sql("SELECT id, score FROM gdlt.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 31L)))
+
+    // MERGE INTO: all three actions through the delta writer
+    Seq((2L, "b2", 100L), (4L, "d", 40L)).toDF("id", "name", "score")
+      .createOrReplaceTempView("dlt_src")
+    spark.sql("""MERGE INTO gdlt.main.t AS t USING dlt_src AS s ON t.id = s.id
+      WHEN MATCHED AND s.score >= 100 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.score = s.score
+      WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (s.id, s.name, s.score)""")
+    val m2 = cat.loadTable("main", "t").metadata
+    assert(before.subsetOf(m2.currentFiles.map(_.path).toSet),
+      "delta MERGE must not rewrite parent files")
+    assert(spark.sql("SELECT id, score FROM gdlt.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (3L, 31L), (4L, 40L)))
+
+    // compaction applies the accumulated deletes physically; same rows
+    graft.write.Maintenance.applyDeletes(cat.loadTable("main", "t"), retryUnitMs = 1)
+    assert(spark.sql("SELECT id, score FROM gdlt.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (3L, 31L), (4L, 40L)))
+  }
+
   test("row-level DML applies merge-on-read deletes before rewriting") {
     val cat = freshCatalog("grlo")
     val w = new GraftWriter(cat)
