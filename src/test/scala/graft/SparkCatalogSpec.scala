@@ -383,11 +383,18 @@ class SparkCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 10L), (3L, 31L), (4L, 40L)))
 
+    // DELETE with a subquery predicate cannot translate to source
+    // filters, so it routes through the row-level (delta) path too
+    spark.sql("""DELETE FROM gdlt.main.t WHERE id IN
+      (SELECT id FROM dlt_src WHERE score = 40)""")
+    assert(spark.sql("SELECT id FROM gdlt.main.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+
     // compaction applies the accumulated deletes physically; same rows
     graft.write.Maintenance.applyDeletes(cat.loadTable("main", "t"), retryUnitMs = 1)
     assert(spark.sql("SELECT id, score FROM gdlt.main.t ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
-      Seq((1L, 10L), (3L, 31L), (4L, 40L)))
+      Seq((1L, 10L), (3L, 31L)))
   }
 
   test("row-level DML applies merge-on-read deletes before rewriting") {
