@@ -397,6 +397,19 @@ class SparkCatalogSpec extends AnyFunSuite {
       Seq((1L, 10L), (3L, 31L)))
   }
 
+  test("MERGE INTO an empty table bootstraps via NOT MATCHED inserts") {
+    val cat = freshCatalog("gemt")
+    spark.sql("CREATE TABLE gemt.main.t (id BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("emt_src")
+    spark.sql("""MERGE INTO gemt.main.t AS t USING emt_src AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(spark.sql("SELECT id, v FROM gemt.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(cat.loadTable("main", "t").metadata.snapshots.nonEmpty)
+  }
+
   test("row-level DML applies merge-on-read deletes before rewriting") {
     val cat = freshCatalog("grlo")
     val w = new GraftWriter(cat)
