@@ -1,7 +1,7 @@
 package graft.cast
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit, struct, transform, transform_values, when}
+import org.apache.spark.sql.functions.{col, lit, struct, transform, transform_keys, transform_values, when}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Safe cast execution (`cast_table_safe`, `schema_casting.py:414-490`):
@@ -71,8 +71,10 @@ object SafeCast {
         when(src.isNull, lit(null).cast(to)).otherwise(rebuilt)
       case (ArrayType(fe, _), ArrayType(te, _)) =>
         transform(src, x => castExpr(x, fe, te))
-      case (MapType(_, fv, _), MapType(_, tv, _)) =>
-        transform_values(src, (_, v) => castExpr(v, fv, tv))
+      case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
+        val valuesCast = transform_values(src, (_, v) => castExpr(v, fv, tv))
+        if (fk == tk) valuesCast
+        else transform_keys(valuesCast, (k, _) => castExpr(k, fk, tk))
       case (_, t) => src.cast(t)
     }
 }

@@ -49,24 +49,10 @@ final class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   /** The operation scan: the table's own scan (parquet reader, or the
-    * MoR-applied DataFrame behind a V1Scan). Row-level scan planning
-    * (`GroupBasedRowLevelOperationScanPlanning`) builds the scan
-    * relation directly and skips the V1 fallback conversion the normal
-    * read path gets, so a raw V1Scan would plan as an (unsupported)
-    * batch scan — pre-wrap it the way `V2ScanRelationPushDown` would. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = scanOf(options)
-    new ScanBuilder {
-      override def build(): org.apache.spark.sql.connector.read.Scan =
-        inner.build() match {
-          case v1: org.apache.spark.sql.connector.read.V1Scan =>
-            org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(v1, Nil,
-              org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
-                None, None, None, None, Nil, Nil, Nil, None))
-          case s => s
-        }
-    }
-  }
+    * MoR-applied DataFrame behind a V1Scan), pre-wrapped for row-level
+    * planning ([[GraftV2Table.wrapV1]]). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftV2Table.wrapV1(scanOf(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -247,7 +233,9 @@ final class GraftDeltaOperation(
     scanOf: CaseInsensitiveStringMap => ScanBuilder,
     tableSchema: StructType,
     cmd: RowLevelOperation.Command,
-    pk: Seq[String]) extends SupportsDelta {
+    pk: Seq[String],
+    plannedPaths: Set[String],
+    plannedDeletePaths: Set[String]) extends SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -256,26 +244,15 @@ final class GraftDeltaOperation(
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = scanOf(options)
-    new ScanBuilder {
-      override def build(): org.apache.spark.sql.connector.read.Scan =
-        inner.build() match {
-          case v1: org.apache.spark.sql.connector.read.V1Scan =>
-            org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(v1, Nil,
-              org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
-                None, None, None, None, Nil, Nil, Nil, None))
-          case s => s
-        }
-    }
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftV2Table.wrapV1(scanOf(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
           new GraftDeltaBatchWrite(ns, tableName, cat, tableSchema, pk,
-            cmd.toString.toLowerCase)
+            cmd.toString.toLowerCase, plannedPaths, plannedDeletePaths)
       }
     }
 }
@@ -290,7 +267,9 @@ final class GraftDeltaBatchWrite(
     cat: GraftCatalog,
     schema: StructType,
     pk: Seq[String],
-    op: String) extends DeltaBatchWrite {
+    op: String,
+    plannedPaths: Set[String],
+    plannedDeletePaths: Set[String]) extends DeltaBatchWrite {
 
   private val loadId =
     s"sql-mor-$op-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -330,10 +309,16 @@ final class GraftDeltaBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = messages.collect { case m: GraftDeltaMessage => m }
+    val t = table
+    val spec = t.metadata.partitionSpec
     val dataFiles = {
       val fs = all.filter(m => m.dataRows > 0 && m.dataPath.nonEmpty)
         .map(_.dataPath).sorted.toSeq
-      if (fs.isEmpty) Nil else graft.write.FooterStats.collect(fs, schema)
+      if (fs.isEmpty) Nil
+      // partitioned tables need stats over DERIVED transform values so
+      // the new files stay prunable (same rule as the CoW path)
+      else if (spec.isEmpty) graft.write.FooterStats.collect(fs, schema)
+      else graft.write.Stager.collectStats(SparkSession.active, fs, schema, spec)
     }
     val delFiles = {
       val fs = all.filter(m => m.delRows > 0 && m.delPath.nonEmpty)
@@ -344,14 +329,27 @@ final class GraftDeltaBatchWrite(
     }
     if (dataFiles.isEmpty && delFiles.isEmpty) return
     // O(delta) commit, same shape as morCommit: no parent file is read
-    // or rewritten; sequence fencing makes the delete keys apply only
-    // to OLDER files, so this batch never deletes its own inserts. A
-    // concurrent rewrite needs no guard — equality deletes re-fence
-    // against whatever files are live at commit time.
-    table.commit(fresh =>
+    // or rewritten; sequence fencing makes the delete keys apply only to
+    // OLDER files, so this batch never deletes its own inserts. UNLIKE
+    // blind engine upserts, though, SQL MERGE/UPDATE decisions are
+    // predicate-dependent — a concurrent commit that changed the row
+    // basis (rewrote files or added deletes) invalidates the matched
+    // set, so commit refuses staleness exactly like the CoW path.
+    t.commit({ fresh =>
+      if (fresh.currentFiles.map(_.path).toSet != plannedPaths)
+        throw new ValidationError(
+          s"SQL $op (merge-on-read) superseded by a concurrent commit " +
+            "that changed the data-file set; re-run the statement")
+      val freshDeletes =
+        (fresh.currentSnapshot.map(_.deletes).getOrElse(Nil).map(_.path) ++
+          fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil).map(_.path)).toSet
+      if (freshDeletes != plannedDeletePaths)
+        throw new ValidationError(
+          s"SQL $op (merge-on-read) superseded by a concurrent " +
+            "merge-on-read delete; re-run the statement")
       fresh.withSnapshotDelta(op, Some(loadId), dataFiles, Set.empty,
-        newDeletes = delFiles),
-      maxRetries = 5, backoffBase = 2.0, unitMs = 50L)
+        newDeletes = delFiles)
+    }, maxRetries = 5, backoffBase = 2.0, unitMs = 50L)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

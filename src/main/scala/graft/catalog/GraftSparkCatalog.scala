@@ -71,8 +71,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // a declared primary key (graft.primary-key) is an Iceberg
     // identifier-field set: those columns are required by contract, and
     // delta row-level writes need non-nullable row-id attributes
-    val pk = m.properties.get("graft.primary-key").toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet
+    val pk = GraftV2Table.parsePrimaryKey(m.properties).toSet
     val schema =
       if (pk.isEmpty) schema0
       else org.apache.spark.sql.types.StructType(schema0.fields.map(f =>
@@ -234,23 +233,27 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val t = graftTable(ident)
-    // property-only changes commit without a schema version bump
+    // ONE commit for the whole change batch (atomic: a rejected schema
+    // change must not leave property changes behind); property-only
+    // batches skip the schema version bump
     val (propChanges, schemaChanges) = changes.partition {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
-    if (propChanges.nonEmpty)
-      t.commit { m =>
-        val props = propChanges.foldLeft(m.properties) {
-          case (p, set: TableChange.SetProperty) =>
-            p.updated(set.property(), set.value())
-          case (p, rm: TableChange.RemoveProperty) => p - rm.property()
-          case (p, _) => p
-        }
-        m.copy(properties = props)
-      }
-    if (schemaChanges.isEmpty) return loadTable(ident)
-    t.commit { m =>
+    def applyProps(m: TableMetadata): TableMetadata =
+      if (propChanges.isEmpty) m
+      else m.copy(properties = propChanges.foldLeft(m.properties) {
+        case (p, set: TableChange.SetProperty) =>
+          p.updated(set.property(), set.value())
+        case (p, rm: TableChange.RemoveProperty) => p - rm.property()
+        case (p, _) => p
+      })
+    if (schemaChanges.isEmpty) {
+      if (propChanges.nonEmpty) t.commit(applyProps)
+      return loadTable(ident)
+    }
+    t.commit { m0 =>
+      val m = applyProps(m0)
       var schema = m.schema
       schemaChanges.foreach {
         case add: TableChange.AddColumn =>

@@ -90,12 +90,13 @@ final class GraftV2Table(
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = {
         val props = cat.loadTable(ns, tableName).metadata.properties
-        val pk = props.get("graft.primary-key").toSeq
-          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val pk = GraftV2Table.parsePrimaryKey(props)
         if (props.get("graft.delete.mode").contains("merge-on-read") &&
             pk.nonEmpty)
           new GraftDeltaOperation(ns, tableName, cat,
-            opts => newScanBuilder(opts), committedSchema, info.command(), pk)
+            opts => newScanBuilder(opts), committedSchema, info.command(), pk,
+            morFiles.map(_.path).toSet,
+            (morDeletes.map(_.path) ++ morPosDeletes.map(_.path)).toSet)
         else
           new GraftRowLevelOperation(ns, tableName, cat,
             opts => newScanBuilder(opts), committedSchema, info.command(),
@@ -123,6 +124,27 @@ final class GraftV2Table(
 }
 
 object GraftV2Table {
+  /** The `graft.primary-key` table property, parsed: comma-separated,
+    * trimmed, empties dropped. Single definition shared by operation
+    * routing and the catalog's schema-nullability view. */
+  def parsePrimaryKey(props: Map[String, String]): Seq[String] =
+    props.get("graft.primary-key").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Wrap a raw V1Scan the way `V2ScanRelationPushDown` would — row-level
+    * scan planning builds the scan relation directly and skips that
+    * conversion, so an unwrapped V1Scan would plan as an (unsupported)
+    * batch scan. Shared by the CoW and delta operations. */
+  def wrapV1(inner: ScanBuilder): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = inner.build() match {
+      case v1: V1Scan =>
+        org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(v1, Nil,
+          org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
+            None, None, None, None, Nil, Nil, Nil, None))
+      case s => s
+    }
+  }
+
   /** One V1Scan shim for every DataFrame-backed read path (the MoR
     * fallback scan and the metadata tables): a ScanBuilder whose scan
     * materializes `mkDf(ctx)` through a V1 TableScan relation. */

@@ -47,9 +47,22 @@ final class StreamingLoader(catalog: GraftCatalog) {
         // same idempotence contract Iceberg's streaming sink keeps via
         // its batch-id snapshot property)
         val alreadyCommitted =
-          catalog.tableExists(ns, table) &&
-            catalog.loadTable(ns, table).metadata.snapshots
-              .exists(_.loadId.contains(loadId))
+          catalog.tableExists(ns, table) && {
+            val snaps = catalog.loadTable(ns, table).metadata.snapshots
+            snaps.exists(_.loadId.contains(loadId)) ||
+              // snapshot expiry may have pruned THIS batch's snapshot
+              // from the ledger: any surviving commit from the same
+              // query with an equal-or-later batch id proves this batch
+              // already landed (batch ids are monotonic per query).
+              // Residual window: if EVERY snapshot of this query expired
+              // between crash and restart, the replay cannot be detected
+              // — keep expiry retention above restart latency.
+              snaps.flatMap(_.loadId)
+                .filter(_.startsWith(s"$queryName-batch-"))
+                .flatMap(id => id.stripPrefix(s"$queryName-batch-")
+                  .toLongOption)
+                .exists(_ >= batchId)
+          }
         if (!alreadyCommitted) {
           // the commit path runs several actions (emptiness probe, dup
           // check, staging write, stats pass) — without persisting, EACH

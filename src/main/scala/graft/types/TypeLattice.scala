@@ -58,7 +58,10 @@ object TypeLattice {
       val fByName = ff.map(f => f.name -> f).toMap
       tf.forall(t =>
         fByName.get(t.name).fold(t.nullable)(f =>
-          canPromote(f.dataType, t.dataType))) &&
+          canPromote(f.dataType, t.dataType) &&
+            // optional->required is forbidden (Iceberg rule): existing
+            // nulls cannot retroactively satisfy a required contract
+            (t.nullable || !f.nullable))) &&
         ff.forall(f => tf.exists(_.name == f.name))
     case (ArrayType(fe, _), ArrayType(te, _)) => canPromote(fe, te)
     case (MapType(fk, fv, _), MapType(tk, tv, _)) =>

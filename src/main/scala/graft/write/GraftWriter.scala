@@ -339,18 +339,23 @@ final class GraftWriter(catalog: GraftCatalog) {
         val affected = fresh.currentFiles.filter(f => targetPaths.contains(f.path))
         val affectedDf = spark.read.schema(fresh.schema)
           .parquet(affected.map(_.path): _*)
+        // persisted: the matched count and the staged rewrite both scan
+        // it — one read of the affected files, not two
         val live = MorRead.applyDeletes(spark, affectedDf, affected,
             fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
             fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
-        committedCount = live.filter(coalesce(cond, lit(false))).count()
-        // three-valued logic: a NULL condition must KEEP the row
-        // (it did not match the delete predicate) — bare !cond would
-        // silently drop it
-        val kept = live.filter(!coalesce(cond, lit(false)))
-        val staged = Stager.stage(kept, t.dataDir, s"$loadId-dw",
-          fresh.partitionSpec,
-          bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
-        fresh.withSnapshotDelta("delete", Some(loadId), staged, targetPaths)
+          .persist()
+        try {
+          committedCount = live.filter(coalesce(cond, lit(false))).count()
+          // three-valued logic: a NULL condition must KEEP the row
+          // (it did not match the delete predicate) — bare !cond would
+          // silently drop it
+          val kept = live.filter(!coalesce(cond, lit(false)))
+          val staged = Stager.stage(kept, t.dataDir, s"$loadId-dw",
+            fresh.partitionSpec,
+            bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+          fresh.withSnapshotDelta("delete", Some(loadId), staged, targetPaths)
+        } finally live.unpersist()
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
       committedCount
     }
@@ -461,12 +466,15 @@ final class GraftWriter(catalog: GraftCatalog) {
         val live = MorRead.applyDeletes(spark, affectedDf, affected,
             fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
             fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
-        committedCount = live.filter(coalesce(cond, lit(false))).count()
-        val rewritten = live.select(applySet(fresh.schema, Some(cond)): _*)
-        val staged = Stager.stage(rewritten, t.dataDir, s"$loadId-up",
-          fresh.partitionSpec,
-          bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
-        fresh.withSnapshotDelta("update", Some(loadId), staged, targetPaths)
+          .persist()
+        try {
+          committedCount = live.filter(coalesce(cond, lit(false))).count()
+          val rewritten = live.select(applySet(fresh.schema, Some(cond)): _*)
+          val staged = Stager.stage(rewritten, t.dataDir, s"$loadId-up",
+            fresh.partitionSpec,
+            bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+          fresh.withSnapshotDelta("update", Some(loadId), staged, targetPaths)
+        } finally live.unpersist()
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
       committedCount
     }

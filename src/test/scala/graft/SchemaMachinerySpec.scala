@@ -265,6 +265,23 @@ class SchemaMachinerySpec extends AnyFunSuite {
     assert(got(1).isNullAt(1), "NULL struct became non-null in the rebuild")
   }
 
+  test("nested: optional->required is not a promotion; map keys cast on promote") {
+    // a null-bearing nested field cannot become required retroactively
+    val opt = nested(("a", IntegerType, true))
+    val req = nested(("a", IntegerType, false))
+    assert(!TypeLattice.canPromote(opt, req))
+    assert(TypeLattice.canPromote(req, opt), "required->optional is safe")
+
+    // map KEY promotion must actually cast the keys, not just validate
+    val srcSchema = s(("m", MapType(IntegerType, StringType), true))
+    val target = s(("m", MapType(LongType, StringType), true))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Map(1 -> "x")))
+    val out = SafeCast(spark.createDataFrame(rows, srcSchema), target)
+    assert(out.schema == target)
+    assert(out.collect()(0).getMap[Long, String](0) == Map(1L -> "x"))
+  }
+
   test("nested: array-of-struct element evolution casts through transform") {
     val srcSchema = s(("xs", ArrayType(nested(("a", IntegerType, true))), true))
     val target = s(("xs",

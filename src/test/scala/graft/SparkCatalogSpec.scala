@@ -302,6 +302,28 @@ class SparkCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed ALTER batch is atomic: rejected schema change drops its property changes") {
+    val cat = freshCatalog("gatm")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    intercept[Exception] {
+      cat // one alterTable call carrying a valid property + invalid type change
+      spark.sessionState.catalogManager.catalog("gatm")
+        .asInstanceOf[GraftSparkCatalog]
+        .alterTable(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("main"), "t"),
+          org.apache.spark.sql.connector.catalog.TableChange
+            .setProperty("graft.delete.mode", "merge-on-read"),
+          org.apache.spark.sql.connector.catalog.TableChange
+            .updateColumnType(Array("v"), org.apache.spark.sql.types.LongType))
+    }
+    assert(!cat.loadTable("main", "t").metadata.properties
+      .contains("graft.delete.mode"),
+      "failed batch must not leave its property changes behind")
+  }
+
   test("SQL UPDATE rewrites through the row-level BatchWrite") {
     val cat = freshCatalog("gupd")
     val w = new GraftWriter(cat)
