@@ -80,7 +80,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val deletes = snap.map(_.deletes).getOrElse(Nil)
     val posDeletes = snap.map(_.posDeletes).getOrElse(Nil)
     new GraftV2Table(nsOf(ident), ident.name(), cat,
-      asV2(ident, m, files, schema), schema, files, deletes, posDeletes)
+      asV2(ident, m, files, schema), schema, files, deletes, posDeletes,
+      m.properties)
   }
 
   override def loadTable(ident: Identifier): Table = {

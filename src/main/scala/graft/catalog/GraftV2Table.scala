@@ -35,12 +35,15 @@ final class GraftV2Table(
     committedSchema: StructType,
     morFiles: Seq[DataFile] = Nil,
     morDeletes: Seq[DeleteFile] = Nil,
-    morPosDeletes: Seq[PosDeleteFile] = Nil)
+    morPosDeletes: Seq[PosDeleteFile] = Nil,
+    tableProperties: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
   override def name(): String = reader.name()
   override def schema(): StructType = committedSchema
+  override def properties(): java.util.Map[String, String] =
+    tableProperties.asJava
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

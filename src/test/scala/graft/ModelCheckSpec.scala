@@ -35,11 +35,28 @@ class ModelCheckSpec extends AnyFunSuite {
   // offline sessions (failures replay by seed)
   private val nSeeds = sys.env.get("GRAFT_MODEL_SEEDS").map(_.toInt).getOrElse(5)
 
+  /** Flip the table's SQL row-level mode: delta (merge-on-read +
+    * primary key) or group-based copy-on-write (properties unset). */
+  private def setSqlDmlMode(sqlCat: String, delta: Boolean): Unit =
+    if (delta)
+      spark.sql(s"ALTER TABLE $sqlCat.main.t SET TBLPROPERTIES (" +
+        "'graft.delete.mode' = 'merge-on-read', 'graft.primary-key' = 'id')")
+    else
+      spark.sql(s"ALTER TABLE $sqlCat.main.t UNSET TBLPROPERTIES " +
+        "('graft.delete.mode', 'graft.primary-key')")
+
   test("random disposition sequences match the in-memory model") {
     for (seed <- 1 to nSeeds) {
       val rnd = new scala.util.Random(1000 + seed)
-      val cat = new GraftCatalog(spark,
-        Files.createTempDirectory(s"graft-model-$seed-").toString)
+      val wh = Files.createTempDirectory(s"graft-model-$seed-").toString
+      val cat = new GraftCatalog(spark, wh)
+      // V2 catalog over the same warehouse: SQL DML steps (UPDATE /
+      // MERGE INTO, CoW and delta modes) fuzz the row-level write paths
+      // against the same model
+      val sqlCat = s"gmc$seed"
+      spark.conf.set(s"spark.sql.catalog.$sqlCat",
+        classOf[GraftSparkCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$sqlCat.warehouse", wh)
       val w = new GraftWriter(cat)
       val model = mutable.LinkedHashMap.empty[Long, String]
       val history = mutable.Buffer.empty[(Long, Map[Long, String])]
@@ -48,7 +65,7 @@ class ModelCheckSpec extends AnyFunSuite {
       def key(): Long = rnd.between(-120L, 130L)
 
       (1 to 6).foreach { step =>
-        val op = rnd.nextInt(6)
+        val op = rnd.nextInt(8)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
         // content-neutral maintenance interleaved at random: compaction
@@ -122,6 +139,35 @@ class ModelCheckSpec extends AnyFunSuite {
               s"uw$seed-$step")
             model.keys.filter(k => k >= lo && k <= hi).toSeq
               .foreach(k => model(k) = model(k) + s"+u$step")
+          case 6 => // SQL UPDATE through the V2 catalog (CoW or delta mode)
+            if (!cat.tableExists("main", "t")) {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
+            setSqlDmlMode(sqlCat, rnd.nextBoolean())
+            val (lo, hi) = {
+              val a = key(); val b = key(); (math.min(a, b), math.max(a, b))
+            }
+            spark.sql(s"UPDATE $sqlCat.main.t SET v = concat(v, '+q$step') " +
+              s"WHERE id BETWEEN $lo AND $hi")
+            model.keys.filter(k => k >= lo && k <= hi).toSeq
+              .foreach(k => model(k) = model(k) + s"+q$step")
+          case 7 => // SQL MERGE INTO through the V2 catalog (CoW or delta)
+            if (!cat.tableExists("main", "t")) {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
+            setSqlDmlMode(sqlCat, rnd.nextBoolean())
+            df(rows).createOrReplaceTempView(s"mc_src_$seed")
+            spark.sql(
+              s"""MERGE INTO $sqlCat.main.t AS t USING mc_src_$seed AS s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                 |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+                 |""".stripMargin)
+            rows.foreach { case (k, v, _) => model(k) = v }
         }
         val got = cat.loadTable("main", "t").read()
           .select("id", "v").collect()

@@ -302,6 +302,26 @@ class SparkCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("TRUNCATE TABLE and SHOW TBLPROPERTIES through the V2 catalog") {
+    val cat = freshCatalog("gtrn")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    spark.sql("ALTER TABLE gtrn.main.t SET TBLPROPERTIES ('graft.k' = 'v1')")
+    val props = spark.sql("SHOW TBLPROPERTIES gtrn.main.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.k").contains("v1"))
+
+    spark.sql("TRUNCATE TABLE gtrn.main.t")
+    assert(spark.sql("SELECT count(*) FROM gtrn.main.t")
+      .collect()(0).getLong(0) == 0)
+    // truncation is a snapshot, not a wipe: history + time travel intact
+    val m = cat.loadTable("main", "t").metadata
+    assert(m.snapshots.length >= 2)
+    assert(spark.sql(s"SELECT count(*) FROM gtrn.main.t VERSION AS OF " +
+      s"${m.snapshots.head.snapshotId}").collect()(0).getLong(0) == 2)
+  }
+
   test("mixed ALTER batch is atomic: rejected schema change drops its property changes") {
     val cat = freshCatalog("gatm")
     val w = new GraftWriter(cat)
