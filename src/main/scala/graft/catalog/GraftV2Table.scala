@@ -45,6 +45,28 @@ final class GraftV2Table(
   override def properties(): java.util.Map[String, String] =
     tableProperties.asJava
 
+  /** The engine partition spec mapped back to V2 transforms, so
+    * `DESCRIBE TABLE` / `SHOW CREATE TABLE` show the real layout. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    cat.loadTable(ns, tableName).metadata.partitionSpec.map { s =>
+      s.transform match {
+        case "identity" => Expressions.identity(s.source)
+        case "bucket" => Expressions.bucket(s.param.getOrElse(1), s.source)
+        case "year" => Expressions.years(s.source)
+        case "month" => Expressions.months(s.source)
+        case "day" => Expressions.days(s.source)
+        case "hour" => Expressions.hours(s.source)
+        case "truncate" =>
+          Expressions.apply("truncate",
+            Expressions.column(s.source),
+            Expressions.literal(Integer.valueOf(s.param.getOrElse(1))))
+        case other =>
+          Expressions.apply(other, Expressions.column(s.source))
+      }
+    }.toArray
+  }
+
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava

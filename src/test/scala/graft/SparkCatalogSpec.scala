@@ -53,6 +53,14 @@ class SparkCatalogSpec extends AnyFunSuite {
     val spec = cat.loadTable("main", "parted").metadata.partitionSpec
     assert(spec.map(s => (s.transform, s.param)) ==
       Seq(("bucket", Some(8)), ("day", None)))
+    // ...and maps BACK: DESCRIBE surfaces the real layout
+    val desc = spark.sql("DESCRIBE TABLE gsql.main.parted")
+      .collect().map(_.getString(0)).toSeq
+    assert(desc.contains("# Partitioning"), s"no partitioning in $desc")
+    val descAll = spark.sql("DESCRIBE TABLE gsql.main.parted")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(descAll.values.exists(v => v != null && v.contains("bucket")),
+      s"bucket transform missing from DESCRIBE: $descAll")
   }
 
   test("INSERT INTO / INSERT OVERWRITE route through the engine write path") {
