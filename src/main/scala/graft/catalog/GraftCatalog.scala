@@ -32,9 +32,8 @@ final class GraftCatalog(val spark: SparkSession, warehouse: String) {
   def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
 
   def listNamespaces(): Seq[String] =
-    if (!Files.isDirectory(warehousePath)) Nil
-    else Files.list(warehousePath).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    PathIO.list(warehousePath)
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
 
   def dropNamespace(ns: String, cascade: Boolean = false): Unit = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceError(ns)
@@ -123,9 +122,9 @@ final class GraftCatalog(val spark: SparkSession, warehouse: String) {
   def registerTablesFrom(ns: String, storageRoot: String): Seq[String] = {
     val root = Paths.get(storageRoot)
     if (!Files.isDirectory(root)) return Nil
-    Files.list(root).iterator().asScala
+    PathIO.list(root)
       .filter(d => Files.exists(d.resolve("metadata").resolve("v1.metadata.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
       .filterNot(tableExists(ns, _))
       .map { name => registerTable(ns, name, root.resolve(name).toString); name }
   }
@@ -140,11 +139,10 @@ final class GraftCatalog(val spark: SparkSession, warehouse: String) {
     new GraftTable(spark, tableLocation(ns, table)).currentVersion >= 1
 
   def listTables(ns: String): Seq[String] =
-    if (!Files.isDirectory(nsDir(ns))) Nil
-    else Files.list(nsDir(ns)).iterator().asScala
+    PathIO.list(nsDir(ns))
       .map(_.getFileName.toString)
       .filter(tableExists(ns, _))
-      .toSeq.sorted
+      .sorted
 
   /** Drop a table. `purge` also deletes data files — the reference prefers
     * `purge_table` in `drop_tables` (`destination_client.py:892-931`);
@@ -170,7 +168,5 @@ final class GraftCatalog(val spark: SparkSession, warehouse: String) {
     listNamespaces().foreach(ns => dropNamespace(ns, cascade = true))
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+    PathIO.walk(p).sortBy(_.toString).reverse.foreach(Files.delete)
 }

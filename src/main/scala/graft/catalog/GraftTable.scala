@@ -39,11 +39,9 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   }
 
   private def listVersions: Seq[Int] =
-    if (!Files.isDirectory(metadataDir)) Nil
-    else Files.list(metadataDir).iterator().asScala
+    PathIO.list(metadataDir)
       .map(_.getFileName.toString)
       .collect { case MetadataFileName(v) => v }
-      .toSeq
 
   private object MetadataFileName {
     private val Re = raw"v(\d+)\.metadata\.json".r

@@ -132,12 +132,10 @@ object StreamingLoader {
     tempDirs.add(p); p
   }
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => try java.nio.file.Files.deleteIfExists(f) catch {
-          case _: java.io.IOException => ()
-        })
+    graft.catalog.PathIO.walk(p).sortBy(_.toString).reverse
+      .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+        case _: java.io.IOException => ()
+      })
 
   /** The `events` table re-staged as `chunks` time-contiguous parquet
     * files in a scratch dir, exposed as a file stream delivering ONE file
@@ -190,10 +188,9 @@ object StreamingLoader {
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-stage-")
     withDups.repartitionByRange(chunks, col("ts"), col("event_id"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
-        java.nio.file.Files.list(tmp).iterator()).asScala
+    val parts = graft.catalog.PathIO.list(tmp)
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
     parts.zipWithIndex.foreach { case (p, c) =>
       val target = streamDir.resolve(f"chunk-$c%03d.parquet")
       java.nio.file.Files.move(p, target)

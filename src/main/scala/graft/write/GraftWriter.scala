@@ -308,10 +308,9 @@ final class GraftWriter(catalog: GraftCatalog) {
         .select(col("__dw_path").as("file_path"),
           col("__dw_idx").as("row_index"))
         .coalesce(1).write.parquet(dest.toString)
-      import scala.jdk.CollectionConverters._
-      val posFiles = java.nio.file.Files.walk(dest).iterator().asScala
+      val posFiles = graft.catalog.PathIO.walk(dest)
         .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => PosDeleteFile(p.toString, deleted)).toSeq
+        .map(p => PosDeleteFile(p.toString, deleted))
       // the planned positions (and the returned count) bind to the
       // planning snapshot's delete set; a concurrent MoR delete would
       // make both stale — refuse, same rule as updateWhere
@@ -431,10 +430,9 @@ final class GraftWriter(catalog: GraftCatalog) {
         matches.select(col("__dw_path").as("file_path"),
             col("__dw_idx").as("row_index"))
           .coalesce(1).write.parquet(dest.toString)
-        import scala.jdk.CollectionConverters._
-        val posFiles = java.nio.file.Files.walk(dest).iterator().asScala
+        val posFiles = graft.catalog.PathIO.walk(dest)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => PosDeleteFile(p.toString, updated)).toSeq
+          .map(p => PosDeleteFile(p.toString, updated))
         // the staged rows were computed against THIS delete set; a
         // concurrent MoR delete would no longer fence them (they commit
         // with a newer sequence) — refuse the stale restage, same rule

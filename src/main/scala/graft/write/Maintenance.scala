@@ -292,7 +292,7 @@ object Maintenance {
     val scanRoots = Seq(t.dataDir) ++
       (if (Files.isDirectory(deletesDir)) Seq(deletesDir) else Nil)
     val orphans = scanRoots.flatMap(root =>
-      Files.walk(root).iterator().asScala
+      graft.catalog.PathIO.walk(root)
         .filter(p => Files.isRegularFile(p))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .map(_.toAbsolutePath.toString)
@@ -303,7 +303,7 @@ object Maintenance {
     val liveManifests = m.snapshots.flatMap(_.manifestPaths)
       .map(p => Paths.get(p).toAbsolutePath.toString).toSet
     if (Files.isDirectory(t.metadataDir))
-      Files.list(t.metadataDir).iterator().asScala
+      graft.catalog.PathIO.list(t.metadataDir)
         .filter(p => p.getFileName.toString.startsWith("manifest-"))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .filter(p => !liveManifests.contains(p.toAbsolutePath.toString))
@@ -312,10 +312,10 @@ object Maintenance {
           graft.catalog.ManifestIO.invalidate(p.toString)
         }
     // remove now-empty staging dirs
-    Files.walk(t.dataDir).iterator().asScala.toSeq.reverse
+    graft.catalog.PathIO.walk(t.dataDir).reverse
       .filter(p => Files.isDirectory(p) && p != t.dataDir)
       .foreach { d =>
-        if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+        if (graft.catalog.PathIO.list(d).isEmpty) Files.deleteIfExists(d)
       }
     orphans
   }

@@ -99,9 +99,9 @@ object Stager {
       else clustered.write
     writer.parquet(dest.toString)
 
-    val files = Files.walk(dest).iterator().asScala
+    val files = graft.catalog.PathIO.walk(dest)
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+      .map(_.toString).sorted
     if (files.isEmpty) return Nil
 
     // Unpartitioned tables: stats fold straight out of the just-written
