@@ -74,7 +74,12 @@ object SafeCast {
       case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
         val valuesCast = transform_values(src, (_, v) => castExpr(v, fv, tv))
         if (fk == tk) valuesCast
-        else transform_keys(valuesCast, (k, _) => castExpr(k, fk, tk))
+        // only PROMOTE keys element-wise (promotions never null, so no
+        // NULL_MAP_KEY risk); lossy key changes (validator-gated, reachable
+        // in non-strict mode) keep Spark's whole-map cast semantics
+        else if (graft.types.TypeLattice.canPromote(fk, tk))
+          transform_keys(valuesCast, (k, _) => castExpr(k, fk, tk))
+        else src.cast(to)
       case (_, t) => src.cast(t)
     }
 }

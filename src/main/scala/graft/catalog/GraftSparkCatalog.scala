@@ -81,7 +81,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val posDeletes = snap.map(_.posDeletes).getOrElse(Nil)
     new GraftV2Table(nsOf(ident), ident.name(), cat,
       asV2(ident, m, files, schema), schema, files, deletes, posDeletes,
-      m.properties)
+      m.properties, m.partitionSpec)
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -36,7 +36,8 @@ final class GraftV2Table(
     morFiles: Seq[DataFile] = Nil,
     morDeletes: Seq[DeleteFile] = Nil,
     morPosDeletes: Seq[PosDeleteFile] = Nil,
-    tableProperties: Map[String, String] = Map.empty)
+    tableProperties: Map[String, String] = Map.empty,
+    partitionSpec: Seq[PartitionFieldSpec] = Nil)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -46,13 +47,18 @@ final class GraftV2Table(
     tableProperties.asJava
 
   /** The engine partition spec mapped back to V2 transforms, so
-    * `DESCRIBE TABLE` / `SHOW CREATE TABLE` show the real layout. */
+    * `DESCRIBE TABLE` / `SHOW CREATE TABLE` show the real layout. Uses
+    * the spec PINNED at load (consistent with schema/files; no
+    * per-call metadata read). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    cat.loadTable(ns, tableName).metadata.partitionSpec.map { s =>
+    def param(s: PartitionFieldSpec): Int = s.param.getOrElse(
+      throw new IllegalStateException(
+        s"partition field ${s.name}: ${s.transform} without a parameter"))
+    partitionSpec.map { s =>
       s.transform match {
         case "identity" => Expressions.identity(s.source)
-        case "bucket" => Expressions.bucket(s.param.getOrElse(1), s.source)
+        case "bucket" => Expressions.bucket(param(s), s.source)
         case "year" => Expressions.years(s.source)
         case "month" => Expressions.months(s.source)
         case "day" => Expressions.days(s.source)
@@ -60,7 +66,7 @@ final class GraftV2Table(
         case "truncate" =>
           Expressions.apply("truncate",
             Expressions.column(s.source),
-            Expressions.literal(Integer.valueOf(s.param.getOrElse(1))))
+            Expressions.literal(Integer.valueOf(param(s))))
         case other =>
           Expressions.apply(other, Expressions.column(s.source))
       }

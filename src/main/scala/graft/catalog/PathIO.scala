@@ -24,4 +24,12 @@ object PathIO {
     val s = Files.walk(root)
     try s.iterator().asScala.toVector finally s.close()
   }
+
+  /** Bounded emptiness probe: opens, checks one entry, closes — O(1)
+    * regardless of directory size. */
+  def isEmptyDir(dir: Path): Boolean = {
+    if (!Files.isDirectory(dir)) return false
+    val s = Files.list(dir)
+    try !s.iterator().hasNext finally s.close()
+  }
 }

@@ -46,23 +46,19 @@ final class StreamingLoader(catalog: GraftCatalog) {
         // an already-present loadId is skipped, never re-applied (the
         // same idempotence contract Iceberg's streaming sink keeps via
         // its batch-id snapshot property)
+        // EXACT loadId match only: a monotonic "any later batch id"
+        // heuristic would silently DROP data when a user wipes the
+        // checkpoint to reprocess (batch ids restart at 0) or when two
+        // queries share a queryName — worse than the duplicate it
+        // prevents. Residual caveat: if THIS batch's snapshot is
+        // expired between a crash and the restart (requires a
+        // maintenance commit landing after it AND aggressive expiry in
+        // that window), the replay cannot be detected — keep expiry
+        // retention above restart latency for streaming tables.
         val alreadyCommitted =
-          catalog.tableExists(ns, table) && {
-            val snaps = catalog.loadTable(ns, table).metadata.snapshots
-            snaps.exists(_.loadId.contains(loadId)) ||
-              // snapshot expiry may have pruned THIS batch's snapshot
-              // from the ledger: any surviving commit from the same
-              // query with an equal-or-later batch id proves this batch
-              // already landed (batch ids are monotonic per query).
-              // Residual window: if EVERY snapshot of this query expired
-              // between crash and restart, the replay cannot be detected
-              // — keep expiry retention above restart latency.
-              snaps.flatMap(_.loadId)
-                .filter(_.startsWith(s"$queryName-batch-"))
-                .flatMap(id => id.stripPrefix(s"$queryName-batch-")
-                  .toLongOption)
-                .exists(_ >= batchId)
-          }
+          catalog.tableExists(ns, table) &&
+            catalog.loadTable(ns, table).metadata.snapshots
+              .exists(_.loadId.contains(loadId))
         if (!alreadyCommitted) {
           // the commit path runs several actions (emptiness probe, dup
           // check, staging write, stats pass) — without persisting, EACH

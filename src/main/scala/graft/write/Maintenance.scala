@@ -315,7 +315,7 @@ object Maintenance {
     graft.catalog.PathIO.walk(t.dataDir).reverse
       .filter(p => Files.isDirectory(p) && p != t.dataDir)
       .foreach { d =>
-        if (graft.catalog.PathIO.list(d).isEmpty) Files.deleteIfExists(d)
+        if (graft.catalog.PathIO.isEmptyDir(d)) Files.deleteIfExists(d)
       }
     orphans
   }

@@ -28,10 +28,9 @@ class CatalogSpec extends AnyFunSuite {
   private def stage(t: GraftTable, df: DataFrame): Seq[DataFile] = {
     val dest = t.dataDir.resolve(java.util.UUID.randomUUID().toString)
     df.write.parquet(dest.toString)
-    Files.list(dest).iterator().asScala
+    PathIO.list(dest)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => DataFile(p.toString, 0L, Files.size(p), Map.empty))
-      .toSeq
   }
 
   test("namespace lifecycle: create, list, drop, not-empty guard") {

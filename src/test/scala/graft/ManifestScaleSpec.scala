@@ -152,8 +152,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     // hand-craft a legacy snapshot: bare manifest path list, no refs
     val dest = t.dataDir.resolve("legacy")
     Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.parquet(dest.toString)
-    val files = java.nio.file.Files.list(dest).iterator()
-    val fs = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+    val fs = graft.catalog.PathIO.list(dest)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => DataFile(p.toString, 3L, java.nio.file.Files.size(p), Map.empty))
       .toSeq
