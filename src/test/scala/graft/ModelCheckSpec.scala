@@ -65,7 +65,7 @@ class ModelCheckSpec extends AnyFunSuite {
       def key(): Long = rnd.between(-120L, 130L)
 
       (1 to 6).foreach { step =>
-        val op = rnd.nextInt(8)
+        val op = rnd.nextInt(9)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
         // content-neutral maintenance interleaved at random: compaction
@@ -167,6 +167,15 @@ class ModelCheckSpec extends AnyFunSuite {
                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
                  |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
                  |""".stripMargin)
+            rows.foreach { case (k, v, _) => model(k) = v }
+          case 8 => // evolving upsert: a NEW nullable column appears
+            // mid-history — old files must null-fill it, rollback and
+            // maintenance must survive the wider schema, and the (id, v)
+            // content must stay model-exact throughout
+            val wide = df(rows).withColumn(s"x$step",
+              org.apache.spark.sql.functions.lit(step.toLong))
+            w.writeTable("main", "t", Seq(wide), Merge("upsert"), mcfg,
+              s"l$seed-$step")
             rows.foreach { case (k, v, _) => model(k) = v }
         }
         val got = cat.loadTable("main", "t").read()
