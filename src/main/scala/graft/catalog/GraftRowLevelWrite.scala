@@ -54,14 +54,20 @@ final class GraftRowLevelOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     GraftV2Table.wrapV1(scanOf(options))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the DECLARED write layout: authoritative column names for the rows
+    // Spark hands the writing task (the table columns, possibly preceded
+    // by metadata columns such as the row operation)
+    val writeSchema = info.schema()
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftReplaceBatchWrite(ns, tableName, cat, tableSchema,
-            cmd.toString.toLowerCase, plannedPaths, plannedDeletePaths)
+            writeSchema, cmd.toString.toLowerCase, plannedPaths,
+            plannedDeletePaths)
       }
     }
+  }
 }
 
 /** Per-task result: the staged file (empty string when the task saw no
@@ -74,6 +80,7 @@ final class GraftReplaceBatchWrite(
     tableName: String,
     cat: GraftCatalog,
     schema: StructType,
+    writeSchema: StructType,
     op: String,
     plannedPaths: Set[String],
     plannedDeletePaths: Set[String]) extends BatchWrite {
@@ -103,7 +110,7 @@ final class GraftReplaceBatchWrite(
         job, Map.empty, schema)
     new GraftDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration), schema,
-      destDir.toString)
+      writeSchema, destDir.toString)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -153,6 +160,7 @@ final class GraftDataWriterFactory(
     owf: OutputWriterFactory,
     conf: SerializableConfiguration,
     schema: StructType,
+    writeSchema: StructType,
     destDir: String) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -160,10 +168,6 @@ final class GraftDataWriterFactory(
       private var writer: OutputWriter = null
       private var path: String = ""
       private var rows = 0L
-      // group-based ReplaceData rows arrive as [__row_operation:int,
-      // <data cols in table order>] when the plain writing task runs
-      // (Spark applies its row projection only on the metadata path);
-      // the projection below strips the operation column
       private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = null
       private var checkedShape = false
 
@@ -177,18 +181,32 @@ final class GraftDataWriterFactory(
         writer = owf.newInstance(path, schema, ctx)
       }
 
+      /** Table-column ordinals in the arriving rows, derived BY NAME from
+        * the declared write schema when the arity matches it; the one
+        * layout Spark hands over undeclared — group-based ReplaceData
+        * rows as `[__row_operation:int, <declared cols>]` when the plain
+        * writing task runs (its row projection applies only on the
+        * metadata path) — is accepted exactly, and anything else fails
+        * loudly instead of writing shifted columns. */
+      private def resolveLayout(numFields: Int): Unit = {
+        val P = org.apache.spark.sql.catalyst.ProjectingInternalRow
+        if (numFields == writeSchema.length &&
+            schema.fieldNames.forall(writeSchema.fieldNames.contains)) {
+          val ord = schema.fieldNames.toIndexedSeq.map(writeSchema.fieldIndex)
+          proj = if (ord == schema.indices.toIndexedSeq) null
+                 else P(schema, ord)
+        } else if (numFields == writeSchema.length + 1 &&
+            writeSchema.fieldNames.sameElements(schema.fieldNames)) {
+          proj = P(schema, (1 to schema.length).toIndexedSeq)
+        } else throw new IllegalStateException(
+          s"row-level write layout mismatch: row has $numFields fields, " +
+            s"declared write schema is ${writeSchema.catalogString}, " +
+            s"table schema is ${schema.catalogString}")
+      }
+
       override def write(row: InternalRow): Unit = {
         if (writer == null) open()
-        if (!checkedShape) {
-          checkedShape = true
-          if (row.numFields == schema.length + 1)
-            proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-              schema, (1 to schema.length).toIndexedSeq)
-          else if (row.numFields != schema.length)
-            throw new IllegalStateException(
-              s"row-level write expected ${schema.length} or " +
-                s"${schema.length + 1} fields, got ${row.numFields}")
-        }
+        if (!checkedShape) { checkedShape = true; resolveLayout(row.numFields) }
         if (proj == null) writer.write(row)
         else { proj.project(row); writer.write(proj) }
         rows += 1

@@ -164,6 +164,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    // a primary-key claim at create time binds to an EMPTY table (no data
+    // to validate), but the columns must exist — fail at DDL, not first DML
+    GraftV2Table.parsePrimaryKey(properties.asScala.toMap).foreach(c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"graft.primary-key column '$c' not in table schema"))
     val spec = partitions.toSeq.map(toFieldSpec(schema, _))
     cat.createTable(nsOf(ident), ident.name(), schema, spec,
       properties.asScala.toMap - TableCatalog.PROP_LOCATION,
@@ -231,6 +237,42 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** Reject a `graft.primary-key` claim unless every named column exists
+    * top-level and is either required in the metadata schema or provably
+    * null-free in the current data. Proof is file null-count stats where
+    * present; files with unknown stats (or predating the column — all
+    * NULL by sparse-evolution semantics) get ONE column-pruned scan.
+    * Deliberately conservative: NULLs that merge-on-read deletes would
+    * hide still reject (run `Maintenance.applyDeletes` first). */
+  private def validatePkClaim(m: TableMetadata, pk: Seq[String]): Unit = {
+    val fields = pk.map(c => m.schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft.primary-key column '$c' not in table schema")))
+    val nullable = fields.filter(_.nullable).map(_.name)
+    if (nullable.isEmpty) return
+    val files = m.currentFiles.filter(_.rowCount > 0)
+    val dirty = files.filter(f => nullable.exists(c =>
+      f.stats.get(c).flatMap(_.nullCount).exists(_ > 0)))
+    if (dirty.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot set graft.primary-key (${pk.mkString(", ")}): column(s) " +
+          s"${nullable.mkString(", ")} contain NULLs (file stats, e.g. " +
+          s"${dirty.head.path})")
+    val unknown = files.filter(f => nullable.exists(c =>
+      f.stats.get(c).flatMap(_.nullCount).isEmpty))
+    if (unknown.nonEmpty) {
+      val anyNull = spark.read.schema(m.schema)
+        .parquet(unknown.map(_.path): _*)
+        .select(nullable.map(org.apache.spark.sql.functions.col): _*)
+        .filter(nullable.map(c =>
+          org.apache.spark.sql.functions.col(c).isNull).reduce(_ || _))
+      if (!anyNull.isEmpty)
+        throw new IllegalArgumentException(
+          s"Cannot set graft.primary-key (${pk.mkString(", ")}): column(s) " +
+            s"${nullable.mkString(", ")} contain NULLs in current data")
+    }
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val t = graftTable(ident)
@@ -243,12 +285,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     }
     def applyProps(m: TableMetadata): TableMetadata =
       if (propChanges.isEmpty) m
-      else m.copy(properties = propChanges.foldLeft(m.properties) {
-        case (p, set: TableChange.SetProperty) =>
-          p.updated(set.property(), set.value())
-        case (p, rm: TableChange.RemoveProperty) => p - rm.property()
-        case (p, _) => p
-      })
+      else {
+        val updated = m.copy(properties = propChanges.foldLeft(m.properties) {
+          case (p, set: TableChange.SetProperty) =>
+            p.updated(set.property(), set.value())
+          case (p, rm: TableChange.RemoveProperty) => p - rm.property()
+          case (p, _) => p
+        })
+        // a graft.primary-key claim flips V2-schema nullability (v2Of) —
+        // the optimizer will fold `pk IS NULL` to false on its word — so
+        // a NEW claim over nullable columns must be backed by provably
+        // null-free data, validated here race-free against the commit-
+        // time metadata (Iceberg's identifier-field rule)
+        val newPk = GraftV2Table.parsePrimaryKey(updated.properties)
+        if (newPk != GraftV2Table.parsePrimaryKey(m.properties) && newPk.nonEmpty)
+          validatePkClaim(updated, newPk)
+        updated
+      }
     if (schemaChanges.isEmpty) {
       if (propChanges.nonEmpty) t.commit(applyProps)
       return loadTable(ident)
@@ -260,6 +313,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         case add: TableChange.AddColumn =>
           val path = add.fieldNames().toSeq
           val name = path.last
+          // explicit rejection over silent reordering loss: the engine
+          // appends columns (schema evolution order), so FIRST/AFTER
+          // cannot be honored
+          if (add.position() != null)
+            throw new UnsupportedOperationException(
+              s"ADD COLUMN ${path.mkString(".")} FIRST/AFTER is not " +
+                "supported: new columns always append")
           if (!add.isNullable)
             throw new IllegalArgumentException(
               s"New column ${path.mkString(".")} must be nullable: existing " +

@@ -327,6 +327,7 @@ final case class TableMetadata(
       clearDeletes: Boolean = false,
       branch: Option[String] = None,
       newPosDeletes: Seq[PosDeleteFile] = Nil): TableMetadata = {
+    requireNonNullKeys(added)
     val base = baseSnapshot(branch)
     val (baseRefs, inlineLegacy) = parentRefsOf(base)
     var survivors = Vector.empty[DataFile]
@@ -393,12 +394,29 @@ final case class TableMetadata(
     * is the new files, so no prior delete can have surviving victims. */
   def withSnapshotReplace(op: String, loadId: Option[String],
       files: Seq[DataFile], nowMs: Long = System.currentTimeMillis(),
-      branch: Option[String] = None): TableMetadata =
+      branch: Option[String] = None): TableMetadata = {
+    requireNonNullKeys(files)
     appendSnapshot(op, loadId,
       if (files.isEmpty) Nil
       else Seq(ManifestIO.writeRef(metadataDirPath,
         files.map(_.copy(seq = Some(nextSnapshotId))), statTypeOf)),
       nowMs, deletes = Nil, branch = branch)
+  }
+
+  /** Commit-time guard for the `graft.primary-key` contract: the V2
+    * surface reports key columns non-nullable (`GraftSparkCatalog.v2Of`),
+    * so NO commit may add a file whose key stats admit NULLs. Metadata-
+    * only (the footer stats every writer already collects); a file with
+    * unknown null counts passes — the hard gates are ALTER-time data
+    * validation and this best-effort check on every write path. */
+  private def requireNonNullKeys(added: Seq[DataFile]): Unit = {
+    if (added.isEmpty) return
+    for (c <- GraftV2Table.parsePrimaryKey(properties); f <- added)
+      if (f.stats.get(c).flatMap(_.nullCount).exists(_ > 0))
+        throw new ValidationError(
+          s"NULL in primary-key column '$c' (file ${f.path}): " +
+            "graft.primary-key columns must be non-null on every write")
+  }
 
   private def appendSnapshot(op: String, loadId: Option[String],
       manifestRefList: Seq[ManifestRef], nowMs: Long,

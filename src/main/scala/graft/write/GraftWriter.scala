@@ -221,12 +221,22 @@ final class GraftWriter(catalog: GraftCatalog) {
           val keyCount = st.getAs[Long]("__cnt")
 
           // hard deletes first, as a separate commit (separate PyIceberg
-          // transaction in the reference, destination_client.py:1438-1441)
+          // transaction in the reference, destination_client.py:1438-1441).
+          // Replay safety: a crash between this sub-commit and the main
+          // commit makes exactly-once callers (StreamingLoader) re-run the
+          // whole load under the same loadId — an already-present
+          // sub-loadId must not commit twice, or the snapshot ledger gains
+          // a duplicate entry (content-idempotent but ledger-corrupting)
           if (hasMarker && !hardDeleted.isEmpty) {
-            val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
-            if (cfg.mergeOnRead)
-              morCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
-            else rewriteCommit(t, delKeys, pks, Nil, "delete", loadId + "-hd", cfg)
+            val hdId = loadId + "-hd"
+            val alreadyHd =
+              t.metadata.snapshots.exists(_.loadId.contains(hdId))
+            if (!alreadyHd) {
+              val delKeys = hardDeleted.select(pks.map(col): _*).distinct()
+              if (cfg.mergeOnRead)
+                morCommit(t, delKeys, pks, Nil, "delete", hdId, cfg)
+              else rewriteCommit(t, delKeys, pks, Nil, "delete", hdId, cfg)
+            }
           }
           val upsertKeys = grouped.select(pks.map(col): _*)
           // after the dup check, upsert rows == distinct keys: a batch

@@ -480,4 +480,67 @@ class SparkCatalogSpec extends AnyFunSuite {
     val snap = cat.loadTable("main", "t").metadata.currentSnapshot.get
     assert(snap.deletes.isEmpty && snap.posDeletes.isEmpty)
   }
+
+  test("graft.primary-key claims are validated, not trusted") {
+    val cat = freshCatalog("gpkv")
+    val w = new GraftWriter(cat)
+    // a NULL key in existing data: the claim must be rejected (the V2
+    // schema would report the column non-null and the optimizer would
+    // fold `id IS NULL` to false — silent wrong results)
+    w.writeTable("main", "dirty",
+      Seq(Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gpkv.main.dirty SET TBLPROPERTIES " +
+        "('graft.primary-key' = 'id')")
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+
+    // a column that does not exist: rejected at DDL time
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gpkv.main.dirty SET TBLPROPERTIES " +
+        "('graft.primary-key' = 'nope')")
+    }
+    assert(e2.getMessage.contains("not in table schema"), e2.getMessage)
+    // ...same check at CREATE TABLE
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE gpkv.main.bad (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.primary-key' = 'nope')")
+    }
+    assert(e3.getMessage.contains("not in table schema"), e3.getMessage)
+
+    // null-free data: the claim is accepted and the V2 schema reports
+    // the key non-nullable
+    w.writeTable("main", "clean",
+      Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    spark.sql("ALTER TABLE gpkv.main.clean SET TBLPROPERTIES " +
+      "('graft.primary-key' = 'id')")
+    assert(!spark.table("gpkv.main.clean").schema("id").nullable)
+
+    // and the claim is then ENFORCED on writes: a load that would add
+    // NULL keys refuses to commit
+    val e4 = intercept[Exception] {
+      w.writeTable("main", "clean",
+        Seq(Seq((Some(3L), "c"), (None: Option[Long], "d")).toDF("id", "v")),
+        Append, WriteConfig(retryUnitMs = 1), "l2")
+    }
+    assert(e4.getMessage.contains("primary-key"), e4.getMessage)
+    assert(spark.sql("SELECT count(*) FROM gpkv.main.clean")
+      .collect()(0).getLong(0) == 2)
+  }
+
+  test("ADD COLUMN FIRST/AFTER is rejected, not silently reordered") {
+    val cat = freshCatalog("gpos")
+    spark.sql("CREATE TABLE gpos.main.t (id BIGINT, v STRING)")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE gpos.main.t ADD COLUMN early INT AFTER id")
+    }
+    assert(e.getMessage.contains("FIRST/AFTER"), e.getMessage)
+    // plain appends still work
+    spark.sql("ALTER TABLE gpos.main.t ADD COLUMN late INT")
+    assert(spark.table("gpos.main.t").schema.fieldNames.toSeq ==
+      Seq("id", "v", "late"))
+    assert(cat.tableExists("main", "t"))
+  }
 }

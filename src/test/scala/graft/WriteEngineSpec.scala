@@ -160,6 +160,31 @@ class WriteEngineSpec extends AnyFunSuite {
     assert(t.metadata.snapshots.map(_.operation) == Seq("upsert", "delete", "upsert"))
   }
 
+  test("upsert replay after a crash between the -hd and main commits") {
+    // exactly-once callers (StreamingLoader) re-run the whole load under
+    // the same loadId when a crash lands between the hard-delete
+    // sub-commit and the main commit; the replay must SKIP the already-
+    // present '<loadId>-hd' snapshot instead of committing it twice
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "u", Seq(hdBatch((1, "a", null), (2, "b", null))),
+      Merge("upsert"), pkCfg, "l1")
+    // simulate the crashed first attempt: its -hd sub-commit landed...
+    w.writeTable("main", "u", Seq(hdBatch(
+      (2, "b", "2024-06-01 00:00:00"))), Merge("upsert"), pkCfg, "l2-hd")
+    // ...then the replay runs the full mixed batch under loadId l2
+    w.writeTable("main", "u", Seq(hdBatch(
+      (1, "a2", null), (2, "b", "2024-06-01 00:00:00"))),
+      Merge("upsert"), pkCfg, "l2")
+    val t = cat.loadTable("main", "u")
+    val got = t.read().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2")))
+    // the distinct-loadId ledger invariant holds: ONE l2-hd, ONE l2
+    val loadIds = t.metadata.snapshots.flatMap(_.loadId)
+    assert(loadIds == Seq("l1", "l2-hd", "l2"), loadIds.mkString(", "))
+  }
+
   test("all-rows-hard-delete fast path: single delete snapshot, no insert") {
     // test_capabilities.py:161-223
     val cat = freshCatalog()
