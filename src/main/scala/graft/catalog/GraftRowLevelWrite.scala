@@ -16,22 +16,33 @@ import org.apache.spark.util.SerializableConfiguration
 /** SQL `UPDATE` / `MERGE INTO` through the V2 catalog — the group-based
   * (copy-on-write) row-level operation protocol. Spark rewrites the DML
   * into a [[org.apache.spark.sql.connector.read.Scan]] of the table's
-  * pinned snapshot (full rows, merge-on-read deletes applied) followed
-  * by a `ReplaceData` write of the post-DML row set; this class supplies
-  * the executor-side write: each task streams its partition into ONE
-  * staged parquet file (Spark's own codegen'd parquet writer — no
-  * per-row driver involvement), and commit folds footer stats and swaps
-  * the planned file set for the staged one through the snapshot CAS
-  * protocol. The reference reaches the same end state via PyIceberg
-  * upsert (`destination_client.py:1437-1469`); here the whole operation
-  * stays declarative so Catalyst plans the join/update itself.
+  * pinned snapshot followed by a `ReplaceData` write of the post-DML row
+  * set; this class supplies the executor-side write: each task streams
+  * its partition into ONE staged parquet file (Spark's own codegen'd
+  * parquet writer — no per-row driver involvement), and commit folds
+  * footer stats and swaps the SCANNED file set for the staged one
+  * through the snapshot CAS protocol. The reference reaches the same end
+  * state via PyIceberg upsert (`destination_client.py:1437-1469`) with
+  * delete-expression pushdown narrowing the rewrite
+  * (`merge_utils.py:17-42`); here the whole operation stays declarative
+  * so Catalyst plans the join/update itself.
   *
-  * Scale shape: the rewrite is a full-group replace — group granularity
-  * is the planned file set, so cost is one distributed scan + one
-  * distributed write of the table, the same as any CoW engine's
-  * worst-case MERGE. File-targeted SQL DML (runtime group filtering) can
-  * narrow this later; the engine-native `deleteWhere`/`updateWhere`
-  * already rewrite only affected files.
+  * Scale shape — GROUP granularity is the FILE, not the table. The
+  * operation scan ([[GroupScan]]) narrows the rewrite twice:
+  *
+  *  - statically: pushed DML predicates prune candidate files through
+  *    the per-file min/max/bloom stats ([[StatsPrune]]);
+  *  - at runtime ([[SupportsRuntimeV2Filtering]] on `_file`): Spark's
+  *    row-level group filtering runs the matching-rows subquery
+  *    (target ⋈ source for MERGE, the WHERE for UPDATE) and delivers
+  *    the distinct origin files of matched rows — only those files are
+  *    scanned, rewritten, and replaced; every other file survives the
+  *    commit BY PATH, untouched on disk.
+  *
+  * So a MERGE touching 0.1% of rows rewrites ~0.1% of files instead of
+  * 100%. Tables with OUTSTANDING merge-on-read deletes fall back to the
+  * full-group V1 scan (deletes applied in the scan; the rewrite clears
+  * them) — compaction restores the narrowed path.
   *
   * Concurrency: commit refuses when the live file set OR delete set no
   * longer equals the planning snapshot's (the scan's row basis) — the
@@ -43,16 +54,27 @@ final class GraftRowLevelOperation(
     scanOf: CaseInsensitiveStringMap => ScanBuilder,
     tableSchema: StructType,
     cmd: RowLevelOperation.Command,
-    plannedPaths: Set[String],
+    snapshotFiles: Seq[DataFile],
     plannedDeletePaths: Set[String]) extends RowLevelOperation {
+
+  private val useGroupScan = plannedDeletePaths.isEmpty
+  private val state = new GroupScanState(snapshotFiles)
 
   override def command(): RowLevelOperation.Command = cmd
 
-  /** The operation scan: the table's own scan (parquet reader, or the
-    * MoR-applied DataFrame behind a V1Scan), pre-wrapped for row-level
-    * planning ([[GraftV2Table.wrapV1]]). */
+  /** `_file` rides along with every scanned row so the runtime group
+    * filter can resolve it on the operation relation (and the write
+    * exec's metadata projection strips it before rows reach the
+    * writer). Only on the group-scan path — the V1 fallback cannot
+    * serve per-row metadata through `ReplaceData`. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (useGroupScan) Array(Expressions.column(GroupScan.FileColumn))
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftV2Table.wrapV1(scanOf(options))
+    if (useGroupScan)
+      new GroupScanBuilder(SparkSession.active, tableSchema, state)
+    else GraftV2Table.wrapV1(scanOf(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // the DECLARED write layout: authoritative column names for the rows
@@ -63,8 +85,9 @@ final class GraftRowLevelOperation(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftReplaceBatchWrite(ns, tableName, cat, tableSchema,
-            writeSchema, cmd.toString.toLowerCase, plannedPaths,
-            plannedDeletePaths)
+            writeSchema, cmd.toString.toLowerCase,
+            snapshotFiles.map(_.path).toSet, plannedDeletePaths,
+            if (useGroupScan) Some(state) else None)
       }
     }
   }
@@ -83,7 +106,8 @@ final class GraftReplaceBatchWrite(
     writeSchema: StructType,
     op: String,
     plannedPaths: Set[String],
-    plannedDeletePaths: Set[String]) extends BatchWrite {
+    plannedDeletePaths: Set[String],
+    groupState: Option[GroupScanState] = None) extends BatchWrite {
 
   private val loadId =
     s"sql-$op-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -117,6 +141,12 @@ final class GraftReplaceBatchWrite(
     val all = messages.collect { case m: GraftWriteMessage => m }
     val staged = all.filter(m => m.rows > 0 && m.path.nonEmpty)
     val files = staged.map(_.path).sorted.toSeq
+    // the replaced set = what the operation scan ACTUALLY read (the
+    // written rows are its output): the full planned set on the V1
+    // fallback, the statically+runtime narrowed group set otherwise
+    val replaced =
+      groupState.flatMap(_.scannedPaths).getOrElse(plannedPaths)
+    if (files.isEmpty && replaced.isEmpty) return // zero matched groups
     val t = table
     val spec = t.metadata.partitionSpec
     // partitioned tables need stats over DERIVED transform values (one
@@ -138,10 +168,12 @@ final class GraftReplaceBatchWrite(
         throw new ValidationError(
           s"SQL $op superseded by a concurrent merge-on-read delete; " +
             "re-run the statement")
-      // full-group replace: every planned file is rewritten with deletes
-      // applied, so outstanding delete files have no remaining victims
-      fresh.withSnapshotDelta(op, Some(loadId), dataFiles, plannedPaths,
-        clearDeletes = true)
+      // group replace: the scanned files are rewritten (on the V1
+      // fallback that is every planned file, with deletes applied — so
+      // outstanding delete files have no remaining victims and clear);
+      // files outside the scanned groups survive by path
+      fresh.withSnapshotDelta(op, Some(loadId), dataFiles, replaced,
+        clearDeletes = replaced == plannedPaths)
     }, maxRetries = 5, backoffBase = 2.0, unitMs = 50L)
   }
 

@@ -201,22 +201,62 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     *    positional-delete victims resolved back to FULL rows from their
     *    target files.
     *
-    * Exact only for append + merge-on-read windows: if a data file was
-    * REMOVED in the window (copy-on-write rewrite, compaction, replace),
-    * row-level attribution is lost and this throws — the caller falls
-    * back to a full-snapshot diff. */
+    * Content-neutral rewrite snapshots (compaction, zorder,
+    * apply-deletes) inside the window contribute ZERO change events —
+    * the window is walked along the snapshot parent chain and split into
+    * segments at each rewrite, which resets path attribution without
+    * inventing changes (Iceberg's changelog treats rewrite snapshots the
+    * same way). Events accumulate per segment: a row upserted in one
+    * segment and again in a later one emits both delete+insert pairs.
+    *
+    * Still refused: a data file removed by a CONTENT-CHANGING commit
+    * (copy-on-write merge/update/delete, replace, rollback) — row-level
+    * attribution is genuinely lost there; diff full snapshots instead. */
   def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
     val m = metadata
     val from = findSnapshot(m, fromSnapshotId)
     val to = findSnapshot(m, toSnapshotId)
+    // the window along the parent chain, oldest first
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    var chain = List(to)
+    while (chain.head.snapshotId != from.snapshotId) {
+      val p = chain.head.parentId.flatMap(byId.get).getOrElse(
+        throw new ValidationError(
+          s"changesBetween($fromSnapshotId, $toSnapshotId): " +
+            s"$fromSnapshotId is not an ancestor of $toSnapshotId in " +
+            m.identifier))
+      chain = p :: chain
+    }
+    val segs = scala.collection.mutable.ListBuffer.empty[(Snapshot, Snapshot)]
+    var segStart = chain.head
+    var prev = chain.head
+    for (s <- chain.tail) {
+      if (GraftTable.RewriteOps.contains(s.operation)) {
+        if (prev.snapshotId != segStart.snapshotId) segs += ((segStart, prev))
+        segStart = s // attribution restarts at the rewrite's output
+      }
+      prev = s
+    }
+    if (prev.snapshotId != segStart.snapshotId) segs += ((segStart, prev))
+    if (segs.isEmpty)
+      return readFiles(m, Nil).withColumn("_change_type",
+        org.apache.spark.sql.functions.lit(""))
+    segs.map { case (a, b) => diffSegment(m, a, b) }.reduce(_ unionByName _)
+  }
+
+  /** One rewrite-free window of [[changesBetween]]: endpoint path diff
+    * is exact row attribution here. */
+  private def diffSegment(m: TableMetadata, from: Snapshot,
+      to: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
     val fromPaths = from.dataFiles.map(_.path).toSet
     val toFiles = to.dataFiles
     val toPaths = toFiles.map(_.path).toSet
     if (!fromPaths.subsetOf(toPaths))
       throw new ValidationError(
-        s"changesBetween($fromSnapshotId, $toSnapshotId): a data file was " +
-          "removed in the window (rewrite/compact/replace) — row-level " +
+        s"changesBetween(${from.snapshotId}, ${to.snapshotId}): a data " +
+          "file was removed by a content-changing commit in the window " +
+          "(CoW merge/update/delete, replace, rollback) — row-level " +
           "attribution is lost; diff full snapshots instead")
     val schemaCols = m.schema.fieldNames.toSeq
 
@@ -510,6 +550,11 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
 }
 
 object GraftTable {
+  /** Operations whose snapshots are content-neutral file rewrites: the
+    * live row set is unchanged, only paths move. The changelog skips
+    * them; anything else that removes files is content-changing. */
+  val RewriteOps: Set[String] = Set("compact", "zorder", "apply-deletes")
+
   /** Bootstrap v1 metadata for a new table (CAS on v1 rejects concurrent
     * double-create). */
   def create(spark: SparkSession, dir: Path, m: TableMetadata): GraftTable = {

@@ -2,13 +2,13 @@ package graft.catalog
 
 import java.util.{Set => JSet}
 import org.apache.spark.sql.{Column, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
 
@@ -39,12 +39,25 @@ final class GraftV2Table(
     tableProperties: Map[String, String] = Map.empty,
     partitionSpec: Seq[PartitionFieldSpec] = Nil)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = reader.name()
   override def schema(): StructType = committedSchema
   override def properties(): java.util.Map[String, String] =
     tableProperties.asJava
+
+  /** Iceberg-style `_file` metadata column: each row's origin data-file
+    * path (the engine's metadata path convention). The group id of the
+    * copy-on-write row-level protocol — runtime group filtering's
+    * matching subquery projects it to decide which files a DML statement
+    * actually touches. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = GroupScan.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "origin data file path"
+    })
 
   /** The engine partition spec mapped back to V2 transforms, so
     * `DESCRIBE TABLE` / `SHOW CREATE TABLE` show the real layout. Uses
@@ -78,11 +91,113 @@ final class GraftV2Table(
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (morDeletes.isEmpty && morPosDeletes.isEmpty)
-      reader.asInstanceOf[SupportsRead].newScanBuilder(options)
-    else GraftV2Table.v1ScanOf(committedSchema,
-      ctx => MorRead.read(ctx.sparkSession, committedSchema,
-        morFiles, morDeletes, morPosDeletes))
+    new FileAwareScanBuilder(options)
+
+  /** The table's scan builder, `_file`-aware: plain reads delegate to the
+    * V2 parquet builder (full pushdown — the hot path) or the MoR V1
+    * fallback exactly as before, but a scan REQUESTING the `_file`
+    * metadata column (runtime group filtering's matching subquery, or an
+    * explicit user projection) switches to a DataFrame-backed V1 scan
+    * that captures `_file` from `_metadata` at the scan relation. In
+    * that mode, catalyst filters already forwarded to the (now unused)
+    * parquet builder are re-applied on the DataFrame — a filter Spark
+    * believes pushed must never be silently dropped. */
+  private final class FileAwareScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+      with SupportsPushDownAggregates {
+
+    private val hasDeletes = morDeletes.nonEmpty || morPosDeletes.nonEmpty
+    private val inner: Option[ScanBuilder] =
+      if (hasDeletes) None
+      else Some(reader.asInstanceOf[SupportsRead].newScanBuilder(options))
+
+    private var required: Option[StructType] = None
+    private var catalystFilters:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
+    private def fileRequested: Boolean =
+      required.exists(_.fieldNames.contains(GroupScan.FileColumn))
+
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      required = Some(requiredSchema)
+      if (!requiredSchema.fieldNames.contains(GroupScan.FileColumn))
+        inner.foreach {
+          case p: SupportsPushDownRequiredColumns =>
+            p.pruneColumns(requiredSchema)
+          case _ => ()
+        }
+    }
+
+    override def pushFilters(
+        filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      catalystFilters = filters
+      inner match {
+        case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters) =>
+          p.pushFilters(filters)
+        case _ => filters // V1 modes: all residual, Spark filters above
+      }
+    }
+
+    override def pushedFilters:
+        Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      inner match {
+        case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters) =>
+          p.pushedFilters
+        case _ => Array.empty
+      }
+
+    override def pushAggregation(
+        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      inner match {
+        case Some(p: SupportsPushDownAggregates) => p.pushAggregation(aggregation)
+        case _ => false
+      }
+
+    override def supportCompletePushDown(
+        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      inner match {
+        case Some(p: SupportsPushDownAggregates) => p.supportCompletePushDown(aggregation)
+        case _ => false
+      }
+
+    override def build(): Scan =
+      if (!fileRequested) {
+        inner.map(_.build()).getOrElse {
+          // MoR fallback: column-pruned through the delete application
+          val out = required.getOrElse(committedSchema)
+          GraftV2Table.v1ScanOf(out, ctx =>
+            MorRead.read(ctx.sparkSession, committedSchema,
+                morFiles, morDeletes, morPosDeletes)
+              .select(out.fieldNames.map(col).toIndexedSeq: _*)).build()
+        }
+      } else {
+        val out = required.getOrElse(StructType(committedSchema.fields :+
+          org.apache.spark.sql.types.StructField(
+            GroupScan.FileColumn, StringType, nullable = false)))
+        val filters = catalystFilters
+        GraftV2Table.v1ScanOf(out, ctx => {
+          var df = MorRead.readWithFile(ctx.sparkSession, committedSchema,
+            morFiles, morDeletes, morPosDeletes)
+          // re-apply forwarded catalyst filters, attributes rebound by
+          // name onto this DataFrame's output (exprIds differ)
+          val byName = df.queryExecution.analyzed.output
+            .map(a => a.name -> a).toMap
+          filters.foreach { e =>
+            val bound = e.transform {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                byName.getOrElse(a.name,
+                  throw new IllegalStateException(
+                    s"cannot rebind pushed filter $e: no column ${a.name}"))
+            }
+            df = df.filter(
+              org.apache.spark.sql.classic.GraftSqlShims.column(bound))
+          }
+          df.select(out.fieldNames.map(col).toIndexedSeq: _*)
+        }).build()
+      }
+  }
 
   /** `DELETE FROM <table> WHERE <cond>` — routed through the engine's
     * predicate-delete path. Mode comes from the `graft.delete.mode`
@@ -131,7 +246,7 @@ final class GraftV2Table(
         else
           new GraftRowLevelOperation(ns, tableName, cat,
             opts => newScanBuilder(opts), committedSchema, info.command(),
-            morFiles.map(_.path).toSet,
+            morFiles,
             (morDeletes.map(_.path) ++ morPosDeletes.map(_.path)).toSet)
       }
     }

@@ -41,6 +41,24 @@ object MorRead {
         spark.read.schema(schema).parquet(files.map(_.path): _*),
         files, deletes, posDeletes)
 
+  /** [[read]] plus a `_file` column carrying each row's origin data-file
+    * path (the engine's metadata-path convention) — the Iceberg `_file`
+    * metadata column, captured from `_metadata` at the scan relation
+    * BEFORE any delete-application join hides it. Serves runtime group
+    * filtering's matching-rows subquery. */
+  def readWithFile(spark: SparkSession, schema: StructType, files: Seq[DataFile],
+      deletes: Seq[DeleteFile],
+      posDeletes: Seq[PosDeleteFile] = Nil): DataFrame = {
+    val outSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType, nullable = false))
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    val base = spark.read.schema(schema).parquet(files.map(_.path): _*)
+      .withColumn("_file", posixPath(col("_metadata.file_path")))
+    applyDeletes(spark, base, files, deletes, posDeletes)
+  }
+
   /** Apply equality and positional deletes to `base`, which must be a
     * scan of exactly `files` (the hidden `_metadata` column recovers
     * row→file attribution and row position — captured ONCE up front,

@@ -390,16 +390,41 @@ object WriteQueries {
     // SQL MERGE INTO + UPDATE through the V2 catalog: the group-based
     // row-level protocol (GraftRowLevelOperation) — Spark plans the
     // merge join/update itself, the executor-side BatchWrite stages
-    // parquet per task, and the commit swaps the planned file set
+    // parquet per task, and the commit swaps the SCANNED file set
     // through the snapshot CAS. Exercises all three MERGE actions.
+    // GROUP granularity is the file: the range-selective UPDATE runs
+    // against a range-clustered layout and the in-query require() pins
+    // that files provably outside the DML range survive BY PATH (static
+    // stat pruning + runtime `_file` group filtering, GroupScan).
     "w21_sql_merge" -> ((
       (s: SparkSession, dir: String) => {
         val wh = Files.createTempDirectory("graft-v2m-").toString
         s.conf.set("spark.sql.catalog.graft_mrg",
           classOf[graft.catalog.GraftSparkCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_mrg.warehouse", wh)
-        val w = new GraftWriter(new GraftCatalog(s, wh))
-        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir).repartitionByRange(4, col("o_orderkey"))),
+          Append, cfg, "l1")
+
+        // selective UPDATE first, on the range-clustered layout: only
+        // files whose [min,max] admits the range may be rewritten
+        val before = cat.loadTable("main", "orders_t").metadata.currentFiles
+        val outside = before.filter(f =>
+          f.stats.get("o_orderkey").exists(st =>
+            st.max.exists(_.toLong < 100) || st.min.exists(_.toLong > 200)))
+          .map(_.path).toSet
+        require(outside.nonEmpty,
+          "range-clustered load must yield files outside [100,200]")
+        s.sql("""UPDATE graft_mrg.main.orders_t
+          |SET o_totalprice = o_totalprice + 5.0
+          |WHERE o_orderkey BETWEEN 100 AND 200""".stripMargin)
+        val afterUpd = cat.loadTable("main", "orders_t")
+          .metadata.currentFiles.map(_.path).toSet
+        require(outside.subsetOf(afterUpd),
+          "files provably outside the UPDATE range must survive by path")
+
         source(s, dir).createOrReplaceTempView("w21_src")
         s.sql("""MERGE INTO graft_mrg.main.orders_t AS t
           |USING w21_src AS s ON t.o_orderkey = s.o_orderkey
@@ -416,7 +441,12 @@ object WriteQueries {
          |  FROM orders WHERE o_orderkey % 2 = 0
          |    AND NOT (o_totalprice + 10.0 > 400000.0 AND o_orderkey % 3 <> 0)
          |  UNION ALL
-         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  -- target-only rows carry the pre-merge range UPDATE (+5.0 on
+         |  -- [100,200]); matched rows were overwritten by the merge
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey BETWEEN 100 AND 200
+         |         THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
          |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
          |)
          |SELECT o_orderkey,

@@ -280,10 +280,42 @@ class MergeOnReadSpec extends AnyFunSuite {
       (Some(3L), Some("c"), Some(30L), "delete")) // positional victim, full row
     assert(ch == want, s"changelog mismatch: $ch")
 
-    // a rewrite in the window loses attribution -> loud refusal
+    // a content-neutral rewrite in the window contributes ZERO change
+    // events: the window splits at the rewrite snapshot instead of
+    // refusing (a CDC consumer running behind a maintenance pool must
+    // keep working)
     Maintenance.applyDeletes(t, retryUnitMs = 1)
+    val afterApply = t.metadata.currentSnapshotId.get
+    val ch2 = t.changesBetween(s1, afterApply)
+      .select("user_id", "username", "score", "_change_type")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), r.getString(3))).toSet
+    assert(ch2 == want, s"rewrite-tolerant changelog mismatch: $ch2")
+
+    // upsert -> compact -> upsert: exactly the two upserts' events
+    w.writeTable("main", "u", Seq(users((5, "e", 50))),
+      Merge("upsert"), cfg, "l3")
+    Maintenance.compact(t, smallFileBytes = 1L << 30, retryUnitMs = 1)
+    assert(t.metadata.currentSnapshot.get.operation == "compact")
+    w.writeTable("main", "u", Seq(users((5, "e2", 51))),
+      Merge("upsert"), cfg, "l4")
+    val ch3 = t.changesBetween(afterApply, t.metadata.currentSnapshotId.get)
+      .select("user_id", "username", "score", "_change_type")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), r.getString(3))).toSet
+    val want3: Set[(Option[Any], Option[Any], Option[Any], String)] = Set(
+      (Some(5L), Some("e"), Some(50L), "insert"),
+      (Some(5L), None, None, "delete"), // second upsert's delete key
+      (Some(5L), Some("e2"), Some(51L), "insert"))
+    assert(ch3 == want3, s"compact-window changelog mismatch: $ch3")
+
+    // a CONTENT-CHANGING rewrite of a segment-start file still refuses
+    // loudly (CoW delete restages the file holding user 1)
+    w.deleteWhere("main", "u",
+      org.apache.spark.sql.functions.col("user_id") === 1L,
+      cfg.copy(mergeOnRead = false), "d2")
     intercept[ValidationError] {
-      t.changesBetween(s1, t.metadata.currentSnapshotId.get)
+      t.changesBetween(afterApply, t.metadata.currentSnapshotId.get)
     }
   }
 

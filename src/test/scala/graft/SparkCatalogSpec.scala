@@ -481,6 +481,65 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(snap.deletes.isEmpty && snap.posDeletes.isEmpty)
   }
 
+  test("runtime group filtering: selective UPDATE rewrites only matched files") {
+    val cat = freshCatalog("ggf1")
+    val w = new GraftWriter(cat)
+    // three files with disjoint id ranges (one append each)
+    w.writeTable("main", "t", Seq((1L to 100L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    w.writeTable("main", "t", Seq((101L to 200L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+    w.writeTable("main", "t", Seq((201L to 300L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l3")
+    val before = cat.loadTable("main", "t").metadata.currentFiles.map(_.path)
+    assert(before.size == 3)
+
+    spark.sql("UPDATE ggf1.main.t SET v = -1 WHERE id = 150")
+    val after = cat.loadTable("main", "t").metadata.currentFiles.map(_.path)
+    // files whose [min,max] id range provably excludes 150 survive BY PATH
+    val survivors = before.toSet.intersect(after.toSet)
+    assert(survivors.size == 2,
+      s"expected 2 untouched files to survive by path; before=$before after=$after")
+    // content exact
+    assert(spark.sql("SELECT v FROM ggf1.main.t WHERE id = 150")
+      .collect()(0).getLong(0) == -1L)
+    val r = spark.sql("SELECT count(*), sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) " +
+      "FROM ggf1.main.t").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((300L, 1L)))
+  }
+
+  test("runtime group filtering: selective MERGE leaves out-of-range files by path") {
+    val cat = freshCatalog("ggf2")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    w.writeTable("main", "t", Seq((101L to 200L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+    w.writeTable("main", "t", Seq((201L to 300L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l3")
+    val before = cat.loadTable("main", "t").metadata.currentFiles.map(_.path)
+    assert(before.size == 3)
+
+    // source touches ONLY the middle file's range, plus one fresh key
+    Seq((150L, "UPDATED"), (999L, "INSERTED")).toDF("id", "v")
+      .createOrReplaceTempView("ggf2_src")
+    spark.sql("""MERGE INTO ggf2.main.t AS t USING ggf2_src AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+
+    val after = cat.loadTable("main", "t").metadata.currentFiles.map(_.path)
+    val survivors = before.toSet.intersect(after.toSet)
+    assert(survivors.size == 2,
+      s"files provably outside the source key range must survive by path; " +
+        s"before=$before after=$after")
+    val got = spark.sql(
+      "SELECT v FROM ggf2.main.t WHERE id IN (150, 999) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("UPDATED", "INSERTED"))
+    assert(spark.sql("SELECT count(*) FROM ggf2.main.t")
+      .collect()(0).getLong(0) == 301)
+  }
+
   test("graft.primary-key claims are validated, not trusted") {
     val cat = freshCatalog("gpkv")
     val w = new GraftWriter(cat)
