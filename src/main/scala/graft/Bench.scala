@@ -12,8 +12,20 @@ import org.apache.spark.sql.SparkSession
   * round signals untrustworthy (r1: 137.8 s contended vs 57.9 s idle on
   * the identical commit). */
 object Bench {
+
+  /** 1-minute system load average from /proc/loadavg (linux), -1 when
+    * unreadable. Recorded around the run so a contended machine is
+    * self-evident in the artifact instead of needing a re-measurement
+    * (round-6 adjudication: driver bench showed 3-6x inflation on w14/
+    * w7/w15 purely from machine contention). */
+  private def loadavg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadavg1m()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,7 +53,10 @@ object Bench {
     val raw = results.map { case (k, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"queries_raw":$raw}""")
+    val loadAfter = loadavg1m()
+    // loadavg above ~1.5x the worker count means external contention:
+    // numbers are not comparable across rounds (threshold in BASELINE.md)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"queries_raw":$raw}""")
     spark.stop()
   }
 }

@@ -86,9 +86,16 @@ final class GraftV2Table(
     }.toArray
   }
 
+  /** `AUTOMATIC_SCHEMA_EVOLUTION` opts into Spark's
+    * `MERGE INTO ... WITH SCHEMA EVOLUTION`: the analyzer turns the
+    * source's extra columns into `TableChange.AddColumn`s routed through
+    * [[GraftSparkCatalog.alterTable]] — the SAME evolution rules the
+    * write path enforces (nullable adds only, safe type promotion), so
+    * SQL merge evolution cannot reach a schema state a load could not. */
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FileAwareScanBuilder(options)

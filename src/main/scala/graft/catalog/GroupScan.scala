@@ -143,7 +143,7 @@ final class GroupScanBuilder(
 
   override def build(): Scan = {
     state.candidates = StatsPrune.prune(state.planned, tableSchema, pushed.toSeq)
-    new GroupScan(spark, tableSchema, required, state, pushed.toSeq)
+    new GroupScan(spark, tableSchema, required, state)
   }
 }
 
@@ -170,8 +170,7 @@ final class GroupScan(
     spark: SparkSession,
     tableSchema: StructType,
     required: StructType,
-    state: GroupScanState,
-    pushedFilters: Seq[sources.Filter]) extends Scan with Batch
+    state: GroupScanState) extends Scan with Batch
   with SupportsRuntimeV2Filtering {
 
   private val withFile = required.fieldNames.contains(GroupScan.FileColumn)
@@ -220,12 +219,19 @@ final class GroupScan(
     // the returned iterator yields InternalRows, not columnar batches
     val isolated = spark.newSession()
     isolated.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    // NO filters reach the parquet reader: the write replaces whole
+    // files, so every row of a candidate file — matched or carryover —
+    // must be read. Parquet row-group pruning on the DML condition would
+    // silently DROP carryover rows from partially-matching files (bit us
+    // at sf0.1, where files span multiple row groups). Pushed filters
+    // prune at FILE granularity only (StatsPrune), which is sound
+    // because pruned files are kept by path, not rewritten.
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       isolated.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       dataSchema = tableSchema,
       partitionSchema = StructType(Nil),
       requiredSchema = dataSchema,
-      filters = pushedFilters, // row-group/page skipping; Spark re-filters above
+      filters = Nil,
       options = Map.empty,
       hadoopConf = isolated.sessionState.newHadoopConf())
     new GroupReaderFactory(readFunc, withFile)

@@ -250,16 +250,21 @@ object CoreQueries {
         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
         |ORDER BY totalprice DESC, o.o_orderkey LIMIT 50""".stripMargin,
 
-    // TPC-H Q14 shape: promotion revenue share over a month window
+    // TPC-H Q14 shape: promotion revenue share over a month window.
+    // The q49 DECIMAL pattern: both sums are exact decimals (order-
+    // independent, bit-identical on both engines), so the final double
+    // division and round see identical inputs — no epsilon needed.
     "q37_tpch14_promo" ->
       """SELECT CAST(ROUND(100.0 *
-        |    SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-        |        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) /
-        |    SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS DOUBLE)
+        |    CAST(SUM(val * (CASE WHEN promo THEN 1 ELSE 0 END)) AS DOUBLE) /
+        |    CAST(SUM(val) AS DOUBLE), 2) AS DOUBLE)
         |  AS promo_revenue
-        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-        |  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+        |FROM (SELECT CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |        (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS val,
+        |        p.p_type LIKE 'PROMO%' AS promo
+        |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |      WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |        AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00') t""".stripMargin,
 
     // TPC-H Q4 shape: order-priority counts gated on a lineitem EXISTS
     // (the test tables carry no commitdate/receiptdate, so the existence
@@ -340,13 +345,18 @@ object CoreQueries {
         |ORDER BY s.s_suppkey""".stripMargin,
 
     // TPC-H Q8 shape: one nation's market share inside a region by order
-    // year — an 8-way join feeding a conditional-ratio aggregate
+    // year — an 8-way join feeding a conditional-ratio aggregate. Exact
+    // decimal sums (q49 pattern), double division only at the end — no
+    // epsilon.
     "q44_tpch8_market_share" ->
       """SELECT o_year,
-        |  CAST(ROUND(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
-        |    / SUM(volume) + 1e-9, 4) AS DOUBLE) AS mkt_share
+        |  CAST(ROUND(
+        |    CAST(SUM(volume * (CASE WHEN nation = 'NATION_7' THEN 1 ELSE 0 END))
+        |      AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
         |FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        |        l.l_extendedprice * (1 - l.l_discount) AS volume,
+        |        CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |          (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
         |        sn.n_name AS nation
         |      FROM lineitem l
         |      JOIN part p ON p.p_partkey = l.l_partkey

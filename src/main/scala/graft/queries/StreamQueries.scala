@@ -196,7 +196,53 @@ object StreamQueries {
       },
       Some("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT event_id) AS n_distinct
-        |FROM events GROUP BY event_type""".stripMargin)))
+        |FROM events GROUP BY event_type""".stripMargin))),
+
+    // streaming change-data-feed: changesBetween exposed as an
+    // incremental source (GraftCdcSource) — the first micro-batch
+    // bootstraps the initial snapshot as inserts, the second delivers
+    // exactly the in-between upsert's delete+insert events; the memory
+    // sink accumulates both, oracled against the batch changelog
+    "s7_stream_cdc" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-s7-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new graft.write.GraftWriter(cat)
+        val mcfg = WriteConfig(primaryKey = Seq("o_orderkey"),
+          retryUnitMs = 10, mergeOnRead = true)
+        val orders = graft.Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+        w.writeTable("main", "orders_cdc",
+          Seq(orders.filter(col("o_orderkey") % 3 =!= 0)),
+          Merge("upsert"), mcfg, "l1")
+        val q = s.readStream
+          .format(classOf[graft.streaming.GraftCdcSourceProvider].getName)
+          .option("warehouse", wh).option("table", "main.orders_cdc").load()
+          .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
+          .writeStream.queryName("s7_out").format("memory").start()
+        try {
+          q.processAllAvailable() // batch 0: bootstrap inserts
+          w.writeTable("main", "orders_cdc",
+            Seq(orders.filter(col("o_orderkey") % 2 === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + 10.0)),
+            Merge("upsert"), mcfg, "l2")
+          q.processAllAvailable() // batch 1: the upsert's change events
+        } finally q.stop()
+        s.table("s7_out")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, 'insert' AS _change_type
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+        |  'insert' AS _change_type
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT DISTINCT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+        |  'delete' AS _change_type
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |  AND o_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderkey % 3 <> 0)""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

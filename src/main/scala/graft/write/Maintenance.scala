@@ -124,9 +124,12 @@ object Maintenance {
     * slice or on recent loads — composing that policy is the caller's
     * loop, the rewrite itself is this commit.
     *
-    * Restricted to numeric/temporal columns and unpartitioned tables (a
-    * partition spec's derived clustering would fight the z-shuffle; zorder
-    * WITHIN partitions composes but is a different rewrite).
+    * Restricted to numeric/temporal columns. Partitioned tables zorder
+    * WITHIN each partition-spec slice: the range shuffle keys on the
+    * derived partition transforms FIRST and the z-value second, so files
+    * stay partition-clustered (prunable on the spec) AND cover narrow
+    * ranges in every z column — one shuffle, no per-partition job loop,
+    * which is what survives a 10⁵-partition table at scale.
     * Content-neutral by construction; commits one "zorder" snapshot. */
   def zorder(t: GraftTable, columns: Seq[String], targetFiles: Int = 0,
       targetFileBytes: Long = 128L << 20, retryUnitMs: Long = 1000L): Boolean = {
@@ -134,8 +137,6 @@ object Maintenance {
     require(columns.nonEmpty && columns.size <= 4,
       "zorder takes 1-4 clustering columns")
     val m = t.metadata
-    require(m.partitionSpec.isEmpty,
-      "zorder applies to unpartitioned tables; partitioned tables already cluster by their spec")
     columns.foreach { c =>
       val dt = m.schema(c).dataType
       require(dt.isInstanceOf[NumericType] || dt == DateType ||
@@ -172,12 +173,19 @@ object Maintenance {
       if (targetFiles > 0) targetFiles
       else math.max(1, math.ceil(
         files.map(_.sizeBytes).sum.toDouble / targetFileBytes).toInt)
+    // partition transforms lead the range key so each output file lands
+    // inside one partition slice (or a contiguous run of slices), with
+    // z-locality within it
+    val rangeCols = m.partitionSpec.map(s =>
+      graft.partition.Transforms.expression(s, m.schema(s.source).dataType)) :+
+      col("__graft_z")
     val rewritten = df.withColumn("__graft_z", z)
-      .repartitionByRange(numOut, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
+      .repartitionByRange(numOut, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .drop("__graft_z")
-    val staged = Stager.stage(rewritten, t.dataDir, "zorder", Nil,
-      bloomColumns = GraftWriter.tableBloomColumns(m))
+    val staged = Stager.stage(rewritten, t.dataDir, "zorder", m.partitionSpec,
+      bloomColumns = GraftWriter.tableBloomColumns(m),
+      preshaped = true)
     val priorPaths = files.map(_.path).toSet
     val plannedDeletes = (m.currentSnapshot.map(_.deletes).getOrElse(Nil)
       .map(_.path) ++ m.currentSnapshot.map(_.posDeletes).getOrElse(Nil)

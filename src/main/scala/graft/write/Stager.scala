@@ -74,13 +74,16 @@ object Stager {
       spec: Seq[PartitionFieldSpec] = Nil,
       clusterBy: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Seq[DataFile] = {
+      maxRecordsPerFile: Long = 0L,
+      preshaped: Boolean = false): Seq[DataFile] = {
     val spark = df.sparkSession
     val dest = dataDir.resolve(s"$loadId-${java.util.UUID.randomUUID().toString.take(8)}")
 
     val schema = df.schema
     val clustered =
-      if (spec.nonEmpty)
+      if (preshaped) df // caller already shaped the layout (e.g. zorder
+                        // within partitions); spec still drives the stats
+      else if (spec.nonEmpty)
         df.repartition(spec.map(s =>
           Transforms.expression(s, schema(s.source).dataType)): _*)
       else if (clusterBy.nonEmpty)

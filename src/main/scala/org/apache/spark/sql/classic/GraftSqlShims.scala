@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * uses for this conversion. */
 object GraftSqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Re-tag a batch DataFrame as a streaming one — what a V1 streaming
+    * `Source.getBatch` must return (`MicroBatchExecution` asserts
+    * `isStreaming`); the same `internalCreateDataFrame(isStreaming =
+    * true)` call `FileStreamSource` makes. Lazy: the underlying plan
+    * executes when the micro-batch runs. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -78,6 +78,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scanRange("y", 0, 255).collect().map(_.getLong(0)).sorted.toSeq == expect)
   }
 
+  test("zorder within partitions: spec clustering kept, non-lead column prunes") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val rnd = new scala.util.Random(11)
+    // two partition groups, two independent uniform columns, written
+    // hash-shuffled so files initially span everything
+    val rows = (0 until 16384).map(i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B", rnd.nextInt(1024), rnd.nextInt(1024)))
+    val df = rows.toDF("id", "grp", "x", "y").repartition(16, $"id")
+    w.writeTable("main", "p", Seq(df),
+      Append, cfg.copy(partitions =
+        Seq(graft.partition.PartitionHint.identity("grp"))), "l1")
+    val t = cat.loadTable("main", "p")
+    val preRows = t.read().orderBy("id").collect().toSeq
+
+    assert(Maintenance.zorder(t, Seq("x", "y"), targetFiles = 16, retryUnitMs = 1))
+    val m2 = t.metadata
+    assert(m2.currentSnapshot.get.operation == "zorder")
+    // content-neutral
+    assert(t.read().orderBy("id").collect().toSeq == preRows)
+    val after = m2.currentFiles
+    // files keep the partition clustering: each covers ONE grp value
+    // (derived identity stats: min == max), so spec pruning still works
+    val single = after.count(f => f.stats.get("grp")
+      .exists(st => st.min.isDefined && st.min == st.max))
+    assert(single >= after.size - 2,
+      s"only $single of ${after.size} files are partition-pure")
+    // and a quarter-range slab on the NON-lead z column opens a fraction
+    def filesHit(c: String, lo: Int, hi: Int): Int =
+      t.filesOverlapping(m2, c,
+        Stager.canonicalKey(IntegerType, lo), Stager.canonicalKey(IntegerType, hi)).size
+    assert(filesHit("y", 0, 255) <= after.size / 2,
+      s"y-slab hit ${filesHit("y", 0, 255)} of ${after.size} files")
+    val expect = rows.filter(r => r._4 >= 0 && r._4 <= 255).map(_._1).sorted
+    assert(t.scanRange("y", 0, 255).collect().map(_.getLong(0)).sorted.toSeq == expect)
+  }
+
   test("expireSnapshots keeps recent history and deletes dead files") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)

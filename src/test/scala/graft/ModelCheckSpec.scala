@@ -65,7 +65,7 @@ class ModelCheckSpec extends AnyFunSuite {
       def key(): Long = rnd.between(-120L, 130L)
 
       (1 to 6).foreach { step =>
-        val op = rnd.nextInt(9)
+        val op = rnd.nextInt(10)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
         // content-neutral maintenance interleaved at random: compaction
@@ -166,6 +166,29 @@ class ModelCheckSpec extends AnyFunSuite {
                  |ON t.id = s.id
                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
                  |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+                 |""".stripMargin)
+            rows.foreach { case (k, v, _) => model(k) = v }
+          case 9 => // SQL MERGE WITH SCHEMA EVOLUTION: the source carries
+            // a NEW nullable column; the analyzer routes the add through
+            // alterTable's evolution rules (schema version bump) and the
+            // merge proceeds under the evolved schema, in either
+            // row-level mode
+            if (!cat.tableExists("main", "t")) {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
+            setSqlDmlMode(sqlCat, rnd.nextBoolean())
+            // star actions: evolution expands them AFTER the new column
+            // lands (explicit `t.mN = s.mN` cannot resolve pre-evolution)
+            df(rows).withColumn(s"m$step",
+                org.apache.spark.sql.functions.lit(step.toLong))
+              .createOrReplaceTempView(s"mc_esrc_$seed")
+            spark.sql(
+              s"""MERGE WITH SCHEMA EVOLUTION INTO $sqlCat.main.t AS t
+                 |USING mc_esrc_$seed AS s ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *
                  |""".stripMargin)
             rows.foreach { case (k, v, _) => model(k) = v }
           case 8 => // evolving upsert: a NEW nullable column appears

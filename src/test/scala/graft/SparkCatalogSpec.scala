@@ -540,6 +540,41 @@ class SparkCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 301)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's new nullable column") {
+    val cat = freshCatalog("gmse")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    Seq((2L, "b2", 20L), (3L, "c", 30L)).toDF("id", "v", "score")
+      .createOrReplaceTempView("gmse_src")
+
+    // without the evolution clause the schema must NOT change (the star
+    // actions map the target's columns; the extra source column is
+    // dropped)
+    spark.sql("""MERGE INTO gmse.main.t AS t USING gmse_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(cat.loadTable("main", "t").metadata.schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gmse.main.t AS t
+      USING gmse_src AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // schema evolved through the engine's rules (nullable append),
+    // committed as a schema version; old rows null-fill
+    val got = spark.sql("SELECT id, v, score FROM gmse.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b2", Some(20L)),
+      (3L, "c", Some(30L))))
+    val m = cat.loadTable("main", "t").metadata
+    assert(m.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(m.schema("score").nullable)
+    assert(m.schemaVersion == 2, s"evolution must bump the schema version")
+  }
+
   test("graft.primary-key claims are validated, not trusted") {
     val cat = freshCatalog("gpkv")
     val w = new GraftWriter(cat)
