@@ -108,7 +108,9 @@ final case class CatalogConfig(
 
   /** Open the catalog. `file://` resolves to the directory-backed
     * [[GraftCatalog]]; REST/SQL validate fully, then fail with a clean,
-    * non-retryable error (no connectivity in this environment). */
+    * non-retryable error (no connectivity in this environment — use
+    * [[openRestClient]] for the REST wire path against an in-process
+    * [[RestCatalogServer]]). */
   def open(spark: SparkSession): GraftCatalog = {
     validated
     kind match {
@@ -117,6 +119,17 @@ final case class CatalogConfig(
       case k =>
         throw new CatalogUnavailableError(k, uri)
     }
+  }
+
+  /** The `rest` scheme's real client: control plane over HTTP (DDL,
+    * metadata, commit CAS), data plane direct to storage. Auth follows
+    * this config's precedence — OAuth2 client credentials against
+    * `oauth2ServerUri`, else the bearer `token`, else anonymous. */
+  def openRestClient(): RestCatalogClient = {
+    validated
+    if (kind != CatalogKind.RestKind)
+      throw new ValidationError(s"not a REST catalog uri: $uri")
+    RestCatalogClient.connect(this)
   }
 }
 

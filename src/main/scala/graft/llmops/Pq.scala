@@ -173,8 +173,11 @@ object Pq {
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       iters: Int = 4, dim: Int = 64, rerank: Int = 4,
+      emitShortlist: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe <= nlist, "nprobe must not exceed nlist")
+    require(!emitShortlist || rerank > 1,
+      "shortlist staging needs the exact-rerank tail")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = ensureRegistered(embeddings)
@@ -254,6 +257,7 @@ object Pq {
     val shortlist = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k * rerank)
       .select(col("query_id"), col("nbr_id"))
+    if (emitShortlist) return shortlist
     val qv = qRows.toSeq.toDF("query_id", "qv")
     val full = e.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("v"))
     full.join(broadcast(shortlist), Seq("nbr_id"))
@@ -274,10 +278,18 @@ object Pq {
     * from codes alone, then ONLY those |Q|·k·rerank vectors are read at
     * full precision for the final cosine — the full corpus is never
     * scanned at query time. `rerank = 1` disables refinement. */
+  /** `emitShortlist = true` returns the ADC shortlist pairs
+    * (query_id, nbr_id) instead of the reranked top-k — the staged-
+    * oracle hook: an external engine re-derives the exact top-k over the
+    * SAME shortlist, so ADC selection and exact rescoring are both
+    * under the hash check. Requires `rerank > 1` (the final scores must
+    * be exact cosines for an exact oracle to match). */
   def adcTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       m: Int = 8, ksub: Int = 16, iters: Int = 4, dim: Int = 64,
-      rerank: Int = 4,
+      rerank: Int = 4, emitShortlist: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(!emitShortlist || rerank > 1,
+      "shortlist staging needs the exact-rerank tail")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val books = codebooks(embeddings, m, ksub, iters, dim, idCol, vecCol)
@@ -321,6 +333,7 @@ object Pq {
       val shortlist = scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k * rerank)
         .select(col("query_id"), col("nbr_id"))
+      if (emitShortlist) return shortlist
       // exact rescoring of the shortlist ONLY: broadcast the |Q|·k·rerank
       // candidate ids against the corpus, read those full vectors once
       val qv = qRows.toSeq.toDF("query_id", "qv")

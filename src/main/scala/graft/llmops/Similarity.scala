@@ -319,6 +319,18 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** The (query_id, nbr_id) candidate pairs [[ivfTopK]] scores — the
+    * probed-list join without the scoring tail. Staged as parquet, an
+    * external oracle can verify the exact top-k over the SAME candidate
+    * sets (and any drift between this derivation and [[ivfTopK]]'s shows
+    * up as a result mismatch, so the check is self-sealing). */
+  def ivfCandidatePairs(embeddings: DataFrame, queries: DataFrame,
+      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(embeddings, queries, k = Int.MaxValue, nlist, nprobe, dim,
+      idCol, vecCol)
+      .select(col("query_id"), col("nbr_id"))
+
   /** ANN top-k via multi-table LSH: candidates = union over tables of
     * same-bucket vectors, scored exactly, per-query top-k. Recall versus
     * `bruteForceTopK` follows the multi-table S-curve (pinned in the
@@ -350,6 +362,16 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /** The (query_id, nbr_id) candidate pairs [[lshTopK]] scores — union
+    * over tables of same-bucket pairs. Same self-sealing staged-oracle
+    * role as [[ivfCandidatePairs]]. */
+  def lshCandidatePairs(embeddings: DataFrame, queries: DataFrame,
+      numPlanes: Int = 4, tables: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshTopK(embeddings, queries, k = Int.MaxValue, numPlanes, tables, dim,
+      idCol, vecCol)
+      .select(col("query_id"), col("nbr_id"))
 
   /** Reciprocal-rank fusion of N retrieval rankings (hybrid search: e.g.
     * BM25 lexical ranks fused with embedding-cosine ranks). Each input

@@ -22,6 +22,34 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
+  /** Fixed staging root for oracle-side intermediates (the DuckDB oracle
+    * reads the path literally from the entry's SQL): a Spark-computed
+    * set not derivable in portable SQL — ANN candidate pairs — lands
+    * here and the oracle verifies the downstream computation over it. */
+  private val OracleStageRoot = "/tmp/graft-oracle-stage"
+
+  private def stageForOracle(df: DataFrame, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$OracleStageRoot/$name")
+
+  /** Exact top-3 cosine over the staged candidate pairs — l9's oracle
+    * restricted to the candidate sets, so staging and scoring must agree
+    * bit-for-bit for the hash to match. */
+  private def annCandidateOracle(name: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cand AS (SELECT DISTINCT query_id, nbr_id
+       |  FROM read_parquet('$OracleStageRoot/$name/*.parquet')),
+       |s AS (SELECT cand.query_id, cand.nbr_id,
+       |    list_cosine_similarity(ev.v, qv.v) AS c
+       |  FROM cand
+       |  JOIN e ev ON ev.vec_id = cand.nbr_id
+       |  JOIN e qv ON qv.vec_id = cand.query_id),
+       |r AS (SELECT query_id, nbr_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nbr_id) AS rnk
+       |  FROM s)
+       |SELECT query_id, nbr_id, round(c, 4) AS cosine, rnk AS rank
+       |FROM r WHERE rnk <= 3""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
 
     // --- text analysis ---
@@ -397,24 +425,34 @@ object LlmQueries {
     // lookup-table join. Deterministic codebooks, but driver-side k-means
     // isn't portable SQL — rows-only here; recall vs l9 brute force and
     // bit-replay determinism are pinned in PqSpec.
+    // PQ ADC, staged-shortlist oracle: k-means codebooks have no SQL
+    // form, but the FINAL answer is an exact-cosine top-k over the ADC
+    // shortlist — stage the shortlist pairs, DuckDB re-derives the top-k
+    // over the same candidates. Recall/memory bounds stay in PqSpec.
     "l41_ann_pq" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        graft.llmops.Pq.adcTopK(e, e.filter(col("vec_id") < 10), k = 3)
+        val q = e.filter(col("vec_id") < 10)
+        stageForOracle(graft.llmops.Pq.adcTopK(e, q, k = 3,
+          emitShortlist = true), "l41_candidates")
+        graft.llmops.Pq.adcTopK(e, q, k = 3)
       },
-      None)),
+      Some(annCandidateOracle("l41_candidates")))),
 
     // IVF-PQ composite (the FAISS production shape): coarse lists bound
     // per-query candidates to ~nprobe/nlist of the corpus, PQ codes bound
     // index memory to m bytes/vector, exact re-ranking bounds the
-    // full-precision reads to the shortlist. Rows-only; recall pinned in
-    // PqSpec.
+    // full-precision reads to the shortlist. Staged-shortlist oracle,
+    // same pattern as l41; recall pinned in PqSpec.
     "l43_ann_ivfpq" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        graft.llmops.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 3)
+        val q = e.filter(col("vec_id") < 10)
+        stageForOracle(graft.llmops.Pq.ivfPqTopK(e, q, k = 3,
+          emitShortlist = true), "l43_candidates")
+        graft.llmops.Pq.ivfPqTopK(e, q, k = 3)
       },
-      None)),
+      Some(annCandidateOracle("l43_candidates")))),
 
     // DSIR importance weighting (Xie et al. 2023): per-doc mean
     // log-likelihood ratio of md5-bucket hashed unigrams, target = the
@@ -664,21 +702,58 @@ object LlmQueries {
         |FROM reach GROUP BY id""".stripMargin))),
 
     // SimHash near-dup: custom 64-bit hashing, rows-only check
+    // SimHash near-dup pairs, staged-fingerprint oracle: the xxhash64
+    // feature hashing is not portable SQL, but GIVEN the per-doc 64-bit
+    // fingerprints the whole banding + hamming pipeline is — stage the
+    // fingerprints, DuckDB re-derives the banded pairs and distances.
     "l8_simhash" -> ((
-      (s: SparkSession, dir: String) =>
-        Dedup.simHashPairs(docs(s, dir), maxHamming = 3),
-      None)),
+      (s: SparkSession, dir: String) => {
+        stageForOracle(Dedup.simHash(docs(s, dir))
+          .select(col("doc_id"), col("simhash")), "l8_simhash")
+        Dedup.simHashPairs(docs(s, dir), maxHamming = 3)
+      },
+      Some(s"""WITH s AS (SELECT doc_id, simhash
+        |  FROM read_parquet('$OracleStageRoot/l8_simhash/*.parquet')),
+        |b AS (SELECT doc_id, simhash, band,
+        |    (simhash >> (band * 16)) & 65535 AS bucket
+        |  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)),
+        |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+        |  FROM b x JOIN b y
+        |    ON x.band = y.band AND x.bucket = y.bucket
+        |   AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(hamming AS INT) AS hamming
+        |FROM p WHERE hamming <= 3""".stripMargin))),
 
     // SemDeDup: deterministic k-means over embeddings, then cosine
-    // near-dup pruning WITHIN clusters only — k-means has no SQL oracle
-    // (rows-only); SemanticDedupSpec pins the distributed assignment to
-    // an exact driver-side Lloyd replay, determinism across runs, planted
-    // exact-duplicate recall, and pruning precision vs direct cosine
+    // near-dup pruning WITHIN clusters only. Staged-assignment oracle:
+    // the k-means itself has no SQL form, but GIVEN the cluster
+    // assignments the within-cluster pruning rule and stats are exact
+    // SQL — stage (vec_id, cluster), DuckDB re-derives pruned counts.
+    // SemanticDedupSpec still pins the Lloyd replay and determinism.
     "l39_semantic_dedup" -> ((
-      (s: SparkSession, dir: String) =>
-        SemanticDedup.clusterStats(emb(s, dir), k = 8, iters = 5,
-          threshold = 0.4),
-      None)),
+      (s: SparkSession, dir: String) => {
+        val sd = SemanticDedup.semanticDedup(emb(s, dir), k = 8, iters = 5,
+          threshold = 0.4)
+        stageForOracle(sd.select(col("vec_id"), col("cluster")), "l39_assign")
+        sd.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH asg AS (SELECT vec_id, cluster
+        |  FROM read_parquet('$OracleStageRoot/l39_assign/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pruned AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4)
+        |SELECT cluster, COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN asg.vec_id IN (SELECT vec_id FROM pruned)
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+        |FROM asg GROUP BY cluster ORDER BY cluster""".stripMargin))),
 
     // --- similarity search ---
     "l9_sim_topk" -> ((
@@ -729,24 +804,33 @@ object LlmQueries {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.95""".stripMargin))),
 
-    // LSH-bucketed ANN: rows-only check; recall pinned in LlmOpsSpec
+    // LSH-bucketed ANN, staged-candidate oracle: the bucketing itself
+    // (xxhash64 random planes) is not expressible in portable SQL, so
+    // the Spark-computed candidate PAIRS are staged as parquet and
+    // DuckDB verifies the exact top-k over the SAME candidate sets —
+    // any drift between staging and scoring surfaces as a hash
+    // mismatch. Recall vs brute force stays pinned in LlmOpsSpec.
     "l11_ann_lsh" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3,
-          numPlanes = 4, tables = 8)
+        val q = e.filter(col("vec_id") < 10)
+        stageForOracle(Similarity.lshCandidatePairs(e, q,
+          numPlanes = 4, tables = 8), "l11_candidates")
+        Similarity.lshTopK(e, q, k = 3, numPlanes = 4, tables = 8)
       },
-      None)),
+      Some(annCandidateOracle("l11_candidates")))),
 
-    // IVF ANN (coarse quantization + nprobe lists): rows-only check;
-    // recall pinned in LlmOpsSpec alongside the LSH variant
+    // IVF ANN (coarse quantization + nprobe lists): same staged-candidate
+    // oracle pattern as l11; recall pinned in LlmOpsSpec
     "l20_ann_ivf" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
-          nlist = 16, nprobe = 4)
+        val q = e.filter(col("vec_id") < 10)
+        stageForOracle(Similarity.ivfCandidatePairs(e, q,
+          nlist = 16, nprobe = 4), "l20_candidates")
+        Similarity.ivfTopK(e, q, k = 3, nlist = 16, nprobe = 4)
       },
-      None)),
+      Some(annCandidateOracle("l20_candidates")))),
 
     // nested-type surface: list column access and folds on both engines
     "l13_array_surface" -> ((

@@ -571,17 +571,22 @@ object WriteQueries {
         val fromCsv = s.read.option("header", "true").schema(schema).csv(s"$base/csv")
         val fromJson = s.read.schema(schema).json(s"$base/json")
         val fromOrc = s.read.schema(schema).orc(s"$base/orc")
+        // DECIMAL sum: a double SUM over millions of rows accumulates
+        // order-dependent FP error that crosses the 2dp rounding boundary
+        // at sf1 magnitudes (~1e11) — exact decimals are engine- and
+        // order-independent (the q49 pattern)
         Seq(("csv", fromCsv), ("json", fromJson), ("orc", fromOrc))
           .map { case (fmt, df) =>
             df.groupBy(col("o_orderstatus"))
               .agg(count(lit(1)).as("n"),
-                round(sum(col("o_totalprice")), 2).cast("double").as("revenue"))
+                sum(col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").as("revenue"))
               .withColumn("fmt", lit(fmt))
           }.reduce(_ unionByName _)
           .select(col("fmt"), col("o_orderstatus"), col("n"), col("revenue"))
       },
       """SELECT fmt, o_orderstatus, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
         |GROUP BY fmt, o_orderstatus""".stripMargin)),

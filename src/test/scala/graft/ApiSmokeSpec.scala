@@ -36,11 +36,13 @@ class ApiSmokeSpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     assert(qs.size >= 60)
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // rows-only entries are the documented six (custom hashing / sampled
-    // centroids / iterative k-means that portable SQL can't express;
-    // semantics pinned in LlmOpsSpec, SemanticDedupSpec, and PqSpec)
-    assert((qs.keySet -- SparkEntry.oracleSql.keySet) ==
-      Set("l8_simhash", "l11_ann_lsh", "l20_ann_ivf", "l39_semantic_dedup",
-        "l41_ann_pq", "l43_ann_ivfpq"))
+    // EVERY entry carries an oracle: the six formerly rows-only ANN/
+    // dedup entries (custom hashing / sampled centroids / iterative
+    // k-means that portable SQL can't express) now stage their
+    // Spark-computed candidates/fingerprints/assignments to
+    // /tmp/graft-oracle-stage and the oracle verifies the downstream
+    // exact computation over the staged sets (self-sealing: staging
+    // drift surfaces as a hash mismatch)
+    assert((qs.keySet -- SparkEntry.oracleSql.keySet) == Set.empty)
   }
 }

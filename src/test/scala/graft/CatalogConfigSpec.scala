@@ -61,6 +61,83 @@ class CatalogConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("REST round-trip: DDL, load commit, and read-back over HTTP") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-rest-wh-").toString
+    // OAuth2 client-credentials end to end: the server issues bearers
+    // from /v1/oauth/tokens; the client fetches one per its config
+    val server = new RestCatalogServer(spark, wh,
+      credential = Some("svc:hunter2")).start()
+    try {
+      val client = CatalogConfig(
+        uri = server.uri,
+        credential = Some("svc:hunter2"),
+        oauth2ServerUri = Some(s"${server.uri}/v1/oauth/tokens")).openRestClient()
+
+      assert(client.config().get("warehouse").contains(wh))
+      client.createNamespace("main")
+      assert(client.namespaceExists("main"))
+      assert(client.listNamespaces().contains("main"))
+
+      val schema = Seq((0L, "")).toDF("id", "v").schema
+      client.createTable("main", "t", schema)
+      assert(client.listTables("main") == Seq("t"))
+      assert(client.tableExists("main", "t"))
+
+      // commit a load: parquet staged direct to storage, snapshot CAS
+      // over HTTP
+      val m1 = client.appendLoad(spark, "main", "t",
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "l1")
+      assert(m1.currentSnapshotId.isDefined)
+      val m2 = client.appendLoad(spark, "main", "t",
+        Seq((3L, "c")).toDF("id", "v"), "l2")
+      assert(m2.snapshots.size == 2)
+
+      // read back THROUGH the wire metadata...
+      assert(client.loadMetadata("main", "t").currentFiles.map(_.rowCount).sum == 3)
+      // ...and through a local engine catalog over the same warehouse
+      val local = new GraftCatalog(spark, wh)
+      assert(local.loadTable("main", "t").read()
+        .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+      // CAS conflict: a commit built on a stale base is refused with 409
+      val stale = m1 // built on snapshot 1, table is at snapshot 2
+      val e = intercept[ValidationError] {
+        client.commit("main", "t", stale.currentSnapshotId, stale)
+      }
+      assert(e.getMessage.contains("409"), e.getMessage)
+
+      client.dropTable("main", "t")
+      assert(!client.tableExists("main", "t"))
+    } finally server.stop()
+  }
+
+  test("REST auth: bad credentials and missing bearer are rejected") {
+    val wh = Files.createTempDirectory("graft-rest-auth-").toString
+    val server = new RestCatalogServer(spark, wh,
+      staticToken = Some("sesame")).start()
+    try {
+      // wrong token -> 401 surfaces as a loud error
+      val bad = CatalogConfig(uri = server.uri, token = Some("nope"))
+        .openRestClient()
+      val e = intercept[ValidationError] { bad.listNamespaces() }
+      assert(e.getMessage.contains("401"), e.getMessage)
+      // right token works
+      val good = CatalogConfig(uri = server.uri, token = Some("sesame"))
+        .openRestClient()
+      good.createNamespace("main")
+      assert(good.namespaceExists("main"))
+      // bad OAuth credentials are refused at token issue time
+      val e2 = intercept[ValidationError] {
+        CatalogConfig(uri = server.uri, credential = Some("svc:wrong"),
+          oauth2ServerUri = Some(s"${server.uri}/v1/oauth/tokens"))
+          .openRestClient()
+      }
+      assert(e2.getMessage.contains("401") ||
+        e2.getMessage.contains("invalid_client"), e2.getMessage)
+    } finally server.stop()
+  }
+
   test("file:// opens a working catalog; REST/SQL fail cleanly offline") {
     val wh = Files.createTempDirectory("graft-cfg-")
     val cat = CatalogConfig(s"file://$wh").open(spark)
