@@ -43,6 +43,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+    // make V1-shim scan statistics visible to join planning (see
+    // ScanStats.scala); catalog initialization is the one hook that runs
+    // before any graft SQL plan exists in this session
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(V1ScanStatsRule.register)
   }
 
   override def name(): String = catalogName

@@ -177,7 +177,8 @@ final class GraftV2Table(
           GraftV2Table.v1ScanOf(out, ctx =>
             MorRead.read(ctx.sparkSession, committedSchema,
                 morFiles, morDeletes, morPosDeletes)
-              .select(out.fieldNames.map(col).toIndexedSeq: _*)).build()
+              .select(out.fieldNames.map(col).toIndexedSeq: _*),
+            Some(fileStats)).build()
         }
       } else {
         val out = required.getOrElse(StructType(committedSchema.fields :+
@@ -202,9 +203,14 @@ final class GraftV2Table(
               org.apache.spark.sql.classic.GraftSqlShims.column(bound))
           }
           df.select(out.fieldNames.map(col).toIndexedSeq: _*)
-        }).build()
+        }, Some(fileStats)).build()
       }
   }
+
+  /** Exact table footprint from commit-time footer stats (pre-delete
+    * upper bound under MoR — sound for join sizing). */
+  private def fileStats: org.apache.spark.sql.connector.read.Statistics =
+    ScanStats.of(morFiles.map(_.sizeBytes).sum, morFiles.map(_.rowCount).sum)
 
   /** `DELETE FROM <table> WHERE <cond>` — routed through the engine's
     * predicate-delete path. Mode comes from the `graft.delete.mode`
@@ -290,6 +296,11 @@ object GraftV2Table {
     * batch scan. Shared by the CoW and delta operations. */
   def wrapV1(inner: ScanBuilder): ScanBuilder = new ScanBuilder {
     override def build(): Scan = inner.build() match {
+      case v1: V1Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        new StatsV1ScanWrapper(v1, Nil,
+          org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
+            None, None, None, None, Nil, Nil, Nil, None))
       case v1: V1Scan =>
         org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(v1, Nil,
           org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
@@ -300,22 +311,37 @@ object GraftV2Table {
 
   /** One V1Scan shim for every DataFrame-backed read path (the MoR
     * fallback scan and the metadata tables): a ScanBuilder whose scan
-    * materializes `mkDf(ctx)` through a V1 TableScan relation. */
+    * materializes `mkDf(ctx)` through a V1 TableScan relation. When
+    * `stats` is provided the scan reports it (exact commit-time footer
+    * sizes), and [[V1ScanStatsRule]] carries it through Spark's
+    * stats-less `V1ScanWrapper` so a small MoR table can still broadcast
+    * in joins. */
   def v1ScanOf(outSchema: StructType,
-      mkDf: SQLContext => org.apache.spark.sql.DataFrame): ScanBuilder =
+      mkDf: SQLContext => org.apache.spark.sql.DataFrame,
+      stats: Option[org.apache.spark.sql.connector.read.Statistics] = None):
+      ScanBuilder = {
+    trait Shim extends V1Scan {
+      override def readSchema(): StructType = outSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = outSchema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            mkDf(context).rdd
+        }.asInstanceOf[T]
+    }
     new ScanBuilder {
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = outSchema
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = outSchema
-            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              mkDf(context).rdd
-          }.asInstanceOf[T]
+      override def build(): Scan = stats match {
+        case Some(st) => new Shim
+            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          override def estimateStatistics():
+              org.apache.spark.sql.connector.read.Statistics = st
+        }
+        case None => new Shim {}
       }
     }
+  }
 
   /** V1 `Filter` → `Column` translation for the delete path; `None`
     * marks a filter the engine cannot express, which makes
@@ -355,5 +381,5 @@ final class GraftMetaTable(tableName: String,
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftV2Table.v1ScanOf(df.schema, _ => df)
+    GraftV2Table.v1ScanOf(df.schema, _ => df, Some(ScanStats.ofLocal(df)))
 }

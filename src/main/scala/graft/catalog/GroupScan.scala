@@ -171,7 +171,17 @@ final class GroupScan(
     tableSchema: StructType,
     required: StructType,
     state: GroupScanState) extends Scan with Batch
-  with SupportsRuntimeV2Filtering {
+  with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Candidate-set footprint from footer stats, so Spark sizes the
+    * MERGE/UPDATE join over this scan instead of assuming Long.MaxValue.
+    * Read at logical planning (before runtime `_file` narrowing) — the
+    * pre-filter bound is conservative, never under-reported. */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    ScanStats.of(state.candidates.map(_.sizeBytes).sum,
+      state.candidates.map(_.rowCount).sum)
 
   private val withFile = required.fieldNames.contains(GroupScan.FileColumn)
   private val dataSchema =
