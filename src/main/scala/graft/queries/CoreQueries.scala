@@ -193,11 +193,15 @@ object CoreQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY n.n_name""".stripMargin,
 
-    // TPC-H Q7 shape: volume shipping between two nations by year
+    // TPC-H Q7 shape: volume shipping between two nations by year.
+    // q49 DECIMAL pattern: the sum is exact (order-independent), so the
+    // final double round sees bit-identical input on both engines — no
+    // epsilon.
     "q30_tpch7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS DOUBLE)
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
         |    AS volume
         |FROM supplier s
         |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
