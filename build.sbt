@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout as JSON. Two sbt behaviors break that:
+// the logger prefixes forked-process lines with "[info] ", and batch mode
+// appends "[success] Total time: ..." AFTER the JSON line (every
+// BENCH_r1..r7 artifact shows parsed:null because of it). Pass the child's
+// streams through verbatim and drop the success banner so the bench JSON
+// is the last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,8 +55,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val loadAfter = loadavg1m()
     // loadavg above ~1.5x the worker count means external contention:
-    // numbers are not comparable across rounds (threshold in BASELINE.md)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"queries_raw":$raw}""")
+    // numbers are not comparable across rounds (threshold in BASELINE.md).
+    // Per-run raw times go to stderr: the stdout contract is ONE compact
+    // JSON line, and it must be the last stdout line for the driver's
+    // parse (see build.sbt outputStrategy/showSuccess).
+    System.err.println(s"""{"queries_raw":$raw}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Base-table access for the driver-provided parquet test tables
   * (TESTDATA.md). Mirrors the reference's per-query view registration
@@ -14,8 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The driver's 2026-08-13 testdata regen writes parquet timestamps
+    * without the adjusted-to-UTC flag, which Spark 4 infers as
+    * TIMESTAMP_NTZ. Structured Streaming watermarks and `unix_micros`
+    * reject NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — this silently
+    * dropped s1/s4/s5/s6/q34 from CORRECTNESS_r07). The session time
+    * zone is pinned to UTC, so casting NTZ→TIMESTAMP preserves every
+    * wall-clock value; rounds 1-6 ran green with TimestampType
+    * throughout, making this the proven representation. */
+  private[graft] def ntzToUtc(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name != "events") spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") ntzToUtc(spark.read.parquet(s"$dir/$name.parquet"))
     else {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy
@@ -33,8 +48,8 @@ object Tables {
         try spark.read.parquet(s"$dir/$name.parquet")
         finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
       if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+        ntzToUtc(raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      else ntzToUtc(raw)
     }
 
   // Re-registering 10 parquet tables (footer reads + schema inference) per

@@ -17,14 +17,17 @@ object StreamQueries {
     * partition per operator, and every micro-batch pays a checkpoint
     * commit per store — so state partitioning is sized to the stream's
     * keyspace/throughput, not inherited from the batch default. The conf
-    * is pinned into the checkpoint at first batch; save/restore it around
-    * the whole run (the foreachBatch commits inside also see the stream
-    * sizing, which matches their micro-batch-sized inputs). */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, n.toString)
-    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    * is pinned into the checkpoint at first batch. The body runs on a
+    * CLONED session (`newSession()` shares the SparkContext, isolates
+    * SQLConf): the old save/flip/restore on the shared session raced
+    * with whatever else that session was running — the driver's Verify
+    * executes 4 queries concurrently, and a parallel spec suite saw its
+    * approx-quantile partitioning perturbed mid-flight. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)
+      (body: SparkSession => T): T = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(iso)
   }
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -108,11 +111,11 @@ object StreamQueries {
     // store — sizing to the keyspace, not the batch default, is the knob
     // (s5 keeps 8: its dedup state is event-id-sized)
     "s4_stream_watermarked" -> ((
-      (s: SparkSession, dir: String) => withStatePartitions(s, 4) {
-        val cat = new GraftCatalog(s,
+      (s: SparkSession, dir: String) => withStatePartitions(s, 4) { iso =>
+        val cat = new GraftCatalog(iso,
           Files.createTempDirectory("graft-s4-").toString)
         val loader = new graft.streaming.StreamingLoader(cat)
-        val src = StreamingLoader.eventsChunkedStream(s, dir, chunks = 4)
+        val src = StreamingLoader.eventsChunkedStream(iso, dir, chunks = 4)
         // merge-on-read: each micro-batch commits its staged rows + ONE
         // delete-key file instead of rewriting the windows it re-emits —
         // the trickle-upsert shape MoR exists for (O(batch) commit IO;
@@ -140,11 +143,11 @@ object StreamQueries {
     // bounded aggregation state. Committed through the same foreachBatch
     // protocol; the oracle is the equivalent batch self-join.
     "s6_stream_stream_join" -> ((
-      (s: SparkSession, dir: String) => withStatePartitions(s, 4) {
-        val cat = new GraftCatalog(s,
+      (s: SparkSession, dir: String) => withStatePartitions(s, 4) { iso =>
+        val cat = new GraftCatalog(iso,
           Files.createTempDirectory("graft-s6-").toString)
         val loader = new graft.streaming.StreamingLoader(cat)
-        val src = StreamingLoader.eventsChunkedStream(s, dir, chunks = 4)
+        val src = StreamingLoader.eventsChunkedStream(iso, dir, chunks = 4)
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id"), col("event_id").as("view_id"),
             col("ts").as("view_ts"))
@@ -176,11 +179,11 @@ object StreamQueries {
     // state, unlike a global dropDuplicates. The committed table must
     // equal the original (duplicate-free) events relation.
     "s5_stream_dedup" -> ((
-      (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
-        val cat = new GraftCatalog(s,
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) { iso =>
+        val cat = new GraftCatalog(iso,
           Files.createTempDirectory("graft-s5-").toString)
         val loader = new graft.streaming.StreamingLoader(cat)
-        val src = StreamingLoader.eventsChunkedStream(s, dir, chunks = 4,
+        val src = StreamingLoader.eventsChunkedStream(iso, dir, chunks = 4,
           duplicateRows = true)
         val deduped = src
           .withWatermark("ts", "1 hour")

@@ -99,9 +99,12 @@ object StreamingLoader {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // NTZ→UTC after the nanos rebuild: watermarks reject TIMESTAMP_NTZ
+    // (same normalization as graft.Tables.t; session TZ is UTC)
+    graft.Tables.ntzToUtc(
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw)
   }
 
   /** Schema of a parquet file that may carry TIMESTAMP(NANOS) columns,
@@ -172,10 +175,12 @@ object StreamingLoader {
     val isolated = spark.newSession()
     isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = isolated.read.parquet(s"$dir/events.parquet")
-    val ev =
+    // NTZ→UTC before staging, so the staged chunks (and every stream
+    // schema derived from them) carry watermark-compatible TIMESTAMP
+    val ev = graft.Tables.ntzToUtc(
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      else raw)
     val streamDir = registerTempDir(
       java.nio.file.Files.createTempDirectory("graft-events-chunks-"))
     val withDups = if (duplicateRows) ev.unionAll(ev) else ev
