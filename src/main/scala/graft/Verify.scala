@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -20,12 +21,14 @@ object Verify {
     // overlap scheduling gaps — cuts wall time roughly in half.
     val parallelism = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            failures.put(name, String.valueOf(e.getMessage))
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })
@@ -47,6 +50,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A thrown query leaves NO output dir, which the driver's compare
+    // reports by omission — round 7 lost 5 entries this way without any
+    // visible signal. Persist the failure map (empty {} on a clean run)
+    // and shout on stdout so a dropped query is always loud.
+    val failJson = failures.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_failures.json"), failJson)
+    if (!failures.isEmpty)
+      println(s"[verify] ${failures.size} QUERIES FAILED: " +
+        failures.asScala.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }
