@@ -30,7 +30,8 @@ import scala.jdk.CollectionConverters._
   * so exposing it would silently bypass merge semantics — deliberately
   * unsupported).
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -51,6 +52,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  /** V2 function catalog surface: exactly the transforms the engine's
+    * partition layout uses. Storage-partitioned-join planning resolves
+    * each side's reported `bucket(N, col)` through here and treats the
+    * sides as co-partitioned iff both bind to the same canonical
+    * function — which they do, because both are THIS function. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      graft.functions.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def nsOf(ident: Identifier): String = ident.namespace().mkString(".")
 

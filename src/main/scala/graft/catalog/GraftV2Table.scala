@@ -155,10 +155,14 @@ final class GraftV2Table(
         case _ => Array.empty
       }
 
+    private var aggPushed = false
+
     override def pushAggregation(
         aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
       inner match {
-        case Some(p: SupportsPushDownAggregates) => p.pushAggregation(aggregation)
+        case Some(p: SupportsPushDownAggregates) =>
+          aggPushed = p.pushAggregation(aggregation)
+          aggPushed
         case _ => false
       }
 
@@ -171,7 +175,18 @@ final class GraftV2Table(
 
     override def build(): Scan =
       if (!fileRequested) {
-        inner.map(_.build()).getOrElse {
+        inner.map { b =>
+          val scan = b.build()
+          // Storage-partitioned-join report (SpjScan): only on the clean
+          // parquet hot path (no MoR deletes — `inner` is defined — and
+          // no pushed aggregate, whose scan schema is the agg result),
+          // and only when the session opts into V2 bucketing, so a
+          // conf-off plan is byte-identical to the pre-SPJ one.
+          if (!aggPushed &&
+              org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
+            SpjScan.wrap(scan, partitionSpec, committedSchema, morFiles)
+          else scan
+        }.getOrElse {
           // MoR fallback: column-pruned through the delete application
           val out = required.getOrElse(committedSchema)
           GraftV2Table.v1ScanOf(out, ctx =>

@@ -604,7 +604,54 @@ object WriteQueries {
       },
       """SELECT 'load-1' AS load_id, 's1' AS schema_name, CAST(0 AS BIGINT) AS status
         |UNION ALL
-        |SELECT 'load-2' AS load_id, 's1' AS schema_name, CAST(0 AS BIGINT) AS status""".stripMargin))
+        |SELECT 'load-2' AS load_id, 's1' AS schema_name, CAST(0 AS BIGINT) AS status""".stripMargin)),
+
+    // Storage-partitioned join: orders and customer co-bucketed on the
+    // customer key join + aggregate with ZERO shuffles on either side —
+    // the scan reports KeyGroupedPartitioning (SpjScan) and Spark plans
+    // the sort-merge join on the layout the writer already paid for. At
+    // 100 TB this deletes the dominant cost of a recurring fact-fact
+    // join. The in-query require PINS shuffle-freedom: a planner or
+    // layout regression fails the entry rather than silently shuffling.
+    "w25_spj_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-spjq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        val bcfg = WriteConfig(retryUnitMs = 10, partitions =
+          Seq(graft.partition.PartitionHint.bucket(8, "custkey")))
+        w.writeTable("main", "orders_b",
+          Seq(t(s, dir, "orders").select(
+            col("o_custkey").as("custkey"), col("o_orderkey"),
+            col("o_totalprice"))), Append, bcfg, "l1")
+        w.writeTable("main", "customer_b",
+          Seq(t(s, dir, "customer").select(
+            col("c_custkey").as("custkey"), col("c_name"),
+            col("c_mktsegment"))), Append, bcfg, "l2")
+        // session-isolated SPJ opt-in (v2 bucketing is session-global;
+        // the shared Verify session must not see it)
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_spj",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_spj.warehouse", wh)
+        iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = iso.sql("""SELECT c.custkey, c.c_mktsegment,
+          |  COUNT(*) AS n_orders,
+          |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue
+          |FROM graft_spj.main.orders_b o
+          |JOIN graft_spj.main.customer_b c ON o.custkey = c.custkey
+          |GROUP BY c.custkey, c.c_mktsegment""".stripMargin)
+        val nShuffles = graft.plans.PlanOps.shuffles(df)
+        require(nShuffles == 0,
+          s"storage-partitioned join must be shuffle-free, got $nShuffles")
+        df
+      },
+      """SELECT c.c_custkey AS custkey, c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

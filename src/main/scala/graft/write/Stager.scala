@@ -80,12 +80,30 @@ object Stager {
     val dest = dataDir.resolve(s"$loadId-${java.util.UUID.randomUUID().toString.take(8)}")
 
     val schema = df.schema
+    // Partitioned writes are VALUE-EXACT (Iceberg fanout-writer layout):
+    // each data file holds exactly one partition tuple, achieved by
+    // staging through `partitionBy` on reserved derived columns (pulled
+    // into directory names, so the data-file schema is untouched). This
+    // is what makes a file's derived-column stats single-valued — the
+    // contract [[graft.catalog.SpjScan]] needs to map file → partition
+    // key for storage-partitioned joins, and it tightens min/max pruning
+    // to exact partition pruning. File count per load = distinct tuples
+    // in the load (the spec author bounds cardinality — that is what
+    // bucket[N]/temporal transforms are for); `maxRecordsPerFile` still
+    // caps size within a tuple.
+    val partitionCols: Seq[String] =
+      if (preshaped || spec.isEmpty) Nil
+      else spec.map(s => s"__graft_p_${s.name}")
     val clustered =
       if (preshaped) df // caller already shaped the layout (e.g. zorder
                         // within partitions); spec still drives the stats
-      else if (spec.nonEmpty)
-        df.repartition(spec.map(s =>
-          Transforms.expression(s, schema(s.source).dataType)): _*)
+      else if (spec.nonEmpty) {
+        val withCols = spec.zip(partitionCols).foldLeft(df) {
+          case (d, (s, pc)) =>
+            d.withColumn(pc, Transforms.expression(s, schema(s.source).dataType))
+        }
+        withCols.repartition(partitionCols.map(col): _*)
+      }
       else if (clusterBy.nonEmpty)
         // range-cluster by key so each file covers a narrow key range —
         // future merges prune the affected-file set tightly by min/max
@@ -96,10 +114,13 @@ object Stager {
     // write.target-file-size knob): a 1000-executor load must not emit
     // multi-GB files that defeat split planning. Small-file MERGING is
     // AQE's shuffle coalescing + Maintenance.compact, not this bound.
-    val writer =
+    val writerBase =
       if (maxRecordsPerFile > 0)
         clustered.write.option("maxRecordsPerFile", maxRecordsPerFile)
       else clustered.write
+    val writer =
+      if (partitionCols.nonEmpty) writerBase.partitionBy(partitionCols: _*)
+      else writerBase
     writer.parquet(dest.toString)
 
     val files = graft.catalog.PathIO.walk(dest)

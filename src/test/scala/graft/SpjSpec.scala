@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Storage-partitioned joins: two graft tables co-bucketed on the join
+  * key sort-merge join with ZERO shuffle on either side once the session
+  * opts into `spark.sql.sources.v2.bucketing.enabled` — the
+  * KeyGroupedPartitioning contract of [[SpjScan]] plus the `bucket`
+  * function catalog resolution in [[GraftSparkCatalog]]. Conf off must
+  * reproduce the exact pre-SPJ plan (shuffled), and results must match
+  * in both modes. */
+class SpjSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Conf-isolated session with the graft catalog registered and SPJ
+    * opted in (broadcast off so the join shape is sort-merge, where the
+    * shuffle elimination is observable). */
+  private def spjSession(name: String, wh: String, enabled: Boolean): SparkSession = {
+    val iso = spark.newSession()
+    iso.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftSparkCatalog].getName)
+    iso.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", enabled.toString)
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso
+  }
+
+  /** Count every shuffle in the final adaptive plan. AQE hides executed
+    * exchanges inside leaf `QueryStageExec` nodes, so a plain collect
+    * over the tree sees zero — recurse through stage plans explicitly. */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE finalization so the counted plan is the real one
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def count(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case q: QueryStageExec => count(q.plan)
+      case r: ReusedExchangeExec => count(r.child)
+      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def writeBucketed(cat: GraftCatalog): Unit = {
+    import spark.implicits._
+    val w = new GraftWriter(cat)
+    val facts = (1 to 4000).map(i =>
+      (i.toLong % 97, i.toLong, s"f$i", (i % 13).toDouble))
+      .toDF("k", "seq", "tag", "v")
+    val dims = (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "label")
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "k")))
+    w.writeTable("main", "facts", Seq(facts), Append, cfg, "l1")
+    w.writeTable("main", "dims", Seq(dims), Append, cfg, "l2")
+  }
+
+  test("co-bucketed join runs shuffle-free with v2 bucketing on; conf off shuffles; results agree") {
+    val wh = Files.createTempDirectory("graft-spj-").toString
+    writeBucketed(new GraftCatalog(spark, wh))
+
+    val sql = """SELECT f.k, d.label, COUNT(*) AS n, SUM(f.v) AS sv
+                |FROM spjon.main.facts f JOIN spjon.main.dims d ON f.k = d.k
+                |GROUP BY f.k, d.label""".stripMargin
+
+    val on = spjSession("spjon", wh, enabled = true)
+    val dfOn = on.sql(sql)
+    val nOn = shuffles(dfOn)
+    assert(nOn == 0, s"expected shuffle-free SPJ plan, got $nOn shuffles:\n" +
+      dfOn.queryExecution.executedPlan)
+
+    val off = spjSession("spjon", wh, enabled = false)
+    val dfOff = off.sql(sql)
+    assert(shuffles(dfOff) > 0, "conf-off plan should shuffle (pre-SPJ shape)")
+
+    val a = dfOn.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val b = dfOff.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.length == 97)
+  }
+
+  test("group-by on the bucketed key aggregates without an exchange") {
+    val wh = Files.createTempDirectory("graft-spj-agg-").toString
+    writeBucketed(new GraftCatalog(spark, wh))
+    val on = spjSession("spjagg", wh, enabled = true)
+    val df = on.sql(
+      "SELECT k, COUNT(*) AS n FROM spjagg.main.facts GROUP BY k")
+    assert(shuffles(df) == 0,
+      s"bucketed group-by should satisfy clustering:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(_.getLong(1)).sum == 4000L)
+  }
+
+  test("identity-partitioned tables also report key-grouped partitioning") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-id-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.identity("grp")))
+    val left = (1 to 900).map(i => (i % 7, i.toLong)).toDF("grp", "x")
+    val right = (0 until 7).map(g => (g, s"g$g")).toDF("grp", "name")
+    w.writeTable("main", "l", Seq(left), Append, cfg, "l1")
+    w.writeTable("main", "r", Seq(right), Append, cfg, "l2")
+
+    val on = spjSession("spjid", wh, enabled = true)
+    val df = on.sql("""SELECT l.grp, r.name, SUM(l.x) AS sx
+      |FROM spjid.main.l l JOIN spjid.main.r r ON l.grp = r.grp
+      |GROUP BY l.grp, r.name""".stripMargin)
+    assert(shuffles(df) == 0,
+      s"identity SPJ should be shuffle-free:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().length == 7)
+  }
+
+  test("MoR deletes and unpartitioned tables stay on the unwrapped path") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-mor-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    // unpartitioned: never wrapped, conf on or off
+    w.writeTable("main", "plain", Seq((1 to 100).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, WriteConfig(retryUnitMs = 1), "l1")
+    val on = spjSession("spjmor", wh, enabled = true)
+    assert(on.sql("SELECT COUNT(*) FROM spjmor.main.plain")
+      .collect()(0).getLong(0) == 100L)
+    // bucketed + an outstanding MoR delete: scan must fall back (deletes
+    // applied via the V1 shim) and still answer correctly
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "id")))
+    w.writeTable("main", "bm", Seq((1 to 100).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, cfg, "l2")
+    w.writeTable("main", "bm", Seq(Seq((5L, 500)).toDF("id", "v")),
+      Merge("upsert"), cfg, "l3")
+    val rows = on.sql("SELECT id, v FROM spjmor.main.bm WHERE id IN (4, 5)")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((4L, 4), (5L, 500)))
+  }
+}
