@@ -128,7 +128,18 @@ object Dedup {
     * sharing at least one shingle ever meet), then J = |∩| / |∪|.
     * At corpus scale, cap pathological shingle frequency with
     * `maxShingleFreq` (stop-shingle removal) — off by default so the
-    * result is exactly the mathematical Jaccard relation. */
+    * result is exactly the mathematical Jaccard relation.
+    *
+    * Measured negative result (r8, sf1 = 50k docs): a PPJoin-style
+    * prefix-filter rewrite (rarest-first global order, prefix-only
+    * candidate join, per-candidate `array_intersect` verification) ran
+    * 49-62 s vs 27.6 s for this counting formulation. At t=0.5 the
+    * prefix is ~half of every shingle set (weak filtering), and
+    * shipping both full shingle arrays per candidate through the
+    * verification shuffle costs more than the narrower candidate join
+    * saves. The aggregation here keeps every shuffled row at 24 bytes;
+    * the scale levers for hot corpora remain `maxShingleFreq` (l18) and
+    * MinHash-LSH (l7). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = maxShingleFreq.fold(hashedShingles(docs, n, textCol)) { cap =>

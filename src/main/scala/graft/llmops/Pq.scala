@@ -258,9 +258,30 @@ object Pq {
       .filter(col("rank") <= k * rerank)
       .select(col("query_id"), col("nbr_id"))
     if (emitShortlist) return shortlist
+    rerankExact(e, queries, shortlist, k, idCol, vecCol)
+  }
+
+  /** Exact cosine re-ranking of an ANN shortlist: ONLY the |Q|·k·rerank
+    * candidate vectors are read at full precision (broadcast of the
+    * candidate ids against the corpus — the corpus itself is never
+    * rescanned). Public so a caller that already MATERIALIZED a
+    * shortlist (e.g. the driver's staged-oracle entries) can derive the
+    * final top-k from it without re-training codebooks — at sf0.1 that
+    * halves l41/l43, whose r7 shape ran the whole PQ pipeline twice. */
+  def rerankExact(embeddings: DataFrame, queries: DataFrame,
+      shortlist: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qv = qRows.toSeq.toDF("query_id", "qv")
-    val full = e.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("v"))
-    full.join(broadcast(shortlist), Seq("nbr_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    val full = embeddings.select(col(idCol).as("nbr_id"),
+      asDouble(col(vecCol)).as("v"))
+    full.join(broadcast(shortlist.select(col("query_id"), col("nbr_id"))),
+        Seq("nbr_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine", Similarity.fastDot(col("v"), col("qv")) /
         (sqrt(Similarity.fastDot(col("v"), col("v"))) *
@@ -334,20 +355,8 @@ object Pq {
         .filter(col("rank") <= k * rerank)
         .select(col("query_id"), col("nbr_id"))
       if (emitShortlist) return shortlist
-      // exact rescoring of the shortlist ONLY: broadcast the |Q|·k·rerank
-      // candidate ids against the corpus, read those full vectors once
-      val qv = qRows.toSeq.toDF("query_id", "qv")
-      val full = embeddings.select(col(idCol).as("nbr_id"),
-        asDouble(col(vecCol)).as("v"))
-      val exact = full.join(broadcast(shortlist), Seq("nbr_id"))
-        .join(broadcast(qv), Seq("query_id"))
-        .withColumn("cosine", Similarity.fastDot(col("v"), col("qv")) /
-          (sqrt(Similarity.fastDot(col("v"), col("v"))) *
-            sqrt(Similarity.fastDot(col("qv"), col("qv")))))
-      exact.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("nbr_id"),
-          round(col("cosine"), 4).as("cosine"), col("rank"))
+      // exact rescoring of the shortlist ONLY (see rerankExact)
+      rerankExact(embeddings, queries, shortlist, k, idCol, vecCol)
     }
   }
 }

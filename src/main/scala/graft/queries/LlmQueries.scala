@@ -435,7 +435,10 @@ object LlmQueries {
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(graft.llmops.Pq.adcTopK(e, q, k = 3,
           emitShortlist = true), "l41_candidates")
-        graft.llmops.Pq.adcTopK(e, q, k = 3)
+        // derive the final top-k from the STAGED shortlist — codebooks
+        // train once, and result/oracle provably share one candidate set
+        graft.llmops.Pq.rerankExact(e, q,
+          s.read.parquet(s"$OracleStageRoot/l41_candidates"), k = 3)
       },
       Some(annCandidateOracle("l41_candidates")))),
 
@@ -450,7 +453,9 @@ object LlmQueries {
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(graft.llmops.Pq.ivfPqTopK(e, q, k = 3,
           emitShortlist = true), "l43_candidates")
-        graft.llmops.Pq.ivfPqTopK(e, q, k = 3)
+        // final top-k from the staged shortlist (see l41)
+        graft.llmops.Pq.rerankExact(e, q,
+          s.read.parquet(s"$OracleStageRoot/l43_candidates"), k = 3)
       },
       Some(annCandidateOracle("l43_candidates")))),
 
