@@ -821,7 +821,10 @@ object LlmQueries {
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(Similarity.lshCandidatePairs(e, q,
           numPlanes = 4, tables = 8), "l11_candidates")
-        Similarity.lshTopK(e, q, k = 3, numPlanes = 4, tables = 8)
+        // exact top-k over the STAGED candidates (same scoring tail as
+        // lshTopK; buckets hash once, result/oracle share one set)
+        graft.llmops.Pq.rerankExact(e, q,
+          s.read.parquet(s"$OracleStageRoot/l11_candidates"), k = 3)
       },
       Some(annCandidateOracle("l11_candidates")))),
 
@@ -833,7 +836,9 @@ object LlmQueries {
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(Similarity.ivfCandidatePairs(e, q,
           nlist = 16, nprobe = 4), "l20_candidates")
-        Similarity.ivfTopK(e, q, k = 3, nlist = 16, nprobe = 4)
+        // exact top-k over the staged candidates (see l11)
+        graft.llmops.Pq.rerankExact(e, q,
+          s.read.parquet(s"$OracleStageRoot/l20_candidates"), k = 3)
       },
       Some(annCandidateOracle("l20_candidates")))),
 

@@ -120,6 +120,32 @@ class SpjSpec extends AnyFunSuite {
     assert(df.collect().length == 7)
   }
 
+  test("one-sided SPJ: only the non-bucketed side shuffles, through the V2 bucket function") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-one-").toString
+    writeBucketed(new GraftCatalog(spark, wh))
+    val on = spjSession("spjone", wh, enabled = true)
+    // storage-partitioned side + a plain (unbucketed) in-memory side:
+    // with v2 bucketing shuffle enabled Spark evaluates OUR bucket
+    // function (GraftBucketFunction.produceResult) to route the plain
+    // side into the facts table's existing layout — one shuffle total,
+    // and none on the bucketed scan
+    on.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    locally {
+      import on.implicits._
+      (0L until 97L).map(k => (k, k * 2)).toDF("k", "w")
+        .createOrReplaceTempView("plain_on")
+    }
+    val df = on.sql("""SELECT f.k, COUNT(*) AS n, SUM(p.w) AS sw
+      |FROM spjone.main.facts f JOIN plain_on p ON f.k = p.k
+      |GROUP BY f.k""".stripMargin)
+    val n = shuffles(df)
+    assert(n == 1,
+      s"one-sided SPJ should shuffle only the plain side, got $n:\n" +
+        df.queryExecution.executedPlan)
+    assert(df.collect().length == 97)
+  }
+
   test("MoR deletes and unpartitioned tables stay on the unwrapped path") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-mor-").toString
