@@ -46,6 +46,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // several operators cache intermediates (shingle sets, LSH buckets)
+      // that stay referenced for the session: without clearing, 127
+      // queries accumulate executor-memory pressure and the LATER
+      // entries' numbers measure GC debt, not their plans (sf1: q26
+      // printed 18.5 s inside the suite vs 8.7 s isolated). Clearing
+      // between entries makes each number a cold-cache measurement of
+      // that query alone.
+      spark.catalog.clearCache()
       name -> times
     }
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }

@@ -146,6 +146,46 @@ class SpjSpec extends AnyFunSuite {
     assert(df.collect().length == 97)
   }
 
+  test("join keys covering only part of the partition tuple still SPJ with the subset conf") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-sub-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    // two-field spec: bucket on the join key PLUS an identity field the
+    // join does not mention
+    val cfg = WriteConfig(retryUnitMs = 1, partitions = Seq(
+      graft.partition.PartitionHint.bucket(4, "k"),
+      graft.partition.PartitionHint.identity("side")))
+    val l = (1 to 2000).map { i =>
+      val k = i.toLong % 53
+      (k, if (k % 2 == 0) "e" else "o", i.toLong)
+    }.toDF("k", "side", "x")
+    val r = (0L until 53L).map(k => (k, if (k % 2 == 0) "e" else "o",
+      s"r$k")).toDF("k", "side", "name")
+    w.writeTable("main", "l", Seq(l), Append, cfg, "l1")
+    w.writeTable("main", "r", Seq(r), Append, cfg, "l2")
+    val on = spjSession("spjsub", wh, enabled = true)
+    on.conf.set(
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
+      "true")
+    on.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // subset-key compatibility is additionally gated on relaxing the
+    // all-cluster-keys co-partition requirement
+    on.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // NOTE: every partition SOURCE column must survive column pruning on
+    // both scans — Spark resolves the reported transforms against the
+    // scan output and drops the whole KeyGroupedPartitioning if any key
+    // (here identity(side)) fails to resolve. Referencing l.side/r.side
+    // in the aggregate keeps them projected.
+    val df = on.sql("""SELECT l.k, SUM(l.x) AS sx,
+      |  MIN(l.side) AS ls, MIN(r.side) AS rs
+      |FROM spjsub.main.l l JOIN spjsub.main.r r ON l.k = r.k
+      |GROUP BY l.k""".stripMargin)
+    assert(shuffles(df) == 0,
+      s"subset-key SPJ should be shuffle-free:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().length == 53)
+  }
+
   test("MoR deletes and unpartitioned tables stay on the unwrapped path") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-mor-").toString
