@@ -59,13 +59,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * sides as co-partitioned iff both bind to the same canonical
     * function — which they do, because both are THIS function. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      ("bucket" +: graft.functions.GraftTemporalFunctions.names)
+        .map(n => Identifier.of(Array.empty, n)).toArray
     else Array.empty
 
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name() == "bucket")
       graft.functions.GraftBucketFunction
+    else if (ident.namespace().isEmpty)
+      graft.functions.GraftTemporalFunctions.forName(ident.name())
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

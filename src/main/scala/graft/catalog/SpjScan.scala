@@ -44,12 +44,18 @@ object SpjScan {
   def wrap(scan: Scan, spec: Seq[PartitionFieldSpec], schema: StructType,
       files: Seq[DataFile]): Scan = {
     if (spec.isEmpty || files.isEmpty) return scan
-    if (!spec.forall(s => s.transform == "identity" || s.transform == "bucket"))
-      return scan
+    val supported = Set("identity", "bucket", "year", "month", "day", "hour")
+    if (!spec.forall(s => supported.contains(s.transform))) return scan
+    // derived stat type per transform — must agree with the canonical
+    // stat encoding (TableMetadata.statTypeOf / Stager.statColumn)
     val fieldTypes: Seq[DataType] = spec.map { s =>
-      if (s.transform == "bucket") IntegerType
-      else schema.fields.find(_.name == s.source).map(_.dataType)
-        .getOrElse(return scan)
+      s.transform match {
+        case "bucket" | "year" => IntegerType
+        case "month" | "hour" => StringType
+        case "day" => DateType
+        case _ => schema.fields.find(_.name == s.source).map(_.dataType)
+          .getOrElse(return scan)
+      }
     }
     val decoded: Seq[(String, (String, InternalRow))] = files.map { f =>
       val vals = spec.zip(fieldTypes).map { case (s, dt) =>
@@ -65,9 +71,15 @@ object SpjScan {
       normPath(f.path) -> (tupleId, row)
     }
     val keyExprs: Array[V2Expression] = spec.map { s =>
-      if (s.transform == "bucket")
-        Expressions.bucket(s.param.getOrElse(return scan), s.source)
-      else Expressions.identity(s.source)
+      s.transform match {
+        case "bucket" =>
+          Expressions.bucket(s.param.getOrElse(return scan), s.source)
+        case "year" => Expressions.years(s.source)
+        case "month" => Expressions.months(s.source)
+        case "day" => Expressions.days(s.source)
+        case "hour" => Expressions.hours(s.source)
+        case _ => Expressions.identity(s.source)
+      }
     }.toArray
     val nKeys = decoded.map(_._2._1).distinct.size
     new GroupedScan(scan, keyExprs, decoded.toMap, nKeys)

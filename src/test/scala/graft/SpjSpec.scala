@@ -186,6 +186,32 @@ class SpjSpec extends AnyFunSuite {
     assert(df.collect().length == 53)
   }
 
+  test("day-partitioned tables join on ts equality shuffle-free (temporal transforms)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-day-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.day("ts")))
+    val mk = (i: Int) => java.sql.Timestamp.valueOf(
+      s"2026-01-${"%02d".format(1 + i % 9)} 0${i % 10}:00:00")
+    val a = (1 to 900).map(i => (mk(i), i.toLong)).toDF("ts", "x")
+    val b = (1 to 900 by 3).map(i => (mk(i), s"b$i")).toDF("ts", "tag")
+    w.writeTable("main", "a", Seq(a), Append, cfg, "l1")
+    w.writeTable("main", "b", Seq(b), Append, cfg, "l2")
+    val on = spjSession("spjday", wh, enabled = true)
+    // equal ts implies equal days(ts): the ts-equality join is
+    // co-partitioned by the temporal transform, resolved through the
+    // catalog's days() V2 function
+    val df = on.sql("""SELECT a.ts, COUNT(*) AS n, SUM(a.x) AS sx
+      |FROM spjday.main.a a JOIN spjday.main.b b ON a.ts = b.ts
+      |GROUP BY a.ts""".stripMargin)
+    assert(shuffles(df) == 0,
+      s"day-partitioned ts join should be shuffle-free:\n" +
+        df.queryExecution.executedPlan)
+    assert(df.collect().nonEmpty)
+  }
+
   test("MoR deletes and unpartitioned tables stay on the unwrapped path") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-mor-").toString
