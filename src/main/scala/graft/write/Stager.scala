@@ -92,18 +92,22 @@ object Stager {
     // bucket[N]/temporal transforms are for); `maxRecordsPerFile` still
     // caps size within a tuple.
     val partitionCols: Seq[String] =
-      if (preshaped || spec.isEmpty) Nil
+      if (spec.isEmpty) Nil
       else spec.map(s => s"__graft_p_${s.name}")
-    val clustered =
-      if (preshaped) df // caller already shaped the layout (e.g. zorder
-                        // within partitions); spec still drives the stats
-      else if (spec.nonEmpty) {
-        val withCols = spec.zip(partitionCols).foldLeft(df) {
-          case (d, (s, pc)) =>
-            d.withColumn(pc, Transforms.expression(s, schema(s.source).dataType))
-        }
-        withCols.repartition(partitionCols.map(col): _*)
+    def withDerived(d: DataFrame): DataFrame =
+      spec.zip(partitionCols).foldLeft(d) { case (acc, (s, pc)) =>
+        acc.withColumn(pc, Transforms.expression(s, schema(s.source).dataType))
       }
+    val clustered =
+      if (preshaped) withDerived(df)
+        // caller already shaped the layout (e.g. zorder within
+        // partitions: range keys lead with the partition transforms, so
+        // rows arrive per-tuple-contiguous); partitionBy below still
+        // splits value-exact dirs WITHOUT reshuffling, preserving the
+        // caller's intra-partition order — a zordered table keeps SPJ
+        // eligibility
+      else if (spec.nonEmpty)
+        withDerived(df).repartition(partitionCols.map(col): _*)
       else if (clusterBy.nonEmpty)
         // range-cluster by key so each file covers a narrow key range —
         // future merges prune the affected-file set tightly by min/max

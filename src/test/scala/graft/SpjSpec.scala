@@ -212,6 +212,21 @@ class SpjSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("zorder keeps the value-exact layout: a zordered table still joins shuffle-free") {
+    val wh = Files.createTempDirectory("graft-spj-z-").toString
+    val cat = new GraftCatalog(spark, wh)
+    writeBucketed(cat)
+    assert(graft.write.Maintenance.zorder(cat.loadTable("main", "facts"),
+      Seq("seq", "v"), targetFiles = 8, retryUnitMs = 1))
+    val on = spjSession("spjz", wh, enabled = true)
+    val df = on.sql("""SELECT f.k, COUNT(*) AS n
+      |FROM spjz.main.facts f JOIN spjz.main.dims d ON f.k = d.k
+      |GROUP BY f.k""".stripMargin)
+    assert(shuffles(df) == 0,
+      s"post-zorder SPJ should stay shuffle-free:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().length == 97)
+  }
+
   test("MoR deletes and unpartitioned tables stay on the unwrapped path") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-mor-").toString
