@@ -44,7 +44,8 @@ object SpjScan {
   def wrap(scan: Scan, spec: Seq[PartitionFieldSpec], schema: StructType,
       files: Seq[DataFile]): Scan = {
     if (spec.isEmpty || files.isEmpty) return scan
-    val supported = Set("identity", "bucket", "year", "month", "day", "hour")
+    val supported =
+      Set("identity", "bucket", "year", "month", "day", "hour", "truncate")
     if (!spec.forall(s => supported.contains(s.transform))) return scan
     // derived stat type per transform — must agree with the canonical
     // stat encoding (TableMetadata.statTypeOf / Stager.statColumn)
@@ -78,6 +79,12 @@ object SpjScan {
         case "month" => Expressions.months(s.source)
         case "day" => Expressions.days(s.source)
         case "hour" => Expressions.hours(s.source)
+        // width baked into the function name: a literal-argument report
+        // fails Spark's leaves-must-be-join-keys clustering check (see
+        // GraftTemporalFunctions.TruncateUnbound)
+        case "truncate" => Expressions.apply(
+          s"truncate_${s.param.getOrElse(return scan)}",
+          Expressions.column(s.source))
         case _ => Expressions.identity(s.source)
       }
     }.toArray

@@ -227,6 +227,26 @@ class SpjSpec extends AnyFunSuite {
     assert(df.collect().length == 97)
   }
 
+  test("truncate-partitioned tables join shuffle-free through the V2 truncate function") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-tr-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.truncate(4, "code")))
+    val a = (1 to 800).map(i => (s"PRE${i % 37}_x$i", i.toLong)).toDF("code", "x")
+    val b = (1 to 800 by 5).map(i => (s"PRE${i % 37}_x$i", s"t$i")).toDF("code", "tag")
+    w.writeTable("main", "a", Seq(a), Append, cfg, "l1")
+    w.writeTable("main", "b", Seq(b), Append, cfg, "l2")
+    val on = spjSession("spjtr", wh, enabled = true)
+    val df = on.sql("""SELECT a.code, COUNT(*) AS n
+      |FROM spjtr.main.a a JOIN spjtr.main.b b ON a.code = b.code
+      |GROUP BY a.code""".stripMargin)
+    assert(shuffles(df) == 0,
+      s"truncate SPJ should be shuffle-free:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().length == 160)
+  }
+
   test("MoR deletes and unpartitioned tables stay on the unwrapped path") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-mor-").toString
