@@ -126,9 +126,14 @@ object GraftTemporalFunctions {
     private def localDateTime(row: InternalRow): LocalDateTime = in match {
       case DateType =>
         LocalDate.ofEpochDay(row.getInt(0).toLong).atStartOfDay()
-      case _ => // micros since epoch, UTC wall clock (sessions pin UTC)
-        LocalDateTime.ofInstant(
-          Instant.EPOCH.plusNanos(row.getLong(0) * 1000L), ZoneOffset.UTC)
+      case _ => // micros since epoch, UTC wall clock (sessions pin UTC).
+        // Split into seconds + nanos-of-second: a micros*1000 nano
+        // conversion overflows Long past 2262-04-11, silently mis-keying
+        // far-future timestamps (e.g. a 9999-12-31 sentinel) on the
+        // shuffle side of a one-sided SPJ.
+        val us = row.getLong(0)
+        LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
     }
 
     override def produceResult(input: InternalRow): Any = {

@@ -258,7 +258,7 @@ object Pq {
       .filter(col("rank") <= k * rerank)
       .select(col("query_id"), col("nbr_id"))
     if (emitShortlist) return shortlist
-    rerankExact(e, queries, shortlist, k, idCol, vecCol)
+    rerankExactRows(e, qRows, shortlist, k, idCol, vecCol)
   }
 
   /** Exact cosine re-ranking of an ANN shortlist: ONLY the |Q|·k·rerank
@@ -270,11 +270,20 @@ object Pq {
     * halves l41/l43, whose r7 shape ran the whole PQ pipeline twice. */
   def rerankExact(embeddings: DataFrame, queries: DataFrame,
       shortlist: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rerankExactRows(embeddings,
+      queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      shortlist, k, idCol, vecCol)
+
+  /** Re-rank against ALREADY-collected query vectors — the internal ANN
+    * paths collect `qRows` once for the LUT/probe build and must not pay
+    * (or re-execute) the query-side plan a second time here. */
+  private def rerankExactRows(embeddings: DataFrame,
+      qRows: Array[(Long, Array[Double])], shortlist: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qv = qRows.toSeq.toDF("query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
@@ -356,7 +365,7 @@ object Pq {
         .select(col("query_id"), col("nbr_id"))
       if (emitShortlist) return shortlist
       // exact rescoring of the shortlist ONLY (see rerankExact)
-      rerankExact(embeddings, queries, shortlist, k, idCol, vecCol)
+      rerankExactRows(embeddings, qRows, shortlist, k, idCol, vecCol)
     }
   }
 }

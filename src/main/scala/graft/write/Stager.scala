@@ -227,6 +227,19 @@ object Stager {
     }
   }
 
+  /** `input_file_name()` returns a URL-encoded `file:` URI while the
+    * staging walk yields literal filesystem paths. With `partitionBy`
+    * layouts the path embeds data-derived values (spaces, unicode, Hive
+    * `%XX` escapes), so scheme-stripping alone mismatches and a file
+    * would be treated as 0-row — i.e. silently dropped from the
+    * snapshot. Decode through `URI.getPath`; a literal path that is not
+    * URI-parseable (e.g. contains a raw space) is already canonical. */
   private def normalizeFileUri(p: String): String =
-    p.stripPrefix("file://").stripPrefix("file:")
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme != null && u.getPath != null) u.getPath else p
+    } catch {
+      case _: java.net.URISyntaxException =>
+        p.stripPrefix("file://").stripPrefix("file:")
+    }
 }

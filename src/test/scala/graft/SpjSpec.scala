@@ -31,23 +31,10 @@ class SpjSpec extends AnyFunSuite {
     iso
   }
 
-  /** Count every shuffle in the final adaptive plan. AQE hides executed
-    * exchanges inside leaf `QueryStageExec` nodes, so a plain collect
-    * over the tree sees zero — recurse through stage plans explicitly. */
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect() // force AQE finalization so the counted plan is the real one
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def count(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
-      case q: QueryStageExec => count(q.plan)
-      case r: ReusedExchangeExec => count(r.child)
-      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
-      case other => other.children.map(count).sum
-    }
-    count(df.queryExecution.executedPlan)
-  }
+  /** The production AQE-aware probe — the spec pins the same counter the
+    * driver entries use, so an AQE node-type fix reaches both. */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    graft.plans.PlanOps.shuffles(df)
 
   private def writeBucketed(cat: GraftCatalog): Unit = {
     import spark.implicits._
@@ -270,5 +257,59 @@ class SpjSpec extends AnyFunSuite {
     val rows = on.sql("SELECT id, v FROM spjmor.main.bm WHERE id IN (4, 5)")
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
     assert(rows.toSeq == Seq((4L, 4), (5L, 500)))
+  }
+
+  test("path-hostile identity partition values stage without row loss") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-esc-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    // spaces URL-encode in input_file_name(); ':' '=' '%' '#' Hive-escape
+    // to %XX in the directory name — the stats pass must reconcile all of
+    // them against the literal walk path or whole partitions silently
+    // vanish from the snapshot. (Non-ASCII values are excluded only
+    // because this container's JVM path charset is POSIX; encoding-wise
+    // they follow the same URL-decode route as the space case.)
+    val vals = Seq("North America", "a:b", "p%q", "x=y", "hash#tag", "plain")
+    val data = for { v <- vals; i <- 1 to 11 } yield (v, i.toLong)
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.identity("region")))
+    w.writeTable("main", "esc", Seq(data.toDF("region", "x")), Append, cfg, "l1")
+    val t = cat.loadTable("main", "esc")
+    assert(t.metadata.currentFiles.map(_.rowCount).sum == data.length.toLong,
+      "committed rows must equal staged input — an input_file_name()/walk " +
+        "path-encoding mismatch drops whole partitions as 0-row")
+    val back = t.read().select("region", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(back.sorted.toSeq == data.sorted)
+  }
+
+  test("temporal V2 functions agree with the write-side transform at the timestamp range edge") {
+    import graft.functions.GraftTemporalFunctions
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{DateType, IntegerType, StringType, TimestampType}
+    def at(y: Int, mo: Int, d: Int, h: Int): Long = {
+      val i = java.time.LocalDateTime.of(y, mo, d, h, 30, 15)
+        .toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    // 9999-12-31: micros * 1000 nanos overflows Long past 2262-04-11 — a
+    // naive Instant conversion silently mis-keys the shuffle side of a
+    // one-sided SPJ
+    val farUs = at(9999, 12, 31, 23)
+    val row = new GenericInternalRow(Array[Any](java.lang.Long.valueOf(farUs)))
+    val days = GraftTemporalFunctions.Bound("days", DateType, TimestampType)
+    assert(days.produceResult(row) ==
+      Integer.valueOf(java.time.LocalDate.of(9999, 12, 31).toEpochDay.toInt))
+    val years = GraftTemporalFunctions.Bound("years", IntegerType, TimestampType)
+    assert(years.produceResult(row) == Integer.valueOf(9999))
+    val hours = GraftTemporalFunctions.Bound("hours", StringType, TimestampType)
+    assert(hours.produceResult(row).toString == "9999-12-31-23")
+    // pre-epoch stays floor-correct (floorDiv/floorMod, not truncation)
+    val preUs = at(1965, 3, 2, 4)
+    val preRow = new GenericInternalRow(Array[Any](java.lang.Long.valueOf(preUs)))
+    assert(days.produceResult(preRow) ==
+      Integer.valueOf(java.time.LocalDate.of(1965, 3, 2).toEpochDay.toInt))
+    assert(hours.produceResult(preRow).toString == "1965-03-02-04")
   }
 }
