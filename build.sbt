@@ -39,3 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The spec tier stages its ANN oracle intermediates in its own directory
+// so a concurrent `sbt test` can never clobber a Verify/Bench run's
+// staged set under the default /tmp/graft-oracle-stage (the oracle SQL
+// embeds the path read at JVM start, so each JVM stays self-consistent).
+Test / javaOptions += "-Dgraft.oracle.stage.dir=/tmp/graft-oracle-stage-test"

@@ -58,18 +58,16 @@ object SpjScan {
           .getOrElse(return scan)
       }
     }
-    val decoded: Seq[(String, (String, InternalRow))] = files.map { f =>
+    val decoded: Seq[(String, FileKey)] = files.map { f =>
       val vals = spec.zip(fieldTypes).map { case (s, dt) =>
         decodeKey(f, s.name, dt).getOrElse(return scan)
       }
       // injective tuple id: length-prefixed value strings (a separator
       // collision would silently merge two partition groups)
-      val tupleId = vals.map {
-        case null => "~"
-        case v => { val s = v.toString; s.length.toString + ":" + s }
-      }.mkString("|")
+      val enc = vals.map(encode1).toArray
+      val tupleId = enc.mkString("|")
       val row: InternalRow = new GenericInternalRow(vals.toArray)
-      normPath(f.path) -> (tupleId, row)
+      normPath(f.path) -> FileKey(tupleId, row, enc)
     }
     val keyExprs: Array[V2Expression] = spec.map { s =>
       s.transform match {
@@ -88,8 +86,51 @@ object SpjScan {
         case _ => Expressions.identity(s.source)
       }
     }.toArray
-    val nKeys = decoded.map(_._2._1).distinct.size
-    new GroupedScan(scan, keyExprs, decoded.toMap, nKeys)
+    val nKeys = decoded.map(_._2.tupleId).distinct.size
+    new GroupedScan(scan, keyExprs, decoded.toMap, nKeys,
+      spec.zip(fieldTypes))
+  }
+
+  /** Per-field partition-key encoding shared by the tuple id and the
+    * runtime-pruning comparison: injective on values, null-distinct. */
+  private def encode1(v: Any): String = v match {
+    case null => "~"
+    case v => { val s = v.toString; s.length.toString + ":" + s }
+  }
+
+  /** A file's partition-tuple identity: the grouping id, the catalyst
+    * key row, and the per-field encoded values (for runtime pruning). */
+  private final case class FileKey(
+      tupleId: String, row: InternalRow, enc: Array[String])
+
+  /** Source-value → partition-key evaluator for one spec field — the
+    * SAME V2 functions Spark binds for SPJ routing, so a runtime join
+    * value is keyed exactly as the layout keyed the stored rows. None ⇒
+    * this field cannot participate in runtime pruning (never expected
+    * for a wrapped spec, which pre-validates transforms). */
+  private def fieldEval(s: PartitionFieldSpec, srcType: DataType): Option[Any => Any] = {
+    import graft.functions.{GraftBucketFunction, GraftTemporalFunctions}
+    def via(fname: String, out: DataType): Option[Any => Any] = {
+      val b = GraftTemporalFunctions.Bound(fname, out, srcType)
+      Some(v => b.produceResult(new GenericInternalRow(Array[Any](v))))
+    }
+    s.transform match {
+      case "identity" => Some(identity[Any])
+      case "bucket" => s.param.map { n =>
+        val b = GraftBucketFunction.Bound(srcType)
+        (v: Any) => b.produceResult(
+          new GenericInternalRow(Array[Any](Integer.valueOf(n), v)))
+      }
+      case "year" => via("years", IntegerType)
+      case "month" => via("months", StringType)
+      case "day" => via("days", DateType)
+      case "hour" => via("hours", StringType)
+      case "truncate" => s.param.map { w =>
+        val b = GraftTemporalFunctions.TruncateBound(srcType, w)
+        (v: Any) => b.produceResult(new GenericInternalRow(Array[Any](v)))
+      }
+      case _ => None
+    }
   }
 
   /** The file's single partition value for one derived column, as a
@@ -134,10 +175,12 @@ object SpjScan {
   private final class GroupedScan(
       inner: Scan,
       keyExprs: Array[V2Expression],
-      keyByPath: Map[String, (String, InternalRow)],
-      nKeys: Int)
+      keyByPath: Map[String, FileKey],
+      nKeys: Int,
+      fields: Seq[(PartitionFieldSpec, DataType)])
     extends Scan with Batch with SupportsReportPartitioning
-      with SupportsReportStatistics {
+      with SupportsReportStatistics
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String = s"graft-spj ${inner.description()}"
@@ -164,6 +207,56 @@ object SpjScan {
     override def outputPartitioning(): Partitioning =
       new KeyGroupedPartitioning(keyExprs, nKeys)
 
+    /** Dynamic partition pruning: the value-exact layout means a file
+      * whose partition key is outside the runtime IN-set provably holds
+      * no matching row, so it is never opened. This is what keeps a
+      * dim-filtered fact join at 100 TB from scanning every partition —
+      * the DSv2 analogue of Hive-layout DPP, driven by the SAME
+      * transform evaluation the SPJ report binds. Over-retention is
+      * always sound (the join re-filters); files are only dropped on a
+      * provable key mismatch. */
+    @volatile private var runtimeKept: Option[Set[String]] = None
+
+    override def filterAttributes(): Array[
+        org.apache.spark.sql.connector.expressions.NamedReference] =
+      fields.map(_._1.source).distinct
+        .filter(src => fields.forall { case (s, dt) =>
+          s.source != src || fieldEval(s, dt).isDefined })
+        .map(Expressions.column).toArray
+
+    override def filter(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      // field index -> allowed encoded key values, intersected across
+      // every delivered IN predicate
+      var allowed = Map.empty[Int, Set[String]]
+      predicates.foreach { p =>
+        if (p.name() == "IN") {
+          p.children().headOption match {
+            case Some(ref: org.apache.spark.sql.connector.expressions.NamedReference)
+                if ref.fieldNames().length == 1 =>
+              val colName = ref.fieldNames()(0)
+              val lits = p.children().drop(1).collect {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  l.value().asInstanceOf[Any]
+              }
+              fields.zipWithIndex.foreach { case ((s, dt), idx) =>
+                if (s.source == colName) fieldEval(s, dt).foreach { ev =>
+                  val keys = lits.map(v => encode1(if (v == null) null else ev(v))).toSet
+                  allowed = allowed.updated(idx,
+                    allowed.get(idx).fold(keys)(_ intersect keys))
+                }
+              }
+            case _ => ()
+          }
+        }
+      }
+      if (allowed.nonEmpty)
+        runtimeKept = Some(keyByPath.collect {
+          case (path, k) if allowed.forall { case (i, ok) => ok.contains(k.enc(i)) } =>
+            path
+        }.toSet)
+    }
+
     override def createReaderFactory(): PartitionReaderFactory =
       inner.toBatch.createReaderFactory()
 
@@ -178,15 +271,21 @@ object SpjScan {
       var idx = 0
       parts.foreach {
         case fp: FilePartition =>
-          val withKeys = fp.files.map { pf =>
-            val k = keyByPath.get(normPath(pf.urlEncodedPath))
-              .orElse(keyByPath.get(normPath(
-                java.net.URLDecoder.decode(pf.urlEncodedPath, "UTF-8"))))
-              .getOrElse(return parts)
-            pf -> k
+          val withKeys = fp.files.flatMap { pf =>
+            val p1 = normPath(pf.urlEncodedPath)
+            val resolved = keyByPath.get(p1).map(k => (p1, k)).orElse {
+              val p2 = normPath(
+                java.net.URLDecoder.decode(pf.urlEncodedPath, "UTF-8"))
+              keyByPath.get(p2).map(k => (p2, k))
+            }.getOrElse(return parts)
+            // runtime-pruned file: provably holds no matching partition
+            // key — skip it entirely (an empty group simply vanishes;
+            // Spark allows dropped values, never new ones)
+            if (runtimeKept.forall(_.contains(resolved._1))) Some(pf -> resolved._2)
+            else None
           }
-          withKeys.groupBy(_._2._1).foreach { case (_, pairs) =>
-            val key = pairs.head._2._2
+          withKeys.groupBy(_._2.tupleId).foreach { case (_, pairs) =>
+            val key = pairs.head._2.row
             out += new FilePartition(idx, pairs.map(_._1)) with HasPartitionKey {
               override def partitionKey(): InternalRow = key
             }

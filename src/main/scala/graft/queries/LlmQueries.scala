@@ -26,7 +26,10 @@ object LlmQueries {
     * reads the path literally from the entry's SQL): a Spark-computed
     * set not derivable in portable SQL — ANN candidate pairs — lands
     * here and the oracle verifies the downstream computation over it. */
-  private val OracleStageRoot = "/tmp/graft-oracle-stage"
+  private val OracleStageRoot =
+    sys.props.get("graft.oracle.stage.dir")
+      .orElse(sys.env.get("GRAFT_ORACLE_STAGE"))
+      .getOrElse("/tmp/graft-oracle-stage")
 
   private def stageForOracle(df: DataFrame, name: String): Unit =
     df.coalesce(1).write.mode("overwrite")

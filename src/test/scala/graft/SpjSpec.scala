@@ -259,6 +259,48 @@ class SpjSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((4L, 4), (5L, 500)))
   }
 
+  test("runtime partition pruning: a dim-filtered join opens only matching fact partitions") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-dpp-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val fact = (1 to 8000).map(i => (i % 8, i.toLong)).toDF("grp", "v")
+    val dim = (0 until 8).map(g => (g, s"g$g")).toDF("grp", "label")
+    w.writeTable("main", "fact", Seq(fact), Append,
+      WriteConfig(retryUnitMs = 1,
+        partitions = Seq(graft.partition.PartitionHint.identity("grp"))), "l1")
+    w.writeTable("main", "dim", Seq(dim), Append,
+      WriteConfig(retryUnitMs = 1), "l2")
+
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.spjdpp",
+      classOf[GraftSparkCatalog].getName)
+    s.conf.set("spark.sql.catalog.spjdpp.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // static plan so the scan node (and its metrics) are directly
+    // collectible; DPP itself is the classic broadcast-reuse path
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+
+    val df = s.sql("""SELECT COUNT(*) AS n
+      |FROM spjdpp.main.fact f JOIN spjdpp.main.dim d ON f.grp = d.grp
+      |WHERE d.label = 'g3'""".stripMargin)
+    assert(df.collect()(0).getLong(0) == 1000L)
+
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.description().startsWith("graft-spj") => b
+    }
+    assert(scans.nonEmpty, "fact scan should be SPJ-wrapped under the conf")
+    val factScan = scans.head
+    assert(factScan.runtimeFilters.nonEmpty,
+      s"DPP should inject a runtime filter into the fact scan:\n" +
+        df.queryExecution.executedPlan)
+    val rows = factScan.metrics("numOutputRows").value
+    assert(rows == 1000L,
+      s"runtime pruning should open only the matching partition's file(s); " +
+        s"scan produced $rows rows (8000 = unpruned)")
+  }
+
   test("path-hostile identity partition values stage without row loss") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-esc-").toString
