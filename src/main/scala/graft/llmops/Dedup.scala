@@ -139,7 +139,18 @@ object Dedup {
     * verification shuffle costs more than the narrower candidate join
     * saves. The aggregation here keeps every shuffled row at 24 bytes;
     * the scale levers for hot corpora remain `maxShingleFreq` (l18) and
-    * MinHash-LSH (l7). */
+    * MinHash-LSH (l7).
+    *
+    * Second measured negative result (r8, same corpus): replacing the
+    * post-explode `.distinct()` with per-row `array_distinct` (plus an
+    * inline set-size column enabling a J ≤ min/max size-ratio join
+    * prefilter) was ~0.5-7 s faster WARM but 262 s-in-one-stage cold —
+    * without the distinct's shuffle barrier, the cached shingle relation
+    * (now 3 columns, deserialized) evicts under the sf1 join's memory
+    * pressure and every recompute re-derives shingles from raw text
+    * instead of replaying a 24-byte-row shuffle. The distinct() below is
+    * load-bearing as a cheap recompute barrier, not just as set
+    * semantics. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = maxShingleFreq.fold(hashedShingles(docs, n, textCol)) { cap =>

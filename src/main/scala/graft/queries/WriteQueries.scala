@@ -651,7 +651,67 @@ object WriteQueries {
         |  COUNT(*) AS n_orders,
         |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin))
+        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin)),
+
+    // Dynamic partition pruning through the catalog scan: customer
+    // identity-partitioned on nation, nation dim filtered to one region —
+    // the runtime IN filter from the dim broadcast reaches the fact scan
+    // (SpjScan.SupportsRuntimeV2Filtering) and only the matching nations'
+    // value-exact files are ever opened. The in-query require PINS both
+    // the filter injection and the actual row-level pruning: the scan
+    // must emit exactly the surviving region's rows, strictly fewer than
+    // the table holds. At 100 TB this is what keeps a dim-filtered fact
+    // join from scanning every partition.
+    "w26_dpp_prune" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-dppq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "customer_p",
+          Seq(t(s, dir, "customer").select(col("c_custkey"),
+            col("c_nationkey"), col("c_acctbal"))),
+          Append, WriteConfig(retryUnitMs = 10, partitions =
+            Seq(graft.partition.PartitionHint.identity("c_nationkey"))), "l1")
+        w.writeTable("main", "nation_t",
+          Seq(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))), Append, WriteConfig(retryUnitMs = 10), "l2")
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_dpp",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_dpp.warehouse", wh)
+        iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // static plan so the scan node's metrics are directly collectible
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
+        val df = iso.sql("""SELECT n.n_name,
+          |  COUNT(*) AS n_cust,
+          |  CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+          |    AS acctbal
+          |FROM graft_dpp.main.customer_p c
+          |JOIN graft_dpp.main.nation_t n ON c.c_nationkey = n.n_nationkey
+          |WHERE n.n_regionkey = 2
+          |GROUP BY n.n_name""".stripMargin)
+        val expected = df.collect().map(_.getLong(1)).sum
+        val total = t(s, dir, "customer").count()
+        val factScans = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.scan.description().startsWith("graft-spj") => b
+        }
+        require(factScans.nonEmpty, "customer scan must be SPJ-wrapped")
+        require(factScans.head.runtimeFilters.nonEmpty,
+          "DPP must inject a runtime filter into the partitioned scan")
+        val scanned = factScans.head.metrics("numOutputRows").value
+        require(scanned == expected && scanned < total,
+          s"runtime pruning must open only the filtered region's " +
+            s"partitions: scanned $scanned, expected $expected of $total")
+        df
+      },
+      """SELECT n.n_name,
+        |  COUNT(*) AS n_cust,
+        |  CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_regionkey = 2
+        |GROUP BY n.n_name""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
