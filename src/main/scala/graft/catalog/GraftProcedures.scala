@@ -1,0 +1,175 @@
+package graft.catalog
+
+import java.util.{Collections, Iterator => JIterator}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance operations as Spark 4 SQL stored procedures
+  * (`ProcedureCatalog`), the idiomatic-Spark surface for what the
+  * reference delegates to PyIceberg utilities:
+  *
+  * {{{
+  * CALL graft.system.compact('main.users')
+  * CALL graft.system.zorder('main.events', 'user_id,ts')
+  * CALL graft.system.expire_snapshots('main.users', 5)
+  * CALL graft.system.vacuum_orphans('main.users', 0)
+  * CALL graft.system.rollback('main.users', 3)
+  * CALL graft.system.apply_deletes('main.users')
+  * }}}
+  *
+  * Each call runs the engine-native [[graft.write.Maintenance]] /
+  * [[GraftTable]] operation (distributed restage jobs, atomic snapshot
+  * commits with rebase-on-conflict) and returns a one-row result via
+  * `LocalScan`. Argument coercion, named arguments, and declared
+  * defaults are Spark's analyzer's job (`BindProcedures`), not re-done
+  * here. */
+object GraftProcedures {
+
+  /** Procedure namespace under the catalog: `cat.system.<name>`. */
+  val Namespace: Array[String] = Array("system")
+
+  val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
+    "vacuum_orphans", "rollback", "apply_deletes")
+
+  def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name match {
+      case "compact" => Some(Compact(cat))
+      case "zorder" => Some(Zorder(cat))
+      case "expire_snapshots" => Some(ExpireSnapshots(cat))
+      case "vacuum_orphans" => Some(VacuumOrphans(cat))
+      case "rollback" => Some(Rollback(cat))
+      case "apply_deletes" => Some(ApplyDeletes(cat))
+      case _ => None
+    }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, sql: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(sql).build()
+
+  private def tableOf(cat: GraftCatalog, raw: UTF8String): GraftTable = {
+    val parts = String.valueOf(raw).split("\\.")
+    require(parts.length == 2,
+      s"procedure table argument must be 'namespace.table', got '$raw'")
+    cat.loadTable(parts(0), parts(1))
+  }
+
+  /** One-row procedure result delivered through the DSv2 local-scan
+    * contract (driver-side literals; no job). */
+  private final case class Result(schema: StructType, values: Seq[Any])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      Array(new GenericInternalRow(values.toArray))
+  }
+
+  private def one(schema: StructType, values: Any*): JIterator[Scan] =
+    Collections.singletonList(Result(schema, values.toSeq): Scan).iterator()
+
+  /** Shared shape: every graft procedure is self-binding (fixed
+    * parameter list; Spark coerces arguments to the declared types). */
+  private sealed trait GraftProcedure extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private final case class Compact(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "bin-pack small data files; content-neutral compaction snapshot"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("small_file_bytes", LongType, (32L << 20).toString),
+      inDefault("target_file_bytes", LongType, (128L << 20).toString))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val compacted = graft.write.Maintenance.compact(t,
+        input.getLong(1), input.getLong(2))
+      one(StructType(Seq(StructField("compacted", BooleanType, nullable = false))),
+        java.lang.Boolean.valueOf(compacted))
+    }
+  }
+
+  private final case class Zorder(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "restage data in z-order on the given columns (comma-separated)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("columns", StringType),
+      inDefault("target_files", IntegerType, "0"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val cols = String.valueOf(input.getUTF8String(1))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val done = graft.write.Maintenance.zorder(t, cols, input.getInt(2))
+      one(StructType(Seq(StructField("reordered", BooleanType, nullable = false))),
+        java.lang.Boolean.valueOf(done))
+    }
+  }
+
+  private final case class ExpireSnapshots(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "drop snapshot history beyond keep_last (branch chains protected)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("keep_last", IntegerType, "1"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val removed = graft.write.Maintenance.expireSnapshots(t, input.getInt(1))
+      one(StructType(Seq(StructField("expired", IntegerType, nullable = false))),
+        Integer.valueOf(removed.size))
+    }
+  }
+
+  private final case class VacuumOrphans(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "vacuum_orphans"
+    override def description(): String =
+      "delete unreferenced data/delete files older than min_age_ms"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("min_age_ms", LongType,
+        graft.write.Maintenance.DefaultVacuumMinAgeMs.toString))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val deleted = graft.write.Maintenance.vacuumOrphans(t, input.getLong(1))
+      one(StructType(Seq(StructField("deleted", IntegerType, nullable = false))),
+        Integer.valueOf(deleted.size))
+    }
+  }
+
+  private final case class Rollback(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "point the table back at an earlier snapshot (new rollback commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("snapshot_id", LongType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val m = t.rollbackTo(input.getLong(1))
+      one(StructType(Seq(
+        StructField("current_snapshot_id", LongType, nullable = false))),
+        java.lang.Long.valueOf(m.currentSnapshotId.getOrElse(-1L)))
+    }
+  }
+
+  private final case class ApplyDeletes(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "apply_deletes"
+    override def description(): String =
+      "rewrite merge-on-read delete files into the data files"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val applied = graft.write.Maintenance.applyDeletes(t)
+      one(StructType(Seq(StructField("applied", BooleanType, nullable = false))),
+        java.lang.Boolean.valueOf(applied))
+    }
+  }
+}

@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
   * unsupported).
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -74,6 +75,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  /** SQL stored procedures: `CALL <cat>.system.compact('ns.t')` etc. —
+    * see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val err = new RuntimeException(
+      s"procedure not found: ${ident.namespace().mkString(".")}.${ident.name()}" +
+        s" (available: system.{${GraftProcedures.names.mkString(", ")}})")
+    if (!ident.namespace().sameElements(GraftProcedures.Namespace)) throw err
+    GraftProcedures.forName(cat, ident.name()).getOrElse(throw err)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(n =>
+        Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
 
   private def nsOf(ident: Identifier): String = ident.namespace().mkString(".")
 

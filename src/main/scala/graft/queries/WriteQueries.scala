@@ -711,7 +711,55 @@ object WriteQueries {
         |    AS acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE n.n_regionkey = 2
-        |GROUP BY n.n_name""".stripMargin))
+        |GROUP BY n.n_name""".stripMargin)),
+
+    // SQL stored procedures (Spark 4 ProcedureCatalog): the maintenance
+    // lifecycle — compact small files, expire history, vacuum the
+    // now-orphaned originals — driven entirely through CALL statements,
+    // with named-argument binding exercised on expire_snapshots. Each
+    // step's result row is require-checked and the final read proves the
+    // whole chain was content-neutral.
+    "w27_sql_call" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-callq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        (0 until 4).foreach { i =>
+          w.writeTable("main", "orders_t",
+            Seq(t(s, dir, "orders").filter(col("o_orderkey") % 4 === i)
+              .select(col("o_orderkey"), col("o_orderstatus"),
+                col("o_totalprice"))),
+            Append, WriteConfig(retryUnitMs = 10), s"l$i")
+        }
+        val before = cat.loadTable("main", "orders_t").metadata.currentFiles.size
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_call",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_call.warehouse", wh)
+        val c = iso.sql("CALL graft_call.system.compact('main.orders_t')")
+          .collect()
+        require(c.length == 1 && c(0).getBoolean(0),
+          "CALL compact should bin-pack the 4 small load files")
+        val e = iso.sql("""CALL graft_call.system.expire_snapshots(
+          |table => 'main.orders_t', keep_last => 1)""".stripMargin).collect()
+        require(e(0).getInt(0) >= 1, "CALL expire_snapshots should drop history")
+        val v = iso.sql(
+          "CALL graft_call.system.vacuum_orphans('main.orders_t', 0)").collect()
+        require(v(0).getInt(0) >= 1,
+          "CALL vacuum_orphans should delete the pre-compaction files")
+        val after = cat.loadTable("main", "orders_t").metadata.currentFiles.size
+        require(after < before,
+          s"maintenance chain should shrink the file count ($before -> $after)")
+        iso.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          |    AS revenue
+          |FROM graft_call.main.orders_t
+          |GROUP BY o_orderstatus""".stripMargin)
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** SQL stored procedures (`CALL cat.system.<proc>(...)`) — the Spark 4
+  * ProcedureCatalog surface over the engine's maintenance operations.
+  * Each procedure must (a) run the real engine operation, (b) return its
+  * declared one-row result, and (c) stay content-neutral where the
+  * operation promises it. */
+class ProcedureSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(name: String): GraftCatalog = {
+    val wh = Files.createTempDirectory(s"graft-proc-$name-").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    new GraftCatalog(spark, wh)
+  }
+
+  test("compact, expire_snapshots, vacuum_orphans via CALL") {
+    val cat = freshCatalog("gproc")
+    val w = new GraftWriter(cat)
+    // 5 loads of small files -> plenty to bin-pack
+    (1 to 5).foreach { l =>
+      w.writeTable("main", "t",
+        Seq((1 to 200).map(i => (l * 1000L + i, s"v$i")).toDF("id", "v")),
+        Append, WriteConfig(retryUnitMs = 1), s"l$l")
+    }
+    val before = cat.loadTable("main", "t").metadata.currentFiles.size
+    assert(before >= 5)
+
+    val r = spark.sql("CALL gproc.system.compact('main.t')").collect()
+    assert(r.length == 1 && r(0).getBoolean(0), "compact should report true")
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.currentFiles.size < before)
+    assert(spark.sql("SELECT COUNT(*) FROM gproc.main.t")
+      .collect()(0).getLong(0) == 1000L, "compaction must be content-neutral")
+
+    // named arguments go through Spark's BindProcedures
+    val exp = spark.sql(
+      "CALL gproc.system.expire_snapshots(table => 'main.t', keep_last => 1)")
+      .collect()
+    assert(exp(0).getInt(0) >= 1, "history beyond the head should expire")
+
+    // the pre-compaction files are now unreferenced by every snapshot
+    val vac = spark.sql(
+      "CALL gproc.system.vacuum_orphans('main.t', 0)").collect()
+    assert(vac(0).getInt(0) >= 1, "expired files should vacuum")
+    assert(spark.sql("SELECT COUNT(*) FROM gproc.main.t")
+      .collect()(0).getLong(0) == 1000L)
+  }
+
+  test("zorder and rollback via CALL") {
+    val cat = freshCatalog("gproc2")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "ev",
+      Seq((1 to 4000).map(i => (i.toLong % 97, (i * 31L) % 101, i.toLong))
+        .toDF("a", "b", "x")), Append, WriteConfig(retryUnitMs = 1), "l1")
+    val snap1 = cat.loadTable("main", "ev").metadata.currentSnapshotId.get
+
+    val z = spark.sql(
+      "CALL gproc2.system.zorder('main.ev', 'a, b', 4)").collect()
+    assert(z(0).getBoolean(0))
+    assert(spark.sql("SELECT COUNT(*) FROM gproc2.main.ev")
+      .collect()(0).getLong(0) == 4000L, "zorder must be content-neutral")
+
+    w.writeTable("main", "ev", Seq(Seq((999L, 999L, 9L)).toDF("a", "b", "x")),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+    assert(spark.sql("SELECT COUNT(*) FROM gproc2.main.ev")
+      .collect()(0).getLong(0) == 4001L)
+
+    val rb = spark.sql(
+      s"CALL gproc2.system.rollback('main.ev', $snap1)").collect()
+    assert(rb(0).getLong(0) != -1L)
+    assert(spark.sql("SELECT COUNT(*) FROM gproc2.main.ev")
+      .collect()(0).getLong(0) == 4000L, "rollback should restore snapshot 1's rows")
+  }
+
+  test("apply_deletes via CALL folds MoR delete files into data") {
+    val cat = freshCatalog("gproc3")
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "m",
+      Seq((1 to 100).map(i => (i.toLong, i)).toDF("id", "v")),
+      Append, cfg, "l1")
+    w.writeTable("main", "m", Seq(Seq((7L, 700)).toDF("id", "v")),
+      Merge("upsert"), cfg, "l2")
+    assert(cat.loadTable("main", "m").metadata.currentSnapshot
+      .exists(_.deletes.nonEmpty), "MoR upsert should leave a delete file")
+
+    val r = spark.sql("CALL gproc3.system.apply_deletes('main.m')").collect()
+    assert(r(0).getBoolean(0))
+    assert(cat.loadTable("main", "m").metadata.currentSnapshot
+      .exists(_.deletes.isEmpty), "deletes should be folded in")
+    val row = spark.sql("SELECT v FROM gproc3.main.m WHERE id = 7").collect()
+    assert(row.map(_.getInt(0)).toSeq == Seq(700))
+  }
+
+  test("unknown procedures fail with the available list; discovery works") {
+    val cat = freshCatalog("gproc4")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val e = intercept[Exception] {
+      spark.sql("CALL gproc4.system.no_such_proc('main.t')").collect()
+    }
+    // Spark wraps the catalog's error in FAILED_TO_LOAD_ROUTINE; the
+    // available-procedure list rides in the cause chain
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages.contains("compact"),
+      s"error chain should list available procedures, got: $messages")
+    val listed = spark.sql("SHOW PROCEDURES IN gproc4.system").collect()
+      .map(_.toSeq.mkString(" ")).mkString("\n")
+    assert(graft.catalog.GraftProcedures.names.forall(listed.contains),
+      s"SHOW PROCEDURES should list all graft procedures, got:\n$listed")
+  }
+}
