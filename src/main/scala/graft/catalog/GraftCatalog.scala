@@ -73,7 +73,7 @@ final class GraftCatalog(val spark: SparkSession, warehouse: String) {
     * (`destination_client.py:1584-1585`): names are path components here,
     * so over-long or empty identifiers would fail deep inside the
     * filesystem layer with opaque errors — validate up front instead. */
-  private def validateIdentifiers(ns: String, table: String,
+  private[catalog] def validateIdentifiers(ns: String, table: String,
       schema: StructType): Unit = {
     def check(kind: String, s: String): Unit =
       if (s.isEmpty || s.length > graft.types.TypeLattice.MaxIdentifierLength)

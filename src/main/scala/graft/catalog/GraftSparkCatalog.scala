@@ -32,7 +32,8 @@ import scala.jdk.CollectionConverters._
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -222,6 +223,58 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get(TableCatalog.PROP_LOCATION)))
     loadTable(ident)
   }
+
+  // --- StagingTableCatalog: atomic CTAS / RTAS ---
+  // Spark's AtomicCreateTableAsSelectExec / AtomicReplaceTableAsSelectExec
+  // stage the SELECT through these and only publish on success — see
+  // GraftStagedTable for the commit protocol. Implementing the interface
+  // upgrades every CREATE/REPLACE TABLE ... AS SELECT on this catalog
+  // from create-then-write (partial table visible on failure) to atomic.
+
+  private def stage(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String],
+      mode: StagedMode.Value): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val target = graft.types.TypeLattice.normalize(schema)
+    val props = properties.asScala.toMap - TableCatalog.PROP_LOCATION
+    cat.validateIdentifiers(nsOf(ident), ident.name(), target)
+    GraftV2Table.parsePrimaryKey(props).foreach(c =>
+      if (!target.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"graft.primary-key column '$c' not in table schema"))
+    val spec = partitions.toSeq.map(toFieldSpec(target, _))
+    new GraftStagedTable(
+      s"$catalogName.${nsOf(ident)}.${ident.name()}",
+      nsOf(ident), ident.name(), cat, target, spec, partitions, props,
+      Option(properties.get(TableCatalog.PROP_LOCATION)), mode)
+  }
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (cat.tableExists(nsOf(ident), ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    stage(ident, columns, partitions, properties, StagedMode.Create)
+  }
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!cat.tableExists(nsOf(ident), ident.name()))
+      throw new NoSuchTableException(ident)
+    stage(ident, columns, partitions, properties, StagedMode.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, columns, partitions, properties, StagedMode.CreateOrReplace)
 
   /** Map a V2 partition transform onto the engine's hint vocabulary via
     * the PUBLIC Transform surface (name/references/arguments — the case

@@ -25,6 +25,10 @@ object PathIO {
     try s.iterator().asScala.toVector finally s.close()
   }
 
+  /** Depth-first recursive delete; a missing path is a no-op. */
+  def deleteRecursively(p: Path): Unit =
+    walk(p).reverse.foreach(Files.deleteIfExists)
+
   /** Bounded emptiness probe: opens, checks one entry, closes — O(1)
     * regardless of directory size. */
   def isEmptyDir(dir: Path): Boolean = {

@@ -759,7 +759,57 @@ object WriteQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS revenue
-        |FROM orders GROUP BY o_orderstatus""".stripMargin))
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // Atomic CTAS / RTAS (StagingTableCatalog): the SELECT's output is
+    // staged invisibly under the table location (data files without a
+    // referencing snapshot are dead bytes) and published by ONE metadata
+    // CAS — a concurrent reader sees either no table or the complete one,
+    // and a mid-write failure leaves nothing. REPLACE TABLE swaps the
+    // definition wholesale in one snapshot commit that PRESERVES history:
+    // time travel to the pre-replace snapshot still resolves under the
+    // old schema. The in-query requires pin single-snapshot publish,
+    // value-exact partitioned staging, and surviving lineage.
+    "w28_ctas" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-ctasq-").toString
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_ctas",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_ctas.warehouse", wh)
+        t(iso, dir, "orders").createOrReplaceTempView("orders_src")
+        iso.sql("""CREATE TABLE graft_ctas.main.ord
+          |PARTITIONED BY (o_orderstatus)
+          |AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM orders_src""".stripMargin)
+        val cat = new GraftCatalog(s, wh)
+        val m = cat.loadTable("main", "ord").metadata
+        require(m.snapshots.size == 1,
+          s"CTAS must publish exactly one snapshot, got ${m.snapshots.size}")
+        require(m.currentFiles.forall(f =>
+          f.stats.get("o_orderstatus").exists(st => st.min == st.max)),
+          "partitioned CTAS staging must be value-exact (SPJ-eligible)")
+        iso.sql("""REPLACE TABLE graft_ctas.main.ord AS
+          |SELECT o_orderstatus, o_orderkey % 5 AS bucket5,
+          |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          |FROM orders_src""".stripMargin)
+        val m2 = cat.loadTable("main", "ord").metadata
+        require(m2.snapshots.size == 2 &&
+          m2.schema.fieldNames.sameElements(
+            Array("o_orderstatus", "bucket5", "price")),
+          "RTAS must replace the definition in one commit, keeping history")
+        val oldRows = iso.sql("SELECT * FROM graft_ctas.main.ord VERSION AS OF " +
+          m2.snapshots.head.snapshotId)
+        require(oldRows.schema.fieldNames.head == "o_orderkey",
+          "pre-replace snapshot must keep its snapshot-time schema")
+        iso.sql("""SELECT o_orderstatus, bucket5, COUNT(*) AS n,
+          |  CAST(SUM(price) AS DOUBLE) AS revenue
+          |FROM graft_ctas.main.ord
+          |GROUP BY o_orderstatus, bucket5""".stripMargin)
+      },
+      """SELECT o_orderstatus, o_orderkey % 5 AS bucket5, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderstatus, o_orderkey % 5""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
