@@ -33,7 +33,8 @@ import scala.jdk.CollectionConverters._
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -222,6 +223,93 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       properties.asScala.toMap - TableCatalog.PROP_LOCATION,
       Option(properties.get(TableCatalog.PROP_LOCATION)))
     loadTable(ident)
+  }
+
+  // --- ViewCatalog: persisted SQL views ---
+  // CREATE/DROP/SHOW VIEWS and SELECTs over them resolve through the
+  // warehouse-backed store (GraftViews): the definition SQL plus its
+  // resolution context persists as one atomically-written JSON per view,
+  // so a view outlives the session that created it — unlike the
+  // reference's per-connection DuckDB views (sql_client.py:101-149).
+
+  private def views = new GraftViews(java.nio.file.Paths.get(warehouse))
+
+  override def listViews(namespace: String*):
+      Array[Identifier] = {
+    val ns = namespace.mkString(".")
+    if (!nsExistsOrIsParent(ns))
+      throw new NoSuchNamespaceException(namespace.toArray)
+    views.list(ns).map(n => Identifier.of(namespace.toArray, n)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    views.exists(nsOf(ident), ident.name())
+
+  override def loadView(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.View =
+    views.load(nsOf(ident), ident.name())
+      .map(d => GraftViews.asV2(
+        s"$catalogName.${nsOf(ident)}.${ident.name()}", d))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo):
+      org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val ns = nsOf(ident)
+    if (cat.tableExists(ns, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (views.exists(ns, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    cat.createNamespace(ns)
+    views.write(ns, ident.name(), GraftViews.defOf(info), replace = false)
+    loadView(ident)
+  }
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val ns = nsOf(ident)
+    if (cat.tableExists(ns, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (!orCreate && !views.exists(ns, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    cat.createNamespace(ns)
+    views.write(ns, ident.name(), GraftViews.defOf(info), replace = true)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*):
+      org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val d = views.load(nsOf(ident), ident.name())
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val next = changes.foldLeft(d) {
+      case (acc, set: ViewChange.SetProperty) =>
+        acc.copy(properties = acc.properties.updated(set.property(), set.value()))
+      case (acc, rm: ViewChange.RemoveProperty) =>
+        acc.copy(properties = acc.properties - rm.property())
+      case (_, other) =>
+        throw new UnsupportedOperationException(s"view change $other")
+    }
+    views.write(nsOf(ident), ident.name(), next, replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    views.drop(nsOf(ident), ident.name())
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (cat.tableExists(nsOf(to), to.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(to)
+    views.rename(nsOf(from), from.name(), nsOf(to), to.name())
   }
 
   // --- StagingTableCatalog: atomic CTAS / RTAS ---

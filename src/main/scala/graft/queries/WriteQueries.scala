@@ -809,7 +809,60 @@ object WriteQueries {
       },
       """SELECT o_orderstatus, o_orderkey % 5 AS bucket5, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders GROUP BY o_orderstatus, o_orderkey % 5""".stripMargin))
+        |FROM orders GROUP BY o_orderstatus, o_orderkey % 5""".stripMargin)),
+
+    // Persisted SQL views (V2 ViewCatalog + GraftSqlExtensions): CREATE
+    // VIEW writes a durable definition into the warehouse, a second view
+    // stacks on the first (nested expansion with the saved resolution
+    // context), and the final SELECT reads through both. The reference's
+    // views are per-connection DuckDB state (sql_client.py:101-149);
+    // here they are catalog objects any later session resolves. The
+    // in-query requires pin durability (a FRESH session sees the view)
+    // and that the definition is late-binding (new loads show up).
+    "w29_sql_view" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-viewq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t",
+          Seq(t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))),
+          Append, WriteConfig(retryUnitMs = 10), "l1")
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_vw",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_vw.warehouse", wh)
+        iso.sql("CREATE VIEW graft_vw.main.priced AS " +
+          "SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price " +
+          "FROM graft_vw.main.orders_t")
+        iso.sql("CREATE VIEW graft_vw.main.by_status AS " +
+          "SELECT o_orderstatus, COUNT(*) AS n, " +
+          "CAST(SUM(price) AS DOUBLE) AS revenue " +
+          "FROM graft_vw.main.priced GROUP BY o_orderstatus")
+        // late binding: a load AFTER create must appear through the view
+        w.writeTable("main", "orders_t",
+          Seq(t(s, dir, "orders").filter(col("o_orderkey") % 2 =!= 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))),
+          Append, WriteConfig(retryUnitMs = 10), "l2")
+        // durability: a SECOND fresh session resolves the stored views
+        val reader = s.newSession()
+        reader.conf.set("spark.sql.catalog.graft_vw",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        reader.conf.set("spark.sql.catalog.graft_vw.warehouse", wh)
+        require(reader.sql("SHOW VIEWS IN graft_vw.main").collect()
+          .map(_.getString(1)).toSet == Set("priced", "by_status"),
+          "stored views must list from a fresh session")
+        val df = reader.sql("SELECT * FROM graft_vw.main.by_status")
+        require(df.collect().map(_.getLong(1)).sum ==
+          t(s, dir, "orders").count(),
+          "late-binding view must see both loads")
+        df
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
