@@ -33,7 +33,7 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
-    "vacuum_orphans", "rollback", "apply_deletes")
+    "vacuum_orphans", "rollback", "apply_deletes", "analyze")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -43,6 +43,7 @@ object GraftProcedures {
       case "vacuum_orphans" => Some(VacuumOrphans(cat))
       case "rollback" => Some(Rollback(cat))
       case "apply_deletes" => Some(ApplyDeletes(cat))
+      case "analyze" => Some(Analyze(cat))
       case _ => None
     }
 
@@ -170,6 +171,32 @@ object GraftProcedures {
       val applied = graft.write.Maintenance.applyDeletes(t)
       one(StructType(Seq(StructField("applied", BooleanType, nullable = false))),
         java.lang.Boolean.valueOf(applied))
+    }
+  }
+
+  /** `CALL cat.system.analyze('ns.t' [, 'c1,c2'])` — one distributed
+    * pass computing per-column HLL distinct counts (the number CBO needs
+    * that per-file footer stats cannot provide), persisted as
+    * snapshot-stamped table properties and served to join planning via
+    * `Statistics.columnStats` when `spark.sql.cbo.enabled` is on. */
+  private final case class Analyze(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "compute column NDV/null/length statistics for cost-based optimization"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("columns", StringType, "''"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val cols =
+        if (input.isNullAt(1)) Nil
+        else String.valueOf(input.getUTF8String(1))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (rows, analyzed) = ColumnStatsSupport.analyze(t, cols)
+      one(StructType(Seq(
+        StructField("rows", LongType, nullable = false),
+        StructField("columns", IntegerType, nullable = false))),
+        java.lang.Long.valueOf(rows), Integer.valueOf(analyzed.size))
     }
   }
 }

@@ -177,15 +177,29 @@ final class GraftV2Table(
       if (!fileRequested) {
         inner.map { b =>
           val scan = b.build()
+          // Column stats for CBO: only when the session opts in (plans
+          // are byte-identical otherwise) and only on non-aggregate
+          // scans (a pushed aggregate's schema is the agg result).
+          val conf = org.apache.spark.sql.internal.SQLConf.get
+          val cboStats =
+            if (!aggPushed && conf.cboEnabled)
+              Some(ColumnStatsSupport.columnStats(
+                committedSchema, tableProperties, morFiles))
+                .filter(!_.isEmpty)
+            else None
           // Storage-partitioned-join report (SpjScan): only on the clean
           // parquet hot path (no MoR deletes — `inner` is defined — and
           // no pushed aggregate, whose scan schema is the agg result),
           // and only when the session opts into V2 bucketing, so a
           // conf-off plan is byte-identical to the pre-SPJ one.
-          if (!aggPushed &&
-              org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
-            SpjScan.wrap(scan, partitionSpec, committedSchema, morFiles)
-          else scan
+          val spj =
+            if (!aggPushed && conf.v2BucketingEnabled)
+              SpjScan.wrap(scan, partitionSpec, committedSchema, morFiles,
+                cboStats)
+            else scan
+          if ((spj eq scan) && cboStats.isDefined)
+            ColStatsScan(scan, cboStats.get, morFiles.map(_.rowCount).sum)
+          else spj
         }.getOrElse {
           // MoR fallback: column-pruned through the delete application
           val out = required.getOrElse(committedSchema)

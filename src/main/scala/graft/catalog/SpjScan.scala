@@ -42,7 +42,11 @@ object SpjScan {
     * every current data file carries a decodable single-valued partition
     * tuple; otherwise return `scan` unchanged. */
   def wrap(scan: Scan, spec: Seq[PartitionFieldSpec], schema: StructType,
-      files: Seq[DataFile]): Scan = {
+      files: Seq[DataFile],
+      colStats: Option[java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] =
+        None): Scan = {
     if (spec.isEmpty || files.isEmpty) return scan
     val supported =
       Set("identity", "bucket", "year", "month", "day", "hour", "truncate")
@@ -88,7 +92,7 @@ object SpjScan {
     }.toArray
     val nKeys = decoded.map(_._2.tupleId).distinct.size
     new GroupedScan(scan, keyExprs, decoded.toMap, nKeys,
-      spec.zip(fieldTypes))
+      spec.zip(fieldTypes), colStats)
   }
 
   /** Per-field partition-key encoding shared by the tuple id and the
@@ -177,7 +181,11 @@ object SpjScan {
       keyExprs: Array[V2Expression],
       keyByPath: Map[String, FileKey],
       nKeys: Int,
-      fields: Seq[(PartitionFieldSpec, DataType)])
+      fields: Seq[(PartitionFieldSpec, DataType)],
+      colStats: Option[java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] =
+        None)
     extends Scan with Batch with SupportsReportPartitioning
       with SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -196,12 +204,19 @@ object SpjScan {
 
     /** Join sizing must not degrade under the wrap: forward the parquet
       * scan's exact estimate (broadcast decisions depend on it). */
-    override def estimateStatistics(): Statistics = inner match {
-      case s: SupportsReportStatistics => s.estimateStatistics()
-      case _ => new Statistics {
-        override def sizeInBytes = java.util.OptionalLong.empty()
-        override def numRows = java.util.OptionalLong.empty()
+    override def estimateStatistics(): Statistics = {
+      val base = inner match {
+        case s: SupportsReportStatistics => s.estimateStatistics()
+        case _ => new Statistics {
+          override def sizeInBytes = java.util.OptionalLong.empty()
+          override def numRows = java.util.OptionalLong.empty()
+        }
       }
+      colStats.fold(base)(cs => new Statistics {
+        override def sizeInBytes = base.sizeInBytes()
+        override def numRows = base.numRows()
+        override def columnStats() = cs
+      })
     }
 
     override def outputPartitioning(): Partitioning =

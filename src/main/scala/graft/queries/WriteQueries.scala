@@ -862,7 +862,70 @@ object WriteQueries {
       },
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders GROUP BY o_orderstatus""".stripMargin))
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // Column statistics for cost-based optimization: CALL system.analyze
+    // computes per-column HLL NDVs in ONE distributed pass and persists
+    // them snapshot-stamped; a CBO session's scans then report
+    // columnStats (NDV from analyze, null counts and numeric min/max
+    // footer-exact over the CURRENT file set) so catalyst costs joins by
+    // estimated cardinality instead of raw bytes. At 100 TB that is the
+    // difference between a join order chosen from real NDVs and one
+    // guessed from file sizes. The in-query requires pin that the stats
+    // actually reach catalyst (rowCount + join-key NDV in the optimized
+    // plan) and that a default session reports none.
+    "w30_cbo_stats" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-cboq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_t",
+          Seq(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))),
+          Append, WriteConfig(retryUnitMs = 10), "l1")
+        w.writeTable("main", "customer_t",
+          Seq(t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+            col("c_mktsegment"))), Append, WriteConfig(retryUnitMs = 10), "l2")
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_cbo",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_cbo.warehouse", wh)
+        val a1 = iso.sql("CALL graft_cbo.system.analyze('main.orders_t')")
+          .collect()
+        require(a1(0).getLong(0) == t(s, dir, "orders").count(),
+          "analyze must count every row in one pass")
+        iso.sql("CALL graft_cbo.system.analyze('main.customer_t')").collect()
+        iso.conf.set("spark.sql.cbo.enabled", "true")
+        iso.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        val df = iso.sql("""SELECT c.c_mktsegment, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+          |    AS DOUBLE) AS revenue
+          |FROM graft_cbo.main.orders_t o
+          |JOIN graft_cbo.main.customer_t c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment""".stripMargin)
+        val stats = iso.sql("SELECT * FROM graft_cbo.main.customer_t")
+          .queryExecution.optimizedPlan.stats
+        require(stats.rowCount.isDefined,
+          "CBO scan must report the engine's exact row count")
+        val keyNdv = stats.attributeStats.collectFirst {
+          case (a, st) if a.name == "c_custkey" => st.distinctCount
+        }.flatten
+        require(keyNdv.isDefined && keyNdv.get > 0,
+          "join-key NDV from analyze must reach catalyst attribute stats")
+        val plain = s.newSession()
+        plain.conf.set("spark.sql.catalog.graft_cbo",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        plain.conf.set("spark.sql.catalog.graft_cbo.warehouse", wh)
+        require(plain.sql("SELECT * FROM graft_cbo.main.customer_t")
+          .queryExecution.optimizedPlan.stats.attributeStats.isEmpty,
+          "a default (CBO-off) session must see no column stats")
+        df
+      },
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.write._
+
+/** Column statistics for cost-based optimization: `CALL system.analyze`
+  * computes NDVs in one pass; scans report them through the DSv2
+  * `columnStats` surface when CBO is on; default sessions see identical
+  * plans and no column stats. */
+class CboStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("analyze persists NDV/null stats; CBO sessions see attribute stats") {
+    val wh = Files.createTempDirectory("graft-cbo-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    // 1000 rows, 10 distinct grp values, 100 nulls in v
+    w.writeTable("main", "t",
+      Seq((1 to 1000).map(i =>
+        (i.toLong, i % 10, if (i % 10 == 0) null else s"s$i"))
+        .toDF("id", "grp", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.catalog.gcbo",
+      classOf[GraftSparkCatalog].getName)
+    iso.conf.set("spark.sql.catalog.gcbo.warehouse", wh)
+    val res = iso.sql("CALL gcbo.system.analyze('main.t')").collect()
+    assert(res(0).getLong(0) == 1000 && res(0).getInt(1) == 3, res.toSeq)
+
+    val props = cat.loadTable("main", "t").metadata.properties
+    assert(props.contains("graft.stats.grp") &&
+      props.contains("graft.stats.snapshot-id"), props)
+
+    // CBO on: catalyst attribute stats carry the analyzed NDVs and the
+    // footer-exact null counts
+    iso.conf.set("spark.sql.cbo.enabled", "true")
+    val stats = iso.sql("SELECT id, grp, v FROM gcbo.main.t")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(1000)), stats.rowCount)
+    val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+    val grp = byName.getOrElse("grp", fail(s"no grp stats in $byName"))
+    val ndv = grp.distinctCount.getOrElse(fail("no ndv"))
+    assert(ndv >= BigInt(9) && ndv <= BigInt(11), ndv) // HLL ~10
+    val vStat = byName.getOrElse("v", fail(s"no v stats in $byName"))
+    assert(vStat.nullCount.contains(BigInt(100)), vStat.nullCount)
+    // exact numeric min/max from footer stats
+    val idStat = byName.getOrElse("id", fail("no id stats"))
+    assert(idStat.min.contains(1L) && idStat.max.contains(1000L),
+      (idStat.min, idStat.max))
+
+    // CBO off (fresh default session): no column stats, identical scans
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.catalog.gcbo",
+      classOf[GraftSparkCatalog].getName)
+    plain.conf.set("spark.sql.catalog.gcbo.warehouse", wh)
+    val off = plain.sql("SELECT id, grp, v FROM gcbo.main.t")
+      .queryExecution.optimizedPlan.stats
+    assert(off.attributeStats.isEmpty, off.attributeStats)
+  }
+
+  test("stats stay sound after later loads: null counts track files") {
+    val wh = Files.createTempDirectory("graft-cbo2-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq((1 to 100).map(i => (i.toLong, if (i <= 10) null else "x"))
+        .toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.catalog.gcb2",
+      classOf[GraftSparkCatalog].getName)
+    iso.conf.set("spark.sql.catalog.gcb2.warehouse", wh)
+    iso.sql("CALL gcb2.system.analyze('main.t')").collect()
+    // a second load adds 5 more nulls AFTER the analyze
+    w.writeTable("main", "t",
+      Seq((101 to 110).map(i => (i.toLong, if (i <= 105) null else "y"))
+        .toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+    iso.conf.set("spark.sql.cbo.enabled", "true")
+    val stats = iso.sql("SELECT id, v FROM gcb2.main.t")
+      .queryExecution.optimizedPlan.stats
+    val vStat = stats.attributeStats.collectFirst {
+      case (a, s) if a.name == "v" => s
+    }.getOrElse(fail("no v stats"))
+    // null count is footer-exact over the CURRENT file set (15), not the
+    // stale analyzed value (10)
+    assert(vStat.nullCount.contains(BigInt(15)), vStat.nullCount)
+  }
+}
