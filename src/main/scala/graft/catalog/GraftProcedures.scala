@@ -33,7 +33,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
-    "vacuum_orphans", "rollback", "apply_deletes", "analyze")
+    "vacuum_orphans", "rollback", "apply_deletes", "analyze",
+    "create_branch", "publish_branch", "drop_branch")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -44,6 +45,9 @@ object GraftProcedures {
       case "rollback" => Some(Rollback(cat))
       case "apply_deletes" => Some(ApplyDeletes(cat))
       case "analyze" => Some(Analyze(cat))
+      case "create_branch" => Some(CreateBranch(cat))
+      case "publish_branch" => Some(PublishBranch(cat))
+      case "drop_branch" => Some(DropBranch(cat))
       case _ => None
     }
 
@@ -197,6 +201,61 @@ object GraftProcedures {
         StructField("rows", LongType, nullable = false),
         StructField("columns", IntegerType, nullable = false))),
         java.lang.Long.valueOf(rows), Integer.valueOf(analyzed.size))
+    }
+  }
+
+  // Write-audit-publish refs through SQL — the procedure surface over
+  // GraftTable.createBranch/publish/dropBranch. A "tag" is a ref the
+  // caller never publishes (reads resolve it via VERSION AS OF 'name').
+
+  /** `CALL cat.system.create_branch('ns.t', 'audit' [, from_snapshot])` */
+  private final case class CreateBranch(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "create a named branch/tag ref at a snapshot (default: current head)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("name", StringType),
+      inDefault("from_snapshot", LongType, "-1"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val raw = input.getLong(2)
+      val from = if (raw >= 0) Some(raw) else None
+      val m = t.createBranch(String.valueOf(input.getUTF8String(1)), from)
+      one(StructType(Seq(StructField("at_snapshot", LongType, nullable = false))),
+        java.lang.Long.valueOf(
+          m.refId(String.valueOf(input.getUTF8String(1))).getOrElse(-1L)))
+    }
+  }
+
+  /** `CALL cat.system.publish_branch('ns.t', 'audit')` — fast-forward
+    * main to the branch head; refuses a diverged main. */
+  private final case class PublishBranch(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "publish_branch"
+    override def description(): String =
+      "fast-forward main to the branch head and drop the ref"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("name", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val m = t.publish(String.valueOf(input.getUTF8String(1)))
+      one(StructType(Seq(StructField("head_snapshot", LongType, nullable = false))),
+        java.lang.Long.valueOf(m.currentSnapshotId.getOrElse(-1L)))
+    }
+  }
+
+  private final case class DropBranch(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String = "drop a branch/tag ref (data untouched)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("name", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      t.dropBranch(String.valueOf(input.getUTF8String(1)))
+      one(StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+        java.lang.Boolean.TRUE)
     }
   }
 }

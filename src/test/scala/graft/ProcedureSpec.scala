@@ -121,4 +121,36 @@ class ProcedureSpec extends AnyFunSuite {
     assert(graft.catalog.GraftProcedures.names.forall(listed.contains),
       s"SHOW PROCEDURES should list all graft procedures, got:\n$listed")
   }
+
+  test("branch lifecycle through CALL: create, audit-read, publish, drop") {
+    val cat = freshCatalog("gproc5")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq((1 to 10).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    val c = spark.sql(
+      "CALL gproc5.system.create_branch('main.t', 'audit')").collect()
+    assert(c(0).getLong(0) > 0)
+    // write to the branch; main must not see it until publish
+    w.writeTable("main", "t", Seq(Seq((100L, 100)).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1, toBranch = Some("audit")), "l2")
+    assert(spark.sql("SELECT count(*) FROM gproc5.main.t")
+      .collect()(0).getLong(0) == 10)
+    assert(spark.sql(
+      "SELECT count(*) FROM gproc5.main.t VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) == 11)
+    val p = spark.sql(
+      "CALL gproc5.system.publish_branch('main.t', 'audit')").collect()
+    assert(p(0).getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM gproc5.main.t")
+      .collect()(0).getLong(0) == 11)
+
+    // a tag: a ref never published; drop removes only the ref
+    spark.sql("CALL gproc5.system.create_branch('main.t', 'v1_tag')").collect()
+    assert(spark.sql("CALL gproc5.system.drop_branch('main.t', 'v1_tag')")
+      .collect()(0).getBoolean(0))
+    val e = intercept[Exception](spark.sql(
+      "CALL gproc5.system.publish_branch('main.t', 'v1_tag')").collect())
+    assert(e.getMessage.contains("v1_tag"), e.getMessage)
+  }
 }
