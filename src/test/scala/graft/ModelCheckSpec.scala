@@ -65,7 +65,7 @@ class ModelCheckSpec extends AnyFunSuite {
       def key(): Long = rnd.between(-120L, 130L)
 
       (1 to 6).foreach { step =>
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(11)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
         // content-neutral maintenance interleaved at random: compaction
@@ -190,6 +190,22 @@ class ModelCheckSpec extends AnyFunSuite {
                  |WHEN MATCHED THEN UPDATE SET *
                  |WHEN NOT MATCHED THEN INSERT *
                  |""".stripMargin)
+            rows.foreach { case (k, v, _) => model(k) = v }
+          case 10 => // SQL CTAS / RTAS through the staged-commit protocol:
+            // the SELECT stages invisibly and publishes via one CAS; for
+            // the model this is exactly a Replace (with CTAS the
+            // bootstrap form). RTAS also wholesale-replaces properties —
+            // the mode props are re-set by later SQL DML steps, and the
+            // model is mode-blind, so the wipe is semantically inert.
+            df(rows).select("id", "v")
+              .createOrReplaceTempView(s"mc_rsrc_$seed")
+            if (!cat.tableExists("main", "t"))
+              spark.sql(s"CREATE TABLE $sqlCat.main.t AS " +
+                s"SELECT id, v FROM mc_rsrc_$seed")
+            else
+              spark.sql(s"REPLACE TABLE $sqlCat.main.t AS " +
+                s"SELECT id, v FROM mc_rsrc_$seed")
+            model.clear()
             rows.foreach { case (k, v, _) => model(k) = v }
           case 8 => // evolving upsert: a NEW nullable column appears
             // mid-history — old files must null-fill it, rollback and
