@@ -94,7 +94,7 @@ final class GraftV2Table(
     * SQL merge evolution cannot reach a schema state a load could not. */
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -293,18 +293,47 @@ final class GraftV2Table(
       }
     }
 
+  /** SQL writes: `INSERT INTO` appends, `INSERT OVERWRITE` (and
+    * `truncate()`) replaces, and a FILTERED overwrite — `INSERT INTO ...
+    * REPLACE WHERE`, static `INSERT OVERWRITE ... PARTITION (p = v)`,
+    * `DataFrameWriterV2.overwrite(cond)` — routes through
+    * [[graft.write.GraftWriter.overwriteWhere]]: one snapshot, only the
+    * files holding matching rows restaged. A filter the engine cannot
+    * translate fails loudly at build (never a silent full truncate). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+      private var cond: Option[Column] = None
+      override def truncate(): WriteBuilder = {
+        overwrite = true; cond = None; this
+      }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        val trivial = filters.isEmpty ||
+          filters.forall(_.isInstanceOf[sources.AlwaysTrue])
+        if (trivial) { overwrite = true; cond = None }
+        else {
+          val cols = filters.map(f => GraftV2Table.toColumn(f).getOrElse(
+            throw new UnsupportedOperationException(
+              s"overwrite filter not supported by this table: $f")))
+          cond = Some(cols.reduce(_ && _)); overwrite = false
+        }
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data, _) => {
             val w = new graft.write.GraftWriter(cat)
-            w.writeTable(ns, tableName, Seq(data),
-              if (overwrite) graft.write.Replace else graft.write.Append,
-              graft.write.WriteConfig(retryUnitMs = 50),
-              loadId = s"sql-${java.util.UUID.randomUUID().toString.take(12)}")
+            val loadId = s"sql-${java.util.UUID.randomUUID().toString.take(12)}"
+            cond match {
+              case Some(c) =>
+                w.overwriteWhere(ns, tableName, c, data,
+                  graft.write.WriteConfig(retryUnitMs = 50), loadId)
+              case None =>
+                w.writeTable(ns, tableName, Seq(data),
+                  if (overwrite) graft.write.Replace else graft.write.Append,
+                  graft.write.WriteConfig(retryUnitMs = 50), loadId = loadId)
+            }
             ()
           }
       }

@@ -925,7 +925,67 @@ object WriteQueries {
         |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
         |    AS DOUBLE) AS revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY c.c_mktsegment""".stripMargin))
+        |GROUP BY c.c_mktsegment""".stripMargin)),
+
+    // Filter overwrite (OVERWRITE_BY_FILTER): INSERT INTO ... REPLACE
+    // WHERE swaps exactly the matching rows for the new batch in ONE
+    // snapshot, restaging only the files that held matches — the 100 TB
+    // payoff is a partition- or range-scoped reload that rewrites one
+    // slice, never the table. The in-query require pins the surgical
+    // rewrite: files provably outside the predicate survive by path.
+    "w31_replace_where" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-owq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        // key-range-clustered staging, multiple files at every sf, so
+        // the range predicate provably isolates a file subset
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir)), Append,
+          WriteConfig(primaryKey = Seq("o_orderkey"), retryUnitMs = 10,
+            maxRecordsPerFile = 2000L), "l1")
+        val before = cat.loadTable("main", "orders_t").metadata.currentFiles
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_ow",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_ow.warehouse", wh)
+        t(iso, dir, "orders").createOrReplaceTempView("orders_src_ow")
+        // replace the upper key half with the uplifted full slice; the
+        // key-range-clustered staging means the lower half's files hold
+        // no matching row
+        val half = t(s, dir, "orders")
+          .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 2
+        iso.sql(s"""INSERT INTO graft_ow.main.orders_t
+          |REPLACE WHERE o_orderkey > $half
+          |SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice + 10.0 AS o_totalprice, o_orderpriority
+          |FROM orders_src_ow WHERE o_orderkey > $half""".stripMargin)
+        val after = cat.loadTable("main", "orders_t").metadata
+        val afterPaths = after.currentFiles.map(_.path).toSet
+        val lowOnly = before.filter(f => f.stats.get("o_orderkey")
+          .exists(_.max.exists(_.toLong <= half)))
+        require(lowOnly.nonEmpty &&
+          lowOnly.forall(f => afterPaths.contains(f.path)),
+          s"REPLACE WHERE must not restage files outside the predicate " +
+            s"(${lowOnly.size} low-range files of ${before.size})")
+        require(after.snapshots.count(_.operation == "overwrite") == 1,
+          "filter overwrite must commit exactly one snapshot")
+        iso.sql("""SELECT o_orderkey, o_orderstatus,
+          |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          |FROM graft_ow.main.orders_t""".stripMargin)
+      },
+      s"""WITH half AS (
+         |  SELECT MAX(o_orderkey) // 2 AS h FROM orders
+         |)
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         |FROM (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice
+         |  FROM ($targetSql) WHERE o_orderkey <= (SELECT h FROM half)
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0
+         |  FROM orders WHERE o_orderkey > (SELECT h FROM half)
+         |)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -371,6 +371,76 @@ final class GraftWriter(catalog: GraftCatalog) {
     } finally matchPos.unpersist()
   }
 
+  /** Filter overwrite (Iceberg's overwrite-by-filter; reached from SQL
+    * `INSERT INTO ... REPLACE WHERE`, `INSERT OVERWRITE ... PARTITION
+    * (p = v)`, and `DataFrameWriterV2.overwrite(cond)`): ONE snapshot
+    * that removes every row matching `cond` and appends `batch`. Only
+    * the files containing matching rows are restaged (row attribution
+    * via `_metadata`, exactly the deleteWhere planning); untouched files
+    * carry by identity, so a partition-scoped overwrite of a 100 TB
+    * table rewrites one partition, not the table. Outstanding
+    * merge-on-read deletes over the affected files are applied
+    * physically in the restage. */
+  def overwriteWhere(ns: String, name: String, cond: org.apache.spark.sql.Column,
+      batch: DataFrame, cfg: WriteConfig = WriteConfig(),
+      loadId: String = java.util.UUID.randomUUID().toString): Unit = {
+    require(cfg.toBranch.isEmpty,
+      "filter overwrite targets main state; branch overwrites are not supported")
+    val t = catalog.loadTable(ns, name)
+    // same evolution-then-cast order as writeTable (C8/C5)
+    val incomingSchema = org.apache.spark.sql.types.StructType(
+      TypeLattice.normalize(batch.schema).fields.map(f =>
+        f.copy(nullable = !cfg.requiredColumns.contains(f.name))))
+    val evo = SchemaEvolution.evolve(t.metadata.schema, incomingSchema,
+      cfg.allowColumnDrops)
+    if (evo.evolved)
+      t.commit(_.withSchema(evo.schema), cfg.maxRetries, cfg.backoffBase,
+        cfg.retryUnitMs)
+    val m = t.metadata
+    val cast = SafeCast(batch, m.schema, cfg.strictCasting)
+    val files = m.currentFiles
+    val snap = m.currentSnapshot
+    // row attribution before delete application (deleteWhere's planning)
+    val targetPaths: Set[String] =
+      if (files.isEmpty) Set.empty
+      else {
+        val scan = spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+          .withColumn("__ow_path",
+            regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+        val live = MorRead.applyDeletes(spark, scan, files,
+          snap.map(_.deletes).getOrElse(Nil),
+          snap.map(_.posDeletes).getOrElse(Nil))
+        live.filter(cond).select(col("__ow_path")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    t.commit({ fresh =>
+      if (!targetPaths.subsetOf(fresh.currentFiles.map(_.path).toSet))
+        throw new ValidationError(
+          "overwriteWhere superseded by a concurrent rewrite of a target file")
+      val newStaged = Stager.stage(cast, t.dataDir, loadId,
+        fresh.partitionSpec, bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+      if (targetPaths.isEmpty)
+        fresh.withSnapshotDelta("overwrite", Some(loadId), newStaged, Set.empty)
+      else {
+        val affected = fresh.currentFiles.filter(f => targetPaths.contains(f.path))
+        val affectedDf = spark.read.schema(fresh.schema)
+          .parquet(affected.map(_.path): _*)
+        val live = MorRead.applyDeletes(spark, affectedDf, affected,
+          fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
+          fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
+        // NULL condition keeps the row (it did not match the overwrite
+        // predicate) — same three-valued rule as deleteWhere
+        val kept = live.filter(!coalesce(cond, lit(false)))
+        val keptStaged = Stager.stage(kept, t.dataDir, s"$loadId-ow",
+          fresh.partitionSpec,
+          bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+        fresh.withSnapshotDelta("overwrite", Some(loadId),
+          keptStaged ++ newStaged, targetPaths)
+      }
+    }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    ()
+  }
+
   /** `UPDATE <table> SET ... WHERE <cond>` — predicate updates with no
     * primary-key requirement:
     *
