@@ -61,6 +61,10 @@ class SparkCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(descAll.values.exists(v => v != null && v.contains("bucket")),
       s"bucket transform missing from DESCRIBE: $descAll")
+    // SHOW CREATE TABLE renders the real layout from the V2 surface
+    val ddl = spark.sql("SHOW CREATE TABLE gsql.main.parted")
+      .collect()(0).getString(0)
+    assert(ddl.contains("bucket(8, id)") && ddl.contains("days(ts)"), ddl)
   }
 
   test("INSERT INTO / INSERT OVERWRITE route through the engine write path") {
