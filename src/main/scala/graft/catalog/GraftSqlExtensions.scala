@@ -37,6 +37,47 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) =>
       new GraftViewParser(session, delegate))
     ext.injectResolutionRule(session => ResolveGraftViews(session))
+    ext.injectResolutionRule(_ => ResolveGraftDynamicOverwrite)
+  }
+}
+
+/** Dynamic partition overwrite for graft tables. Spark plans
+  * `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` as
+  * `OverwritePartitionsDynamic`, which has no V1 write fallback — so
+  * once the write is output-resolved (columns aligned by the built-in
+  * rules), swap the node for a command that runs the aligned query
+  * through [[graft.write.GraftWriter.overwriteDynamic]]: one snapshot
+  * replacing exactly the partitions present in the batch, with the
+  * removal set computed from value-exact partition stats (metadata
+  * only, no data read). */
+object ResolveGraftDynamicOverwrite
+  extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+          if o.table.resolved && o.query.resolved && o.outputResolved =>
+        o.table match {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.table match {
+              case g: GraftV2Table =>
+                val (cat, ns, name) = g.graftIdentity
+                GraftDynamicOverwriteCommand(cat, ns, name, o.query)
+              case _ => o
+            }
+          case _ => o
+        }
+    }
+}
+
+final case class GraftDynamicOverwriteCommand(cat: GraftCatalog, ns: String,
+    table: String, query: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.classic.GraftSqlShims.dfOf(session, query)
+    new graft.write.GraftWriter(cat).overwriteDynamic(ns, table, df,
+      graft.write.WriteConfig(retryUnitMs = 50),
+      s"sql-dyn-${java.util.UUID.randomUUID().toString.take(12)}")
+    Nil
   }
 }
 

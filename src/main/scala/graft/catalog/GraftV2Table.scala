@@ -43,6 +43,11 @@ final class GraftV2Table(
 
   override def name(): String = reader.name()
   override def schema(): StructType = committedSchema
+
+  /** Engine identity for injected plan rewrites (dynamic overwrite)
+    * that must route a V2 write node through the engine writer. */
+  private[catalog] def graftIdentity: (GraftCatalog, String, String) =
+    (cat, ns, tableName)
   override def properties(): java.util.Map[String, String] =
     tableProperties.asJava
 

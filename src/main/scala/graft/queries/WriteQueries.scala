@@ -938,12 +938,13 @@ object WriteQueries {
         val wh = Files.createTempDirectory("graft-owq-").toString
         val cat = new GraftCatalog(s, wh)
         val w = new GraftWriter(cat)
-        // key-range-clustered staging, multiple files at every sf, so
-        // the range predicate provably isolates a file subset
+        // key-range-clustered staging, >=4 files at EVERY sf, so the
+        // range predicate provably isolates a file subset
+        val nTarget = target(s, dir).count()
         w.writeTable("main", "orders_t",
           Seq(target(s, dir)), Append,
           WriteConfig(primaryKey = Seq("o_orderkey"), retryUnitMs = 10,
-            maxRecordsPerFile = 2000L), "l1")
+            maxRecordsPerFile = math.max(1L, nTarget / 4)), "l1")
         val before = cat.loadTable("main", "orders_t").metadata.currentFiles
         val iso = s.newSession()
         iso.conf.set("spark.sql.catalog.graft_ow",
@@ -985,6 +986,54 @@ object WriteQueries {
          |  UNION ALL
          |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0
          |  FROM orders WHERE o_orderkey > (SELECT h FROM half)
+         |)""".stripMargin)),
+
+    // Dynamic partition overwrite (partitionOverwriteMode=dynamic): the
+    // batch carries only status-'F' rows, so ONLY the 'F' partition is
+    // replaced — the recurring-backfill shape; the removal set is a
+    // metadata comparison on the value-exact layout (no data read to
+    // decide what goes). The in-query require pins path survival of the
+    // partitions absent from the batch.
+    "w32_dynamic_overwrite" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-dynq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        w.writeTable("main", "orders_p",
+          Seq(target(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))),
+          Append, WriteConfig(retryUnitMs = 10, partitions =
+            Seq(graft.partition.PartitionHint.identity("o_orderstatus"))), "l1")
+        val before = cat.loadTable("main", "orders_p").metadata.currentFiles
+        val others = before.filter(f =>
+          f.stats.get("o_orderstatus").exists(_.min.exists(_ != "F")))
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_dyn",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_dyn.warehouse", wh)
+        iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        t(iso, dir, "orders").createOrReplaceTempView("orders_src_dyn")
+        iso.sql("""INSERT OVERWRITE graft_dyn.main.orders_p
+          |SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+          |FROM orders_src_dyn WHERE o_orderstatus = 'F'""".stripMargin)
+        val after = cat.loadTable("main", "orders_p").metadata
+        val afterPaths = after.currentFiles.map(_.path).toSet
+        require(others.nonEmpty && others.forall(f => afterPaths.contains(f.path)),
+          "partitions absent from the batch must survive by path")
+        require(after.snapshots.size == 2,
+          "dynamic overwrite must be ONE snapshot")
+        iso.sql("""SELECT o_orderkey, o_orderstatus,
+          |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          |FROM graft_dyn.main.orders_p""".stripMargin)
+      },
+      s"""SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         |FROM (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice
+         |  FROM ($targetSql) WHERE o_orderstatus <> 'F'
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0
+         |  FROM orders WHERE o_orderstatus = 'F'
          |)""".stripMargin))
   )
 

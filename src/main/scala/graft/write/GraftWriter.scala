@@ -441,6 +441,68 @@ final class GraftWriter(catalog: GraftCatalog) {
     ()
   }
 
+  /** Dynamic partition overwrite (Hive/Iceberg `INSERT OVERWRITE` with
+    * `partitionOverwriteMode=dynamic`): ONE snapshot that replaces
+    * exactly the partitions PRESENT IN THE BATCH and leaves every other
+    * partition untouched — the recurring-backfill shape at 100 TB (the
+    * day being reloaded is replaced; nothing else is read or written).
+    *
+    * The value-exact staging layout is what makes the removal set exact
+    * metadata work: every live file carries single-valued derived
+    * partition stats, so "files in an overwritten partition" is a stat
+    * comparison, never a data read. Files from an older spec vintage
+    * (missing derived stats) cannot be attributed and make the
+    * operation refuse loudly rather than leave stale rows behind.
+    * An unpartitioned table degenerates to Replace (Hive semantics). */
+  def overwriteDynamic(ns: String, name: String, batch: DataFrame,
+      cfg: WriteConfig = WriteConfig(),
+      loadId: String = java.util.UUID.randomUUID().toString): Unit = {
+    require(cfg.toBranch.isEmpty,
+      "dynamic overwrite targets main state; branch writes are not supported")
+    val t = catalog.loadTable(ns, name)
+    if (t.metadata.partitionSpec.isEmpty) {
+      writeTable(ns, name, Seq(batch), Replace, cfg, loadId)
+      return
+    }
+    // evolution-then-cast, same order as writeTable
+    val incomingSchema = org.apache.spark.sql.types.StructType(
+      TypeLattice.normalize(batch.schema).fields.map(f =>
+        f.copy(nullable = !cfg.requiredColumns.contains(f.name))))
+    val evo = SchemaEvolution.evolve(t.metadata.schema, incomingSchema,
+      cfg.allowColumnDrops)
+    if (evo.evolved)
+      t.commit(_.withSchema(evo.schema), cfg.maxRetries, cfg.backoffBase,
+        cfg.retryUnitMs)
+    val cast = SafeCast(batch, t.metadata.schema, cfg.strictCasting)
+    def tupleOf(f: DataFile, spec: Seq[PartitionFieldSpec]): Option[Seq[String]] = {
+      val vals = spec.map(s => f.stats.get(s.name).flatMap(st =>
+        if (st.min == st.max) st.min else None))
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+    }
+    t.commit({ fresh =>
+      val spec = fresh.partitionSpec
+      val staged = Stager.stage(cast, t.dataDir, loadId, spec,
+        bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+      val stagedTuples = staged.flatMap(tupleOf(_, spec)).toSet
+      require(staged.isEmpty || stagedTuples.nonEmpty,
+        "staged files must carry value-exact partition stats")
+      val (attributed, orphaned) = fresh.currentFiles
+        .map(f => f -> tupleOf(f, spec))
+        .partition(_._2.isDefined)
+      if (orphaned.nonEmpty)
+        throw new ValidationError(
+          s"dynamic overwrite cannot attribute ${orphaned.size} file(s) to " +
+            s"a partition tuple (older spec vintage, e.g. " +
+            s"${orphaned.head._1.path}); compact/restage first or use " +
+            "REPLACE WHERE with an explicit predicate")
+      val removed = attributed.collect {
+        case (f, Some(tu)) if stagedTuples.contains(tu) => f.path
+      }.toSet
+      fresh.withSnapshotDelta("overwrite", Some(loadId), staged, removed)
+    }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    ()
+  }
+
   /** `UPDATE <table> SET ... WHERE <cond>` — predicate updates with no
     * primary-key requirement:
     *

@@ -11,6 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** DataFrame over an analyzed logical plan (Dataset.ofRows is
+    * private[sql]) — lets an injected command execute a rewritten
+    * write's query through the engine's DataFrame-based write path. */
+  def dfOf(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
   /** Re-tag a batch DataFrame as a streaming one — what a V1 streaming
     * `Source.getBatch` must return (`MicroBatchExecution` asserts
     * `isStreaming`); the same `internalCreateDataFrame(isStreaming =
