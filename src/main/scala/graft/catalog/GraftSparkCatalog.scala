@@ -574,6 +574,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (!cat.tableExists(nsOf(ident), ident.name())) false
     else { cat.dropTable(nsOf(ident), ident.name()); true }
 
+  /** `DROP TABLE ... PURGE`: the engine's drop already deletes data —
+    * the reference's `drop_tables` prefers `purge_table`
+    * (`destination_client.py:892-931`) — so PURGE is the same
+    * operation rather than an unsupported-feature error. */
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
 

@@ -46,6 +46,9 @@ class SparkCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSet == Set("users", "fresh"))
     spark.sql("DROP TABLE gsql.main.fresh")
     assert(!cat.tableExists("main", "fresh"))
+    spark.sql("CREATE TABLE gsql.main.fresh2 (id BIGINT)")
+    spark.sql("DROP TABLE gsql.main.fresh2 PURGE")
+    assert(!cat.tableExists("main", "fresh2"))
 
     // partitioned create maps V2 transforms onto the engine's spec
     spark.sql("CREATE TABLE gsql.main.parted (id BIGINT, ts TIMESTAMP) " +
