@@ -34,7 +34,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
-    "create_branch", "publish_branch", "drop_branch")
+    "create_branch", "publish_branch", "drop_branch", "rewrite_manifests")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -48,6 +48,7 @@ object GraftProcedures {
       case "create_branch" => Some(CreateBranch(cat))
       case "publish_branch" => Some(PublishBranch(cat))
       case "drop_branch" => Some(DropBranch(cat))
+      case "rewrite_manifests" => Some(RewriteManifests(cat))
       case _ => None
     }
 
@@ -242,6 +243,24 @@ object GraftProcedures {
       val m = t.publish(String.valueOf(input.getUTF8String(1)))
       one(StructType(Seq(StructField("head_snapshot", LongType, nullable = false))),
         java.lang.Long.valueOf(m.currentSnapshotId.getOrElse(-1L)))
+    }
+  }
+
+  /** `CALL cat.system.rewrite_manifests('ns.t')` — metadata-only
+    * compaction of the snapshot's manifest-ref list into one manifest;
+    * content-neutral, sequence-preserving (MoR delete fencing
+    * untouched). */
+  private final case class RewriteManifests(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "rewrite_manifests"
+    override def description(): String =
+      "merge the current snapshot's manifests into one (metadata only)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val done = graft.write.Maintenance.rewriteManifests(t)
+      one(StructType(Seq(StructField("rewritten", BooleanType, nullable = false))),
+        java.lang.Boolean.valueOf(done))
     }
   }
 

@@ -553,7 +553,8 @@ object GraftTable {
   /** Operations whose snapshots are content-neutral file rewrites: the
     * live row set is unchanged, only paths move. The changelog skips
     * them; anything else that removes files is content-changing. */
-  val RewriteOps: Set[String] = Set("compact", "zorder", "apply-deletes")
+  val RewriteOps: Set[String] =
+    Set("compact", "zorder", "apply-deletes", "rewrite-manifests")
 
   /** Bootstrap v1 metadata for a new table (CAS on v1 rejects concurrent
     * double-create). */

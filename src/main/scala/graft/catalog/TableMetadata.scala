@@ -438,6 +438,22 @@ final case class TableMetadata(
     }
   }
 
+  /** Content-neutral manifest compaction: ONE merged manifest replaces
+    * the current snapshot's ref list; every [[DataFile]] entry carries
+    * over VERBATIM — in particular its commit sequence, which
+    * merge-on-read equality-delete fencing compares against (a
+    * re-sequencing rewrite would lift old data files above outstanding
+    * deletes and resurrect deleted rows). Outstanding delete files carry
+    * unchanged. Read planning over a long-lived table drops from
+    * O(refs-since-last-merge) to one manifest open. */
+  def withManifestsRewritten(nowMs: Long = System.currentTimeMillis()): TableMetadata = {
+    val snap = currentSnapshot.getOrElse(
+      throw new ValidationError(s"No current snapshot in $identifier"))
+    val ref = ManifestIO.writeRef(metadataDirPath, snap.dataFiles, statTypeOf)
+    appendSnapshot("rewrite-manifests", None, Seq(ref), nowMs,
+      deletes = snap.deletes, posDeletes = snap.posDeletes)
+  }
+
   /** Flat-list commit (compatibility form): derives the delta against the
     * parent file set, then delegates to [[withSnapshotDelta]]. Reads the
     * parent manifests to diff — callers that already know their delta

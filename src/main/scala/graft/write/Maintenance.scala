@@ -66,6 +66,17 @@ object Maintenance {
     * are rewritten; newer files carry over as metadata. Content-neutral
     * with respect to `read()` by construction. Returns false when there
     * is nothing to apply. */
+  /** Compact the current snapshot's manifest-ref list into ONE merged
+    * manifest — a metadata-only, content-neutral commit (data files
+    * carry verbatim, sequences preserved so merge-on-read delete
+    * fencing is untouched). Returns false when already compact. */
+  def rewriteManifests(t: GraftTable, retryUnitMs: Long = 1000L): Boolean = {
+    if (t.metadata.currentSnapshot.forall(_.manifestPaths.size <= 1))
+      return false
+    t.commit(_.withManifestsRewritten(), unitMs = retryUnitMs)
+    true
+  }
+
   def applyDeletes(t: GraftTable, retryUnitMs: Long = 1000L): Boolean = {
     val m = t.metadata
     val deletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)

@@ -153,4 +153,42 @@ class ProcedureSpec extends AnyFunSuite {
       "CALL gproc5.system.publish_branch('main.t', 'v1_tag')").collect())
     assert(e.getMessage.contains("v1_tag"), e.getMessage)
   }
+
+  test("rewrite_manifests merges refs, preserves content AND MoR fencing") {
+    val cat = freshCatalog("gproc6")
+    val w = new GraftWriter(cat)
+    val mcfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
+      mergeOnRead = true)
+    (0 until 4).foreach { i =>
+      w.writeTable("main", "m",
+        Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")), Append,
+        WriteConfig(retryUnitMs = 1), s"l$i")
+    }
+    // MoR merge leaves an equality-delete file whose fencing depends on
+    // the data files' ORIGINAL sequences
+    w.writeTable("main", "m", Seq(Seq((1L, "updated")).toDF("id", "v")),
+      Merge("upsert"), mcfg, "l9")
+    val before = cat.loadTable("main", "m").metadata.currentSnapshot.get
+    assert(before.manifestPaths.size > 1 && before.deletes.nonEmpty)
+
+    val r = spark.sql("CALL gproc6.system.rewrite_manifests('main.m')").collect()
+    assert(r(0).getBoolean(0))
+    val after = cat.loadTable("main", "m").metadata.currentSnapshot.get
+    assert(after.manifestPaths.size == 1,
+      s"expected one merged manifest, got ${after.manifestPaths.size}")
+    assert(after.deletes.map(_.path) == before.deletes.map(_.path))
+    // content-neutral INCLUDING the outstanding delete: id=1 still reads
+    // as the post-merge value, never the resurrected original
+    val got = spark.sql("SELECT id, v FROM gproc6.main.m ORDER BY id")
+      .collect().map(r2 => (r2.getLong(0), r2.getString(1)))
+    assert(got.toSeq == Seq((0L, "v0"), (1L, "updated"), (2L, "v2"), (3L, "v3")),
+      got.toSeq)
+    // the changelog skips the rewrite snapshot (content-neutral op)
+    val t = cat.loadTable("main", "m")
+    val changes = t.changesBetween(before.snapshotId, after.snapshotId)
+    assert(changes.isEmpty, "rewrite-manifests must contribute no changes")
+    // idempotent: already-compact tables report false
+    assert(!spark.sql("CALL gproc6.system.rewrite_manifests('main.m')")
+      .collect()(0).getBoolean(0))
+  }
 }
