@@ -120,9 +120,17 @@ final class GraftV2Table(
       with SupportsPushDownAggregates {
 
     private val hasDeletes = morDeletes.nonEmpty || morPosDeletes.nonEmpty
+    // Under MoR the parquet builder is still constructed when the table
+    // is partitioned — the SPJ-MoR wrap ([[SpjScan.wrapMor]]) serves the
+    // key-grouped read through it — but NOTHING is forwarded eagerly:
+    // filters stay residual (positional row counting needs the unskipped
+    // row stream, and the V1 fallback then needs no filter re-binding)
+    // and column pruning is applied at build() with the delete key
+    // columns appended.
     private val inner: Option[ScanBuilder] =
-      if (hasDeletes) None
-      else Some(reader.asInstanceOf[SupportsRead].newScanBuilder(options))
+      if (!hasDeletes || partitionSpec.nonEmpty)
+        Some(reader.asInstanceOf[SupportsRead].newScanBuilder(options))
+      else None
 
     private var required: Option[StructType] = None
     private var catalystFilters:
@@ -133,7 +141,8 @@ final class GraftV2Table(
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
       required = Some(requiredSchema)
-      if (!requiredSchema.fieldNames.contains(GroupScan.FileColumn))
+      if (!hasDeletes &&
+          !requiredSchema.fieldNames.contains(GroupScan.FileColumn))
         inner.foreach {
           case p: SupportsPushDownRequiredColumns =>
             p.pruneColumns(requiredSchema)
@@ -146,26 +155,30 @@ final class GraftV2Table(
         Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
       catalystFilters = filters
       inner match {
-        case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters) =>
+        case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
+            if !hasDeletes =>
           p.pushFilters(filters)
-        case _ => filters // V1 modes: all residual, Spark filters above
+        case _ => filters // V1/MoR modes: all residual, Spark filters above
       }
     }
 
     override def pushedFilters:
         Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
       inner match {
-        case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters) =>
+        case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
+            if !hasDeletes =>
           p.pushedFilters
         case _ => Array.empty
       }
 
     private var aggPushed = false
 
+    // aggregate pushdown must never reach the raw parquet scan under MoR
+    // (it would count logically-deleted rows)
     override def pushAggregation(
         aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
       inner match {
-        case Some(p: SupportsPushDownAggregates) =>
+        case Some(p: SupportsPushDownAggregates) if !hasDeletes =>
           aggPushed = p.pushAggregation(aggregation)
           aggPushed
         case _ => false
@@ -174,13 +187,15 @@ final class GraftV2Table(
     override def supportCompletePushDown(
         aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
       inner match {
-        case Some(p: SupportsPushDownAggregates) => p.supportCompletePushDown(aggregation)
+        case Some(p: SupportsPushDownAggregates) if !hasDeletes =>
+          p.supportCompletePushDown(aggregation)
         case _ => false
       }
 
     override def build(): Scan =
       if (!fileRequested) {
-        inner.map { b =>
+        if (!hasDeletes) {
+          val b = inner.get // always constructed on the clean path
           val scan = b.build()
           // Column stats for CBO: only when the session opts in (plans
           // are byte-identical otherwise) and only on non-aggregate
@@ -193,10 +208,10 @@ final class GraftV2Table(
                 .filter(!_.isEmpty)
             else None
           // Storage-partitioned-join report (SpjScan): only on the clean
-          // parquet hot path (no MoR deletes — `inner` is defined — and
-          // no pushed aggregate, whose scan schema is the agg result),
-          // and only when the session opts into V2 bucketing, so a
-          // conf-off plan is byte-identical to the pre-SPJ one.
+          // parquet hot path with no pushed aggregate (whose scan schema
+          // is the agg result), and only when the session opts into V2
+          // bucketing, so a conf-off plan is byte-identical to the
+          // pre-SPJ one.
           val spj =
             if (!aggPushed && conf.v2BucketingEnabled)
               SpjScan.wrap(scan, partitionSpec, committedSchema, morFiles,
@@ -205,15 +220,7 @@ final class GraftV2Table(
           if ((spj eq scan) && cboStats.isDefined)
             ColStatsScan(scan, cboStats.get, morFiles.map(_.rowCount).sum)
           else spj
-        }.getOrElse {
-          // MoR fallback: column-pruned through the delete application
-          val out = required.getOrElse(committedSchema)
-          GraftV2Table.v1ScanOf(out, ctx =>
-            MorRead.read(ctx.sparkSession, committedSchema,
-                morFiles, morDeletes, morPosDeletes)
-              .select(out.fieldNames.map(col).toIndexedSeq: _*),
-            Some(fileStats)).build()
-        }
+        } else buildMor()
       } else {
         val out = required.getOrElse(StructType(committedSchema.fields :+
           org.apache.spark.sql.types.StructField(
@@ -239,6 +246,47 @@ final class GraftV2Table(
           df.select(out.fieldNames.map(col).toIndexedSeq: _*)
         }, Some(fileStats)).build()
       }
+
+    /** Merge-on-read scan with the SPJ wrap attempted first: when the
+      * session opts into V2 bucketing and the spec + file stats qualify,
+      * the scan keeps the clean path's `KeyGroupedPartitioning` report
+      * and [[MorSpjReader]] applies the deletes per row — a merged
+      * co-bucketed fact table joins shuffle-free instead of dropping to
+      * the reshuffling V1 fallback. Ineligible (conf off, unsupported
+      * transform, missing stats, a delete key column no longer in the
+      * schema) ⇒ the pre-existing V1 `MorRead` scan, unchanged. */
+    private def buildMor(): Scan = {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val requested = required.getOrElse(committedSchema)
+      val attempt: Option[Scan] =
+        if (conf.v2BucketingEnabled && partitionSpec.nonEmpty)
+          inner.flatMap { b =>
+            val extraKeys = morDeletes.flatMap(_.keyColumns).distinct
+              .filterNot(requested.fieldNames.contains)
+            if (extraKeys.exists(k => !committedSchema.fieldNames.contains(k)))
+              None // delete keyed on a since-dropped column: V1 path
+            else {
+              val extended = StructType(requested.fields ++
+                extraKeys.map(committedSchema(_)))
+              b match {
+                case p: SupportsPushDownRequiredColumns =>
+                  p.pruneColumns(extended)
+                case _ => ()
+              }
+              SpjScan.wrapMor(b.build(), partitionSpec, committedSchema,
+                extended, requested, morFiles, morDeletes, morPosDeletes)
+            }
+          }
+        else None
+      attempt.getOrElse {
+        // MoR fallback: column-pruned through the delete application
+        GraftV2Table.v1ScanOf(requested, ctx =>
+          MorRead.read(ctx.sparkSession, committedSchema,
+              morFiles, morDeletes, morPosDeletes)
+            .select(requested.fieldNames.map(col).toIndexedSeq: _*),
+          Some(fileStats)).build()
+      }
+    }
   }
 
   /** Exact table footprint from commit-time footer stats (pre-delete

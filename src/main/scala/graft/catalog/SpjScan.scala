@@ -46,11 +46,57 @@ object SpjScan {
       colStats: Option[java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] =
-        None): Scan = {
-    if (spec.isEmpty || files.isEmpty) return scan
+        None): Scan =
+    eligibility(spec, schema, files).fold(scan) { e =>
+      new GroupedScan(scan, e.keyExprs, e.keyByPath, e.nKeys, e.fields,
+        colStats)
+    }
+
+  /** Merge-on-read SPJ: wrap `scan` (the inner parquet scan, pruned to
+    * `extendedSchema` = requested columns ∪ equality-delete key columns)
+    * so it reports the SAME `KeyGroupedPartitioning` as the clean path
+    * while [[MorSpjReader]] applies the outstanding deletes per row.
+    * Deletes remove rows but never change a file's partition tuple, so
+    * the commit-time key layout stays valid under MoR — this is what
+    * keeps a merged co-bucketed fact table joining shuffle-free instead
+    * of dropping to the reshuffling V1 fallback. None ⇒ ineligible
+    * (caller falls back to the V1 MorRead scan; correctness never
+    * depends on the wrap). */
+  def wrapMor(scan: Scan, spec: Seq[PartitionFieldSpec],
+      tableSchema: StructType, extendedSchema: StructType,
+      requestedSchema: StructType, files: Seq[DataFile],
+      deletes: Seq[DeleteFile], posDeletes: Seq[PosDeleteFile]): Option[Scan] =
+    eligibility(spec, tableSchema, files).map { e =>
+      new GroupedScan(scan, e.keyExprs, e.keyByPath, e.nKeys, e.fields,
+        colStats = None,
+        mor = Some(MorInfo(tableSchema, extendedSchema, requestedSchema,
+          files, deletes, posDeletes)))
+    }
+
+  /** MoR wrap state: schemas + the delete sets, plus per-path data
+    * sequence (delete fencing) and file size (whole-file splits for
+    * positional row counting). */
+  private final case class MorInfo(tableSchema: StructType,
+      extendedSchema: StructType, requestedSchema: StructType,
+      files: Seq[DataFile], deletes: Seq[DeleteFile],
+      posDeletes: Seq[PosDeleteFile]) {
+    val seqByPath: Map[String, Long] =
+      files.map(f => normPath(f.path) -> f.dataSeq).toMap
+  }
+
+  private final case class Eligibility(keyExprs: Array[V2Expression],
+      keyByPath: Map[String, FileKey], nKeys: Int,
+      fields: Seq[(PartitionFieldSpec, DataType)])
+
+  /** Shared eligibility + key decode for the clean and MoR wraps: every
+    * partition-spec field a supported transform, every data file carrying
+    * a decodable single-valued partition tuple. */
+  private def eligibility(spec: Seq[PartitionFieldSpec], schema: StructType,
+      files: Seq[DataFile]): Option[Eligibility] = {
+    if (spec.isEmpty || files.isEmpty) return None
     val supported =
       Set("identity", "bucket", "year", "month", "day", "hour", "truncate")
-    if (!spec.forall(s => supported.contains(s.transform))) return scan
+    if (!spec.forall(s => supported.contains(s.transform))) return None
     // derived stat type per transform — must agree with the canonical
     // stat encoding (TableMetadata.statTypeOf / Stager.statColumn)
     val fieldTypes: Seq[DataType] = spec.map { s =>
@@ -59,12 +105,12 @@ object SpjScan {
         case "month" | "hour" => StringType
         case "day" => DateType
         case _ => schema.fields.find(_.name == s.source).map(_.dataType)
-          .getOrElse(return scan)
+          .getOrElse(return None)
       }
     }
     val decoded: Seq[(String, FileKey)] = files.map { f =>
       val vals = spec.zip(fieldTypes).map { case (s, dt) =>
-        decodeKey(f, s.name, dt).getOrElse(return scan)
+        decodeKey(f, s.name, dt).getOrElse(return None)
       }
       // injective tuple id: length-prefixed value strings (a separator
       // collision would silently merge two partition groups)
@@ -76,7 +122,7 @@ object SpjScan {
     val keyExprs: Array[V2Expression] = spec.map { s =>
       s.transform match {
         case "bucket" =>
-          Expressions.bucket(s.param.getOrElse(return scan), s.source)
+          Expressions.bucket(s.param.getOrElse(return None), s.source)
         case "year" => Expressions.years(s.source)
         case "month" => Expressions.months(s.source)
         case "day" => Expressions.days(s.source)
@@ -85,14 +131,25 @@ object SpjScan {
         // fails Spark's leaves-must-be-join-keys clustering check (see
         // GraftTemporalFunctions.TruncateUnbound)
         case "truncate" => Expressions.apply(
-          s"truncate_${s.param.getOrElse(return scan)}",
+          s"truncate_${s.param.getOrElse(return None)}",
           Expressions.column(s.source))
         case _ => Expressions.identity(s.source)
       }
     }.toArray
     val nKeys = decoded.map(_._2.tupleId).distinct.size
-    new GroupedScan(scan, keyExprs, decoded.toMap, nKeys,
-      spec.zip(fieldTypes), colStats)
+    Some(Eligibility(keyExprs, decoded.toMap, nKeys, spec.zip(fieldTypes)))
+  }
+
+  /** A key-grouped MoR partition: a [[FilePartition]] whose files all
+    * share one partition tuple AND one data sequence (`fileSeq` fences
+    * equality deletes); `posPath` is set — and the partition is a single
+    * whole file — when positional deletes are outstanding, so the reader
+    * can count row indexes. */
+  final class MorPartition(idx: Int,
+      pfiles: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      key: InternalRow, val fileSeq: Long, val posPath: Option[String])
+    extends FilePartition(idx, pfiles) with HasPartitionKey {
+    override def partitionKey(): InternalRow = key
   }
 
   /** Per-field partition-key encoding shared by the tuple id and the
@@ -185,16 +242,22 @@ object SpjScan {
       colStats: Option[java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] =
-        None)
+        None,
+      mor: Option[MorInfo] = None)
     extends Scan with Batch with SupportsReportPartitioning
       with SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-    override def readSchema(): StructType = inner.readSchema()
-    override def description(): String = s"graft-spj ${inner.description()}"
+    override def readSchema(): StructType =
+      mor.fold(inner.readSchema())(_.requestedSchema)
+    override def description(): String =
+      s"graft-spj${if (mor.isDefined) "-mor" else ""} ${inner.description()}"
     override def toBatch: Batch = this
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
-      inner.columnarSupportMode()
+      // MoR: row-based by contract (per-row delete probing + positional
+      // row counting happen on the row stream)
+      if (mor.isDefined) Scan.ColumnarSupportMode.UNSUPPORTED
+      else inner.columnarSupportMode()
     override def supportedCustomMetrics():
         Array[org.apache.spark.sql.connector.metric.CustomMetric] =
       inner.supportedCustomMetrics()
@@ -272,27 +335,38 @@ object SpjScan {
         }.toSet)
     }
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      inner.toBatch.createReaderFactory()
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val base = inner.toBatch.createReaderFactory()
+      mor.fold(base) { mi =>
+        MorSpjReader.factory(
+          org.apache.spark.sql.SparkSession.active, base,
+          mi.tableSchema, mi.extendedSchema, mi.requestedSchema,
+          mi.files, mi.deletes, mi.posDeletes)
+      }
+    }
 
     /** Re-cut each inner split on key boundaries, tagging every emitted
-      * split with its `HasPartitionKey`. Any file the key map does not
-      * cover (never expected — the map is built from the same snapshot
-      * file list the parquet table reads) falls back to the inner
-      * partitions verbatim rather than planning a wrong grouping. */
+      * split with its `HasPartitionKey`. On the clean path, any file the
+      * key map does not cover (never expected — the map is built from the
+      * same snapshot file list the parquet table reads) falls back to the
+      * inner partitions verbatim rather than planning a wrong grouping;
+      * under MoR that fallback would SKIP delete application, so an
+      * unmapped file fails loudly instead. */
     override def planInputPartitions(): Array[InputPartition] = {
       val parts = inner.toBatch.planInputPartitions()
+      mor match {
+        case None => planClean(parts)
+        case Some(mi) => planMor(parts, mi)
+      }
+    }
+
+    private def planClean(parts: Array[InputPartition]): Array[InputPartition] = {
       val out = Array.newBuilder[InputPartition]
       var idx = 0
       parts.foreach {
         case fp: FilePartition =>
           val withKeys = fp.files.flatMap { pf =>
-            val p1 = normPath(pf.urlEncodedPath)
-            val resolved = keyByPath.get(p1).map(k => (p1, k)).orElse {
-              val p2 = normPath(
-                java.net.URLDecoder.decode(pf.urlEncodedPath, "UTF-8"))
-              keyByPath.get(p2).map(k => (p2, k))
-            }.getOrElse(return parts)
+            val resolved = resolveKey(pf).getOrElse(return parts)
             // runtime-pruned file: provably holds no matching partition
             // key — skip it entirely (an empty group simply vanishes;
             // Spark allows dropped values, never new ones)
@@ -309,6 +383,81 @@ object SpjScan {
         case _ => return parts
       }
       out.result()
+    }
+
+    /** MoR partition planning. Equality-only deletes keep the inner split
+      * granularity, grouping splits by (partition tuple, data sequence) —
+      * every file in a group shares the sequence the reader fences
+      * against. Outstanding POSITIONAL deletes additionally require
+      * row-index counting, so each data file becomes ONE whole-file
+      * partition (splits of one file merged back); same-key partitions
+      * still land in one task when Spark picks the key-grouped plan
+      * (`BatchScanExec.groupPartitions`), so the join stays shuffle-free
+      * and only intra-file split parallelism is given up — on the path
+      * that previously had NO key report at all. */
+    private def planMor(parts: Array[InputPartition],
+        mi: MorInfo): Array[InputPartition] = {
+      def fail(pf: org.apache.spark.sql.execution.datasources.PartitionedFile): Nothing =
+        throw new IllegalStateException(
+          s"graft-spj-mor: data file ${pf.urlEncodedPath} has no partition " +
+            "key or sequence in the snapshot — refusing to read it raw " +
+            "(deletes would not apply)")
+      val out = Array.newBuilder[InputPartition]
+      var idx = 0
+      if (mi.posDeletes.nonEmpty) {
+        // whole-file partitions, deduped across splits
+        val seen = scala.collection.mutable.Set.empty[String]
+        parts.foreach {
+          case fp: FilePartition => fp.files.foreach { pf =>
+            val (path, key) = resolveKey(pf).getOrElse(fail(pf))
+            if (!seen.contains(path)) {
+              seen += path
+              if (runtimeKept.forall(_.contains(path))) {
+                val seq = mi.seqByPath.getOrElse(path, fail(pf))
+                val whole = pf.copy(pf.partitionValues, pf.filePath, 0L,
+                  pf.fileSize, pf.locations, pf.modificationTime, pf.fileSize,
+                  pf.otherConstantMetadataColumnValues)
+                out += new MorPartition(idx, Array(whole), key.row, seq,
+                  Some(path))
+                idx += 1
+              }
+            }
+          }
+          case p => throw new IllegalStateException(
+            s"graft-spj-mor: unexpected non-file partition $p")
+        }
+      } else {
+        parts.foreach {
+          case fp: FilePartition =>
+            val withKeys = fp.files.flatMap { pf =>
+              val resolved = resolveKey(pf).getOrElse(fail(pf))
+              if (runtimeKept.forall(_.contains(resolved._1)))
+                Some((pf, resolved._2,
+                  mi.seqByPath.getOrElse(resolved._1, fail(pf))))
+              else None
+            }
+            withKeys.groupBy(t => (t._2.tupleId, t._3)).foreach {
+              case ((_, seq), triples) =>
+                out += new MorPartition(idx, triples.map(_._1),
+                  triples.head._2.row, seq, None)
+                idx += 1
+            }
+          case p => throw new IllegalStateException(
+            s"graft-spj-mor: unexpected non-file partition $p")
+        }
+      }
+      out.result()
+    }
+
+    private def resolveKey(
+        pf: org.apache.spark.sql.execution.datasources.PartitionedFile):
+        Option[(String, FileKey)] = {
+      val p1 = normPath(pf.urlEncodedPath)
+      keyByPath.get(p1).map(k => (p1, k)).orElse {
+        val p2 = normPath(
+          java.net.URLDecoder.decode(pf.urlEncodedPath, "UTF-8"))
+        keyByPath.get(p2).map(k => (p2, k))
+      }
     }
   }
 }

@@ -25,4 +25,21 @@ object PlanOps {
     case s: ShuffleExchangeExec => 1 + s.children.map(countShuffles).sum
     case other => other.children.map(countShuffles).sum
   }
+
+  /** The V2 scan descriptions in the final plan, AQE-aware — lets specs
+    * and driver entries pin WHICH scan implementation served a query
+    * (e.g. the `graft-spj-mor` wrap) without disabling AQE. */
+  def scanDescriptions(df: DataFrame): Seq[String] = {
+    df.collect()
+    descs(df.queryExecution.executedPlan)
+  }
+
+  private def descs(p: SparkPlan): Seq[String] = p match {
+    case a: AdaptiveSparkPlanExec => descs(a.executedPlan)
+    case q: QueryStageExec => descs(q.plan)
+    case r: ReusedExchangeExec => descs(r.child)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      Seq(b.scan.description())
+    case other => other.children.flatMap(descs)
+  }
 }

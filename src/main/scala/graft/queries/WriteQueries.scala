@@ -1034,7 +1034,70 @@ object WriteQueries {
          |  UNION ALL
          |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0
          |  FROM orders WHERE o_orderstatus = 'F'
-         |)""".stripMargin))
+         |)""".stripMargin)),
+
+    // Merge-on-read SPJ: orders co-bucketed with customer, then MoR-
+    // upserted (outstanding equality-delete file) — the scan KEEPS its
+    // KeyGroupedPartitioning report and applies the deletes per row
+    // inside the wrapped reader (MorSpjReader), so the join stays
+    // shuffle-free. This is the merge-heavy-pipeline shape: without it,
+    // the first trickle merge after compaction silently reshuffles every
+    // downstream co-bucketed join until the next maintenance run. The
+    // in-query requires pin (a) an outstanding delete actually exists,
+    // (b) the MoR wrap served the scan, (c) zero shuffles.
+    "w33_mor_spj_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-morspjq-").toString
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        val bcfg = WriteConfig(retryUnitMs = 10,
+          primaryKey = Seq("o_orderkey"), mergeOnRead = true,
+          partitions = Seq(graft.partition.PartitionHint.bucket(8, "custkey")))
+        val ordersB = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+        w.writeTable("main", "orders_b", Seq(ordersB), Append, bcfg, "l1")
+        w.writeTable("main", "customer_b",
+          Seq(t(s, dir, "customer").select(
+            col("c_custkey").as("custkey"), col("c_mktsegment"))),
+          Append, WriteConfig(retryUnitMs = 10, partitions =
+            Seq(graft.partition.PartitionHint.bucket(8, "custkey"))), "l2")
+        // trickle MoR upsert: every 1000th order's price bumped by 1000
+        w.writeTable("main", "orders_b",
+          Seq(ordersB.filter(col("o_orderkey") % 1000 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)),
+          Merge("upsert"), bcfg, "l3")
+        require(cat.loadTable("main", "orders_b").metadata.currentSnapshot
+          .exists(_.deletes.nonEmpty),
+          "MoR upsert must leave an outstanding equality-delete file")
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_morspj",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_morspj.warehouse", wh)
+        iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = iso.sql("""SELECT c.custkey, c.c_mktsegment,
+          |  COUNT(*) AS n_orders,
+          |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+          |    AS DOUBLE) AS revenue
+          |FROM graft_morspj.main.orders_b o
+          |JOIN graft_morspj.main.customer_b c ON o.custkey = c.custkey
+          |GROUP BY c.custkey, c.c_mktsegment""".stripMargin)
+        require(graft.plans.PlanOps.scanDescriptions(df)
+          .exists(_.startsWith("graft-spj-mor")),
+          "the merged table's scan must keep the SPJ report (MoR wrap)")
+        val nShuffles = graft.plans.PlanOps.shuffles(df)
+        require(nShuffles == 0,
+          s"merge-on-read SPJ join must be shuffle-free, got $nShuffles")
+        df
+      },
+      """SELECT c.c_custkey AS custkey, c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(CASE WHEN o.o_orderkey % 1000 = 0
+        |    THEN o.o_totalprice + 1000 ELSE o.o_totalprice END
+        |    AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

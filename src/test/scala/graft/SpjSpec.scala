@@ -234,7 +234,7 @@ class SpjSpec extends AnyFunSuite {
     assert(df.collect().length == 160)
   }
 
-  test("MoR deletes and unpartitioned tables stay on the unwrapped path") {
+  test("unpartitioned tables stay on the unwrapped path; a bucketed MoR point read stays correct") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-mor-").toString
     val cat = new GraftCatalog(spark, wh)
@@ -245,8 +245,8 @@ class SpjSpec extends AnyFunSuite {
     val on = spjSession("spjmor", wh, enabled = true)
     assert(on.sql("SELECT COUNT(*) FROM spjmor.main.plain")
       .collect()(0).getLong(0) == 100L)
-    // bucketed + an outstanding MoR delete: scan must fall back (deletes
-    // applied via the V1 shim) and still answer correctly
+    // bucketed + an outstanding MoR delete: deletes now apply UNDER the
+    // SPJ wrap (residual filters evaluated above the row stream)
     val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
       mergeOnRead = true,
       partitions = Seq(graft.partition.PartitionHint.bucket(4, "id")))
@@ -254,9 +254,97 @@ class SpjSpec extends AnyFunSuite {
       .toDF("id", "v")), Append, cfg, "l2")
     w.writeTable("main", "bm", Seq(Seq((5L, 500)).toDF("id", "v")),
       Merge("upsert"), cfg, "l3")
-    val rows = on.sql("SELECT id, v FROM spjmor.main.bm WHERE id IN (4, 5)")
-      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val df = on.sql("SELECT id, v FROM spjmor.main.bm WHERE id IN (4, 5)")
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
     assert(rows.toSeq == Seq((4L, 4), (5L, 500)))
+    // COUNT must not push an aggregate into the raw parquet scan (it
+    // would count the logically-deleted pre-upsert row)
+    assert(on.sql("SELECT COUNT(*) FROM spjmor.main.bm")
+      .collect()(0).getLong(0) == 100L)
+  }
+
+  test("merge-on-read SPJ: equality deletes apply under a shuffle-free co-bucketed join") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-moreq-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("seq"),
+      mergeOnRead = true,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "k")))
+    val facts = (1 to 4000).map(i =>
+      (i.toLong % 97, i.toLong, (i % 13).toDouble)).toDF("k", "seq", "v")
+    w.writeTable("main", "facts", Seq(facts), Append, cfg, "l1")
+    val dims = (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "label")
+    w.writeTable("main", "dims", Seq(dims), Append,
+      WriteConfig(retryUnitMs = 1,
+        partitions = Seq(graft.partition.PartitionHint.bucket(4, "k"))), "l2")
+    // MoR upsert: seq 5 moves to k=96 with v=1000 — an outstanding
+    // equality delete on `seq` (a column the join never mentions) must
+    // kill the OLD row inside the wrapped scan
+    w.writeTable("main", "facts", Seq(Seq((96L, 5L, 1000.0d))
+      .toDF("k", "seq", "v")), Merge("upsert"), cfg, "l3")
+    assert(cat.loadTable("main", "facts").metadata.currentSnapshot
+      .exists(_.deletes.nonEmpty), "precondition: outstanding MoR delete")
+
+    val sql = """SELECT f.k, d.label, COUNT(*) AS n, SUM(f.v) AS sv
+                |FROM C.main.facts f JOIN C.main.dims d ON f.k = d.k
+                |GROUP BY f.k, d.label""".stripMargin
+    val on = spjSession("spjme", wh, enabled = true)
+    val dfOn = on.sql(sql.replace("C.", "spjme."))
+    assert(shuffles(dfOn) == 0,
+      s"MoR SPJ join should be shuffle-free:\n${dfOn.queryExecution.executedPlan}")
+    assert(graft.plans.PlanOps.scanDescriptions(dfOn)
+      .exists(_.startsWith("graft-spj-mor")),
+      "facts scan should be the MoR SPJ wrap")
+
+    val off = spjSession("spjme", wh, enabled = false)
+    val dfOff = off.sql(sql.replace("C.", "spjme."))
+    assert(shuffles(dfOff) > 0, "conf-off MoR plan still shuffles (V1 fallback)")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(norm(dfOn).sameElements(norm(dfOff)))
+    // the upserted row landed in k=96 and the k=5%97 group lost one row
+    val total = on.sql("SELECT COUNT(*) AS n, SUM(v) AS sv FROM spjme.main.facts")
+      .collect()(0)
+    assert(total.getLong(0) == 4000L)
+    assert(total.getDouble(1) ==
+      facts.collect().map(_.getDouble(2)).sum - 5.0d + 1000.0d)
+  }
+
+  test("merge-on-read SPJ: positional deletes apply under whole-file key-grouped partitions") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-morpos-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "k")))
+    val facts = (1 to 2000).map(i => (i.toLong % 53, i.toLong)).toDF("k", "x")
+    w.writeTable("main", "facts", Seq(facts), Append, cfg, "l1")
+    val dims = (0L until 53L).map(k => (k, s"d$k")).toDF("k", "label")
+    w.writeTable("main", "dims", Seq(dims), Append, cfg, "l2")
+    // positional delete vector (DELETE FROM in merge-on-read mode)
+    w.deleteWhere("main", "facts",
+      org.apache.spark.sql.functions.col("x") % 10 === 3,
+      WriteConfig(retryUnitMs = 1, mergeOnRead = true), "l3")
+    val t = cat.loadTable("main", "facts")
+    assert(t.metadata.currentSnapshot.exists(_.posDeletes.nonEmpty),
+      "precondition: outstanding positional delete vector")
+
+    val on = spjSession("spjmp", wh, enabled = true)
+    val df = on.sql("""SELECT f.k, COUNT(*) AS n, SUM(f.x) AS sx
+      |FROM spjmp.main.facts f JOIN spjmp.main.dims d ON f.k = d.k
+      |GROUP BY f.k""".stripMargin)
+    assert(shuffles(df) == 0,
+      s"positional-delete MoR SPJ should be shuffle-free:\n" +
+        df.queryExecution.executedPlan)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val expect = (1 to 2000).map(i => (i.toLong % 53, i.toLong))
+      .filterNot(_._2 % 10 == 3)
+      .groupBy(_._1).map { case (k, rs) =>
+        (k, rs.size.toLong, rs.map(_._2).sum) }.toArray.sortBy(_._1)
+    assert(got.sameElements(expect))
   }
 
   test("runtime partition pruning: a dim-filtered join opens only matching fact partitions") {
