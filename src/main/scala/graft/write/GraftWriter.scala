@@ -383,7 +383,17 @@ final class GraftWriter(catalog: GraftCatalog) {
     * physically in the restage. */
   def overwriteWhere(ns: String, name: String, cond: org.apache.spark.sql.Column,
       batch: DataFrame, cfg: WriteConfig = WriteConfig(),
-      loadId: String = java.util.UUID.randomUUID().toString): Unit = {
+      loadId: String = java.util.UUID.randomUUID().toString): Unit =
+    overwriteWhereImpl(ns, name, cond, batch, cfg, loadId, () => ())
+
+  /** [[overwriteWhere]] with a post-planning seam: `afterPlanning` runs
+    * after the target-file attribution and before the commit — the
+    * concurrency specs use it to land a conflicting commit exactly
+    * inside the planning/commit window (production calls pass a no-op). */
+  private[graft] def overwriteWhereImpl(ns: String, name: String,
+      cond: org.apache.spark.sql.Column,
+      batch: DataFrame, cfg: WriteConfig,
+      loadId: String, afterPlanning: () => Unit): Unit = {
     require(cfg.toBranch.isEmpty,
       "filter overwrite targets main state; branch overwrites are not supported")
     val t = catalog.loadTable(ns, name)
@@ -413,16 +423,41 @@ final class GraftWriter(catalog: GraftCatalog) {
         live.filter(cond).select(col("__ow_path")).distinct()
           .collect().map(_.getString(0)).toSet
       }
+    val plannedPaths = files.map(_.path).toSet
+    afterPlanning()
     t.commit({ fresh =>
       if (!targetPaths.subsetOf(fresh.currentFiles.map(_.path).toSet))
         throw new ValidationError(
           "overwriteWhere superseded by a concurrent rewrite of a target file")
+      // Serializable overwrite-by-filter (Iceberg's validate-added-files
+      // rule): a concurrent commit that landed files AFTER planning may
+      // hold rows matching `cond`; committing without replacing them
+      // would leave a state no serial order explains (the overwrite
+      // snapshot is the LATER one, so those rows must be replaced).
+      // Re-attribute just the newcomers — exact, no stats reasoning, and
+      // free on the conflict-less first attempt (newcomers is empty).
+      val newcomers = fresh.currentFiles
+        .filterNot(f => plannedPaths.contains(f.path))
+      val extraTargets: Set[String] =
+        if (newcomers.isEmpty) Set.empty
+        else {
+          val scan = spark.read.schema(fresh.schema)
+            .parquet(newcomers.map(_.path): _*)
+            .withColumn("__ow_path",
+              regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+          val live = MorRead.applyDeletes(spark, scan, newcomers,
+            fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
+            fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
+          live.filter(cond).select(col("__ow_path")).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+      val allTargets = targetPaths ++ extraTargets
       val newStaged = Stager.stage(cast, t.dataDir, loadId,
         fresh.partitionSpec, bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
-      if (targetPaths.isEmpty)
+      if (allTargets.isEmpty)
         fresh.withSnapshotDelta("overwrite", Some(loadId), newStaged, Set.empty)
       else {
-        val affected = fresh.currentFiles.filter(f => targetPaths.contains(f.path))
+        val affected = fresh.currentFiles.filter(f => allTargets.contains(f.path))
         val affectedDf = spark.read.schema(fresh.schema)
           .parquet(affected.map(_.path): _*)
         val live = MorRead.applyDeletes(spark, affectedDf, affected,
@@ -435,7 +470,7 @@ final class GraftWriter(catalog: GraftCatalog) {
           fresh.partitionSpec,
           bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
         fresh.withSnapshotDelta("overwrite", Some(loadId),
-          keptStaged ++ newStaged, targetPaths)
+          keptStaged ++ newStaged, allTargets)
       }
     }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
     ()

@@ -93,4 +93,47 @@ class ConcurrentOverwriteSpec extends AnyFunSuite {
     if (owApplied) assert(ids.toSeq == (1L to 50L) :+ 200L, ids.toSeq)
     else assert(ids.toSeq == (1L to 100L), ids.toSeq)
   }
+
+  test("REPLACE WHERE replaces rows appended concurrently during planning (serializable overwrite-by-filter)") {
+    val wh = Files.createTempDirectory("graft-cow3-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq((1 to 100).map(i => (i.toLong, "old")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    // the afterPlanning seam lands a conflicting append EXACTLY inside
+    // the planning/commit window — the case where an unvalidated
+    // overwrite would leave the appended matching rows behind (they are
+    // in neither its planned target set nor its new batch). Serializable
+    // history is append -> overwrite, so they MUST be replaced.
+    new GraftWriter(cat).overwriteWhereImpl("main", "t",
+      col("id") > 50, Seq((200L, "new")).toDF("id", "v"),
+      WriteConfig(retryUnitMs = 1), "ow-race",
+      afterPlanning = () =>
+        w.writeTable("main", "t",
+          Seq((150 to 160).map(i => (i.toLong, "late")).toDF("id", "v")),
+          Append, WriteConfig(retryUnitMs = 1), "late-append"))
+
+    val m = cat.loadTable("main", "t").metadata
+    val appendId = m.snapshots.find(_.loadId.contains("late-append")).get.snapshotId
+    val owId = m.snapshots.find(_.loadId.contains("ow-race")).get.snapshotId
+    assert(appendId < owId, "test premise: append committed first")
+    val got = cat.loadTable("main", "t").read().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == (1L to 50L).map((_, "old")) :+ ((200L, "new")),
+      s"appended matching rows must be replaced by the later overwrite: " +
+        got.filter(_._2 == "late").mkString(","))
+    // and a NON-matching concurrent append survives untouched
+    new GraftWriter(cat).overwriteWhereImpl("main", "t",
+      col("id") > 300, Seq((400L, "new2")).toDF("id", "v"),
+      WriteConfig(retryUnitMs = 1), "ow-race2",
+      afterPlanning = () =>
+        w.writeTable("main", "t",
+          Seq(Seq((20L, "low")).toDF("id", "v")),
+          Append, WriteConfig(retryUnitMs = 1), "late-low"))
+    val ids2 = cat.loadTable("main", "t").read().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(ids2.count(_ == (20L, "low")) == 1 && ids2.contains((400L, "new2")))
+  }
 }
