@@ -514,6 +514,33 @@ final class GraftWriter(catalog: GraftCatalog) {
         if (st.min == st.max) st.min else None))
       if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
     }
+    // Evolved-spec degradation: files written under an OLDER spec carry
+    // no derived stats for the current spec's fields, so the pure-
+    // metadata removal set cannot attribute them. Instead of refusing,
+    // convert the batch's partition tuples to a row predicate (the SAME
+    // transform expressions the writer clusters by) and route through
+    // overwriteWhere, which attributes files by scanning actual rows —
+    // old-vintage files holding matching rows are restaged minus those
+    // rows, non-matching ones survive by path. The closure's orphan
+    // refusal below remains as the backstop for an old-vintage file
+    // committed concurrently AFTER this check.
+    locally {
+      val mNow = t.metadata
+      val specNow = mNow.partitionSpec
+      if (mNow.currentFiles.exists(f => tupleOf(f, specNow).isEmpty)) {
+        val exprs = specNow.map(s => graft.partition.Transforms.expression(
+          s, mNow.schema(s.source).dataType))
+        val tuples = cast.select(exprs.zipWithIndex.map { case (e, i) =>
+          e.as(s"__gf_t$i") }: _*).distinct().collect()
+        val cond = tuples.map { r =>
+          exprs.zipWithIndex.map { case (e, i) =>
+            if (r.isNullAt(i)) e.isNull else e === lit(r.get(i))
+          }.reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        overwriteWhere(ns, name, cond, batch, cfg, loadId)
+        return
+      }
+    }
     t.commit({ fresh =>
       val spec = fresh.partitionSpec
       val staged = Stager.stage(cast, t.dataDir, loadId, spec,

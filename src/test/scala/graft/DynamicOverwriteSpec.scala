@@ -83,4 +83,42 @@ class DynamicOverwriteSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(got.toSeq == Seq(2L, 3L))
   }
+
+  test("evolved-spec table degrades to predicate routing: matching slices restaged, old-vintage non-matching files survive") {
+    val wh = Files.createTempDirectory("graft-dyn3-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    // two old-vintage (pre-spec) files: one straddling a/b/c, one pure d
+    w.writeTable("main", "e",
+      Seq(Seq((1L, "a", "x1"), (2L, "b", "x2"), (3L, "c", "x3"))
+        .toDF("id", "grp", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    w.writeTable("main", "e",
+      Seq(Seq((4L, "d", "x4")).toDF("id", "grp", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+    cat.loadTable("main", "e").updatePartitionSpec(
+      Seq(graft.partition.PartitionHint.identity("grp")))
+    val before = cat.loadTable("main", "e").metadata
+    val dFile = before.currentFiles.filter(f =>
+      f.stats.get("grp").exists(_.min.contains("d")))
+    assert(dFile.size == 1)
+
+    // dynamic overwrite of partition 'a' — the metadata removal set
+    // cannot attribute the pre-spec files, so this must route through
+    // the predicate fallback instead of refusing
+    w.overwriteDynamic("main", "e",
+      Seq((10L, "a", "fresh")).toDF("id", "grp", "v"),
+      WriteConfig(retryUnitMs = 1), "dyn-evolved")
+
+    val after = cat.loadTable("main", "e").metadata
+    val got = cat.loadTable("main", "e").read().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "b", "x2"), (3L, "c", "x3"),
+      (4L, "d", "x4"), (10L, "a", "fresh")), got.toSeq)
+    // the pure-'d' old-vintage file held no matching rows: survives by path
+    assert(after.currentFiles.map(_.path).toSet
+      .contains(dFile.head.path),
+      "non-matching old-vintage file must survive by path")
+    assert(after.snapshots.last.operation == "overwrite")
+  }
 }
