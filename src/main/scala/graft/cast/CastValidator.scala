@@ -50,6 +50,7 @@ object CastValidator {
         case Some(tf) if sf.dataType == tf.dataType => // identical, no cast
         case Some(tf) =>
           checkTimestampCast(sf.dataType, tf.dataType, sf.name, result)
+          checkTimeCast(sf.dataType, tf.dataType, sf.name, result)
           checkNumericCast(sf.dataType, tf.dataType, sf.name, result)
           checkStringCast(sf.dataType, tf.dataType, sf.name, result)
           if (!typesCompatible(sf.dataType, tf.dataType))
@@ -86,6 +87,19 @@ object CastValidator {
       case (TimestampType, TimestampNTZType) =>
         r.addError(s"Field '$name': Converting timezone-aware timestamp to " +
           "timezone-naive loses timezone information")
+      case _ =>
+    }
+
+  /** TIME precision rules — the reference's timestamp unit-downgrade
+    * matrix (`schema_casting.py:120-172`, ns>us>ms>s ⇒ error) applied to
+    * Spark 4.1's native TimeType (fractional-second precision 0..6):
+    * downgrade truncates sub-second digits = error, upgrade = safe. */
+  private def checkTimeCast(
+      s: DataType, t: DataType, name: String, r: CastValidationResult): Unit =
+    (s, t) match {
+      case (st: TimeType, tt: TimeType) if tt.precision < st.precision =>
+        r.addError(s"Field '$name': Converting time(${st.precision}) to " +
+          s"time(${tt.precision}) truncates fractional seconds")
       case _ =>
     }
 
@@ -134,6 +148,7 @@ object CastValidator {
     case (a, b) if TypeLattice.isIntegral(a) && TypeLattice.isFloating(b) => true
     case (TimestampType | TimestampNTZType, TimestampType | TimestampNTZType) => true
     case (DateType, DateType) => true
+    case (_: TimeType, _: TimeType) => true
     case (StringType, BinaryType) | (BinaryType, StringType) => true
     case (_: DecimalType, _: DecimalType) => true
     // nested: element-wise compatible

@@ -72,6 +72,8 @@ object StatCompare {
     case ByteType | ShortType | IntegerType | LongType | DateType |
         TimestampType | TimestampNTZType =>
       java.lang.Long.compare(a.toLong, b.toLong)
+    // TIME stats are micros-of-day longs (FooterStats/Stager.statColumn)
+    case _: TimeType => java.lang.Long.compare(a.toLong, b.toLong)
     case FloatType | DoubleType =>
       java.lang.Double.compare(a.toDouble, b.toDouble)
     case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))

@@ -81,6 +81,13 @@ object Transforms {
     if (!known.contains(transform))
       throw new IllegalArgumentException(
         s"Unknown transform type '$transform' for column '$col'")
+    // TIME is a pruning-stat type only: the partition-key consumers (SPJ
+    // key decode, DPP evaluation, dynamic-overwrite attribution) have no
+    // TIME codec, so refuse at spec build rather than degrade silently
+    if (dt.isInstanceOf[TimeType])
+      throw new IllegalArgumentException(
+        s"Partitioning by TIME column '$col' is not supported; " +
+          "partition on a timestamp or derived string instead")
   }
 
   /** Default transform by type (`choose_partition_transform`,

@@ -1097,7 +1097,68 @@ object WriteQueries {
         |    THEN o.o_totalprice + 1000 ELSE o.o_totalprice END
         |    AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin))
+        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin)),
+
+    // Native TIME (Spark 4.1 TimeType, behind spark.sql.timeType.enabled):
+    // the reference's last type-lattice row (Arrow time → Iceberg micros
+    // TIME, schema_converter.py:134-135). The entry derives a TIME column,
+    // commits it through the engine write path (TypeLattice normalization
+    // + micros-of-day footer stats), reads it back from storage, and
+    // aggregates — the oracle recomputes the same TIME values in DuckDB.
+    "w34_time_type" -> ((
+      (s: SparkSession, dir: String) => {
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.timeType.enabled", "true")
+        // TIME support is read from the THREAD-ACTIVE session's conf at
+        // analysis time; engine-internal DataFrame ops (writeTable's
+        // cast/stats passes) are not wrapped in iso.sql, so pin iso
+        // active for the entry's duration
+        val prevActive = SparkSession.getActiveSession
+        SparkSession.setActiveSession(iso)
+        try {
+          val wh = Files.createTempDirectory("graft-timeq-").toString
+          val cat = new GraftCatalog(iso, wh)
+          val w = new GraftWriter(cat)
+          t(iso, dir, "orders").createOrReplaceTempView("orders_time_src")
+          val src = iso.sql("""SELECT o_orderkey, o_orderstatus,
+            |  make_time(CAST(o_orderkey % 24 AS INT),
+            |    CAST(o_orderkey % 60 AS INT),
+            |    CAST(o_orderkey % 60 AS DOUBLE)) AS o_time
+            |FROM orders_time_src""".stripMargin)
+          w.writeTable("main", "orders_time", Seq(src), Append,
+            WriteConfig(retryUnitMs = 10), "l1")
+          val tt = cat.loadTable("main", "orders_time")
+          require(tt.metadata.schema("o_time").dataType ==
+            org.apache.spark.sql.types.TimeType(6),
+            "TIME must commit as the native micros TimeType")
+          require(tt.metadata.currentFiles.forall(_.stats.get("o_time")
+            .exists(_.min.exists(m => m.toLong >= 0L &&
+              m.toLong < 86400L * 1000000L))),
+            "TIME footer stats must be micros-of-day")
+          // materialize the aggregate under the pinned session; the
+          // returned frame then carries no TIME column, so the driver's
+          // generic result write needs no session pinning
+          val out = tt.read()
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              min(col("o_time")).cast("string").as("t_min"),
+              max(col("o_time")).cast("string").as("t_max"))
+            .select(col("o_orderstatus"), col("n"), col("t_min"), col("t_max"))
+          val rows = out.collect()
+          iso.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally {
+          prevActive.fold(SparkSession.clearActiveSession())(
+            SparkSession.setActiveSession)
+        }
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(MIN(make_time(CAST(o_orderkey % 24 AS INT),
+        |    CAST(o_orderkey % 60 AS INT),
+        |    CAST(o_orderkey % 60 AS DOUBLE))) AS VARCHAR) AS t_min,
+        |  CAST(MAX(make_time(CAST(o_orderkey % 24 AS INT),
+        |    CAST(o_orderkey % 60 AS INT),
+        |    CAST(o_orderkey % 60 AS DOUBLE))) AS VARCHAR) AS t_max
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

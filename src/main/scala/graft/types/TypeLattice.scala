@@ -30,6 +30,12 @@ object TypeLattice {
     // same "unsupported decimal" escape hatch as decimal256→string
     // (schema_casting.py:51-56)
     case d: DecimalType if d.precision > MaxDecimalPrecision => StringType
+    // TIME normalizes to microsecond precision — the reference's
+    // time32→time64(us) compat rule (schema_casting.py:47-48) and the
+    // Iceberg TimeType micros unit (schema_converter.py:134-135). Spark
+    // 4.1 caps TIME precision at 6, so this is always a widening.
+    case t: TimeType if t.precision != TimeType.MICROS_PRECISION =>
+      TimeType(TimeType.MICROS_PRECISION)
     case ArrayType(et, n) => ArrayType(normalize(et), n)
     case MapType(kt, vt, n) => MapType(normalize(kt), normalize(vt), n)
     case StructType(fields) =>
@@ -54,6 +60,9 @@ object TypeLattice {
       t.precision >= f.precision && t.scale >= f.scale
     case (IntegerType, LongType) => true
     case (FloatType, DoubleType) => true
+    // TIME precision widening is lossless (the timestamp unit-upgrade
+    // analogue: s<ms<us); narrowing is NOT a promotion
+    case (f: TimeType, t: TimeType) => t.precision >= f.precision
     case (StructType(ff), StructType(tf)) =>
       val fByName = ff.map(f => f.name -> f).toMap
       tf.forall(t =>

@@ -79,7 +79,7 @@ object FooterStats {
   /** Sort canonical strings with the same typed ordering the pruner uses. */
   private def ordered(dt: DataType, vs: Seq[String]): Seq[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType | TimestampNTZType => vs.sortBy(_.toLong)
+        TimestampType | TimestampNTZType | _: TimeType => vs.sortBy(_.toLong)
     case FloatType | DoubleType => vs.sortBy(_.toDouble)
     case _: DecimalType => vs.sortBy(new java.math.BigDecimal(_))
     case _ => vs.sorted
@@ -104,6 +104,15 @@ object FooterStats {
         case LogicalTypeAnnotation.TimeUnit.MILLIS => l * 1000L
         case LogicalTypeAnnotation.TimeUnit.MICROS => l.longValue()
         case LogicalTypeAnnotation.TimeUnit.NANOS => l / 1000L
+      }
+      Some(micros.toString)
+    // TIME → micros-of-day, the canonical engine encoding for the type
+    case (_, t: LogicalTypeAnnotation.TimeLogicalTypeAnnotation,
+        x: java.lang.Number) =>
+      val micros = t.getUnit match {
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => x.longValue() * 1000L
+        case LogicalTypeAnnotation.TimeUnit.MICROS => x.longValue()
+        case LogicalTypeAnnotation.TimeUnit.NANOS => x.longValue() / 1000L
       }
       Some(micros.toString)
     case (_, _: StringLogicalTypeAnnotation, b: Binary) =>

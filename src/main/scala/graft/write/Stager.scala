@@ -36,6 +36,15 @@ object Stager {
       Some(c)
     case DateType => Some(datediff(c, lit("1970-01-01")))
     case TimestampType | TimestampNTZType => Some(unix_micros(c.cast(TimestampType)))
+    // TIME encodes as micros-of-day — the SAME encoding the parquet
+    // footer stats carry (FooterStats decodes the Time logical
+    // annotation to micros), so both stat sources agree. EXTRACT(SECOND)
+    // keeps the fractional part (a bare TIME→BIGINT cast floors to
+    // seconds).
+    case _: TimeType => Some(
+      hour(c).cast(LongType) * lit(3600000000L) +
+        minute(c).cast(LongType) * lit(60000000L) +
+        (date_part(lit("SECOND"), c) * lit(1000000)).cast(LongType))
     case _ => None // binary/bool/nested: no stats
   }
 
@@ -59,6 +68,12 @@ object Stager {
       case l: java.time.LocalDateTime =>
         val i = l.toInstant(java.time.ZoneOffset.UTC)
         (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+      case l: Long => l.toString
+      case other => other.toString
+    }
+    // micros-of-day, matching statColumn and the parquet footer encoding
+    case _: TimeType => v match {
+      case t: java.time.LocalTime => (t.toNanoOfDay / 1000L).toString
       case l: Long => l.toString
       case other => other.toString
     }

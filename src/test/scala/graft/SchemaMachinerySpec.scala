@@ -292,4 +292,54 @@ class SchemaMachinerySpec extends AnyFunSuite {
     assert(out.schema == target)
     assert(out.collect()(0).getSeq[Row](0) == Seq(Row(1L, null), Row(2L, null)))
   }
+
+  // --- TIME (the reference's last type-lattice row: Arrow time →
+  //     Iceberg micros TIME — schema_converter.py:134-135, the
+  //     time32→time64(us) compat rule at schema_casting.py:47-48) ---
+
+  test("TIME normalizes to micros; precision widening promotes, narrowing errors") {
+    assert(TypeLattice.normalize(TimeType(3)) == TimeType(6))
+    assert(TypeLattice.normalize(TimeType(0)) == TimeType(6))
+    assert(TypeLattice.normalize(TimeType(6)) == TimeType(6))
+    assert(TypeLattice.canPromote(TimeType(3), TimeType(6)))
+    assert(!TypeLattice.canPromote(TimeType(6), TimeType(3)))
+    val down = CastValidator.validateCast(
+      s(("t", TimeType(6), true)), s(("t", TimeType(0), true)))
+    assert(!down.isSafe && down.errors.exists(_.contains("fractional seconds")))
+    val up = CastValidator.validateCast(
+      s(("t", TimeType(0), true)), s(("t", TimeType(6), true)))
+    assert(up.isSafe)
+    // string->time stays an error (the general string rule)
+    assert(!CastValidator.validateCast(
+      s(("t", StringType, true)), s(("t", TimeType(6), true))).isSafe)
+  }
+
+  test("TIME round-trips through the engine write path with micros-of-day stats") {
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    val wh = java.nio.file.Files.createTempDirectory("graft-time-").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val w = new graft.write.GraftWriter(cat)
+    val df = spark.sql(
+      """SELECT id, make_time(CAST(id % 24 AS INT), CAST(id % 60 AS INT),
+        |  CAST(id % 60 AS DOUBLE) + 0.25) AS t
+        |FROM range(0, 100)""".stripMargin)
+    w.writeTable("main", "tt", Seq(df), graft.write.Append,
+      graft.write.WriteConfig(retryUnitMs = 1), "l1")
+    val t = cat.loadTable("main", "tt")
+    assert(t.metadata.schema("t").dataType == TimeType(6))
+    val back = t.read().collect().map(r =>
+      (r.getLong(0), r.getAs[java.time.LocalTime](1))).sortBy(_._1)
+    assert(back.length == 100)
+    assert(back(1)._2 == java.time.LocalTime.of(1, 1, 1, 250000000))
+    // stats encoded as micros-of-day (min row: id=0 -> 00:00:00.25),
+    // aggregated across staged files — staging may split the batch
+    val sts = t.metadata.currentFiles.flatMap(_.stats.get("t"))
+    assert(sts.nonEmpty)
+    assert(sts.flatMap(_.min).map(_.toLong).min == 250000L)
+    assert(sts.flatMap(_.max).map(_.toLong).max < 86400L * 1000000L)
+    // partitioning by TIME refuses loudly
+    intercept[IllegalArgumentException] {
+      graft.partition.Transforms.validate("identity", None, TimeType(6), "t")
+    }
+  }
 }
