@@ -176,7 +176,25 @@ object ColumnStatsSupport {
 final case class ColStatsScan(inner: Scan,
     colStats: java.util.Map[NamedReference, ColumnStatistics],
     exactRows: Long)
-  extends Scan with SupportsReportStatistics {
+  extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // Runtime filtering must survive the wrap: without this delegation,
+  // enabling CBO would silently disable runtime filtering on the clean
+  // scan path. A V1 SupportsRuntimeFiltering inner converts through its
+  // inherited default filter(Predicate[]).
+  override def filterAttributes(): Array[NamedReference] = inner match {
+    case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      f.filterAttributes()
+    case _ => Array.empty
+  }
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]):
+      Unit = inner match {
+    case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      f.filter(predicates)
+    case _ => ()
+  }
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()

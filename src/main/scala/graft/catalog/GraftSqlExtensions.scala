@@ -305,6 +305,15 @@ final case class ResolveGraftViews(session: SparkSession)
             val full =
               if (r.multipartIdentifier.length == 1)
                 r.copy(multipartIdentifier = ctx ++ r.multipartIdentifier)
+              // a two-part reference (ns.tbl) written under the view's
+              // catalog must not rebind against the READER's current
+              // catalog — prepend the saved catalog unless the first
+              // part is itself a registered catalog name
+              else if (r.multipartIdentifier.length == 2 &&
+                  !session.sessionState.catalogManager
+                    .isCatalogRegistered(r.multipartIdentifier.head))
+                r.copy(multipartIdentifier =
+                  v.currentCatalog +: r.multipartIdentifier)
               else r
             expand(full, seen + fq).getOrElse(full)
         }

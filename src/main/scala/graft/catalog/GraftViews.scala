@@ -63,14 +63,22 @@ final class GraftViews(warehouse: Path) {
         Files.move(tmp, viewPath(ns, name), StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
       else {
-        try Files.move(tmp, viewPath(ns, name), StandardCopyOption.ATOMIC_MOVE)
+        // hard-link CREATE_NEW semantics: link(target, tmp) atomically
+        // publishes the fully-written tmp under the target name and
+        // FAILS if the target exists — the create-create race loses
+        // deterministically on every POSIX filesystem (ATOMIC_MOVE
+        // without REPLACE_EXISTING is allowed to clobber on some)
+        try Files.createLink(viewPath(ns, name), tmp)
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             throw new TableAlreadyExistsError(s"view $ns.$name")
+          case _: UnsupportedOperationException =>
+            try Files.move(tmp, viewPath(ns, name), StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                throw new TableAlreadyExistsError(s"view $ns.$name")
+            }
         }
-        // ATOMIC_MOVE without REPLACE may clobber on some filesystems;
-        // local fs (the engine's storage layer) throws, which is what
-        // the create path needs
       }
     finally Files.deleteIfExists(tmp)
   }

@@ -118,4 +118,29 @@ class ViewSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SELECT * FROM gview4.main.a").collect())
     assert(e.getMessage.contains("recursive view"), e.getMessage)
   }
+
+  test("two-part references in a view body bind to the view's saved catalog, not the reader's") {
+    val (cat, wh) = freshCatalog("gview5")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    // author the view UNDER the gview5 catalog with a TWO-part body
+    // reference (main.t) — the saved currentCatalog must qualify it
+    val author = spark.newSession()
+    author.conf.set("spark.sql.catalog.gview5",
+      classOf[GraftSparkCatalog].getName)
+    author.conf.set("spark.sql.catalog.gview5.warehouse", wh)
+    author.sql("USE gview5")
+    author.sql("CREATE VIEW gview5.main.two_part AS " +
+      "SELECT sum(x) AS sx FROM main.t")
+    // reader session: current catalog is the DEFAULT (spark_catalog),
+    // where main.t does not exist — the view must still resolve
+    val reader = spark.newSession()
+    reader.conf.set("spark.sql.catalog.gview5",
+      classOf[GraftSparkCatalog].getName)
+    reader.conf.set("spark.sql.catalog.gview5.warehouse", wh)
+    assert(reader.sql("SELECT sx FROM gview5.main.two_part")
+      .collect()(0).getDouble(0) == 30.0)
+  }
 }
