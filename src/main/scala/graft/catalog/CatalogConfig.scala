@@ -121,6 +121,27 @@ final case class CatalogConfig(
     }
   }
 
+  /** The `sqlite://` scheme's real store: the reference's SQL catalog
+    * kind served by the JVM's embedded SQL engine (Apache Derby, shipped
+    * with Spark — the same filesystem-local role sqlite plays for
+    * PyIceberg). The path after the scheme is the Derby database
+    * directory; `warehouse` holds data + metadata files; the commit CAS
+    * is a transactional pointer swap in the store (valid on storage
+    * without atomic create). */
+  def openSqlStore(): SqlCatalogStore = {
+    validated
+    if (kind != CatalogKind.SqlKind)
+      throw new ValidationError(s"not a SQL catalog uri: $uri")
+    if (uri.startsWith("postgresql://"))
+      throw new CatalogUnavailableError(kind, uri) // needs a network server
+    val dbPath = uri.stripPrefix("sqlite:///").stripPrefix("sqlite://")
+    val wh = warehouse.getOrElse(
+      throw new ValidationError("SQL catalog needs a warehouse path"))
+    new SqlCatalogStore(
+      java.nio.file.Paths.get("/", dbPath.stripPrefix("/")).toString,
+      java.nio.file.Paths.get(wh))
+  }
+
   /** The `rest` scheme's real client: control plane over HTTP (DDL,
     * metadata, commit CAS), data plane direct to storage. Auth follows
     * this config's precedence — OAuth2 client credentials against

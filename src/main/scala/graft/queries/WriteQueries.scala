@@ -1158,7 +1158,42 @@ object WriteQueries {
         |  CAST(MAX(make_time(CAST(o_orderkey % 24 AS INT),
         |    CAST(o_orderkey % 60 AS INT),
         |    CAST(o_orderkey % 60 AS DOUBLE))) AS VARCHAR) AS t_max
-        |FROM orders GROUP BY o_orderstatus""".stripMargin))
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // SQL catalog store (the reference's sqlite:// kind,
+    // destination_client.py:679-734, served by embedded Derby): table
+    // pointer lives in a transactional row, commits CAS the pointer —
+    // the deployment shape for object storage without atomic create.
+    // Two appends land as two snapshots through the pointer CAS; the
+    // read resolves the pointer and scans the committed files.
+    "w35_sql_store" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Files.createTempDirectory("graft-sqlq-")
+        val store = graft.catalog.CatalogConfig(
+          uri = s"sqlite://$base/catalog.db",
+          warehouse = Some(s"$base/wh")).openSqlStore()
+        val tdir = store.tableDir("main", "orders_t")
+        val first = target(s, dir)
+        store.createTable("main", "orders_t",
+          graft.catalog.TableMetadata.create("main.orders_t",
+            tdir.toString, first.schema, Nil, Map.empty))
+        def append(df: DataFrame, loadId: String): Unit = {
+          val staged = Stager.stage(df, tdir.resolve("data"), loadId)
+          store.commit("main", "orders_t",
+            _.withSnapshotDelta("append", Some(loadId), staged, Set.empty),
+            unitMs = 10)
+          ()
+        }
+        append(first, "l1")
+        append(source(s, dir), "l2")
+        val m = store.loadMetadata("main", "orders_t")
+        require(m.snapshots.size == 2, "two pointer-CAS commits must land")
+        keyPrice(s.read.schema(m.schema)
+          .parquet(m.currentFiles.map(_.path): _*))
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -152,4 +152,64 @@ class CatalogConfigSpec extends AnyFunSuite {
       CatalogConfig("postgresql://host/db").open(spark)
     }
   }
+
+  test("sqlite:// SQL store round-trip: namespace + table + data commit + pointer-CAS conflict retry") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-sqlcat-")
+    val cfg = CatalogConfig(uri = s"sqlite://$base/catalog.db",
+      warehouse = Some(s"$base/wh"))
+    assert(cfg.kind == SqlKind)
+    val store = cfg.openSqlStore()
+
+    store.createNamespace("main")
+    assert(store.namespaceExists("main"))
+    assert(store.listNamespaces() == Seq("main"))
+    intercept[ValidationError](store.createNamespace("main"))
+
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val dir = store.tableDir("main", "t")
+    store.createTable("main", "t",
+      TableMetadata.create("main.t", dir.toString, schema, Nil, Map.empty))
+    assert(store.tableExists("main", "t"))
+    assert(store.listTables("main") == Seq("t"))
+    intercept[TableAlreadyExistsError](store.createTable("main", "t",
+      TableMetadata.create("main.t", dir.toString, schema, Nil, Map.empty)))
+
+    // data commit through the pointer CAS: stage real parquet, publish
+    def append(rows: Seq[(Long, String)], loadId: String): Unit = {
+      val staged = graft.write.Stager.stage(
+        rows.toDF("id", "v"), dir.resolve("data"), loadId)
+      store.commit("main", "t",
+        _.withSnapshotDelta("append", Some(loadId), staged, Set.empty),
+        unitMs = 1)
+    }
+    append(Seq((1L, "a"), (2L, "b")), "l1")
+
+    // concurrent-conflict retry: two racing committers must BOTH land
+    // (the loser refreshes off the swapped pointer and rebases)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    def submit(id: Long, tag: String) = pool.submit(new Runnable {
+      def run(): Unit = { latch.await(); append(Seq((id, tag)), s"race-$tag") }
+    })
+    val f1 = submit(10L, "x"); val f2 = submit(11L, "y")
+    latch.countDown()
+    f1.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    f2.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+
+    val m = store.loadMetadata("main", "t")
+    assert(m.snapshots.size == 3, s"all three commits must land: ${m.snapshots.size}")
+    val back = spark.read.schema(schema)
+      .parquet(m.currentFiles.map(_.path): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (10L, "x"), (11L, "y")))
+
+    // drop removes the pointer row; the metadata file becomes unreachable
+    assert(store.dropTable("main", "t"))
+    assert(!store.tableExists("main", "t"))
+    intercept[NoSuchTableError](store.loadMetadata("main", "t"))
+  }
 }
