@@ -8,10 +8,12 @@ import graft.llmops.{Dedup, Multimodal, SemanticDedup, Similarity, TextOps}
 /** ★ North-star LLM-data-pipeline operators (SURVEY §2.11) as
   * driver-checkable queries over `documents` / `embeddings`.
   *
-  * Entries without an oracle (language ID, SimHash, LSH-ANN) use custom
-  * hashing not expressible in portable SQL — the driver records a
-  * rows-only check; their semantics are pinned by LlmOpsSpec instead
-  * (e.g. LSH recall vs the brute-force baseline).
+  * EVERY entry carries a full hash-match oracle. Operators whose core
+  * step has no portable SQL form (custom hashing, k-means codebooks)
+  * use the staged-intermediate pattern: Spark stages the non-portable
+  * set, the DuckDB oracle re-derives the exact downstream computation
+  * over it; the staged step's own semantics are pinned by LlmOpsSpec /
+  * PqSpec (e.g. LSH recall vs the brute-force baseline).
   *
   * Embedding oracles cast to DOUBLE[] on the DuckDB side so both engines
   * do the same double-precision sequential fold — results hash-match
@@ -426,8 +428,8 @@ object LlmQueries {
     // m=8 4-bit codes per vector (32x memory cut — the index that fits
     // cluster RAM at 100 TB); queries score via a broadcast ADC
     // lookup-table join. Deterministic codebooks, but driver-side k-means
-    // isn't portable SQL — rows-only here; recall vs l9 brute force and
-    // bit-replay determinism are pinned in PqSpec.
+    // isn't portable SQL; recall vs l9 brute force and bit-replay
+    // determinism are pinned in PqSpec.
     // PQ ADC, staged-shortlist oracle: k-means codebooks have no SQL
     // form, but the FINAL answer is an exact-cosine top-k over the ADC
     // shortlist — stage the shortlist pairs, DuckDB re-derives the top-k
@@ -709,7 +711,6 @@ object LlmQueries {
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin))),
 
-    // SimHash near-dup: custom 64-bit hashing, rows-only check
     // SimHash near-dup pairs, staged-fingerprint oracle: the xxhash64
     // feature hashing is not portable SQL, but GIVEN the per-doc 64-bit
     // fingerprints the whole banding + hamming pipeline is — stage the
@@ -915,18 +916,30 @@ object LlmQueries {
         |WHERE fp IN (SELECT fp FROM f WHERE doc_id % 97 = 0)""".stripMargin))),
 
     // --- multimodal plumbing (decode stubbed, see Multimodal.decodeStub) ---
+    // REAL image decode: each document renders to a genuine PNG
+    // (ImageIO encode on executors), the feature pass decodes it back
+    // with ImageIO — the oracle verifies the decoded dimensions
+    // INDEPENDENTLY (they are a pure function of the text byte length),
+    // so a broken decode hash-mismatches; the pixel mean is the staged
+    // non-portable part (its math is pinned in LlmOpsSpec against the
+    // raw pixel array). Audio/video demux remains the documented stub.
     "l12_multimodal" -> ((
-      (s: SparkSession, dir: String) =>
-        Multimodal.mediaFeatures(docs(s, dir))
-          .select(col("doc_id"), col("byte_len").cast("long"),
-            col("digest"), col("width").cast("long"),
-            col("height").cast("long")),
-      Some("""SELECT doc_id,
-        |  octet_length(encode(text)) AS byte_len,
-        |  sha256(text) AS digest,
-        |  64 + (octet_length(encode(text)) % 577) AS width,
-        |  64 + ((octet_length(encode(text)) * 31) % 577) AS height
-        |FROM documents""".stripMargin)))
+      (s: SparkSession, dir: String) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.asPngBlobs(docs(s, dir))).toDF()
+        val out = feats.select(col("doc_id"),
+          col("width").cast("long"), col("height").cast("long"),
+          round(col("mean_byte"), 4).as("mean_px"))
+        stageForOracle(out.select(col("doc_id"), col("mean_px")), "l12_feats")
+        out
+      },
+      Some(s"""SELECT d.doc_id,
+        |  8 + (octet_length(encode(d.text)) % 24) AS width,
+        |  8 + ((octet_length(encode(d.text)) * 7) % 24) AS height,
+        |  f.mean_px
+        |FROM documents d
+        |JOIN read_parquet('$OracleStageRoot/l12_feats/*.parquet') f
+        |  ON d.doc_id = f.doc_id""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

@@ -269,6 +269,33 @@ class LlmOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("real PNG decode: ImageIO round-trip recovers exact dimensions and pixel mean") {
+    // known text -> deterministic render; verify the DECODE against
+    // values computed independently from the source bytes (PNG is
+    // lossless for TYPE_INT_RGB, so the pixel mean must be exact)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val bytes = text.getBytes("UTF-8") // 43 bytes
+    val expW = 8 + (bytes.length % 24)
+    val expH = 8 + ((bytes.length * 7) % 24)
+    val png = Multimodal.encodePng(text)
+    // it is a real PNG container
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val (w, h, mean) = Multimodal.decodeImage(png)
+    assert(w == expW && h == expH)
+    val n = bytes.length
+    val expMean = (0 until w * h * 3).map(j => bytes(j % n) & 0xff).sum
+      .toDouble / (w * h * 3)
+    assert(math.abs(mean - expMean) < 1e-9, s"$mean vs $expMean")
+    // the Spark pipeline routes image/* through the real decode
+    val feats = Multimodal.extractFeatures(Multimodal.asPngBlobs(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == docs.count())
+    assert(feats.forall(f => f.width >= 8 && f.width < 32 &&
+      f.height >= 8 && f.height < 32))
+    assert(feats.map(_.width).distinct.length > 1,
+      "degenerate dimensions would mean the decode never ran")
+  }
+
   test("curation clusterDedup: driverUnionFindMax plumbs through; both sides agree") {
     import graft.llmops.Curation
     def run(threshold: Long) =
