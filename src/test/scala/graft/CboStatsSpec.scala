@@ -62,6 +62,56 @@ class CboStatsSpec extends AnyFunSuite {
     assert(off.attributeStats.isEmpty, off.attributeStats)
   }
 
+  test("equi-height histograms: skewed-predicate estimates follow the data, CBO-off plans identical") {
+    val wh = Files.createTempDirectory("graft-cboh-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    // heavy skew: 90% of rows have k=1, the rest spread over 2..1000
+    val rows = (1 to 9000).map(i => (i.toLong, 1L)) ++
+      (1 to 1000).map(i => (9000L + i, i.toLong))
+    w.writeTable("main", "sk", Seq(rows.toDF("id", "k")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.catalog.gch", classOf[GraftSparkCatalog].getName)
+    iso.conf.set("spark.sql.catalog.gch.warehouse", wh)
+    // histogram generation mirrors Spark's own ANALYZE gate
+    iso.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(iso)
+    try iso.sql("CALL gch.system.analyze('main.sk')").collect()
+    finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val props = cat.loadTable("main", "sk").metadata.properties
+    assert(props.contains("graft.hist.k"), props.keys)
+
+    iso.conf.set("spark.sql.cbo.enabled", "true")
+    // plan stats are computed under the THREAD-ACTIVE conf — pin iso
+    def estimate(sql: String): BigInt = {
+      org.apache.spark.sql.SparkSession.setActiveSession(iso)
+      try {
+        val plan = iso.sql(sql).queryExecution.optimizedPlan
+        plan.stats.rowCount.getOrElse(fail(s"no rowCount for $sql:\n$plan"))
+      } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+    // without a histogram, uniformity says ~rows/ndv ≈ 10 for ANY point
+    // predicate; the histogram must pull the hot key's estimate toward
+    // its real 9000 and keep a cold key's estimate small
+    val hot = estimate("SELECT * FROM gch.main.sk WHERE k = 1")
+    val cold = estimate("SELECT * FROM gch.main.sk WHERE k = 700")
+    assert(hot > BigInt(2000),
+      s"hot-key estimate should follow the histogram, got $hot")
+    assert(cold < BigInt(500), s"cold-key estimate should stay small: $cold")
+    assert(hot > cold * 10,
+      s"skew must be visible in the estimates: hot=$hot cold=$cold")
+
+    // CBO off: byte-identical plan, no attribute stats
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.catalog.gch", classOf[GraftSparkCatalog].getName)
+    plain.conf.set("spark.sql.catalog.gch.warehouse", wh)
+    val off = plain.sql("SELECT * FROM gch.main.sk WHERE k = 1")
+      .queryExecution.optimizedPlan.stats
+    assert(off.attributeStats.isEmpty)
+  }
+
   test("stats stay sound after later loads: null counts track files") {
     val wh = Files.createTempDirectory("graft-cbo2-").toString
     val cat = new GraftCatalog(spark, wh)
