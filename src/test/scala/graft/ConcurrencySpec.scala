@@ -117,4 +117,83 @@ class ConcurrencySpec extends AnyFunSuite {
     val stats = graft.llmops.TextOps.tokenStats(docs).collect()
     assert(stats.length == 2) // row preserved, stats null for the null doc
   }
+
+  /** Fork a Spark-free committer JVM (graft.tools.CommitRacer) against
+    * the compiled classes + Spark jars. */
+  private def forkRacer(args: String*): Process = {
+    val cp = "target/scala-2.13/classes" +
+      java.io.File.pathSeparator + "/opt/spark/jars/*"
+    val cmd = Seq("java", "-cp", cp, "graft.tools.CommitRacer") ++ args
+    new ProcessBuilder(cmd: _*).inheritIO().start()
+  }
+
+  test("cross-process CAS: a second JVM races 20 commits against 20 in-process, none lost") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-xproc-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "seed")
+    val dir = cat.loadTable("main", "t").dir.toString
+
+    val proc = forkRacer("file", dir, "20", "procB")
+    val t = cat.loadTable("main", "t")
+    (1 to 20).foreach { i =>
+      t.commit(_.withSnapshotDelta("append", Some(s"procA-$i"), Nil,
+        Set.empty), maxRetries = 100, backoffBase = 1.2, unitMs = 2)
+    }
+    assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "forked committer timed out")
+    assert(proc.exitValue() == 0, "forked committer failed")
+
+    val m = cat.loadTable("main", "t").metadata
+    assert(m.snapshots.size == 41,
+      s"1 seed + 40 raced commits must ALL land, got ${m.snapshots.size}")
+    val loadIds = m.snapshots.flatMap(_.loadId)
+    assert(loadIds.distinct.size == loadIds.size, "duplicate snapshot")
+    (1 to 20).foreach { i =>
+      assert(loadIds.contains(s"procA-$i") && loadIds.contains(s"procB-$i"))
+    }
+    // versions are a gapless CAS chain: every commit observed the one
+    // before it (the cross-process serialization proof)
+    assert(m.snapshots.map(_.snapshotId).sorted == (1L to 41L))
+  }
+
+  test("cross-process REST CAS: a second JVM's client races the in-process client through one server") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-xrest-").toString
+    val server = new RestCatalogServer(spark, wh).start()
+    try {
+      val client = CatalogConfig(uri = server.uri).openRestClient()
+      client.createNamespace("main")
+      client.createTable("main", "t", org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+
+      val proc = forkRacer("rest", server.uri, "main.t", "10", "remote")
+      (1 to 10).foreach { i =>
+        Retry.withRetries(maxRetries = 100, backoffBase = 1.2, unitMs = 2) { () =>
+          val base = client.loadMetadata("main", "t")
+          val next = base.withSnapshotDelta("append", Some(s"local-$i"),
+            Nil, Set.empty)
+          try client.commit("main", "t", base.currentSnapshotId, next)
+          catch {
+            case e: ValidationError
+                if e.getMessage.contains("409") ||
+                  e.getMessage.toLowerCase.contains("conflict") =>
+              throw new CommitConflictError("main.t", -1, e)
+          }
+        }
+      }
+      assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "forked REST committer timed out")
+      assert(proc.exitValue() == 0, "forked REST committer failed")
+      val m = client.loadMetadata("main", "t")
+      assert(m.snapshots.size == 20,
+        s"all 20 REST commits must land, got ${m.snapshots.size}")
+      val ids = m.snapshots.flatMap(_.loadId)
+      (1 to 10).foreach { i =>
+        assert(ids.contains(s"local-$i") && ids.contains(s"remote-$i"))
+      }
+    } finally server.stop()
+  }
 }
