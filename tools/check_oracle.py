@@ -39,8 +39,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # subset mode (Verify ran with an entry filter): only judge the
+    # entries Verify was asked to produce
+    ran = json.load(open(f"{out_dir}/_verify_ran.json")) \
+        if os.path.exists(f"{out_dir}/_verify_ran.json") else None
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if ran is not None and name not in ran:
+            continue
         res_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not res_files:
             print(f"FAIL {name}: no result parquet")
