@@ -122,15 +122,21 @@ final class GraftV2Table(
     private val hasDeletes = morDeletes.nonEmpty || morPosDeletes.nonEmpty
     // Under MoR the parquet builder is still constructed when the table
     // is partitioned — the SPJ-MoR wrap ([[SpjScan.wrapMor]]) serves the
-    // key-grouped read through it — but NOTHING is forwarded eagerly:
-    // filters stay residual (positional row counting needs the unskipped
-    // row stream, and the V1 fallback then needs no filter re-binding)
-    // and column pruning is applied at build() with the delete key
-    // columns appended.
+    // key-grouped read through it. Column pruning is applied at build()
+    // with the delete key columns appended. Filter pushdown forwards
+    // when only EQUALITY deletes are outstanding (deletes and filters
+    // both merely remove rows, so pushdown commutes with the per-row
+    // delete probe); outstanding POSITIONAL deletes disable it, because
+    // row-index counting needs the unskipped row stream. If the SPJ-MoR
+    // wrap falls through to the V1 scan, forwarded filters are
+    // re-applied on the DataFrame (a filter Spark believes pushed must
+    // never be dropped).
     private val inner: Option[ScanBuilder] =
       if (!hasDeletes || partitionSpec.nonEmpty)
         Some(reader.asInstanceOf[SupportsRead].newScanBuilder(options))
       else None
+    private def morCanPush: Boolean =
+      hasDeletes && morPosDeletes.isEmpty && inner.isDefined
 
     private var required: Option[StructType] = None
     private var catalystFilters:
@@ -156,9 +162,9 @@ final class GraftV2Table(
       catalystFilters = filters
       inner match {
         case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
-            if !hasDeletes =>
+            if !hasDeletes || morCanPush =>
           p.pushFilters(filters)
-        case _ => filters // V1/MoR modes: all residual, Spark filters above
+        case _ => filters // V1/positional-MoR modes: all residual
       }
     }
 
@@ -166,7 +172,7 @@ final class GraftV2Table(
         Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
       inner match {
         case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
-            if !hasDeletes =>
+            if !hasDeletes || morCanPush =>
           p.pushedFilters
         case _ => Array.empty
       }
@@ -279,12 +285,27 @@ final class GraftV2Table(
           }
         else None
       attempt.getOrElse {
-        // MoR fallback: column-pruned through the delete application
-        GraftV2Table.v1ScanOf(requested, ctx =>
-          MorRead.read(ctx.sparkSession, committedSchema,
-              morFiles, morDeletes, morPosDeletes)
-            .select(requested.fieldNames.map(col).toIndexedSeq: _*),
-          Some(fileStats)).build()
+        // MoR fallback: column-pruned through the delete application.
+        // Filters forwarded to the (now unused) parquet builder are
+        // re-applied on the DataFrame, rebound by name.
+        val filters = if (morCanPush) catalystFilters else Nil
+        GraftV2Table.v1ScanOf(requested, ctx => {
+          var df = MorRead.read(ctx.sparkSession, committedSchema,
+            morFiles, morDeletes, morPosDeletes)
+          val byName = df.queryExecution.analyzed.output
+            .map(a => a.name -> a).toMap
+          filters.foreach { e =>
+            val bound = e.transform {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                byName.getOrElse(a.name,
+                  throw new IllegalStateException(
+                    s"cannot rebind pushed filter $e: no column ${a.name}"))
+            }
+            df = df.filter(
+              org.apache.spark.sql.classic.GraftSqlShims.column(bound))
+          }
+          df.select(requested.fieldNames.map(col).toIndexedSeq: _*)
+        }, Some(fileStats)).build()
       }
     }
   }

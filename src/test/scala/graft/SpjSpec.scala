@@ -312,6 +312,37 @@ class SpjSpec extends AnyFunSuite {
       facts.collect().map(_.getDouble(2)).sum - 5.0d + 1000.0d)
   }
 
+  test("equality-only MoR pushes filters into the parquet scan; fallback re-applies them") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-morpush-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "id")))
+    w.writeTable("main", "bm", Seq((1 to 1000).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, cfg, "l1")
+    w.writeTable("main", "bm", Seq(Seq((5L, 5000)).toDF("id", "v")),
+      Merge("upsert"), cfg, "l2")
+
+    val on = spjSession("spjpush", wh, enabled = true)
+    val df = on.sql("SELECT id, v FROM spjpush.main.bm WHERE v > 900")
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    // upserted row (5 -> 5000) matches; old row 5 must NOT resurrect
+    assert(rows.toSeq ==
+      ((901 to 1000).map(i => (i.toLong, i)) :+ ((5L, 5000))).sortBy(_._1))
+    val descs = graft.plans.PlanOps.scanDescriptions(df)
+    assert(descs.exists(d => d.startsWith("graft-spj-mor") &&
+      d.contains("PushedFilters: [") && d.contains("GreaterThan(v,900)")),
+      s"equality-only MoR should push the filter to parquet:\n$descs")
+
+    // conf off: V1 fallback must RE-APPLY the forwarded filters
+    val off = spjSession("spjpush", wh, enabled = false)
+    val r2 = off.sql("SELECT id, v FROM spjpush.main.bm WHERE v > 900")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(r2.sameElements(rows))
+  }
+
   test("merge-on-read SPJ: positional deletes apply under whole-file key-grouped partitions") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-morpos-").toString
