@@ -120,19 +120,35 @@ object Similarity {
     * more planes ⇒ smaller buckets ⇒ cheaper join, lower recall. */
   def cosineNearDupPairsBucketed(embeddings0: DataFrame, threshold: Double,
       numPlanes: Int = 12, tables: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    verifyCosineCandidates(
+      cosineNearDupCandidatesBucketed(embeddings0, numPlanes, tables, dim,
+        idCol, vecCol), threshold)
+
+  /** The candidate half of [[cosineNearDupPairsBucketed]]: LSH-bucketed
+    * pairs WITH their vectors, pre-verification — exposed so callers can
+    * stage the candidate set (the approximate, non-SQL-portable step)
+    * for an oracle that re-derives the exact verification over it. */
+  def cosineNearDupCandidatesBucketed(embeddings0: DataFrame,
+      numPlanes: Int = 12, tables: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val embeddings = ensureRegistered(embeddings0)
     val b = lshBuckets(embeddings, numPlanes, tables, dim, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("table"), col("bucket"))
     // candidate pairs share a bucket in ANY table; dedupe across tables
     // while carrying the vectors so verification needs no further join
-    val cand = b.as("x").join(b.as("y"),
+    b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") &&
         col("x.bucket") === col("y.bucket") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         col(s"x.$vecCol").as("va0"), col(s"y.$vecCol").as("vb0"))
       .dropDuplicates("a", "b")
+  }
+
+  /** Exact-cosine verification over a candidate-pair frame — precision is
+    * always 1 regardless of how candidates were generated. */
+  def verifyCosineCandidates(cand: DataFrame, threshold: Double): DataFrame =
     cand
       .withColumn("va", asDouble(col("va0")))
       .withColumn("vb", asDouble(col("vb0")))
@@ -140,7 +156,6 @@ object Similarity {
         fastDot(col("va"), col("vb")) / (fastNorm(col("va")) * fastNorm(col("vb"))))
       .filter(col("cosine") > threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
-  }
 
   /** Per-vector int8 (0..255) quantization with reconstruction-error
     * stats — the standard 4× memory lever for corpus-scale ANN (float32

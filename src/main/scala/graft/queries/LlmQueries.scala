@@ -797,21 +797,41 @@ object LlmQueries {
     // dedup use case); identical vectors share every LSH bucket, so the
     // bucketed plan's recall is structural, not probabilistic, and the
     // result hash-matches the exact all-pairs oracle
+    // Bucketed cosine near-dup (the scale path of l10): LSH candidates,
+    // exact-cosine verification. LSH recall is probabilistic for
+    // genuinely-near-threshold pairs (the sf10 gate surfaced 8 misses in
+    // 35k pairs at 32k vectors), so the oracle follows the
+    // staged-candidate pattern — DuckDB re-derives the EXACT cosine
+    // filter over the staged candidate pairs (precision pinned
+    // hash-exact) — while the in-query require pins the contract the
+    // operator does guarantee: FULL recall on exact duplicates (the
+    // planted +1000000 mirrors share every bucket of every table).
     "l19_cosine_bucketed" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir).select(col("vec_id"), col("embedding"))
         val planted = e.unionByName(
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-        Similarity.cosineNearDupPairsBucketed(planted, threshold = 0.95,
+        val cand = Similarity.cosineNearDupCandidatesBucketed(planted,
           numPlanes = 16, tables = 2)
+        stageForOracle(cand.select(col("a"), col("b")), "l19_cand")
+        val out = Similarity.verifyCosineCandidates(cand, threshold = 0.95)
+        val nPlanted = e.count()
+        val found = out.filter(col("b") === col("a") + 1000000L).count()
+        require(found == nPlanted,
+          s"exact duplicates must ALL be found: $found of $nPlanted")
+        out
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |u AS (SELECT vec_id, v FROM e
-        |  UNION ALL SELECT vec_id + 1000000, v FROM e)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-        |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) > 0.95""".stripMargin))),
+        |  UNION ALL SELECT vec_id + 1000000, v FROM e),
+        |cand AS (SELECT DISTINCT a, b
+        |  FROM read_parquet('$OracleStageRoot/l19_cand/*.parquet'))
+        |SELECT cand.a, cand.b,
+        |  round(list_cosine_similarity(ua.v, ub.v), 4) AS cosine
+        |FROM cand
+        |JOIN u ua ON ua.vec_id = cand.a
+        |JOIN u ub ON ub.vec_id = cand.b
+        |WHERE list_cosine_similarity(ua.v, ub.v) > 0.95""".stripMargin))),
 
     // LSH-bucketed ANN, staged-candidate oracle: the bucketing itself
     // (xxhash64 random planes) is not expressible in portable SQL, so
