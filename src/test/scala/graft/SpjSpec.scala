@@ -343,6 +343,41 @@ class SpjSpec extends AnyFunSuite {
     assert(r2.sameElements(rows))
   }
 
+  test("MoR SPJ applies delete files written before a key-type promotion") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-morprom-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    // int-typed PK at first; the delete file stores INT keys
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "grp")))
+    w.writeTable("main", "p", Seq((1 to 200).map(i => (i % 7L, i, s"v$i"))
+      .toDF("grp", "id", "v")), Append, cfg, "l1")
+    w.writeTable("main", "p", Seq(Seq((3L, 5, "v5b")).toDF("grp", "id", "v")),
+      Merge("upsert"), cfg, "l2")
+    // long-typed batch promotes id (int→long); the old INT-keyed delete
+    // must still fence under the promoted schema inside the wrapped
+    // reader (the probe projections cast through the CURRENT types)
+    w.writeTable("main", "p", Seq(Seq((4L, 1000L, "new")).toDF("grp", "id", "v")),
+      Merge("upsert"), cfg, "l3")
+    val t = cat.loadTable("main", "p")
+    assert(t.metadata.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.metadata.currentSnapshot.exists(_.deletes.nonEmpty))
+
+    val on = spjSession("spjprom", wh, enabled = true)
+    val df = on.sql("SELECT grp, id, v FROM spjprom.main.p WHERE id IN (5, 1000)")
+    assert(graft.plans.PlanOps.scanDescriptions(df)
+      .exists(_.startsWith("graft-spj-mor")), "must serve through the MoR wrap")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq((3L, 5L, "v5b"), (4L, 1000L, "new")),
+      s"old int-keyed delete must fence the pre-upsert row: ${got.toSeq}")
+    assert(on.sql("SELECT COUNT(*) FROM spjprom.main.p")
+      .collect()(0).getLong(0) == 201L)
+  }
+
   test("merge-on-read SPJ: positional deletes apply under whole-file key-grouped partitions") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-morpos-").toString
