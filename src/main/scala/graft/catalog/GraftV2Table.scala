@@ -132,9 +132,7 @@ final class GraftV2Table(
     // re-applied on the DataFrame (a filter Spark believes pushed must
     // never be dropped).
     private val inner: Option[ScanBuilder] =
-      if (!hasDeletes || partitionSpec.nonEmpty)
-        Some(reader.asInstanceOf[SupportsRead].newScanBuilder(options))
-      else None
+      Some(reader.asInstanceOf[SupportsRead].newScanBuilder(options))
     private def morCanPush: Boolean =
       hasDeletes && morPosDeletes.isEmpty && inner.isDefined
 
@@ -253,37 +251,46 @@ final class GraftV2Table(
         }, Some(fileStats)).build()
       }
 
-    /** Merge-on-read scan with the SPJ wrap attempted first: when the
-      * session opts into V2 bucketing and the spec + file stats qualify,
-      * the scan keeps the clean path's `KeyGroupedPartitioning` report
-      * and [[MorSpjReader]] applies the deletes per row — a merged
-      * co-bucketed fact table joins shuffle-free instead of dropping to
-      * the reshuffling V1 fallback. Ineligible (conf off, unsupported
-      * transform, missing stats, a delete key column no longer in the
-      * schema) ⇒ the pre-existing V1 `MorRead` scan, unchanged. */
+    /** Merge-on-read scan, best wrap first:
+      *
+      *  1. the SPJ-MoR wrap when the session opts into V2 bucketing and
+      *     the spec + file stats qualify — the scan keeps the clean
+      *     path's `KeyGroupedPartitioning` report and [[MorSpjReader]]
+      *     applies the deletes per row (a merged co-bucketed fact table
+      *     joins shuffle-free);
+      *  2. otherwise the PLAIN MoR wrap — same per-row delete reader
+      *     without a partitioning report: parquet pushdown and
+      *     vectorized-backed reads for unpartitioned/ineligible tables,
+      *     instead of the join-based V1 scan;
+      *  3. the V1 `MorRead` scan only when a delete is keyed on a
+      *     since-dropped column (the extended read schema cannot carry
+      *     it). */
     private def buildMor(): Scan = {
       val conf = org.apache.spark.sql.internal.SQLConf.get
       val requested = required.getOrElse(committedSchema)
-      val attempt: Option[Scan] =
-        if (conf.v2BucketingEnabled && partitionSpec.nonEmpty)
-          inner.flatMap { b =>
-            val extraKeys = morDeletes.flatMap(_.keyColumns).distinct
-              .filterNot(requested.fieldNames.contains)
-            if (extraKeys.exists(k => !committedSchema.fieldNames.contains(k)))
-              None // delete keyed on a since-dropped column: V1 path
-            else {
-              val extended = StructType(requested.fields ++
-                extraKeys.map(committedSchema(_)))
-              b match {
-                case p: SupportsPushDownRequiredColumns =>
-                  p.pruneColumns(extended)
-                case _ => ()
-              }
-              SpjScan.wrapMor(b.build(), partitionSpec, committedSchema,
-                extended, requested, morFiles, morDeletes, morPosDeletes)
-            }
+      val attempt: Option[Scan] = inner.flatMap { b =>
+        val extraKeys = morDeletes.flatMap(_.keyColumns).distinct
+          .filterNot(requested.fieldNames.contains)
+        if (extraKeys.exists(k => !committedSchema.fieldNames.contains(k)))
+          None // delete keyed on a since-dropped column: V1 path
+        else {
+          val extended = StructType(requested.fields ++
+            extraKeys.map(committedSchema(_)))
+          b match {
+            case p: SupportsPushDownRequiredColumns =>
+              p.pruneColumns(extended)
+            case _ => ()
           }
-        else None
+          val scan = b.build()
+          val spj =
+            if (conf.v2BucketingEnabled && partitionSpec.nonEmpty)
+              SpjScan.wrapMor(scan, partitionSpec, committedSchema,
+                extended, requested, morFiles, morDeletes, morPosDeletes)
+            else None
+          spj.orElse(Some(SpjScan.wrapMorPlain(scan, committedSchema,
+            extended, requested, morFiles, morDeletes, morPosDeletes)))
+        }
+      }
       attempt.getOrElse {
         // MoR fallback: column-pruned through the delete application.
         // Filters forwarded to the (now unused) parquet builder are

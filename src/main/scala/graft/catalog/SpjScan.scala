@@ -73,6 +73,20 @@ object SpjScan {
           files, deletes, posDeletes)))
     }
 
+  /** Plain (non-key-reporting) MoR wrap: the per-row delete reader over
+    * the parquet scan WITHOUT a partitioning report — for unpartitioned
+    * tables and spec shapes the SPJ key decode cannot serve. Still a
+    * strict upgrade over the V1 DataFrame fallback: parquet pushdown
+    * (equality-only mode), vectorized-backed reads, no per-query
+    * broadcast-join planning. Needs no stats eligibility — only per-file
+    * data sequences, which every snapshot carries. */
+  def wrapMorPlain(scan: Scan, tableSchema: StructType,
+      extendedSchema: StructType, requestedSchema: StructType,
+      files: Seq[DataFile], deletes: Seq[DeleteFile],
+      posDeletes: Seq[PosDeleteFile]): Scan =
+    new MorPlainScan(scan, MorInfo(tableSchema, extendedSchema,
+      requestedSchema, files, deletes, posDeletes))
+
   /** MoR wrap state: schemas + the delete sets, plus per-path data
     * sequence (delete fencing) and file size (whole-file splits for
     * positional row counting). */
@@ -150,6 +164,101 @@ object SpjScan {
       key: InternalRow, val fileSeq: Long, val posPath: Option[String])
     extends FilePartition(idx, pfiles) with HasPartitionKey {
     override def partitionKey(): InternalRow = key
+  }
+
+  /** Shared MoR partition planning (keyed and plain wraps). Equality-only
+    * deletes keep the inner split granularity, grouping splits by
+    * (group id, data sequence) — every file in a partition shares the
+    * sequence the reader fences against. Outstanding POSITIONAL deletes
+    * additionally require row-index counting, so each data file becomes
+    * ONE whole-file partition (splits merged back). `resolve` yields the
+    * file's engine path, grouping id, and partition-key row (empty for
+    * the plain wrap); `keep` applies runtime pruning. An unresolvable
+    * file fails loudly — reading it raw would skip delete application. */
+  private def planMorShared(parts: Array[InputPartition], mi: MorInfo,
+      resolve: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        (String, String, InternalRow),
+      keep: String => Boolean): Array[InputPartition] = {
+    def seqOf(path: String,
+        pf: org.apache.spark.sql.execution.datasources.PartitionedFile): Long =
+      mi.seqByPath.getOrElse(path, throw new IllegalStateException(
+        s"graft-mor: data file ${pf.urlEncodedPath} has no sequence in " +
+          "the snapshot — refusing to read it raw (deletes would not apply)"))
+    val out = Array.newBuilder[InputPartition]
+    var idx = 0
+    if (mi.posDeletes.nonEmpty) {
+      val seen = scala.collection.mutable.Set.empty[String]
+      parts.foreach {
+        case fp: FilePartition => fp.files.foreach { pf =>
+          val (path, _, key) = resolve(pf)
+          if (!seen.contains(path)) {
+            seen += path
+            if (keep(path)) {
+              val whole = pf.copy(pf.partitionValues, pf.filePath, 0L,
+                pf.fileSize, pf.locations, pf.modificationTime, pf.fileSize,
+                pf.otherConstantMetadataColumnValues)
+              out += new MorPartition(idx, Array(whole), key, seqOf(path, pf),
+                Some(path))
+              idx += 1
+            }
+          }
+        }
+        case p => throw new IllegalStateException(
+          s"graft-mor: unexpected non-file partition $p")
+      }
+    } else {
+      parts.foreach {
+        case fp: FilePartition =>
+          val withKeys = fp.files.flatMap { pf =>
+            val (path, gid, key) = resolve(pf)
+            if (keep(path)) Some((pf, gid, key, seqOf(path, pf))) else None
+          }
+          withKeys.groupBy(t => (t._2, t._4)).foreach { case ((_, seq), grp) =>
+            out += new MorPartition(idx, grp.map(_._1), grp.head._3, seq, None)
+            idx += 1
+          }
+        case p => throw new IllegalStateException(
+          s"graft-mor: unexpected non-file partition $p")
+      }
+    }
+    out.result()
+  }
+
+  /** The plain MoR wrap: per-row delete application over the parquet
+    * scan, no partitioning report (see [[wrapMorPlain]]). */
+  private final class MorPlainScan(inner: Scan, mi: MorInfo)
+    extends Scan with Batch with SupportsReportStatistics {
+
+    override def readSchema(): StructType = mi.requestedSchema
+    override def description(): String = s"graft-mor ${inner.description()}"
+    override def toBatch: Batch = this
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      Scan.ColumnarSupportMode.UNSUPPORTED
+    override def estimateStatistics(): Statistics = inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes = java.util.OptionalLong.empty()
+        override def numRows = java.util.OptionalLong.empty()
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      MorSpjReader.factory(org.apache.spark.sql.SparkSession.active,
+        inner.toBatch.createReaderFactory(), mi.tableSchema,
+        mi.extendedSchema, mi.requestedSchema, mi.files, mi.deletes,
+        mi.posDeletes)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val empty = new GenericInternalRow(Array.empty[Any])
+      planMorShared(inner.toBatch.planInputPartitions(), mi,
+        pf => {
+          val p1 = normPath(pf.urlEncodedPath)
+          val path =
+            if (mi.seqByPath.contains(p1)) p1
+            else normPath(
+              java.net.URLDecoder.decode(pf.urlEncodedPath, "UTF-8"))
+          (path, "", empty)
+        },
+        _ => true)
+    }
   }
 
   /** Per-field partition-key encoding shared by the tuple id and the
@@ -385,69 +494,24 @@ object SpjScan {
       out.result()
     }
 
-    /** MoR partition planning. Equality-only deletes keep the inner split
-      * granularity, grouping splits by (partition tuple, data sequence) —
-      * every file in a group shares the sequence the reader fences
-      * against. Outstanding POSITIONAL deletes additionally require
-      * row-index counting, so each data file becomes ONE whole-file
-      * partition (splits of one file merged back); same-key partitions
-      * still land in one task when Spark picks the key-grouped plan
+    /** MoR partition planning — [[planMorShared]] with this scan's key
+      * decode and runtime pruning. Same-key partitions still land in one
+      * task when Spark picks the key-grouped plan
       * (`BatchScanExec.groupPartitions`), so the join stays shuffle-free
       * and only intra-file split parallelism is given up — on the path
       * that previously had NO key report at all. */
     private def planMor(parts: Array[InputPartition],
-        mi: MorInfo): Array[InputPartition] = {
-      def fail(pf: org.apache.spark.sql.execution.datasources.PartitionedFile): Nothing =
-        throw new IllegalStateException(
-          s"graft-spj-mor: data file ${pf.urlEncodedPath} has no partition " +
-            "key or sequence in the snapshot — refusing to read it raw " +
-            "(deletes would not apply)")
-      val out = Array.newBuilder[InputPartition]
-      var idx = 0
-      if (mi.posDeletes.nonEmpty) {
-        // whole-file partitions, deduped across splits
-        val seen = scala.collection.mutable.Set.empty[String]
-        parts.foreach {
-          case fp: FilePartition => fp.files.foreach { pf =>
-            val (path, key) = resolveKey(pf).getOrElse(fail(pf))
-            if (!seen.contains(path)) {
-              seen += path
-              if (runtimeKept.forall(_.contains(path))) {
-                val seq = mi.seqByPath.getOrElse(path, fail(pf))
-                val whole = pf.copy(pf.partitionValues, pf.filePath, 0L,
-                  pf.fileSize, pf.locations, pf.modificationTime, pf.fileSize,
-                  pf.otherConstantMetadataColumnValues)
-                out += new MorPartition(idx, Array(whole), key.row, seq,
-                  Some(path))
-                idx += 1
-              }
-            }
-          }
-          case p => throw new IllegalStateException(
-            s"graft-spj-mor: unexpected non-file partition $p")
-        }
-      } else {
-        parts.foreach {
-          case fp: FilePartition =>
-            val withKeys = fp.files.flatMap { pf =>
-              val resolved = resolveKey(pf).getOrElse(fail(pf))
-              if (runtimeKept.forall(_.contains(resolved._1)))
-                Some((pf, resolved._2,
-                  mi.seqByPath.getOrElse(resolved._1, fail(pf))))
-              else None
-            }
-            withKeys.groupBy(t => (t._2.tupleId, t._3)).foreach {
-              case ((_, seq), triples) =>
-                out += new MorPartition(idx, triples.map(_._1),
-                  triples.head._2.row, seq, None)
-                idx += 1
-            }
-          case p => throw new IllegalStateException(
-            s"graft-spj-mor: unexpected non-file partition $p")
-        }
-      }
-      out.result()
-    }
+        mi: MorInfo): Array[InputPartition] =
+      planMorShared(parts, mi,
+        pf => {
+          val (path, k) = resolveKey(pf).getOrElse(
+            throw new IllegalStateException(
+              s"graft-spj-mor: data file ${pf.urlEncodedPath} has no " +
+                "partition key in the snapshot — refusing to read it raw " +
+                "(deletes would not apply)"))
+          (path, k.tupleId, k.row)
+        },
+        path => runtimeKept.forall(_.contains(path)))
 
     private def resolveKey(
         pf: org.apache.spark.sql.execution.datasources.PartitionedFile):

@@ -343,6 +343,42 @@ class SpjSpec extends AnyFunSuite {
     assert(r2.sameElements(rows))
   }
 
+  test("unpartitioned MoR serves through the plain wrap with parquet pushdown") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-morplain-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "u", Seq((1 to 500).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, cfg, "l1")
+    w.writeTable("main", "u", Seq(Seq((7L, 7000)).toDF("id", "v")),
+      Merge("upsert"), cfg, "l2")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.morplain", classOf[GraftSparkCatalog].getName)
+    s.conf.set("spark.sql.catalog.morplain.warehouse", wh)
+    // no v2 bucketing opt-in, no partition spec: the plain wrap serves
+    val df = s.sql("SELECT id, v FROM morplain.main.u WHERE v >= 400")
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq ==
+      ((400 to 500).map(i => (i.toLong, i)) :+ ((7L, 7000))).sortBy(_._1))
+    val descs = graft.plans.PlanOps.scanDescriptions(df)
+    assert(descs.exists(d => d.startsWith("graft-mor ") &&
+      d.contains("PushedFilters: [") &&
+      d.contains("GreaterThanOrEqual(v,400)")),
+      s"unpartitioned MoR should push filters through the plain wrap:\n$descs")
+    // COUNT stays exact (agg pushdown declined; deleted row not counted)
+    assert(s.sql("SELECT COUNT(*) FROM morplain.main.u")
+      .collect()(0).getLong(0) == 500L)
+    // positional deletes: plain wrap with whole-file row counting
+    w.deleteWhere("main", "u", org.apache.spark.sql.functions.col("id") <= 10,
+      WriteConfig(retryUnitMs = 1, mergeOnRead = true), "l3")
+    val t = cat.loadTable("main", "u")
+    assert(t.metadata.currentSnapshot.exists(_.posDeletes.nonEmpty))
+    val n2 = s.sql("SELECT COUNT(*) FROM morplain.main.u").collect()(0).getLong(0)
+    assert(n2 == 490L, s"positions 1..10 dead (7 was already fenced): $n2")
+  }
+
   test("MoR SPJ applies delete files written before a key-type promotion") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-morprom-").toString
