@@ -65,7 +65,7 @@ class ModelCheckSpec extends AnyFunSuite {
       def key(): Long = rnd.between(-120L, 130L)
 
       (1 to 6).foreach { step =>
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(14)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
         // content-neutral maintenance interleaved at random: compaction
@@ -207,6 +207,64 @@ class ModelCheckSpec extends AnyFunSuite {
                 s"SELECT id, v FROM mc_rsrc_$seed")
             model.clear()
             rows.foreach { case (k, v, _) => model(k) = v }
+          case 11 => // REPLACE WHERE (filter overwrite): delete-matching
+            // + append-batch in one snapshot (Iceberg overwrite-by-filter
+            // semantics — NOT an upsert: a batch row outside the
+            // predicate would simply append next to its existing key, so
+            // the fuzz batch is restricted to the predicate range, the
+            // shape real REPLACE WHERE backfills have)
+            if (!cat.tableExists("main", "t")) {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
+            val (lo, hi) = {
+              val a = key(); val b = key(); (math.min(a, b), math.max(a, b))
+            }
+            val inRange = rows.filter { case (k, _, _) => k >= lo && k <= hi }
+            w.overwriteWhere("main", "t",
+              org.apache.spark.sql.functions.col("id").between(lo, hi),
+              df(inRange).select("id", "v"), cfg, s"ow$seed-$step")
+            model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+            inRange.foreach { case (k, v, _) => model(k) = v }
+          case 12 => // partition-spec evolution to bucket(4, id):
+            // content-neutral for readers; later loads cluster under the
+            // new spec, leaving mixed-vintage files for the dynamic-
+            // overwrite degradation path to handle
+            if (cat.tableExists("main", "t")) {
+              val t = cat.loadTable("main", "t")
+              if (t.metadata.partitionSpec.isEmpty)
+                t.updatePartitionSpec(
+                  Seq(graft.partition.PartitionHint.bucket(4, "id")))
+            } else {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
+          case 13 => // dynamic partition overwrite: replaces exactly the
+            // BATCH's partitions. Unpartitioned ⇒ Replace semantics;
+            // bucket(4, id) spec ⇒ every model key hashing into a batch
+            // bucket is replaced (the mirror uses the same murmur3
+            // bucket as the engine) — pre-spec-vintage files route
+            // through the predicate degradation, same row semantics
+            if (!cat.tableExists("main", "t")) {
+              w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg,
+                s"l$seed-$step")
+              rows.foreach { case (k, v, _) => model(k) = v }
+            } else {
+              val spec = cat.loadTable("main", "t").metadata.partitionSpec
+              w.overwriteDynamic("main", "t", df(rows).select("id", "v"),
+                cfg, s"dy$seed-$step")
+              def bucketOf(k: Long): Int =
+                (graft.functions.IcebergHash.hashLong(k) & Int.MaxValue) % 4
+              if (spec.isEmpty) model.clear()
+              else {
+                val batchBuckets = batchKeys.map(bucketOf).toSet
+                model.keys.filter(k => batchBuckets.contains(bucketOf(k)))
+                  .toSeq.foreach(model.remove)
+              }
+              rows.foreach { case (k, v, _) => model(k) = v }
+            }
           case 8 => // evolving upsert: a NEW nullable column appears
             // mid-history — old files must null-fill it, rollback and
             // maintenance must survive the wider schema, and the (id, v)

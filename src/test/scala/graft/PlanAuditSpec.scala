@@ -120,6 +120,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "l45 pipeline degraded to a pair-materializing join")
   }
 
+  test("round-9 entries keep scale-shaped plans") {
+    // SQL-catalog MoR read: the per-row delete reader replaces the
+    // delete-application joins entirely — the scan subtree carries NO
+    // join operators at all (the r5b broadcast-join shape remains only
+    // on the programmatic t.read() path)
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-pa9-").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val w = new graft.write.GraftWriter(cat)
+    val mcfg = graft.write.WriteConfig(primaryKey = Seq("id"),
+      retryUnitMs = 1, mergeOnRead = true)
+    w.writeTable("main", "m", Seq((1 to 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v")), graft.write.Merge("upsert"), mcfg, "l1")
+    w.writeTable("main", "m", Seq(Seq((2L, "b2")).toDF("id", "v")),
+      graft.write.Merge("upsert"), mcfg, "l2")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.pa9",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set("spark.sql.catalog.pa9.warehouse", wh)
+    val df = s.sql("SELECT id, v FROM pa9.main.m")
+    assert(df.collect().length == 100)
+    assert(graft.plans.PlanOps.scanDescriptions(df)
+      .exists(_.startsWith("graft-mor")), "SQL MoR read must use the wrap")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"SQL MoR read must apply deletes per row, not via joins:\n$p")
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
