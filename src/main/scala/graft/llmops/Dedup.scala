@@ -282,6 +282,17 @@ object Dedup {
     * candidate set only. With 32 bands × 2 rows, recall at J≥0.9 is
     * 1-(1-0.81)^32 ≈ 1-2.6e-23 — the published MinHash-LSH S-curve.
     */
+  /** Scale shape (measured at 500k docs, shared-vocab worst case): the
+    * default banding (rows-per-band 2) keeps recall at J>0.5 essentially
+    * certain (a true pair collides in ~8 of 32 bands), at the cost of
+    * permissive candidate generation — band-bucket occupancy grows with
+    * corpus size under heavy shingle sharing, and the candidate join
+    * spills tens of GB at sf10 though it completes. The knobs are the
+    * standard LSH levers: more rows per band (fewer, cleaner candidates,
+    * probabilistic recall) or shingle-frequency caps upstream
+    * ([[ngramJaccardPairs]]'s `maxShingleFreq`). For exact-recall dedup
+    * at corpus scale, prefer the capped exact-Jaccard twin (l18), whose
+    * per-shingle join fan-out is bounded at cap^2 by construction. */
   def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 32, threshold: Double = 0.5,
       textCol: String = "text"): DataFrame = {
