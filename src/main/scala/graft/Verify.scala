@@ -64,6 +64,11 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/_verify_ran.json"),
         names.toSeq.sorted.map(q).mkString("[", ",", "]"))
     }
+    // full run: a STALE subset marker from an earlier run into the same
+    // outDir would make check_oracle silently judge only that subset —
+    // remove it so a full run is always judged in full
+    if (only.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/_verify_ran.json"))
     // A thrown query leaves NO output dir, which the driver's compare
     // reports by omission — round 7 lost 5 entries this way without any
     // visible signal. Persist the failure map (empty {} on a clean run)

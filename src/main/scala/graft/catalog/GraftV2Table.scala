@@ -262,13 +262,43 @@ final class GraftV2Table(
       *     without a partitioning report: parquet pushdown and
       *     vectorized-backed reads for unpartitioned/ineligible tables,
       *     instead of the join-based V1 scan;
-      *  3. the V1 `MorRead` scan only when a delete is keyed on a
+      *  3. the V1 `MorRead` scan when a delete is keyed on a
       *     since-dropped column (the extended read schema cannot carry
-      *     it). */
+      *     it), or when the metadata-summed outstanding delete rows
+      *     exceed [[MorRead.driverStateMaxRows]] — the wraps collect the
+      *     whole delete state driver-side, which is only sound for
+      *     trickle-sized backlogs; past the gate the join-based
+      *     application degrades gracefully instead of OOMing the
+      *     driver. */
     private def buildMor(): Scan = {
       val conf = org.apache.spark.sql.internal.SQLConf.get
       val requested = required.getOrElse(committedSchema)
-      val attempt: Option[Scan] = inner.flatMap { b =>
+      // Positional-delete invariant: the wrap counts parquet row_index by
+      // position in the unskipped row stream, which is only correct when
+      // NO filter reached the parquet scan (morCanPush guards this at
+      // forward time — this assert catches a future pushdown change
+      // before it silently mis-applies positions).
+      if (morPosDeletes.nonEmpty) inner.foreach {
+        case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+          require(p.pushedFilters.isEmpty,
+            "graft-mor: positional deletes outstanding but filters were " +
+              "pushed to the parquet scan — row-index counting would skip " +
+              s"or mis-apply deletes (pushed: ${p.pushedFilters.mkString(", ")})")
+        case _ => ()
+      }
+      // Size gate: bound driver memory BEFORE reading a delete byte. The
+      // wrap paths (SPJ-MoR and plain) collect the WHOLE delete state to
+      // the driver ([[MorSpjReader.collectState]]); that is only sound
+      // for trickle-merge-sized backlogs. Past the metadata-summed
+      // threshold the scan degrades to the V1 MorRead join application
+      // (Spark-managed memory; broadcast under MorRead's own row gate,
+      // shuffle-join above it) — a merge-heavy table that missed its
+      // compaction window loses the key-grouped report, never the driver.
+      val deleteStateRows =
+        morDeletes.map(_.rowCount).sum + morPosDeletes.map(_.rowCount).sum
+      val attempt: Option[Scan] =
+        if (deleteStateRows > MorRead.driverStateMaxRows) None
+        else inner.flatMap { b =>
         val extraKeys = morDeletes.flatMap(_.keyColumns).distinct
           .filterNot(requested.fieldNames.contains)
         if (extraKeys.exists(k => !committedSchema.fieldNames.contains(k)))

@@ -72,7 +72,13 @@ final class GraftViews(warehouse: Path) {
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             throw new TableAlreadyExistsError(s"view $ns.$name")
-          case _: UnsupportedOperationException =>
+          // filesystems without hard-link support surface either
+          // UnsupportedOperationException or a generic FileSystemException
+          // (FAT/exFAT, some network mounts) — both route to the
+          // ATOMIC_MOVE fallback; only FileAlreadyExistsException (caught
+          // above) means the race was genuinely lost
+          case _: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException =>
             try Files.move(tmp, viewPath(ns, name), StandardCopyOption.ATOMIC_MOVE)
             catch {
               case _: java.nio.file.FileAlreadyExistsException =>

@@ -13,11 +13,48 @@ import org.apache.spark.sql.types.StructType
   * left-outer join per key-column group against the aggregated delete
   * keys. Delete files are trickle-merge-sized by design — the whole point
   * of MoR is that the delete side is tiny relative to the data — so both
-  * joins broadcast and the scan stays a single pass with no shuffle.
+  * joins broadcast and the scan stays a single pass with no shuffle; a
+  * backlog past [[BroadcastMaxRowsKey]] drops the hint and Spark
+  * shuffle-joins the delete application instead (identical result,
+  * bounded executor memory).
   * Compaction applies deletes physically and clears them, bounding the
   * delete-key working set between maintenance runs.
   */
 object MorRead {
+
+  /** Outstanding delete rows (summed from commit-time metadata, no IO)
+    * above which the scan layer must NOT collect the delete state to the
+    * driver ([[MorSpjReader]]) and falls back to this join-based
+    * application — the same degradation standard as
+    * `Dedup.driverUnionFindMax` / `GraftWriter.MaxBloomProbeKeys`: bound
+    * driver memory BEFORE reading a byte, using `DeleteFile.rowCount` /
+    * `PosDeleteFile.rowCount` already in the snapshot. */
+  val DriverStateMaxRowsKey = "spark.graft.mor.driverStateMaxRows"
+  val DriverStateMaxRowsDefault = 4000000L
+
+  /** Delete-side rows above which a per-group key join (or the positional
+    * anti-join) drops its broadcast hint and lets Spark pick a shuffle
+    * join — the third degradation tier, for a table whose delete backlog
+    * outgrew executor broadcast memory (missed compaction window). The
+    * result is identical; only the join strategy changes. */
+  val BroadcastMaxRowsKey = "spark.graft.mor.broadcastMaxRows"
+  val BroadcastMaxRowsDefault = 16000000L
+
+  def driverStateMaxRows: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(DriverStateMaxRowsKey, DriverStateMaxRowsDefault.toString)
+      .toLong
+
+  private def broadcastMaxRows: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(BroadcastMaxRowsKey, BroadcastMaxRowsDefault.toString)
+      .toLong
+
+  /** Broadcast below the row threshold, plain (shuffle-planned) join
+    * above it. `rows` comes from delete-file metadata, an upper bound on
+    * the joined distinct-key count — over-estimating only costs the hint. */
+  private def hinted(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= broadcastMaxRows) broadcast(df) else df
 
   /** `_metadata.file_path` is a URI (`file:///…`); our [[DataFile]] paths
     * are POSIX. Strip the scheme so they join. */
@@ -105,7 +142,7 @@ object MorRead {
           .reduce(_ unionByName _)
           .groupBy(keyCols.map(col): _*)
           .agg(max(col("__gf_dseq")).as("__gf_dseq"))
-        df.join(broadcast(delKeys), keyCols, "left_outer")
+        df.join(hinted(delKeys, dels.map(_.rowCount).sum), keyCols, "left_outer")
           .filter(col("__gf_dseq").isNull || col("__gf_dseq") <= col("__gf_fseq"))
           .drop("__gf_dseq")
       }
@@ -119,7 +156,8 @@ object MorRead {
   private def applyPositional(spark: SparkSession, withMeta: DataFrame,
       posDeletes: Seq[PosDeleteFile]): DataFrame = {
     if (posDeletes.isEmpty) return withMeta
-    withMeta.join(broadcast(posKeys(spark, posDeletes)),
+    withMeta.join(
+      hinted(posKeys(spark, posDeletes), posDeletes.map(_.rowCount).sum),
       Seq("__gf_path", "__gf_pidx"), "left_anti")
   }
 }

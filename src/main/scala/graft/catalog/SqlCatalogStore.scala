@@ -106,7 +106,11 @@ final class SqlCatalogStore(dbPath: String, val warehouse: Path) {
   }
 
   def createTable(ns: String, name: String, m: TableMetadata): Unit = {
-    if (!namespaceExists(ns)) createNamespace(ns)
+    // idempotent ensure: two concurrent createTable calls for a new
+    // namespace race the check-then-act — the loser's duplicate-key
+    // error means the namespace now exists, which is what it wanted
+    if (!namespaceExists(ns))
+      try createNamespace(ns) catch { case _: ValidationError => () }
     val loc = writeMetadataFile(ns, name, m)
     withConn { c =>
       val ps = c.prepareStatement(

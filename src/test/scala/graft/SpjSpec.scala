@@ -544,4 +544,54 @@ class SpjSpec extends AnyFunSuite {
       Integer.valueOf(java.time.LocalDate.of(1965, 3, 2).toEpochDay.toInt))
     assert(hours.produceResult(preRow).toString == "1965-03-02-04")
   }
+
+  test("delete-state size gate: an over-threshold backlog degrades to the join fallback, identical results") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-gate-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "id")))
+    w.writeTable("main", "g", Seq((1 to 500).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, cfg, "l1")
+    w.writeTable("main", "g", Seq(Seq((5L, 500), (9L, 900)).toDF("id", "v")),
+      Merge("upsert"), cfg, "l2")
+    // positional deletes join the backlog too (the gate sums both kinds)
+    w.deleteWhere("main", "g", org.apache.spark.sql.functions.col("id") > 495,
+      WriteConfig(retryUnitMs = 1, mergeOnRead = true), "l3")
+    val snap = cat.loadTable("main", "g").metadata.currentSnapshot.get
+    assert(snap.deletes.nonEmpty && snap.posDeletes.nonEmpty,
+      "precondition: outstanding equality AND positional deletes")
+
+    val on = spjSession("spjgate", wh, enabled = true)
+    val q = "SELECT id, v FROM spjgate.main.g WHERE id <= 20"
+    def rows() = on.sql(q).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    def descs() = graft.plans.PlanOps.scanDescriptions(on.sql(q))
+    // baseline: under the default gate the driver-state wrap serves
+    assert(descs().exists(d => d.startsWith("graft-spj-mor") ||
+      d.startsWith("graft-mor")), s"expected a MoR wrap: ${descs()}")
+    val expect = rows()
+    assert(expect == ((1 to 20).map(i => (i.toLong, i))
+      .map { case (i, v) => if (i == 5L) (i, 500) else if (i == 9L) (i, 900)
+        else (i, v) }).toSeq)
+
+    // tier 2: metadata-summed backlog over the gate — NO driver-side
+    // delete-state collect; the V1 MorRead join application serves
+    on.conf.set(MorRead.DriverStateMaxRowsKey, "1")
+    try {
+      assert(!descs().exists(d => d.startsWith("graft-spj-mor") ||
+        d.startsWith("graft-mor")),
+        s"gate must route past the driver-state wraps: ${descs()}")
+      assert(rows() == expect, "gated fallback must return the same rows")
+      // tier 3: backlog past broadcast scale — the join application drops
+      // its broadcast hint (Spark plans a shuffle join), same answer
+      on.conf.set(MorRead.BroadcastMaxRowsKey, "0")
+      assert(rows() == expect, "shuffle-join application must return the same rows")
+    } finally {
+      on.conf.unset(MorRead.DriverStateMaxRowsKey)
+      on.conf.unset(MorRead.BroadcastMaxRowsKey)
+    }
+  }
 }
