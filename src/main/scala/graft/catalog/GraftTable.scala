@@ -171,7 +171,11 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         // restore the deletes live at the target, too — the rolled-back
         // row SET is snapshot state, not just its files
         deleteFiles = target.deleteFiles,
-        posDeleteFiles = target.posDeleteFiles)
+        posDeleteFiles = target.posDeleteFiles,
+        // an externalized target shares its immutable body by path —
+        // expiry ref-counts body paths the same way it does manifests
+        bodyPath = target.bodyPath,
+        summary = target.summary)
       m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
     }
@@ -275,10 +279,13 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       readFiles(m, from.dataFiles, from.deletes, from.posDeletes)
     val eqRows = newEq.groupBy(_.keyColumns).toSeq.sortBy(_._1.mkString(","))
       .map { case (keyCols, dels) =>
-        val keys = dels.map(d => spark.read.parquet(d.path)
-            .select(keyCols.map(k =>
-              col(k).cast(m.schema(k).dataType).as(k)): _*))
-          .reduce(_ unionByName _).distinct()
+        // ONE multi-path scan over the window's delete files (a per-file
+        // union plan grows linearly in trickle-commit count — see
+        // MorRead.deleteKeysWithSeq); the seq attribution is irrelevant
+        // here, only the distinct key set matters
+        val keys = MorRead.deleteKeysWithSeq(spark, keyCols,
+            keyCols.map(k => k -> Some(m.schema(k).dataType)).toMap, dels)
+          .drop("__gf_dseq").distinct()
           .join(fromLive.select(keyCols.map(col): _*), keyCols, "left_semi")
         keys.select(schemaCols.map(c =>
           (if (keyCols.contains(c)) col(c)
@@ -509,8 +516,8 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
         case _ => true // no ref-level range: must open
       }
     m.currentSnapshot match {
-      case Some(s) if s.manifestRefs.isDefined && s.files.isEmpty =>
-        s.manifestRefs.get.filter(refHit)
+      case Some(s) if s.resolvedRefs.isDefined && s.files.isEmpty =>
+        s.resolvedRefs.get.filter(refHit)
           .flatMap(r => ManifestIO.read(r.path)).filter(fileHit)
       case _ => m.currentFiles.filter(fileHit)
     }

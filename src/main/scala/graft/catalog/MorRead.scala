@@ -68,6 +68,45 @@ object MorRead {
       .select(col("file_path").as("__gf_path"),
         col("row_index").as("__gf_pidx")).distinct()
 
+  /** One key-column group's delete keys with their per-file sequence, as
+    * ONE multi-path scan — NOT an N-way union of per-file reads. A
+    * trickle-merge backlog is many tiny delete files; a union plan grows
+    * (and re-analyzes) linearly in file count on the driver, which the
+    * delete-backlog bench measured at ~90 ms per file per read. The
+    * multi-path scan keeps the plan constant-size and reads all files in
+    * one parallel job; each row recovers its commit sequence through a
+    * broadcast path→seq join on `_metadata.file_path` — the same
+    * attribution trick the data side uses. Key columns are CAST to the
+    * given target types (a delete written before an int→long key
+    * promotion must still match). */
+  def deleteKeysWithSeq(spark: SparkSession, keyCols: Seq[String],
+      keyTypes: Map[String, Option[org.apache.spark.sql.types.DataType]],
+      dels: Seq[DeleteFile]): DataFrame = {
+    import spark.implicits._
+    val seqDf = broadcast(dels.map(d => (d.path, d.seq))
+      .toDF("__gf_dpath", "__gf_dseq"))
+    // Delete files written across a key-type promotion carry different
+    // physical types (int32 before an int→long promotion). With every
+    // target type known, an explicit read schema makes the parquet reader
+    // widen each file on read (Spark 4 type-widening); otherwise merge the
+    // footers and cast above the scan.
+    val pathCol = posixPath(col("_metadata.file_path")).as("__gf_dpath")
+    val base =
+      if (keyCols.forall(k => keyTypes(k).isDefined))
+        spark.read.schema(StructType(keyCols.map(k =>
+            org.apache.spark.sql.types.StructField(k, keyTypes(k).get))))
+          .parquet(dels.map(_.path).distinct: _*)
+          .select(keyCols.map(col) :+ pathCol: _*)
+      else
+        spark.read.option("mergeSchema", "true")
+          .parquet(dels.map(_.path).distinct: _*)
+          .select(keyCols.map(k =>
+            keyTypes(k).fold(col(k))(col(k).cast(_)).as(k)) :+ pathCol: _*)
+    base
+      .join(seqDf, Seq("__gf_dpath"))
+      .drop("__gf_dpath")
+  }
+
   def read(spark: SparkSession, schema: StructType, files: Seq[DataFile],
       deletes: Seq[DeleteFile],
       posDeletes: Seq[PosDeleteFile] = Nil): DataFrame =
@@ -134,12 +173,7 @@ object MorRead {
         // old deletes under the evolved schema the same way).
         val keyTypes = keyCols.map(k =>
           k -> base.schema.fields.find(_.name == k).map(_.dataType)).toMap
-        val delKeys = dels.map(d =>
-            spark.read.parquet(d.path)
-              .select(keyCols.map(k =>
-                keyTypes(k).fold(col(k))(col(k).cast(_)).as(k)): _*)
-              .withColumn("__gf_dseq", lit(d.seq)))
-          .reduce(_ unionByName _)
+        val delKeys = deleteKeysWithSeq(spark, keyCols, keyTypes, dels)
           .groupBy(keyCols.map(col): _*)
           .agg(max(col("__gf_dseq")).as("__gf_dseq"))
         df.join(hinted(delKeys, dels.map(_.rowCount).sum), keyCols, "left_outer")

@@ -67,15 +67,14 @@ object MorSpjReader {
     val live = deletes.filter(_.seq > minSeq)
     val eq = live.groupBy(_.keyColumns).toSeq.sortBy(_._1.mkString(","))
       .map { case (keyCols, dels) =>
-        // distinct keys + max sequence, keys CAST to the current table
+        // distinct keys + max sequence via ONE multi-path scan (a
+        // per-file union plan costs ~90 ms/file per read — see
+        // MorRead.deleteKeysWithSeq), keys CAST to the current table
         // types (a delete written before an int→long promotion must still
         // match — same rule as MorRead) and null-keyed rows dropped (they
         // can never match a probe).
-        val df = dels.map(d => spark.read.parquet(d.path)
-            .select(keyCols.map(k =>
-              col(k).cast(tableSchema(k).dataType).as(k)): _*)
-            .withColumn("__gf_dseq", lit(d.seq)))
-          .reduce(_ unionByName _)
+        val df = MorRead.deleteKeysWithSeq(spark, keyCols,
+            keyCols.map(k => k -> Some(tableSchema(k).dataType)).toMap, dels)
           .na.drop("any", keyCols)
           .groupBy(keyCols.map(col): _*)
           .agg(max(col("__gf_dseq")).as("__gf_dseq"))
