@@ -34,7 +34,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
-    "create_branch", "publish_branch", "drop_branch", "rewrite_manifests")
+    "create_branch", "publish_branch", "drop_branch", "rewrite_manifests",
+    "delete_backlog")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -49,6 +50,7 @@ object GraftProcedures {
       case "publish_branch" => Some(PublishBranch(cat))
       case "drop_branch" => Some(DropBranch(cat))
       case "rewrite_manifests" => Some(RewriteManifests(cat))
+      case "delete_backlog" => Some(DeleteBacklog(cat))
       case _ => None
     }
 
@@ -261,6 +263,35 @@ object GraftProcedures {
       val done = graft.write.Maintenance.rewriteManifests(t)
       one(StructType(Seq(StructField("rewritten", BooleanType, nullable = false))),
         java.lang.Boolean.valueOf(done))
+    }
+  }
+
+  /** `CALL cat.system.delete_backlog('ns.t')` — the merge-on-read
+    * maintenance signal: metadata-only delete-to-data row accounting,
+    * with `needs_maintenance` true once the ratio passes the table's
+    * `graft.mor.max-delete-ratio` property or the backlog crosses the
+    * scan layer's driver-state gate. Pair with
+    * `CALL cat.system.apply_deletes` / `compact` to clear it. */
+  private final case class DeleteBacklog(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "delete_backlog"
+    override def description(): String =
+      "report the outstanding merge-on-read delete backlog and whether it needs maintenance"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val r = graft.write.Maintenance.deleteBacklog(t)
+      one(StructType(Seq(
+        StructField("data_rows", LongType, nullable = false),
+        StructField("delete_rows", LongType, nullable = false),
+        StructField("delete_files", IntegerType, nullable = false),
+        StructField("ratio", DoubleType, nullable = false),
+        StructField("needs_maintenance", BooleanType, nullable = false))),
+        java.lang.Long.valueOf(r.dataRows),
+        java.lang.Long.valueOf(r.deleteRows),
+        Integer.valueOf(r.deleteFileCount),
+        java.lang.Double.valueOf(r.ratio),
+        java.lang.Boolean.valueOf(r.needsMaintenance))
     }
   }
 

@@ -134,31 +134,47 @@ final case class Snapshot(
     deleteFiles: Option[Seq[DeleteFile]] = None,
     // Live positional-delete files (DELETE FROM in merge-on-read mode);
     // same growth bound (applyDeletes clears them).
-    posDeleteFiles: Option[Seq[PosDeleteFile]] = None) {
-  def deletes: Seq[DeleteFile] = deleteFiles.getOrElse(Nil)
-  def posDeletes: Seq[PosDeleteFile] = posDeleteFiles.getOrElse(Nil)
+    posDeleteFiles: Option[Seq[PosDeleteFile]] = None,
+    // Externalized body ([[SnapBodyIO]]): when set, the heavy content —
+    // manifest refs and delete lists — lives in one immutable file and
+    // the inline fields above stay None; `summary` keeps history()
+    // metadata-only. Commits externalize past
+    // [[TableMetadata.InlineSnapshotEntryMax]] entries so the metadata
+    // JSON stays O(1) per snapshot instead of O(refs + backlog) — the
+    // trickle-history quadratic-metadata fix.
+    bodyPath: Option[String] = None,
+    summary: Option[SnapSummary] = None) {
+  private lazy val body: Option[SnapBody] = bodyPath.map(SnapBodyIO.read)
+  /** Manifest refs, resolving an externalized body; None only for the
+    * legacy bare-path / inline-file forms. */
+  def resolvedRefs: Option[Seq[ManifestRef]] =
+    manifestRefs.orElse(body.map(_.manifestRefs))
+  def deletes: Seq[DeleteFile] =
+    deleteFiles.orElse(body.map(_.deleteFiles)).getOrElse(Nil)
+  def posDeletes: Seq[PosDeleteFile] =
+    posDeleteFiles.orElse(body.map(_.posDeleteFiles)).getOrElse(Nil)
   def dataFiles: Seq[DataFile] = files.getOrElse {
-    manifestRefs match {
+    resolvedRefs match {
       case Some(refs) => refs.flatMap(r => ManifestIO.read(r.path))
       case None => manifests.getOrElse(Nil).flatMap(ManifestIO.read)
     }
   }
   def manifestPaths: Seq[String] =
-    manifestRefs.map(_.map(_.path)).getOrElse(manifests.getOrElse(Nil))
-  /** Metadata-only when refs are present (history()/describe() must not
-    * open manifest bodies). */
-  def rowCount: Long = manifestRefs match {
+    resolvedRefs.map(_.map(_.path)).getOrElse(manifests.getOrElse(Nil))
+  /** Metadata-only when a summary or refs are present (history()/
+    * describe() must not open manifest bodies). */
+  def rowCount: Long = summary.map(_.rowCount).getOrElse(resolvedRefs match {
     case Some(refs) if files.isEmpty => refs.map(_.rowCount).sum
     case _ => dataFiles.map(_.rowCount).sum
-  }
-  def fileCount: Int = manifestRefs match {
+  })
+  def fileCount: Int = summary.map(_.fileCount).getOrElse(resolvedRefs match {
     case Some(refs) if files.isEmpty => refs.map(_.fileCount).sum
     case _ => dataFiles.size
-  }
-  def sizeBytes: Long = manifestRefs match {
+  })
+  def sizeBytes: Long = summary.map(_.sizeBytes).getOrElse(resolvedRefs match {
     case Some(refs) if files.isEmpty => refs.map(_.sizeBytes).sum
     case _ => dataFiles.map(_.sizeBytes).sum
-  }
+  })
 }
 
 /** Partition spec entry: `name = transform(source)` — the shape the
@@ -289,7 +305,7 @@ final case class TableMetadata(
   private def parentRefsOf(base: Option[Snapshot]): (Seq[ManifestRef], Seq[DataFile]) =
     base match {
       case None => (Nil, Nil)
-      case Some(s) => s.manifestRefs match {
+      case Some(s) => s.resolvedRefs match {
         case Some(refs) => (refs, Nil)
         case None if s.manifests.isDefined =>
           (s.manifests.get.map(ManifestIO.refFor(_, statTypeOf)), Nil)
@@ -426,10 +442,26 @@ final case class TableMetadata(
       branch: Option[String] = None,
       posDeletes: Seq[PosDeleteFile] = Nil): TableMetadata = {
     val parent = branch.fold(currentSnapshotId)(refId)
-    val snap = Snapshot(nextSnapshotId, parent, nowMs, op, loadId,
-      manifestRefs = Some(manifestRefList), schemaVersionAt = Some(schemaVersion),
-      deleteFiles = if (deletes.isEmpty) None else Some(deletes),
-      posDeleteFiles = if (posDeletes.isEmpty) None else Some(posDeletes))
+    val entries = manifestRefList.size + deletes.size + posDeletes.size
+    val snap =
+      if (entries <= TableMetadata.InlineSnapshotEntryMax)
+        Snapshot(nextSnapshotId, parent, nowMs, op, loadId,
+          manifestRefs = Some(manifestRefList),
+          schemaVersionAt = Some(schemaVersion),
+          deleteFiles = if (deletes.isEmpty) None else Some(deletes),
+          posDeleteFiles = if (posDeletes.isEmpty) None else Some(posDeletes))
+      else {
+        // externalize the heavy content (see SnapBodyIO): one immutable
+        // body file per commit; metadata keeps identity + summary only
+        val bp = SnapBodyIO.write(metadataDirPath,
+          SnapBody(manifestRefList, deletes, posDeletes))
+        Snapshot(nextSnapshotId, parent, nowMs, op, loadId,
+          schemaVersionAt = Some(schemaVersion),
+          bodyPath = Some(bp),
+          summary = Some(SnapSummary(manifestRefList.map(_.rowCount).sum,
+            manifestRefList.map(_.fileCount).sum,
+            manifestRefList.map(_.sizeBytes).sum)))
+      }
     branch match {
       case None =>
         copy(currentSnapshotId = Some(snap.snapshotId), snapshots = snapshots :+ snap)
@@ -478,6 +510,14 @@ object TableMetadata {
     * merge shrinks the list to [[TargetManifestsPerSnapshot]]. */
   val MaxManifestsPerSnapshot = 64
   val TargetManifestsPerSnapshot = 32
+
+  /** Combined manifest-ref + delete-file entry count above which a new
+    * snapshot externalizes its body ([[SnapBodyIO]]). Below it, inlining
+    * is cheaper than an extra file per commit; above it, inline lists
+    * re-serialize with every later commit and a trickle history turns
+    * quadratic (the delete-backlog bench measured multi-second commits by
+    * depth 500 on the inline form). */
+  val InlineSnapshotEntryMax = 8
 
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 

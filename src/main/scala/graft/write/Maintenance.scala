@@ -13,6 +13,63 @@ import scala.jdk.CollectionConverters._
   */
 object Maintenance {
 
+  /** Table property naming the delete-to-data row ratio above which
+    * [[deleteBacklog]] flags the table for maintenance (default 0.10).
+    * The MoR read paths stay correct at ANY backlog (the scan layer
+    * degrades in tiers — see [[graft.catalog.MorRead]]), but past this
+    * ratio every read pays a delete-application cost that compaction
+    * would amortize once. */
+  val MaxDeleteRatioProp = "graft.mor.max-delete-ratio"
+  val DefaultMaxDeleteRatio = 0.10
+
+  /** Table property bounding the outstanding delete FILE count (default
+    * 200). The delete-backlog bench showed read cost tracks file count,
+    * not just row ratio — every scan re-reads each outstanding delete
+    * file, so a trickle-merge table accumulates a per-read file-open tax
+    * long before its row ratio moves. One compaction pays the cost once. */
+  val MaxDeleteFilesProp = "graft.mor.max-delete-files"
+  val DefaultMaxDeleteFiles = 200
+
+  /** The operational signal the MoR story rests on ("compaction bounds
+    * the working set"): a metadata-only report of the outstanding delete
+    * backlog. `needsMaintenance` fires when the delete-to-data row ratio
+    * passes the table's [[MaxDeleteRatioProp]] OR the backlog crosses
+    * [[graft.catalog.MorRead.driverStateMaxRows]] — the same threshold
+    * past which reads lose the driver-state (SPJ-preserving) wrap, so
+    * the signal fires BEFORE the degradation tier does its job. Zero IO:
+    * every number is summed from snapshot metadata. */
+  final case class BacklogReport(
+      dataRows: Long, eqDeleteRows: Long, posDeleteRows: Long,
+      deleteFileCount: Int, ratio: Double, maxRatio: Double,
+      maxFiles: Int, overRatio: Boolean, overFiles: Boolean,
+      overDriverGate: Boolean) {
+    def deleteRows: Long = eqDeleteRows + posDeleteRows
+    def needsMaintenance: Boolean = overRatio || overFiles || overDriverGate
+  }
+
+  def deleteBacklog(t: GraftTable): BacklogReport = {
+    val m = t.metadata
+    val snap = m.currentSnapshot
+    val dataRows = m.currentFiles.map(_.rowCount).sum
+    val eq = snap.map(_.deletes).getOrElse(Nil)
+    val pos = snap.map(_.posDeletes).getOrElse(Nil)
+    val eqRows = eq.map(_.rowCount).sum
+    val posRows = pos.map(_.rowCount).sum
+    val maxRatio = m.properties.get(MaxDeleteRatioProp).map(_.toDouble)
+      .getOrElse(DefaultMaxDeleteRatio)
+    val maxFiles = m.properties.get(MaxDeleteFilesProp).map(_.toInt)
+      .getOrElse(DefaultMaxDeleteFiles)
+    val ratio =
+      if (dataRows == 0L) { if (eqRows + posRows > 0) Double.PositiveInfinity else 0.0 }
+      else (eqRows + posRows).toDouble / dataRows
+    BacklogReport(dataRows, eqRows, posRows, eq.size + pos.size,
+      ratio, maxRatio, maxFiles,
+      overRatio = ratio > maxRatio,
+      overFiles = eq.size + pos.size > maxFiles,
+      overDriverGate =
+        eqRows + posRows > graft.catalog.MorRead.driverStateMaxRows)
+  }
+
   /** Bin-pack files smaller than `smallFileBytes` into ~`targetFileBytes`
     * outputs. Only the small files are rewritten; full-size files carry
     * over untouched. Commits one "compact" snapshot (row set unchanged —
@@ -228,6 +285,7 @@ object Maintenance {
     require(keepLast >= 1, "must keep at least the current snapshot")
     var removed: Seq[String] = Nil
     var removedManifests: Seq[String] = Nil
+    var removedBodies: Seq[String] = Nil
     t.commit({ fresh =>
       // branch/tag chains stay live from their head down to the first
       // snapshot shared with main's ancestry (the branch point): publish
@@ -275,12 +333,21 @@ object Maintenance {
         expired.flatMap(_.deletes.map(_.path)) ++
         expired.flatMap(_.posDeletes.map(_.path)))
         .distinct.filterNot(liveManifests.contains)
+      // externalized snapshot bodies referenced only by expired snapshots
+      // (rollback shares a body by path, so ref-count like manifests)
+      val liveBodies = retained.flatMap(_.bodyPath).toSet
+      removedBodies = expired.flatMap(_.bodyPath)
+        .distinct.filterNot(liveBodies.contains)
       fresh.copy(snapshots = retained)
     }, unitMs = retryUnitMs)
     removed.foreach(p => Files.deleteIfExists(Paths.get(p)))
     removedManifests.foreach { p =>
       Files.deleteIfExists(Paths.get(p))
       graft.catalog.ManifestIO.invalidate(p)
+    }
+    removedBodies.foreach { p =>
+      Files.deleteIfExists(Paths.get(p))
+      graft.catalog.SnapBodyIO.invalidate(p)
     }
     removed
   }
@@ -329,6 +396,18 @@ object Maintenance {
         .foreach { p =>
           Files.deleteIfExists(p)
           graft.catalog.ManifestIO.invalidate(p.toString)
+        }
+    // externalized snapshot bodies left by failed CAS attempts
+    val liveBodies = m.snapshots.flatMap(_.bodyPath)
+      .map(p => Paths.get(p).toAbsolutePath.toString).toSet
+    if (Files.isDirectory(t.metadataDir))
+      graft.catalog.PathIO.list(t.metadataDir)
+        .filter(p => p.getFileName.toString.startsWith("snapbody-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .filter(p => !liveBodies.contains(p.toAbsolutePath.toString))
+        .foreach { p =>
+          Files.deleteIfExists(p)
+          graft.catalog.SnapBodyIO.invalidate(p.toString)
         }
     // remove now-empty staging dirs
     graft.catalog.PathIO.walk(t.dataDir).reverse

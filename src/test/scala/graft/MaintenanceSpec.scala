@@ -267,4 +267,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(orphan))
     assert(t.read().count() == 2) // live data untouched
   }
+
+  test("delete-backlog signal fires past the ratio property and clears after apply_deletes") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val morCfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "b", Seq((1 to 100).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, morCfg, "l0")
+    // fresh table: no backlog, no signal
+    val t0 = cat.loadTable("main", "b")
+    val r0 = Maintenance.deleteBacklog(t0)
+    assert(r0.deleteRows == 0L && !r0.needsMaintenance)
+
+    // accumulate trickle merges: each upsert commits a delete-key file
+    (1 to 8).foreach { i =>
+      w.writeTable("main", "b", Seq(Seq(((i % 100).toLong + 1L, 1000 + i))
+        .toDF("id", "v")), Merge("upsert"), morCfg, s"m$i")
+    }
+    val t1 = cat.loadTable("main", "b")
+    val r1 = Maintenance.deleteBacklog(t1)
+    // 8 single-key delete files over ~100 base rows: under the default
+    // 0.10 ratio? dataRows grew by the upsert rows too — compute exactly
+    assert(r1.eqDeleteRows == 8L && r1.deleteFileCount >= 8)
+    assert(r1.ratio == 8.0 / r1.dataRows)
+    // tighten the table's own threshold below the current ratio: fires
+    t1.commit(m => m.copy(properties =
+      m.properties + (Maintenance.MaxDeleteRatioProp -> "0.05")), unitMs = 1)
+    val r2 = Maintenance.deleteBacklog(cat.loadTable("main", "b"))
+    assert(r2.overRatio && r2.needsMaintenance,
+      s"ratio ${r2.ratio} must trip the 0.05 property: $r2")
+    // the file-count arm: read cost tracks outstanding delete FILES
+    // (each scan re-reads them all), so the signal has its own threshold
+    val t2 = cat.loadTable("main", "b")
+    t2.commit(m => m.copy(properties =
+      m.properties + (Maintenance.MaxDeleteFilesProp -> "5")), unitMs = 1)
+    val rf = Maintenance.deleteBacklog(cat.loadTable("main", "b"))
+    assert(rf.overFiles && rf.needsMaintenance,
+      s"8 delete files must trip the 5-file property: $rf")
+    // the driver-gate arm pairs with the scan layer's threshold
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    spark.conf.set(graft.catalog.MorRead.DriverStateMaxRowsKey, "3")
+    try {
+      val r3 = Maintenance.deleteBacklog(cat.loadTable("main", "b"))
+      assert(r3.overDriverGate,
+        "backlog past the scan gate must flag maintenance")
+    } finally spark.conf.unset(graft.catalog.MorRead.DriverStateMaxRowsKey)
+    // maintenance clears the signal (and the read-side cost)
+    assert(Maintenance.applyDeletes(cat.loadTable("main", "b"), retryUnitMs = 1))
+    val r4 = Maintenance.deleteBacklog(cat.loadTable("main", "b"))
+    assert(r4.deleteRows == 0L && !r4.needsMaintenance)
+    assert(cat.loadTable("main", "b").read().count() == 100L)
+  }
 }

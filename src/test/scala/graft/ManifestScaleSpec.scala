@@ -31,7 +31,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     val t = cat.loadTable("main", "t")
     // manifest merging bounds refs-per-snapshot (O(loads²) metadata
     // otherwise); 100 loads with Max=64/Target=32 leaves 34 live refs
-    val nRefs = t.metadata.currentSnapshot.get.manifestRefs.get.size
+    val nRefs = t.metadata.currentSnapshot.get.resolvedRefs.get.size
     assert(nRefs <= TableMetadata.MaxManifestsPerSnapshot,
       s"$nRefs manifest refs exceed the per-snapshot ceiling")
 
@@ -62,7 +62,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     }
     val t = cat.loadTable("main", "t")
     val m = t.metadata
-    assert(m.currentSnapshot.get.manifestRefs.get.size <=
+    assert(m.currentSnapshot.get.resolvedRefs.get.size <=
       TableMetadata.MaxManifestsPerSnapshot)
     // every row still present exactly once through the merged manifests
     assert(t.read().count() == 150)
@@ -90,7 +90,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     }
     val t = cat.loadTable("main", "t")
     val m = t.metadata
-    val refs = m.currentSnapshot.get.manifestRefs.get
+    val refs = m.currentSnapshot.get.resolvedRefs.get
     assert(refs.size == 40)
     // remove the files of exactly one manifest
     val victim = ManifestIO.read(refs(17).path).map(_.path).toSet
@@ -100,7 +100,7 @@ class ManifestScaleSpec extends AnyFunSuite {
     // 1 affected read + rare path-bloom false positives; never O(40)
     assert(ManifestIO.bodyReads.get() <= 4,
       s"${ManifestIO.bodyReads.get()} body reads for a 1-manifest delete")
-    val after = next.currentSnapshot.get.manifestRefs.get
+    val after = next.currentSnapshot.get.resolvedRefs.get
     assert(after.size == 39)
     assert(!after.exists(_.path == refs(17).path))
   }
@@ -117,7 +117,7 @@ class ManifestScaleSpec extends AnyFunSuite {
         Append, mcfg, s"l$i")
     }
     val t = cat.loadTable("main", "t")
-    val refs = t.metadata.currentSnapshot.get.manifestRefs.get
+    val refs = t.metadata.currentSnapshot.get.resolvedRefs.get
     assert(refs.forall(r => r.colMin.exists(_.contains("id"))),
       "manifest refs must carry typed id ranges")
 
