@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, batch shape, typed
   * per-partition processing — is real and tested. The IMAGE decode is
-  * real too: image-typed blobs parse through the JDK's ImageIO
-  * ([[decodeImage]]; PNG/BMP/GIF need no codec jars). Only audio/video
-  * container demux is stubbed ([[decodeStub]], [[sampleFrames]]) — no
-  * media codecs ship in this container; a real demuxer drops into the
-  * same per-partition batch shape with an identical execution plan.
+  * real ([[decodeImage]] via the JDK's ImageIO; PNG/BMP/GIF need no
+  * codec jars) and so is WAV/PCM audio ([[decodeWav]] via the JDK's
+  * `javax.sound.sampled`). Only COMPRESSED audio (mp3/aac/opus) and
+  * video container demux remain stubbed ([[decodeStub]],
+  * [[sampleFrames]]) — those genuinely need codec jars this container
+  * lacks; a real demuxer drops into the same per-partition batch shape
+  * with an identical execution plan.
   */
 object Multimodal {
 
@@ -114,6 +116,67 @@ object Multimodal {
     val mean = if (blob.isEmpty) 0.0
       else blob.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / blob.length
     (w, h, mean)
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Int,
+      rms: Double)
+
+  /** Deterministic square-wave PCM16 mono WAV encode through the JDK's
+    * `javax.sound.sampled` (WAV/PCM needs no codec jars — the same move
+    * that made image decode real via ImageIO). Every sample is exactly
+    * ±amp, so the decoded RMS equals amp exactly — an
+    * independently-computable oracle property; frame count and amplitude
+    * are deterministic functions of the doc id. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val sr = 8000
+    val frames = 400 + math.floorMod(docId, 97L).toInt * 8
+    val amp = 1000 + math.floorMod(docId, 29L).toInt * 500
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = if ((i / 4) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte // little-endian PCM16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode (JDK `javax.sound.sampled.AudioSystem`): parse the
+    * RIFF container, report (sampleRate, channels, frames, RMS amplitude)
+    * over the PCM16 sample stream. Only COMPRESSED audio (mp3/aac/opus)
+    * and video container demux remain stubbed — those genuinely need
+    * codec jars this container lacks. */
+  def decodeWav(blob: Array[Byte]): (Int, Int, Int, Double) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected little-endian PCM16, got $fmt")
+      val bytes = ais.readAllBytes()
+      val samples = bytes.length / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val v = (((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort).toDouble
+        sumSq += v * v
+        i += 2
+      }
+      val frames = samples / fmt.getChannels
+      (fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        if (samples == 0) 0.0 else math.sqrt(sumSq / samples))
+    } finally ais.close()
   }
 
   private def sha256Hex(b: Array[Byte]): String =

@@ -711,6 +711,48 @@ object LlmQueries {
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin))),
 
+    // sf10 capped-oracle twins of l7/l24: the full-corpus oracles above
+    // are the UNCAPPED relational formulations (exact shingle self-join /
+    // recursive-CTE closure), which exhaust DuckDB's temp space at 500k
+    // docs — the r9 capacity bound. These run the IDENTICAL engine plans
+    // (banded MinHash-LSH; distributed clustering) over a deterministic
+    // 1-in-50 doc stratum, so every scale factor — including sf10, where
+    // the stratum is 10k docs — gets a full hash-matched oracle instead
+    // of an engine-only gate. l7/l24 keep verifying the full corpus at
+    // the scales where the naive form fits.
+    "l47_minhash_stratum" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.minHashLshPairs(
+          docs(s, dir).filter(col("doc_id") % 50 === 0),
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5),
+      Some(jaccardOracle.replace("WHERE len(",
+        "WHERE doc_id % 50 = 0 AND len(")))),
+
+    "l48_clusters_stratum" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.nearDupClusters(
+          Dedup.minHashLshPairs(
+            docs(s, dir).filter(col("doc_id") % 50 === 0),
+            n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
+        |  FROM s),
+        |pairs0 AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |jp AS (SELECT p.a, p.b FROM pairs0 p
+        |  JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+        |  WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5),
+        |e AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (SELECT id, id AS label FROM nodes
+        |  UNION SELECT e.a AS id, r.label FROM e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin))),
+
     // SimHash near-dup pairs, staged-fingerprint oracle: the xxhash64
     // feature hashing is not portable SQL, but GIVEN the per-doc 64-bit
     // fingerprints the whole banding + hamming pipeline is — stage the
@@ -959,7 +1001,37 @@ object LlmQueries {
         |  f.mean_px
         |FROM documents d
         |JOIN read_parquet('$OracleStageRoot/l12_feats/*.parquet') f
-        |  ON d.doc_id = f.doc_id""".stripMargin)))
+        |  ON d.doc_id = f.doc_id""".stripMargin))),
+
+    // §2.11 ★ REAL audio decode: per-doc deterministic square-wave PCM16
+    // WAV blobs (JDK javax.sound.sampled encode — genuine RIFF
+    // containers), decoded back through AudioSystem on executors in the
+    // same per-partition batch shape as the image path. The oracle checks
+    // container-level properties the decode must actually recover:
+    // sample rate and channel count from the parsed format, the frame
+    // count from the PCM stream length, and the RMS amplitude over the
+    // decoded samples (a square wave keeps every sample at exactly ±amp,
+    // so RMS == amp exactly — independently computable from doc_id).
+    // Only compressed codecs (mp3/aac) remain stubbed; WAV is real.
+    "l46_wav_audio" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val blob = Multimodal.encodeWav(id)
+            val (sr, ch, frames, rms) = Multimodal.decodeWav(blob)
+            // canonical PCM WAV = 44-byte RIFF header + 2 bytes/frame
+            require(blob.length == 44 + 2 * frames,
+              s"doc $id: unexpected WAV container size ${blob.length}")
+            (id, sr, ch, frames, rms)
+          })
+          .toDF("doc_id", "sample_rate", "channels", "n_frames", "rms")
+      },
+      Some("""SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(400 + (doc_id % 97) * 8 AS INT) AS n_frames,
+        |  CAST(1000 + (doc_id % 29) * 500 AS DOUBLE) AS rms
+        |FROM documents""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

@@ -1193,7 +1193,79 @@ object WriteQueries {
       },
       s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
          |UNION ALL
-         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin))
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
+
+    // §3.3 state restore: a FRESH pipeline attaches to existing storage
+    // (`get_stored_schema` → `_derive_schema_from_iceberg_tables`
+    // fallback, destination_client.py:374-581; pinned by the reference's
+    // tests/test_state_sync_e2e.py:15-137). Pipeline A writes a load,
+    // stores its schema doc + pipeline state; a fresh pipeline B restores
+    // BOTH from the metadata tables (the `_dlt_version` hit branch),
+    // proves schema-hash dedup (re-storing the same doc is a no-op), and
+    // continues with an evolved load whose new column null-fills the
+    // sparse history. A third pipeline attaches to a namespace with data
+    // tables but NO `_dlt_version` rows and exercises the derive branch.
+    // The output mixes the restored data rows with metadata-table facts
+    // (stored version, completed-load count, restored state, derive
+    // sentinel) so the oracle checks the metadata tables too.
+    "w36_state_restore" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val schemaV1 = """{"tables":{"orders_t":["o_orderkey","o_custkey"]}}"""
+        val stateJson = """{"cursor":42}"""
+        val a = new GraftPipeline(cat, "ns", "sch", "pipe")
+        a.initializeStorage()
+        require(a.storeSchema(schemaV1), "first store must insert v1")
+        a.stage("orders_t", target(s, dir).drop("o_orderpriority"), Append, cfg)
+        a.completeLoad("ld-a1")
+        a.storeState(stateJson, "ld-a1")
+
+        // fresh attach: stored-schema branch + state restore + hash dedup
+        val b = new GraftPipeline(cat, "ns", "sch", "pipe")
+        val restored = b.getStoredSchemaOrDerive
+        require(restored.exists(_._2 == schemaV1),
+          s"stored-schema branch must return v1, got $restored")
+        require(b.getStoredState.exists(_.getAs[String]("state") == stateJson),
+          "fresh pipeline must restore the stored state")
+        require(!b.storeSchema(schemaV1),
+          "re-storing an identical schema doc must dedup by hash")
+        b.stage("orders_t", source(s, dir), Append, cfg) // evolves +o_orderpriority
+        b.completeLoad("ld-b1")
+
+        // derive branch: data tables exist, no _dlt_version row
+        val w = new GraftWriter(cat)
+        cat.createNamespace("ns2")
+        w.writeTable("ns2", "raw_t", Seq(t(s, dir, "region")), Append,
+          WriteConfig(retryUnitMs = 10), "x1")
+        val derived = new GraftPipeline(cat, "ns2", "other")
+          .getStoredSchemaOrDerive
+        require(derived.exists(d => d._1 == "derived_from_iceberg" &&
+          d._2.contains("\"raw_t\"")), s"derive branch must fire, got $derived")
+
+        val storedVersion = b.getStoredSchema.get.getAs[Long]("version")
+        val loadsDone = b.loads().filter(col("status") === 0L).count()
+        val data = cat.loadTable("ns", "orders_t").read()
+          .select(lit("data").as("phase"), col("o_orderkey"),
+            col("o_custkey"), col("o_orderpriority"))
+        val meta = s.range(1).select(lit("meta").as("phase"),
+            lit(storedVersion).as("o_orderkey"), lit(loadsDone).as("o_custkey"),
+            lit(stateJson).as("o_orderpriority"))
+          .unionByName(s.range(1).select(lit("derived").as("phase"),
+            lit(0L).as("o_orderkey"), lit(1L).as("o_custkey"),
+            lit(derived.get._1).as("o_orderpriority")))
+        data.unionByName(meta)
+      },
+      s"""SELECT 'data' AS phase, o_orderkey, o_custkey,
+         |  CAST(NULL AS VARCHAR) AS o_orderpriority FROM ($targetSql)
+         |UNION ALL
+         |SELECT 'data', o_orderkey, o_custkey, o_orderpriority
+         |FROM ($sourceSql)
+         |UNION ALL
+         |SELECT 'meta', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+         |  '{"cursor":42}'
+         |UNION ALL
+         |SELECT 'derived', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         |  'derived_from_iceberg'""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -112,6 +112,78 @@ class CboStatsSpec extends AnyFunSuite {
     assert(off.attributeStats.isEmpty)
   }
 
+  test("CBO end-value: analyzed stats flip the join ORDER; CBO-off plans stay identical") {
+    val wh = Files.createTempDirectory("graft-cboj-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1)
+    // fact(40k) ⋈ dimb(2k, fat payload) ⋈ dimc(50): the SQL names dimb
+    // first, but (fact ⋈ dimc) is the cheap intermediate — NDV-based
+    // cardinality says 40000·50/2000 = 1000 rows vs 40000 through dimb
+    w.writeTable("main", "fact",
+      Seq((1 to 40000).map(i => (i.toLong, i.toLong % 2000, i.toLong % 2000))
+        .toDF("id", "bk", "ck")), Append, cfg, "l1")
+    w.writeTable("main", "dimb",
+      Seq((0 until 2000).map(k => (k.toLong, "b" * 200 + k))
+        .toDF("bk", "blabel")), Append, cfg, "l2")
+    w.writeTable("main", "dimc",
+      Seq((0 until 50).map(k => (k.toLong, s"c$k")).toDF("ck", "cval")),
+      Append, cfg, "l3")
+
+    val q = """SELECT f.id, b.blabel, c.cval
+              |FROM gcbj.main.fact f
+              |JOIN gcbj.main.dimb b ON f.bk = b.bk
+              |JOIN gcbj.main.dimc c ON f.ck = c.ck""".stripMargin
+    def session(): org.apache.spark.sql.SparkSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.catalog.gcbj", classOf[GraftSparkCatalog].getName)
+      s.conf.set("spark.sql.catalog.gcbj.warehouse", wh)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s
+    }
+    // leaf order of the optimized join tree, by table name; expression
+    // ids vary across sessions, so plan-string compares normalize them
+    def leafOrder(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        Seq[String] =
+      p.collectLeaves().map(_.toString).map { s =>
+        Seq("fact", "dimb", "dimc").find(t => s.contains(s"main.$t"))
+          .getOrElse("?")
+      }
+    def norm(p: Any): String = p.toString.replaceAll("#\\d+", "#")
+
+    val offBefore = session().sql(q).queryExecution.optimizedPlan
+    assert(leafOrder(offBefore) == Seq("fact", "dimb", "dimc"),
+      s"CBO-off follows the syntactic order: ${leafOrder(offBefore)}")
+    val offBeforeStr = norm(offBefore)
+    val offResult = session().sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+
+    val iso = session()
+    org.apache.spark.sql.SparkSession.setActiveSession(iso)
+    try {
+      Seq("fact", "dimb", "dimc").foreach(t =>
+        iso.sql(s"CALL gcbj.system.analyze('main.$t')").collect())
+      iso.conf.set("spark.sql.cbo.enabled", "true")
+      iso.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val onPlan = iso.sql(q).queryExecution.optimizedPlan
+      val order = leafOrder(onPlan)
+      assert(order != Seq("fact", "dimb", "dimc"),
+        s"CBO must reorder the join, still syntactic: $onPlan")
+      assert(order.indexOf("dimc") < order.indexOf("dimb"),
+        s"the 50-row dimc must join before the fat dimb: $order")
+      val onResult = iso.sql(q).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(onResult.sameElements(offResult),
+        "reordered plan must return identical rows")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+
+    // the analyze must NOT leak into CBO-off sessions: same plan, modulo
+    // expression ids
+    val offAfter = norm(session().sql(q).queryExecution.optimizedPlan)
+    assert(offAfter == offBeforeStr,
+      s"CBO-off plan changed after analyze:\nBEFORE $offBeforeStr\nAFTER $offAfter")
+  }
+
   test("stats stay sound after later loads: null counts track files") {
     val wh = Files.createTempDirectory("graft-cbo2-").toString
     val cat = new GraftCatalog(spark, wh)

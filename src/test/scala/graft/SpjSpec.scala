@@ -594,4 +594,52 @@ class SpjSpec extends AnyFunSuite {
       on.conf.unset(MorRead.BroadcastMaxRowsKey)
     }
   }
+
+  test("planned MoR SPJ scan is snapshot-isolated from concurrent compaction") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-morrace-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true,
+      partitions = Seq(graft.partition.PartitionHint.bucket(4, "id")))
+    w.writeTable("main", "r", Seq((1 to 1000).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, cfg, "l1")
+    w.writeTable("main", "r", Seq(Seq((5L, 5000)).toDF("id", "v")),
+      Merge("upsert"), cfg, "l2")
+    assert(cat.loadTable("main", "r").metadata.currentSnapshot
+      .exists(_.deletes.nonEmpty), "precondition: outstanding delete")
+
+    val on = spjSession("spjrace", wh, enabled = true)
+    val df = on.sql("SELECT id, v FROM spjrace.main.r WHERE v > 900 OR id = 5")
+    // bind the physical plan NOW: the scan captures THIS snapshot's data
+    // and delete files; the delete state itself is read at execution
+    df.queryExecution.executedPlan
+    assert(graft.plans.PlanOps.scanDescriptions(df)
+      .exists(_.startsWith("graft-spj-mor")), "must plan through the MoR wrap")
+
+    // interleaved maintenance + writer AFTER planning, BEFORE execution:
+    // compaction applies the (5 -> 5000) delete physically and removes the
+    // delete files the planned scan is about to collect; a new upsert then
+    // changes row 901, and a second compaction rewrites the small files
+    assert(Maintenance.applyDeletes(cat.loadTable("main", "r"), retryUnitMs = 1))
+    w.writeTable("main", "r", Seq(Seq((901L, -1)).toDF("id", "v")),
+      Merge("upsert"), cfg, "l3")
+    Maintenance.compact(cat.loadTable("main", "r"),
+      smallFileBytes = 32L << 20, retryUnitMs = 1)
+
+    // the planned query returns the BOUND snapshot's answer — the
+    // pre-maintenance rows, never a mix with the post-plan commits
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val expect = ((901 to 1000).map(i => (i.toLong, i)) :+ ((5L, 5000)))
+      .sortBy(_._1)
+    assert(got.toSeq == expect,
+      s"bound-snapshot answer must survive concurrent compaction: ${got.toSeq}")
+
+    // a FRESH plan binds the new snapshot: row 901 now fails the filter
+    val fresh = on.sql("SELECT id, v FROM spjrace.main.r WHERE v > 900 OR id = 5")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(fresh.toSeq == expect.filterNot(_._1 == 901L),
+      s"fresh plan must see the post-maintenance state: ${fresh.toSeq}")
+  }
 }
