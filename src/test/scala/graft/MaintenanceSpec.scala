@@ -268,6 +268,62 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read().count() == 2) // live data untouched
   }
 
+  test("externalized snapshot bodies: expire ref-counts them, vacuum collects orphans, rollback shares") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val morCfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "x", Seq((1 to 50).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, morCfg, "l0")
+    // 12 trickle upserts push the snapshot past InlineSnapshotEntryMax:
+    // later snapshots externalize (bodyPath set, inline lists None)
+    (1 to 12).foreach { i =>
+      w.writeTable("main", "x", Seq(Seq((i.toLong, 100 + i)).toDF("id", "v")),
+        Merge("upsert"), morCfg, s"m$i")
+    }
+    val t = cat.loadTable("main", "x")
+    val head = t.metadata.currentSnapshot.get
+    assert(head.bodyPath.isDefined && head.manifestRefs.isEmpty &&
+      head.deleteFiles.isEmpty,
+      s"deep trickle snapshot must externalize: $head")
+    assert(head.deletes.size == 12 && head.summary.isDefined)
+    // metadata JSON stays O(1) per externalized snapshot
+    assert(Files.exists(Paths.get(head.bodyPath.get)))
+
+    // rollback SHARES the target body by path (no copy)
+    val targetId = head.snapshotId
+    t.rollbackTo(targetId)
+    val rolled = cat.loadTable("main", "x").metadata.currentSnapshot.get
+    assert(rolled.bodyPath == head.bodyPath && rolled.operation == "rollback")
+    assert(cat.loadTable("main", "x").read().count() == 50)
+
+    // expire: bodies referenced only by expired snapshots are deleted;
+    // the shared body survives because the rollback head still holds it
+    val allBodies = cat.loadTable("main", "x").metadata.snapshots
+      .flatMap(_.bodyPath).distinct
+    Maintenance.expireSnapshots(cat.loadTable("main", "x"), keepLast = 1,
+      retryUnitMs = 1)
+    val live = cat.loadTable("main", "x").metadata.snapshots
+      .flatMap(_.bodyPath).toSet
+    assert(live.contains(head.bodyPath.get),
+      "shared body of the retained rollback snapshot must survive")
+    allBodies.filterNot(live.contains).foreach(p =>
+      assert(!Files.exists(Paths.get(p)), s"expired body $p must be deleted"))
+    assert(cat.loadTable("main", "x").read().count() == 50)
+
+    // vacuum: an orphan snapbody (failed CAS residue) is collected
+    val md = cat.loadTable("main", "x").metadataDir
+    val orphan = md.resolve("snapbody-orphan-test.json")
+    Files.write(orphan, "{}".getBytes)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    Maintenance.vacuumOrphans(cat.loadTable("main", "x"), minAgeMs = 0L)
+    assert(!Files.exists(orphan), "orphan snapbody must be vacuumed")
+    live.foreach(p => assert(Files.exists(Paths.get(p)),
+      "live bodies must survive vacuum"))
+    assert(cat.loadTable("main", "x").read().count() == 50)
+  }
+
   test("delete-backlog signal fires past the ratio property and clears after apply_deletes") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
