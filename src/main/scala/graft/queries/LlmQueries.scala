@@ -716,27 +716,34 @@ object LlmQueries {
     // recursive-CTE closure), which exhaust DuckDB's temp space at 500k
     // docs — the r9 capacity bound. These run the IDENTICAL engine plans
     // (banded MinHash-LSH; distributed clustering) over a deterministic
-    // 1-in-50 doc stratum, so every scale factor — including sf10, where
-    // the stratum is 10k docs — gets a full hash-matched oracle instead
-    // of an engine-only gate. l7/l24 keep verifying the full corpus at
-    // the scales where the naive form fits.
+    // 1-in-8 stratum keyed on md5 of each document's 16-char PREFIX —
+    // near-dup pairs are tail-perturbed copies sharing their prefix, so
+    // the predicate keeps or drops both ends of a pair TOGETHER (an
+    // id-based sample keeps a pair with p=1/k² and verifies an empty
+    // set). Every scale factor — including sf10, where the stratum is
+    // ~62k docs, the size the sf1 full oracle already handles — gets a
+    // full hash-matched oracle with non-empty expected pairs. l7/l24
+    // keep verifying the full corpus where the naive form fits.
     "l47_minhash_stratum" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.minHashLshPairs(
-          docs(s, dir).filter(col("doc_id") % 50 === 0),
+          docs(s, dir).filter(
+            substring(md5(substring(col("text"), 1, 16)), 1, 1).isin("0", "1")),
           n = 3, numHashes = 64, bands = 32, threshold = 0.5),
       Some(jaccardOracle.replace("WHERE len(",
-        "WHERE doc_id % 50 = 0 AND len(")))),
+        "WHERE substring(md5(substring(text,1,16)),1,1) IN ('0','1') AND len(")))),
 
     "l48_clusters_stratum" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.nearDupClusters(
           Dedup.minHashLshPairs(
-            docs(s, dir).filter(col("doc_id") % 50 === 0),
+            docs(s, dir).filter(
+            substring(md5(substring(col("text"), 1, 16)), 1, 1).isin("0", "1")),
             n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
       Some("""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents
-        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3),
+        |  WHERE substring(md5(substring(text,1,16)),1,1) IN ('0','1')
+        |    AND len(string_split(text, ' ')) >= 3),
         |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
         |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
         |  FROM s),
