@@ -29,9 +29,9 @@ object CoreQueries {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-        |  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(ROUND(AVG(l_quantity), 2) AS DOUBLE) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -42,7 +42,7 @@ object CoreQueries {
     // join + group-by + order-by.
     "q3_join_agg" ->
       """SELECT c.c_name AS c_name,
-        |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total_amount
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_amount
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_name
         |ORDER BY c.c_name""".stripMargin,
@@ -50,7 +50,7 @@ object CoreQueries {
     // 4-way join up the dimension chain; small dims get broadcast by AQE.
     "q4_region_revenue" ->
       """SELECT r.r_name AS r_name, COUNT(*) AS n_orders,
-        |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM region r
         |JOIN nation n ON n.n_regionkey = r.r_regionkey
         |JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -67,7 +67,7 @@ object CoreQueries {
     "q13_month_agg" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
         |  COUNT(*) AS n_orders,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)""".stripMargin,
 
     // CASE expression + conditional aggregation
@@ -76,7 +76,7 @@ object CoreQueries {
         |            WHEN o_totalprice < 200000 THEN 'medium'
         |            ELSE 'large' END AS bucket,
         |  COUNT(*) AS n,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY CASE WHEN o_totalprice < 50000 THEN 'small'
         |              WHEN o_totalprice < 200000 THEN 'medium'
@@ -142,7 +142,7 @@ object CoreQueries {
     // GROUPING SETS (finer than ROLLUP: two independent grouping keys)
     "q23_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
@@ -164,9 +164,12 @@ object CoreQueries {
 
     // TPC-H Q3 shape: shipping priority — segment-filtered 3-way join,
     // revenue agg, deterministic top-10
+    // exact DECIMAL revenue (q31 precedent): double sums are
+    // order-dependent and this query's LIMIT boundary rides on them
     "q28_tpch3_shipping" ->
       """SELECT l.l_orderkey,
-        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
         |    AS revenue,
         |  CAST(o.o_orderdate AS DATE) AS orderdate
         |FROM customer c
@@ -182,7 +185,7 @@ object CoreQueries {
     // customer and supplier back to the same nation
     "q29_tpch5_local" ->
       """SELECT n.n_name AS n_name,
-        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -213,9 +216,13 @@ object CoreQueries {
         |GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)""".stripMargin,
 
     // TPC-H Q10 shape: returned-item reporting, top-20 customers
+    // exact DECIMAL product/sum (the q49/w11 precedent): a double SUM is
+    // order-dependent, and at sf10 two customers tie at the LIMIT-20
+    // boundary within FP noise, flipping rank 20/21 between engines
     "q31_tpch10_returns" ->
       """SELECT c.c_custkey, c.c_name,
-        |  CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
         |    AS revenue,
         |  CAST(ROUND(c.c_acctbal, 2) AS DOUBLE) AS c_acctbal
         |FROM customer c
@@ -285,7 +292,7 @@ object CoreQueries {
     // TPC-H Q6 shape: forecast revenue change — pure scan + predicate +
     // single agg (the canonical pushdown/codegen microbenchmark)
     "q39_tpch6_forecast" ->
-      """SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) AS DOUBLE)
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem
@@ -307,7 +314,7 @@ object CoreQueries {
     // TPC-H Q19 shape: disjunctive bracket predicates across the join —
     // the optimizer must keep the join filter despite the OR tree
     "q41_tpch19_brackets" ->
-      """SELECT CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+      """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
         |    AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -337,7 +344,7 @@ object CoreQueries {
     "q43_tpch15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
         |      AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -579,7 +586,7 @@ object CoreQueries {
           .agg(round(sum(col("l_extendedprice")) / 7.0, 2).cast("double")
             .as("avg_yearly"))
       },
-      """SELECT CAST(ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+      """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_size <= 10
         |  AND l.l_quantity < 0.5 * (
@@ -702,7 +709,7 @@ object CoreQueries {
             round(sum(col("o_totalprice")), 2).cast("double").as("revenue"))
       },
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders WHERE o_custkey IN
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderstatus""".stripMargin))

@@ -184,13 +184,13 @@ object WriteQueries {
         val w = new GraftWriter(new GraftCatalog(s, wh))
         w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, cfg, "l1")
         s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
-          |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
           |FROM graft_drv.main.orders_t
           |WHERE o_orderkey % 5 <> 1
           |GROUP BY o_orderstatus""".stripMargin)
       },
       s"""SELECT o_orderstatus, COUNT(*) AS n,
-         |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
          |FROM ($targetSql) WHERE o_orderkey % 5 <> 1
          |GROUP BY o_orderstatus""".stripMargin)),
 
@@ -638,7 +638,7 @@ object WriteQueries {
         iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val df = iso.sql("""SELECT c.custkey, c.c_mktsegment,
           |  COUNT(*) AS n_orders,
-          |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue
+          |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
           |FROM graft_spj.main.orders_b o
           |JOIN graft_spj.main.customer_b c ON o.custkey = c.custkey
           |GROUP BY c.custkey, c.c_mktsegment""".stripMargin)
@@ -649,7 +649,7 @@ object WriteQueries {
       },
       """SELECT c.c_custkey AS custkey, c.c_mktsegment,
         |  COUNT(*) AS n_orders,
-        |  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin)),
 
