@@ -583,8 +583,8 @@ object CoreQueries {
           .agg(avg(col("l_quantity")).as("aq"))
         relevant.join(avgQ, "l_partkey")
           .filter(col("l_quantity") < col("aq") * 0.5)
-          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).cast("double")
-            .as("avg_yearly"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2)
+            .cast("double").as("avg_yearly"))
       },
       """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -706,7 +706,8 @@ object CoreQueries {
           .join(building, Seq("o_custkey"), "left_semi")
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).cast("double").as("revenue"))
+            round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+              .cast("double").as("revenue"))
       },
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
