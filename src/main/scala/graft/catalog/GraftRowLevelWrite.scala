@@ -400,6 +400,8 @@ final class GraftDeltaBatchWrite(
       fresh.withSnapshotDelta(op, Some(loadId), dataFiles, Set.empty,
         newDeletes = delFiles)
     }, maxRetries = 5, backoffBase = 2.0, unitMs = 50L)
+    if (delFiles.nonEmpty)
+      graft.write.Maintenance.autoApplyIfNeeded(t, retryUnitMs = 50L)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

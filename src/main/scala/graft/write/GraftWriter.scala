@@ -336,6 +336,7 @@ final class GraftWriter(catalog: GraftCatalog) {
         fresh.withSnapshotDelta("delete", Some(loadId), Nil,
           Set.empty, newPosDeletes = posFiles)
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      Maintenance.autoApplyIfNeeded(t, cfg.retryUnitMs)
       deleted
     } else {
       // copy-on-write: restage ONLY the files with matching rows. The
@@ -653,6 +654,7 @@ final class GraftWriter(catalog: GraftCatalog) {
           fresh.withSnapshotDelta("update", Some(loadId), staged,
             Set.empty, newPosDeletes = posFiles)
         }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+        Maintenance.autoApplyIfNeeded(t, cfg.retryUnitMs)
       } finally matches.unpersist()
       updated
     } else {
@@ -701,6 +703,11 @@ final class GraftWriter(catalog: GraftCatalog) {
     t.commit(fresh => fresh.withSnapshotDelta(op, Some(loadId), stagedNew,
       Set.empty, newDeletes = delFiles, branch = cfg.toBranch),
       cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    // self-maintenance applies to the main line only: a branch commit's
+    // backlog is invisible to main readers until publish, and publish
+    // routes through a main-line commit that re-evaluates the signal
+    if (cfg.toBranch.isEmpty)
+      Maintenance.autoApplyIfNeeded(t, cfg.retryUnitMs)
   }
 
   /** The heart of every merge variant: rewrite the key-affected subset of

@@ -70,6 +70,34 @@ object Maintenance {
         eqRows + posRows > graft.catalog.MorRead.driverStateMaxRows)
   }
 
+  /** Table property opting a table into write-path self-maintenance
+    * (default false): after a commit that adds merge-on-read delete
+    * files, the writer re-reads the backlog signal and, if it fires,
+    * runs [[applyDeletes]] inline as a follow-up commit. This closes
+    * the operational loop [[deleteBacklog]] opened without requiring
+    * an external scheduler — the trickle pipeline that CREATES the
+    * backlog is the one that pays it down, and the threshold knobs
+    * ([[MaxDeleteRatioProp]]/[[MaxDeleteFilesProp]]) amortize the
+    * rewrite over many cheap commits. Off by default because inline
+    * maintenance trades commit latency for read latency — a policy
+    * the table owner, not the engine, should choose. */
+  val AutoApplyDeletesProp = "graft.mor.auto-apply-deletes"
+
+  /** Post-commit hook for MoR delete-adding writes: apply the backlog
+    * down when [[AutoApplyDeletesProp]] opts in AND the signal fires.
+    * Best-effort by design — a concurrent writer superseding the
+    * rewrite (ValidationError from [[applyDeletes]]'s staleness checks)
+    * leaves the backlog for the next triggering commit rather than
+    * failing the write that already committed. Returns true when a
+    * maintenance commit landed. */
+  def autoApplyIfNeeded(t: GraftTable, retryUnitMs: Long = 1000L): Boolean = {
+    val on = t.metadata.properties.get(AutoApplyDeletesProp)
+      .exists(_.equalsIgnoreCase("true"))
+    if (!on || !deleteBacklog(t).needsMaintenance) return false
+    try applyDeletes(t, retryUnitMs)
+    catch { case _: graft.catalog.ValidationError => false }
+  }
+
   /** Bin-pack files smaller than `smallFileBytes` into ~`targetFileBytes`
     * outputs. Only the small files are rewritten; full-size files carry
     * over untouched. Commits one "compact" snapshot (row set unchanged —

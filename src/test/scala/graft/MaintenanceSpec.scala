@@ -375,4 +375,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r4.deleteRows == 0L && !r4.needsMaintenance)
     assert(cat.loadTable("main", "b").read().count() == 100L)
   }
+
+  test("auto-apply-deletes: opted-in tables self-maintain past the threshold; opted-out tables accumulate") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val morCfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "a", Seq((1 to 100).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, morCfg, "l0")
+    // opt in with a tight file threshold: the 4th outstanding delete
+    // file (commit N with backlog > 3) triggers an inline apply
+    cat.loadTable("main", "a").commit(m => m.copy(properties = m.properties
+      + (Maintenance.AutoApplyDeletesProp -> "true")
+      + (Maintenance.MaxDeleteFilesProp -> "3")), unitMs = 1)
+    (1 to 10).foreach { i =>
+      w.writeTable("main", "a", Seq(Seq((i.toLong, 1000 + i))
+        .toDF("id", "v")), Merge("upsert"), morCfg, s"m$i")
+    }
+    val t = cat.loadTable("main", "a")
+    val r = Maintenance.deleteBacklog(t)
+    assert(r.deleteFileCount <= 3,
+      s"auto-apply must bound the resting backlog at the threshold: $r")
+    assert(t.metadata.snapshots.exists(_.operation == "apply-deletes"),
+      "the writer must have committed at least one maintenance snapshot")
+    // the maintenance commits are content-neutral: upserted values win
+    val rows = t.read().collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toMap
+    assert(rows.size == 100)
+    (1 to 10).foreach(i => assert(rows(i.toLong) == 1000 + i))
+    // the same trickle on an opted-out table keeps its full backlog
+    w.writeTable("main", "noauto", Seq((1 to 100).map(i => (i.toLong, i))
+      .toDF("id", "v")), Append, morCfg, "l0")
+    (1 to 10).foreach { i =>
+      w.writeTable("main", "noauto", Seq(Seq((i.toLong, 1000 + i))
+        .toDF("id", "v")), Merge("upsert"), morCfg, s"m$i")
+    }
+    val rn = Maintenance.deleteBacklog(cat.loadTable("main", "noauto"))
+    assert(rn.deleteFileCount == 10,
+      s"default-off: the backlog must accumulate untouched: $rn")
+  }
 }
