@@ -73,13 +73,24 @@ class ModelCheckSpec extends AnyFunSuite {
         // and must NEVER change what the table reads as
         if (rnd.nextInt(3) == 0 && cat.tableExists("main", "t")) {
           val t = cat.loadTable("main", "t")
-          rnd.nextInt(3) match {
+          rnd.nextInt(4) match {
             case 0 =>
               try Maintenance.compact(t, smallFileBytes = 1L << 20,
                 targetFileBytes = 8L << 20, retryUnitMs = 1)
               catch { case _: ValidationError => () }
             case 1 => Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
-            case _ => Maintenance.applyDeletes(t, retryUnitMs = 1)
+            case 2 => Maintenance.applyDeletes(t, retryUnitMs = 1)
+            case _ =>
+              // flip write-path self-maintenance (content-neutral): with
+              // the file threshold at 1, nearly every subsequent MoR
+              // commit triggers an inline apply mid-history
+              val on = rnd.nextBoolean()
+              t.commit(m => m.copy(properties =
+                if (on) m.properties +
+                  (Maintenance.AutoApplyDeletesProp -> "true") +
+                  (Maintenance.MaxDeleteFilesProp -> "1")
+                else m.properties - Maintenance.AutoApplyDeletesProp -
+                  Maintenance.MaxDeleteFilesProp), unitMs = 1)
           }
         }
         // rollback to a recorded (snapshot, model) pair: time travel must
