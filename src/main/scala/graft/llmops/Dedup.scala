@@ -73,6 +73,49 @@ object Dedup {
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
   }
 
+  /** First-occurrence paragraph dedup (the C4 move: discard all but ONE
+    * occurrence of any repeated span, where [[spanDedup]] instead drops
+    * every copy of over-frequent spans — complementary semantics: this
+    * RETAINS a canonical copy of repeated content, that removes
+    * boilerplate outright). Documents are segmented into consecutive
+    * `paraWords`-word paragraphs; a paragraph survives iff it is the
+    * globally FIRST occurrence of its exact text, "first" meaning the
+    * smallest (doc_id, position) — a total order, so the survivor set is
+    * deterministic and within-doc repeats dedup too. Returns one audit
+    * row per document: paragraph counts plus the reconstructed
+    * (position-ordered) deduplicated text.
+    *
+    * Scale shape: one map-side explode, then exactly two hash shuffles —
+    * a window partitioned by paragraph text to pick winners (the shuffle
+    * must carry the text anyway for reconstruction, so keying on a hash
+    * would save nothing and admit collisions), and a group-by doc_id to
+    * reassemble. No driver state, no join back: the winner flag rides
+    * the exploded row. */
+  def paragraphDedup(docs: DataFrame, paraWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col(textCol), " ")
+    val nParas = ceil(size(words) / lit(paraWords.toDouble)).cast("long")
+    val parasArr = transform(sequence(lit(0), (nParas - 1).cast("int")),
+      i => array_join(slice(words, i * paraWords + 1, lit(paraWords)), " "))
+    val paras = docs.select(col(idCol),
+      posexplode(parasArr).as(Seq("pos", "para")))
+    val firstWins = Window.partitionBy(col("para"))
+      .orderBy(col(idCol), col("pos"))
+    paras
+      .withColumn("keep", row_number().over(firstWins) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the null (dropped) entries; array_sort on
+        // (pos, para) structs restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para")), " ").as("dedup_text"))
+  }
+
   /** Cross-source overlap matrix: for every pair of sources, the number
     * of distinct `spanWords`-token spans they share — the dataset-
     * curation signal behind "these two crawls overlap, dedup before

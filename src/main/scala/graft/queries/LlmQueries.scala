@@ -1038,7 +1038,27 @@ object LlmQueries {
         |  CAST(1 AS INT) AS channels,
         |  CAST(400 + (doc_id % 97) * 8 AS INT) AS n_frames,
         |  CAST(1000 + (doc_id % 29) * 500 AS DOUBLE) AS rms
-        |FROM documents""".stripMargin)))
+        |FROM documents""".stripMargin))),
+
+    // first-occurrence paragraph dedup (C4 semantics: keep ONE canonical
+    // copy of repeated content — l35 instead drops over-frequent spans
+    // everywhere); winner = smallest (doc_id, pos), so fully
+    // deterministic, and the oracle rebuilds the deduplicated text
+    "l49_paragraph_dedup" -> ((
+      (s: SparkSession, dir: String) => Dedup.paragraphDedup(docs(s, dir)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS para
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i FROM w)),
+        |f AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM p)
+        |SELECT doc_id, COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos), '')
+        |    AS dedup_text
+        |FROM f GROUP BY doc_id""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

@@ -313,4 +313,26 @@ class LlmOpsSpec extends AnyFunSuite {
     // near-dups before the span-novelty gate can let formerly-shared docs
     // pass it; only threshold-invariance is the contract here
   }
+
+  test("paragraph dedup: first (doc_id, pos) occurrence wins, doc order restored") {
+    // doc 1: B A  (A repeats within the doc at pos 2 — dedups too)
+    // doc 2: A C  (A lost to doc 1's pos-1 copy; C survives)
+    val a = "a1 a2 a3"; val b = "b1 b2 b3"; val c = "c1 c2 c3"
+    val d = Seq(
+      (1L, s"$b $a $a"),
+      (2L, s"$a $c")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, paraWords = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(out(1L) == ((3L, 2L, s"$b $a")),
+      s"doc 1 must keep B and the FIRST copy of A: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, c)),
+      s"doc 2 must lose A to doc 1 and keep C: ${out(2L)}")
+    // idempotence: running again over the deduplicated text drops nothing
+    val again = Dedup.paragraphDedup(
+      out.toSeq.map { case (id, (_, _, t)) => (id, t) }.toDF("doc_id", "text"),
+      paraWords = 3)
+    assert(again.collect().forall(r => r.getLong(1) == r.getLong(2)),
+      "paragraph dedup must be idempotent")
+  }
 }

@@ -148,6 +148,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"SQL MoR read must apply deletes per row, not via joins:\n$p")
   }
 
+  test("paragraph dedup plans exactly two shuffles, no join") {
+    // one window (hash by paragraph text) + one reassembly aggregate
+    // (hash by doc_id): the winner flag rides the exploded row, so no
+    // join-back and nothing quadratic
+    val df = graft.llmops.Dedup.paragraphDedup(
+      Tables.t(spark, sf, "documents"))
+    val n = graft.plans.PlanOps.shuffles(df)
+    assert(n == 2, s"expected window + reassembly shuffles only, got $n")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"paragraph dedup must not join:\n$p")
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
