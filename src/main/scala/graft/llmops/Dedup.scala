@@ -85,25 +85,28 @@ object Dedup {
     * row per document: paragraph counts plus the reconstructed
     * (position-ordered) deduplicated text.
     *
-    * Scale shape: one map-side explode, then exactly two hash shuffles —
-    * a window partitioned by paragraph text to pick winners (the shuffle
-    * must carry the text anyway for reconstruction, so keying on a hash
-    * would save nothing and admit collisions), and a group-by doc_id to
-    * reassemble. No driver state, no join back: the winner flag rides
-    * the exploded row. */
+    * Scale shape: one map-side explode, then an aggregation + join-back
+    * + reassembly — deliberately NOT a window: real corpora have
+    * power-law paragraphs (license blocks, navigation chrome repeated
+    * 10⁹ times), and a window partitioned by paragraph text funnels
+    * every copy of a hot paragraph through ONE task with no mitigation.
+    * The min-(doc_id,pos) winner per paragraph instead computes through
+    * a hash aggregate whose map-side partial combine bounds any hot key
+    * at one row per input partition, and the join back on the paragraph
+    * key is AQE-skew-splittable. No driver state anywhere. */
   def paragraphDedup(docs: DataFrame, paraWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = split(col(textCol), " ")
     val nParas = ceil(size(words) / lit(paraWords.toDouble)).cast("long")
     val parasArr = transform(sequence(lit(0), (nParas - 1).cast("int")),
       i => array_join(slice(words, i * paraWords + 1, lit(paraWords)), " "))
     val paras = docs.select(col(idCol),
       posexplode(parasArr).as(Seq("pos", "para")))
-    val firstWins = Window.partitionBy(col("para"))
-      .orderBy(col(idCol), col("pos"))
-    paras
-      .withColumn("keep", row_number().over(firstWins) === 1)
+    val winners = paras.groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("pos"))).as("first_at"))
+    paras.join(winners, "para")
+      .withColumn("keep",
+        struct(col(idCol), col("pos")) === col("first_at"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_paras"),

@@ -1265,7 +1265,43 @@ object WriteQueries {
          |  '{"cursor":42}'
          |UNION ALL
          |SELECT 'derived', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
-         |  'derived_from_iceberg'""".stripMargin))
+         |  'derived_from_iceberg'""".stripMargin)),
+
+    // write-path self-maintenance: a MoR table opted into
+    // graft.mor.auto-apply-deletes pays its own delete backlog down
+    // inline — 12 trickle upserts against a 4-file threshold must leave
+    // a bounded resting backlog, at least one apply-deletes snapshot,
+    // and exactly the upsert end state (maintenance is content-neutral)
+    "w37_auto_maintenance" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        val morCfg = cfg.copy(mergeOnRead = true)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)),
+          Merge("upsert"), morCfg, "l0")
+        cat.loadTable("main", "orders_t").commit(m => m.copy(properties =
+          m.properties
+            + (Maintenance.AutoApplyDeletesProp -> "true")
+            + (Maintenance.MaxDeleteFilesProp -> "4")), unitMs = 1)
+        // 12 disjoint slices of the (even-key) source = one delete file
+        // per commit without maintenance
+        (0 until 12).foreach { i =>
+          w.writeTable("main", "orders_t",
+            Seq(source(s, dir).filter(col("o_orderkey") % 24 === i * 2)),
+            Merge("upsert"), morCfg, s"t$i")
+        }
+        val tbl = cat.loadTable("main", "orders_t")
+        val backlog = Maintenance.deleteBacklog(tbl)
+        require(backlog.deleteFileCount <= 4,
+          s"auto-apply must bound the resting backlog: $backlog")
+        require(tbl.metadata.snapshots.exists(_.operation == "apply-deletes"),
+          "inline maintenance must have fired during the trickle")
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql) tgt
+         |WHERE tgt.o_orderkey NOT IN (SELECT o_orderkey FROM ($sourceSql))
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

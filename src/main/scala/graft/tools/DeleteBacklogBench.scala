@@ -77,6 +77,35 @@ object DeleteBacklogBench {
     Maintenance.applyDeletes(cat.loadTable("main", "t"), retryUnitMs = 1)
     println(f"BACKLOG apply_deletes ${(System.nanoTime() - t0) / 1e9}%.2fs")
     measure("applied")
+
+    // ---- auto-apply arm: the same trickle with self-maintenance on.
+    // The writer now pays the backlog down whenever the file-count
+    // threshold trips, so read latency should hold at the bounded floor
+    // while commit latency absorbs periodic apply spikes — the trade
+    // the property documents.
+    cat.loadTable("main", "t").commit(m => m.copy(properties =
+      m.properties + (Maintenance.AutoApplyDeletesProp -> "true")), unitMs = 1)
+    def applies(): Int = cat.loadTable("main", "t").metadata.snapshots
+      .count(_.operation == "apply-deletes")
+    val appliesBefore = applies()
+    var commitS = List.empty[Double]
+    depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      val key = (depth % baseRows).toLong + 1L
+      val c0 = System.nanoTime()
+      w.writeTable("main", "t",
+        Seq(Seq((key, -depth.toLong)).toDF("id", "v")),
+        Merge("upsert"), cfg, s"a$depth")
+      commitS ::= (System.nanoTime() - c0) / 1e9
+      if (checkpoints.contains(depth)) measure(s"auto=$depth")
+    }
+    val fired = applies() - appliesBefore
+    println(f"BACKLOG auto-apply fired=$fired%d " +
+      f"commitAvg=${commitS.sum / commitS.size}%.3fs " +
+      f"commitMax=${commitS.max}%.2fs " +
+      f"restingDeleteFiles=${Maintenance.deleteBacklog(
+        cat.loadTable("main", "t")).deleteFileCount}%d")
     spark.stop()
   }
 }

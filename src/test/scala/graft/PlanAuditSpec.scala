@@ -148,17 +148,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"SQL MoR read must apply deletes per row, not via joins:\n$p")
   }
 
-  test("paragraph dedup plans exactly two shuffles, no join") {
-    // one window (hash by paragraph text) + one reassembly aggregate
-    // (hash by doc_id): the winner flag rides the exploded row, so no
-    // join-back and nothing quadratic
+  test("paragraph dedup: skew-safe winner aggregate, no window, no cartesian") {
+    // winner selection must be a hash AGGREGATE (map-side partial combine
+    // bounds hot boilerplate paragraphs) joined back on the paragraph
+    // key — never a window partitioned by paragraph text, which funnels
+    // every copy of a hot key through one task
     val df = graft.llmops.Dedup.paragraphDedup(
       Tables.t(spark, sf, "documents"))
-    val n = graft.plans.PlanOps.shuffles(df)
-    assert(n == 2, s"expected window + reassembly shuffles only, got $n")
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
-      s"paragraph dedup must not join:\n$p")
+    assert(!p.contains("Window"),
+      s"winner selection must not use a hot-key window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"winner aggregate must partial-combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup join must stay keyed:\n$p")
+    val n = graft.plans.PlanOps.shuffles(df)
+    assert(n <= 4, s"explode + winner agg + join-back + reassembly, got $n")
   }
 
   test("the deliberate exceptions stay deliberate") {
