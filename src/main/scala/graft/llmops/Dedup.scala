@@ -119,6 +119,66 @@ object Dedup {
           s => s.getField("para")), " ").as("dedup_text"))
   }
 
+  /** Overlapping-window exact-substring dedup (the ExactSubstr semantics
+    * of "Deduplicating Training Data Makes Language Models Better", Lee
+    * et al. 2022, adapted to word windows): every occurrence of any
+    * `windowWords`-word span that is NOT the globally first occurrence
+    * of that exact span marks its covered word positions for removal,
+    * and a word survives iff NO duplicate window covers it. The third
+    * member of the span-dedup family, with genuinely different
+    * semantics: [[spanDedup]] segments into DISJOINT spans and drops
+    * over-frequent ones everywhere; [[paragraphDedup]] segments
+    * disjointly and keeps a canonical first copy; here windows OVERLAP
+    * at every start position, so a duplicated run of ANY length >=
+    * windowWords is excised wholesale from everywhere but its first
+    * occurrence — regardless of alignment — while repeats shorter than
+    * the window survive untouched. "First" = smallest (doc_id, pos): a
+    * total order, so survivors are deterministic and within-doc repeats
+    * dedup too. Returns one audit row per document: word counts plus
+    * the reconstructed (position-ordered) surviving text.
+    *
+    * Scale shape: winner selection is the same skew-safe hash aggregate
+    * as [[paragraphDedup]] (map-side partial min bounds hot boilerplate
+    * windows at one row per input partition — never a window function
+    * keyed on corpus text); only windows with more than one occurrence
+    * re-join (the duplicate tail, not the corpus), each expanding to at
+    * most `windowWords` covered positions before a distinct; removal is
+    * one anti-join on (doc_id, position). Window keys stay strings here
+    * for oracle fidelity — at corpus scale pre-hash them to 8-byte
+    * longs exactly like [[shingles]]' hashed twin. */
+  def windowDedup(docs: DataFrame, windowWords: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = windowWords
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("ws"))
+    val wordRows = base.select(col(idCol),
+      posexplode(col("ws")).as(Seq("wpos", "word")))
+    val wins = base
+      .filter(size(col("ws")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), (size(col("ws")) - k).cast("int")),
+          i => array_join(slice(col("ws"), i + 1, lit(k)), " ")))
+        .as(Seq("pos", "win")))
+    val firstAt = wins.groupBy(col("win"))
+      .agg(min(struct(col(idCol), col("pos"))).as("first_at"),
+        count(lit(1)).as("occ"))
+    val dups = wins.join(firstAt.filter(col("occ") > 1), "win")
+      .filter(struct(col(idCol), col("pos")) =!= col("first_at"))
+    val covered = dups.select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + k - 1)).as("wpos"))
+      .distinct()
+    val kept = wordRows.join(covered, Seq(idCol, "wpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wpos"), col("word")))),
+          s => s.getField("word")), " ").as("clean_text"))
+    base.select(col(idCol), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cross-source overlap matrix: for every pair of sources, the number
     * of distinct `spanWords`-token spans they share — the dataset-
     * curation signal behind "these two crawls overlap, dedup before

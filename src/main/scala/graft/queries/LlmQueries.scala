@@ -1058,7 +1058,39 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  COALESCE(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos), '')
         |    AS dedup_text
-        |FROM f GROUP BY doc_id""".stripMargin)))
+        |FROM f GROUP BY doc_id""".stripMargin))),
+
+    // overlapping-window exact-substring dedup (ExactSubstr semantics:
+    // any 8-word span seen before — anywhere, at any alignment — marks
+    // its covered words for removal; the first occurrence survives).
+    // Complements l35 (disjoint spans, drop over-frequent) and l49
+    // (disjoint paragraphs, keep first): only this one catches
+    // duplicated runs regardless of alignment
+    "l50_window_dedup" -> ((
+      (s: SparkSession, dir: String) => Dedup.windowDedup(docs(s, dir)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (SELECT doc_id, CAST(i AS INT) AS wpos, ws[i+1] AS word
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w)),
+        |wins AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(ws[(i+1):(i+8)], ' ') AS win
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |f AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM wins),
+        |cov AS (SELECT DISTINCT doc_id, pos + unnest(range(8)) AS wpos
+        |  FROM f WHERE rn > 1),
+        |kept AS (SELECT wd.doc_id, wd.wpos, wd.word
+        |  FROM words wd LEFT JOIN cov
+        |    ON wd.doc_id = cov.doc_id AND wd.wpos = cov.wpos
+        |  WHERE cov.wpos IS NULL)
+        |SELECT b.doc_id, b.n_words,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w) b
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(word, ' ' ORDER BY wpos) AS clean_text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

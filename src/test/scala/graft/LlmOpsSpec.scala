@@ -335,4 +335,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.collect().forall(r => r.getLong(1) == r.getLong(2)),
       "paragraph dedup must be idempotent")
   }
+
+  test("window dedup: overlapping windows excise misaligned duplicated runs") {
+    // doc 2 embeds doc 1's 5-word run at offset 1 — NOT aligned to any
+    // disjoint segmentation, which is exactly what l35/l49 cannot catch
+    // and overlapping windows must; doc 3 repeats a run shorter than the
+    // window (survives); doc 4 repeats a run within itself (second copy
+    // excised)
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "x1 w1 w2 w3 w4 w5 x2"),
+      (3L, "w1 w2 w3"),
+      (4L, "u1 u2 u3 u4 u1 u2 u3 u4")).toDF("doc_id", "text")
+    val out = Dedup.windowDedup(d, windowWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 5L, "w1 w2 w3 w4 w5")),
+      s"doc 1 is the first occurrence and keeps everything: ${out(1L)}")
+    assert(out(2L) == ((7L, 2L, "x1 x2")),
+      s"doc 2 must lose the whole misaligned duplicated run: ${out(2L)}")
+    assert(out(3L) == ((3L, 3L, "w1 w2 w3")),
+      s"sub-window repeats survive: ${out(3L)}")
+    assert(out(4L) == ((8L, 4L, "u1 u2 u3 u4")),
+      s"within-doc repeats excise the later copy: ${out(4L)}")
+    // idempotence: a second pass over the cleaned text removes nothing
+    val again = Dedup.windowDedup(
+      out.toSeq.map { case (id, (_, _, t)) => (id, t) }.toDF("doc_id", "text"),
+      windowWords = 4)
+    assert(again.collect().forall(r => r.getLong(1) == r.getLong(2)),
+      "window dedup must be idempotent")
+  }
 }

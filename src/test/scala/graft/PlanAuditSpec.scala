@@ -167,6 +167,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n <= 4, s"explode + winner agg + join-back + reassembly, got $n")
   }
 
+  test("window dedup: skew-safe winner aggregate, keyed joins only") {
+    // same discipline as paragraph dedup, plus: only multi-occurrence
+    // windows (the duplicate tail) may re-join — the plan must carry the
+    // occ > 1 filter below the join so unique windows never shuffle twice
+    val df = graft.llmops.Dedup.windowDedup(
+      Tables.t(spark, sf, "documents"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"winner selection must not use a hot-key window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"winner aggregate must partial-combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"window dedup joins must stay keyed:\n$p")
+    assert(p.contains("(occ") || p.contains("occ#"),
+      s"duplicate-tail filter (occ > 1) must survive into the plan:\n$p")
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
