@@ -414,4 +414,51 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rn.deleteFileCount == 10,
       s"default-off: the backlog must accumulate untouched: $rn")
   }
+
+  test("auto-apply under concurrent writers: best-effort maintenance never loses an upsert") {
+    // four writers trickle MoR upserts into ONE opted-in table with a
+    // tight threshold, so inline apply-deletes commits race the other
+    // writers' upsert commits from inside the write path. The contract:
+    // maintenance is best-effort (a superseded rewrite yields, the
+    // already-committed upsert stands), so every upsert must land, the
+    // CAS chain must stay gapless, and the end state must equal the
+    // pure-upsert result — maintenance is content-neutral under race too
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val morCfg = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "c", Seq((1 to 200).map(i => (i.toLong, 0))
+      .toDF("id", "v")), Append, morCfg, "l0")
+    cat.loadTable("main", "c").commit(m => m.copy(properties = m.properties
+      + (Maintenance.AutoApplyDeletesProp -> "true")
+      + (Maintenance.MaxDeleteFilesProp -> "2")), unitMs = 1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 4).foreach { th =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try (1 to 5).foreach { i =>
+            val key = (th * 50 + i).toLong
+            w.writeTable("main", "c", Seq(Seq((key, 1)).toDF("id", "v")),
+              Merge("upsert"), morCfg, s"t$th-$i")
+          } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty,
+      s"upserts must survive racing inline maintenance: ${errs.peek()}")
+    val t = cat.loadTable("main", "c")
+    val rows = t.read().collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+    assert(rows.size == 200, s"row set must be stable, got ${rows.size}")
+    (0 until 4).foreach(th => (1 to 5).foreach { i =>
+      assert(rows((th * 50 + i).toLong) == 1, s"upsert th=$th i=$i lost")
+    })
+    assert(rows.count(_._2 == 0) == 180, "untouched rows must keep v=0")
+    // gapless CAS chain: every commit (upsert, property, any maintenance)
+    // observed its predecessor
+    val ids = t.metadata.snapshots.map(_.snapshotId).sorted
+    assert(ids == (1L to ids.size.toLong),
+      s"snapshot chain must be gapless, got $ids")
+  }
 }
