@@ -143,20 +143,26 @@ object Dedup {
     * keyed on corpus text); only windows with more than one occurrence
     * re-join (the duplicate tail, not the corpus), each expanding to at
     * most `windowWords` covered positions before a distinct; removal is
-    * one anti-join on (doc_id, position). Window keys stay strings here
-    * for oracle fidelity — at corpus scale pre-hash them to 8-byte
-    * longs exactly like [[shingles]]' hashed twin. */
+    * one anti-join on (doc_id, position). `hashKeys = true` is the
+    * corpus-scale lever: window keys become 8-byte xxhash64 longs
+    * instead of ~8-word strings, shrinking the winner aggregate and the
+    * join-back shuffle several-fold at a 2⁻⁶⁴ per-pair collision rate
+    * (the same trade as [[shingles]]' hashed twin); it stays off in the
+    * oracle entry only because DuckDB cannot replay the hash. */
   def windowDedup(docs: DataFrame, windowWords: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashKeys: Boolean = false): DataFrame = {
     val k = windowWords
     val base = docs.select(col(idCol), split(col(textCol), " ").as("ws"))
     val wordRows = base.select(col(idCol),
       posexplode(col("ws")).as(Seq("wpos", "word")))
+    val keyOf: Column => Column =
+      if (hashKeys) w => xxhash64(w) else identity
     val wins = base
       .filter(size(col("ws")) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), (size(col("ws")) - k).cast("int")),
-          i => array_join(slice(col("ws"), i + 1, lit(k)), " ")))
+          i => keyOf(array_join(slice(col("ws"), i + 1, lit(k)), " "))))
         .as(Seq("pos", "win")))
     val firstAt = wins.groupBy(col("win"))
       .agg(min(struct(col(idCol), col("pos"))).as("first_at"),

@@ -365,4 +365,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.collect().forall(r => r.getLong(1) == r.getLong(2)),
       "window dedup must be idempotent")
   }
+
+  test("window dedup: hashed-key scale path is output-identical to string keys") {
+    def rows(hashKeys: Boolean) =
+      Dedup.windowDedup(docs, windowWords = 8, hashKeys = hashKeys)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    assert(rows(hashKeys = true) == rows(hashKeys = false),
+      "8-byte window keys must select the same winners as string keys")
+  }
 }
