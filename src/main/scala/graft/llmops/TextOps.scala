@@ -457,4 +457,42 @@ object TextOps {
     * text) — the cheap per-shard dedup key for petabyte corpora. */
   def rollingFingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Mergeable vocabulary-cardinality sketches: per-source Datasketches
+    * HLL over distinct tokens (Spark-native `hll_sketch_agg`, lgK=`lgK`
+    * → ~1% standard error at 14), then ONE `hll_union_agg` merge for
+    * the corpus-wide estimate — the sketches union in bytes without
+    * ever re-scanning the data, which is the whole 100-TB point: each
+    * ingest shard ships a KB-sized sketch, the driver (or a later
+    * job) folds them, and "distinct tokens in the corpus" never costs
+    * a global shuffle of the token space again. The returned audit
+    * row carries the EXACT distinct count beside `sketch_ok`
+    * (|est − exact| / exact ≤ `tol`), so the DuckDB oracle can verify
+    * the estimate's accuracy claim exactly; at corpus scale you drop
+    * the exact column and keep the sketches. The global row is
+    * labelled `__all__` and is computed from the per-source sketch
+    * UNION, not from re-aggregated tokens — the test pins the merge
+    * path itself. */
+  def cardinalitySketch(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source", lgK: Int = 14,
+      tol: Double = 0.03): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("w"))
+    val perSrc = tok.groupBy("source").agg(
+      count_distinct(col("w")).as("exact_distinct"),
+      expr(s"hll_sketch_agg(w, $lgK)").as("sk"))
+      .cache()
+    def okCol(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact.cast("double")) / exact <= lit(tol)
+    val srcRows = perSrc.select(col("source"), col("exact_distinct"),
+      okCol(expr("hll_sketch_estimate(sk)"), col("exact_distinct"))
+        .as("sketch_ok"))
+    val globalEst = perSrc.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+    val globalExact = tok.agg(count_distinct(col("w")).as("exact_distinct"))
+    val allRow = globalExact.crossJoin(globalEst)
+      .select(lit("__all__").as("source"), col("exact_distinct"),
+        okCol(col("est"), col("exact_distinct")).as("sketch_ok"))
+    srcRows.unionByName(allRow)
+  }
 }

@@ -1090,7 +1090,24 @@ object LlmQueries {
         |FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w) b
         |LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
         |    string_agg(word, ' ' ORDER BY wpos) AS clean_text
-        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin)))
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin))),
+
+    // mergeable HLL cardinality sketches (Spark-native Datasketches):
+    // per-source token-vocabulary sketches folded by hll_union_agg into
+    // the corpus row — the oracle verifies the exact counts AND that
+    // every estimate (including the one computed from the sketch MERGE,
+    // never from re-scanned tokens) lands within the 3% audit tolerance
+    "l51_hll_cardinality" -> ((
+      (s: SparkSession, dir: String) => TextOps.cardinalitySketch(docs(s, dir)),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct,
+        |  true AS sketch_ok
+        |FROM tok GROUP BY source
+        |UNION ALL
+        |SELECT '__all__' AS source, CAST(COUNT(DISTINCT w) AS BIGINT),
+        |  true AS sketch_ok
+        |FROM tok""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

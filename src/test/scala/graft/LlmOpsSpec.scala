@@ -375,4 +375,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(hashKeys = true) == rows(hashKeys = false),
       "8-byte window keys must select the same winners as string keys")
   }
+
+  test("HLL cardinality sketches: merged estimate within tolerance, exact counts consistent") {
+    val out = TextOps.cardinalitySketch(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out.contains("__all__"), "must include the merged corpus row")
+    assert(out.forall(_._2._2),
+      s"every estimate (per-source AND merged) must sit within tolerance: " +
+        out.filterNot(_._2._2).keys.mkString(", "))
+    // the corpus vocabulary is at least any source's and at most the sum
+    val perSrc = (out - "__all__").values.map(_._1)
+    assert(out("__all__")._1 >= perSrc.max && out("__all__")._1 <= perSrc.sum)
+    // determinism: sketches and exacts reproduce bit-identically
+    val again = TextOps.cardinalitySketch(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(again == out)
+  }
 }
