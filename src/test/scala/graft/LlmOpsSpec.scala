@@ -376,6 +376,48 @@ class LlmOpsSpec extends AnyFunSuite {
       "8-byte window keys must select the same winners as string keys")
   }
 
+  test("window dedup matches a brute-force model on randomized colliding corpora") {
+    // tiny vocabulary + short docs force heavy window collisions (the
+    // regime where winner selection, coverage union, and within-doc
+    // repeats all interact); the model recomputes the semantics
+    // driver-side from the definition
+    def model(corpus: Seq[(Long, String)], k: Int)
+        : Map[Long, (Long, Long, String)] = {
+      val wins = for {
+        (id, t) <- corpus
+        ws = t.split(" ", -1)
+        if ws.length >= k
+        p <- 0 to ws.length - k
+      } yield ((id, p), ws.slice(p, p + k).mkString(" "))
+      val firstAt = wins.groupBy(_._2)
+        .map { case (w, occ) => (w, occ.map(_._1).min) }
+      val covered: Set[(Long, Int)] = wins.flatMap { case ((id, p), w) =>
+        if (firstAt(w) == ((id, p))) Nil
+        else (p until p + k).map(q => (id, q))
+      }.toSet
+      corpus.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !covered((id, i)) => w
+        }
+        id -> ((ws.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val vocab = Array("a", "b", "c")
+    (0 until 10).foreach { trial =>
+      val rnd = new scala.util.Random(42L + trial)
+      val corpus = (1L to (5 + rnd.nextInt(10)).toLong).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(3))).mkString(" ")
+      }
+      val got = Dedup.windowDedup(corpus.toDF("doc_id", "text"), windowWords = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == model(corpus, 3),
+        s"trial $trial diverged from the model on corpus $corpus")
+    }
+  }
+
   test("HLL cardinality sketches: merged estimate within tolerance, exact counts consistent") {
     val out = TextOps.cardinalitySketch(docs)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
