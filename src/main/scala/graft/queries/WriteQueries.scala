@@ -1301,7 +1301,45 @@ object WriteQueries {
       s"""SELECT o_orderkey, o_totalprice FROM ($targetSql) tgt
          |WHERE tgt.o_orderkey NOT IN (SELECT o_orderkey FROM ($sourceSql))
          |UNION ALL
-         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin))
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)""".stripMargin)),
+
+    // declared write sort-order (Iceberg write.sort-order parity): a
+    // bulk append range-clusters + sorts on the declared column, so
+    // min/max file pruning on it becomes partition-grade WITHOUT a
+    // partition spec — the entry proves the pruning in-query (a 10%
+    // price band must touch at most half the staged files) and returns
+    // the pruned range scan for the oracle
+    "w38_sort_order" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        val noPk = WriteConfig(retryUnitMs = 10)
+        // empty seed commits the schema so the property can precede data
+        w.writeTable("main", "orders_t", Seq(target(s, dir).limit(0)),
+          Append, noPk, "l0")
+        cat.loadTable("main", "orders_t").commit(m => m.copy(properties =
+          m.properties
+            + (GraftWriter.SortOrderProperty -> "o_totalprice")), unitMs = 1)
+        // scale-proportional file bound: ~6 files at every sf, so the
+        // disjointness claim is tested identically at sf0.001 and sf10
+        val n = target(s, dir).count()
+        w.writeTable("main", "orders_t", Seq(target(s, dir).repartition(8)),
+          Append, noPk.copy(maxRecordsPerFile = math.max(1L, n / 6L)), "l1")
+        val tbl = cat.loadTable("main", "orders_t")
+        val files = tbl.metadata.currentFiles
+        require(files.size >= 4, s"expected a multi-file load, got ${files.size}")
+        val dt = tbl.metadata.schema("o_totalprice").dataType
+        val ck = (v: Double) => graft.write.Stager.canonicalKey(dt, v)
+        val hit = tbl.filesOverlapping(tbl.metadata, "o_totalprice",
+          ck(100000.0), ck(150000.0))
+        require(hit.size * 2 <= files.size,
+          s"sort-order pruning: a 10% band must skip most files " +
+            s"(hit ${hit.size} of ${files.size})")
+        tbl.scanRange("o_totalprice", 100000.0, 150000.0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

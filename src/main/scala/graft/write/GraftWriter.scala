@@ -144,7 +144,8 @@ final class GraftWriter(catalog: GraftCatalog) {
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
       bloomColumns = GraftWriter.bloomColumns(m, cfg),
-      maxRecordsPerFile = cfg.maxRecordsPerFile)
+      maxRecordsPerFile = cfg.maxRecordsPerFile,
+      sortBy = GraftWriter.tableSortOrder(m))
     // delta commit: parent manifests carry by identity — zero manifest
     // body reads even on a cold JVM (the cost every load pays)
     t.commit(fresh => fresh.withSnapshotDelta("append", Some(loadId),
@@ -156,7 +157,8 @@ final class GraftWriter(catalog: GraftCatalog) {
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
       bloomColumns = GraftWriter.bloomColumns(m, cfg),
-      maxRecordsPerFile = cfg.maxRecordsPerFile)
+      maxRecordsPerFile = cfg.maxRecordsPerFile,
+      sortBy = GraftWriter.tableSortOrder(m))
     // truncate-and-insert: snapshot references ONLY the new files; old
     // files stay on disk for time travel (S6)
     t.commit(fresh => fresh.withSnapshotReplace("overwrite", Some(loadId), staged,
@@ -827,6 +829,31 @@ object GraftWriter {
   /** Table property naming the columns whose per-file KeyBloom stats
     * every staging pass must rebuild. */
   val BloomColumnsProperty = "graft.bloom-columns"
+
+  /** Table property declaring a write-time sort order (Iceberg's
+    * `write.sort-order`): comma-separated column names. Bulk ingest
+    * paths (append/replace) range-cluster each staged batch on these
+    * columns and sort within tasks, so files (and parquet row groups)
+    * cover narrow, near-disjoint ranges of the lead column — min/max
+    * pruning on sort-order predicates then skips whole files exactly
+    * like partition pruning, without burning a partition-spec slot.
+    * Merge paths keep their PK clustering (the rewrite working set is
+    * what matters there), and compaction/zorder rewrites own their
+    * layout explicitly. */
+  val SortOrderProperty = "graft.write.sort-order"
+
+  /** Declared write sort order, validated against the live schema —
+    * a property naming a dropped/typo'd column must fail the write
+    * loudly, not silently skip the clustering the reader relies on. */
+  def tableSortOrder(m: TableMetadata): Seq[String] = {
+    val cols = m.properties.get(SortOrderProperty).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val missing = cols.filterNot(m.schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new ValidationError(
+        s"$SortOrderProperty names missing columns: ${missing.mkString(", ")}")
+    cols
+  }
 
   def tableBloomColumns(m: TableMetadata): Seq[String] =
     m.properties.get(BloomColumnsProperty).toSeq

@@ -90,7 +90,8 @@ object Stager {
       clusterBy: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
-      preshaped: Boolean = false): Seq[DataFile] = {
+      preshaped: Boolean = false,
+      sortBy: Seq[String] = Nil): Seq[DataFile] = {
     val spark = df.sparkSession
     val dest = dataDir.resolve(s"$loadId-${java.util.UUID.randomUUID().toString.take(8)}")
 
@@ -121,8 +122,25 @@ object Stager {
         // splits value-exact dirs WITHOUT reshuffling, preserving the
         // caller's intra-partition order — a zordered table keeps SPJ
         // eligibility
-      else if (spec.nonEmpty)
-        withDerived(df).repartition(partitionCols.map(col): _*)
+      else if (spec.nonEmpty) {
+        val d = withDerived(df).repartition(partitionCols.map(col): _*)
+        // a declared sort order composes with partitioning: value-exact
+        // dirs are untouched, rows WITHIN each partition tuple sort by
+        // the order (partition cols lead so each task's rows stay
+        // tuple-contiguous) — parquet row-group stats on the sort
+        // columns turn tight without costing a second shuffle
+        if (sortBy.nonEmpty)
+          d.sortWithinPartitions((partitionCols ++ sortBy).map(col): _*)
+        else d
+      }
+      else if (sortBy.nonEmpty)
+        // declared sort order (Iceberg write.sort-order parity): ONE
+        // range shuffle so each FILE covers a narrow, near-disjoint
+        // range of the sort key — min/max file pruning on the lead
+        // column becomes as selective as partitioning without a spec —
+        // plus an in-partition sort so row-group/page stats are tight
+        df.repartitionByRange(sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
       else if (clusterBy.nonEmpty)
         // range-cluster by key so each file covers a narrow key range —
         // future merges prune the affected-file set tightly by min/max

@@ -507,4 +507,50 @@ class WriteEngineSpec extends AnyFunSuite {
     assert(files.forall(_.rowCount <= 30L))
     assert(files.map(_.rowCount).sum == 100L)
   }
+
+  test("write sort-order: files cover disjoint key ranges, point scans prune to one file") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // seed, then declare the order (property round-trips the commit path)
+    w.writeTable("main", "sorted", Seq(users((0L, "seed", 0L))), Append, fastCfg, "l0")
+    cat.loadTable("main", "sorted").commit(m => m.copy(properties =
+      m.properties + (GraftWriter.SortOrderProperty -> "score")), unitMs = 1)
+    // a deliberately jumbled bulk append: without the declared order
+    // every staged file would span the whole score domain
+    val jumbled = (1L to 4000L).map(i => ((i * 2654435761L) % 4000L + 1L, s"u$i", (i * 48271L) % 100000L))
+      .toDF("user_id", "username", "score").repartition(8)
+    // AQE legitimately coalesces a 4000-row range shuffle to one task —
+    // the file-size bound then splits the SORTED task stream, so range
+    // disjointness must survive both mechanisms
+    w.writeTable("main", "sorted", Seq(jumbled), Append,
+      fastCfg.copy(maxRecordsPerFile = 1000L), "l1")
+    val t = cat.loadTable("main", "sorted")
+    val staged = t.metadata.currentFiles.filter(_.stats.contains("score"))
+      .filter(_.rowCount > 1) // ignore the 1-row seed
+    assert(staged.size >= 2, s"need multiple staged files, got ${staged.size}")
+    // range clustering makes per-file [min,max] score ranges disjoint
+    val ranges = staged.map(f => (f.stats("score").min.get.toLong,
+      f.stats("score").max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"sorted-write files must not overlap: $ranges")
+      case _ => ()
+    }
+    // and min/max pruning now hits like partition pruning: a point/range
+    // predicate on the sort column touches one file, not all of them
+    val probe = ranges.head._1.toString
+    val hit = t.filesOverlapping(t.metadata, "score", probe, probe)
+      .filter(_.rowCount > 1)
+    assert(hit.size == 1,
+      s"a sort-key point probe must prune to one staged file, got ${hit.size}")
+    // content-neutral: the sorted layout changes files, never rows
+    assert(t.read().count() == 4001L)
+    // a typo'd sort column fails the NEXT write loudly
+    cat.loadTable("main", "sorted").commit(m => m.copy(properties =
+      m.properties + (GraftWriter.SortOrderProperty -> "nope")), unitMs = 1)
+    val e = intercept[ValidationError] {
+      w.writeTable("main", "sorted", Seq(users((9999L, "x", 1L))), Append, fastCfg, "l2")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }
