@@ -92,7 +92,11 @@ final class GraftStagedTable(
             val bloomCols = props.get(graft.write.GraftWriter.BloomColumnsProperty)
               .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
             staged = graft.write.Stager.stage(cast, dir.resolve("data"),
-              loadId, spec, bloomColumns = bloomCols)
+              loadId, spec, bloomColumns = bloomCols,
+              // a TBLPROPERTIES-declared sort order applies from the
+              // very first (CTAS/RTAS) load, same as later appends
+              sortBy = graft.write.GraftWriter.sortOrder(props,
+                cast.schema.fieldNames))
             wrote = true
           }
       }

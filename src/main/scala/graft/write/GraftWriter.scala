@@ -845,10 +845,14 @@ object GraftWriter {
   /** Declared write sort order, validated against the live schema —
     * a property naming a dropped/typo'd column must fail the write
     * loudly, not silently skip the clustering the reader relies on. */
-  def tableSortOrder(m: TableMetadata): Seq[String] = {
-    val cols = m.properties.get(SortOrderProperty).toSeq
+  def tableSortOrder(m: TableMetadata): Seq[String] =
+    sortOrder(m.properties, m.schema.fieldNames)
+
+  def sortOrder(properties: Map[String, String],
+      fieldNames: Seq[String]): Seq[String] = {
+    val cols = properties.get(SortOrderProperty).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val missing = cols.filterNot(m.schema.fieldNames.contains)
+    val missing = cols.filterNot(fieldNames.contains)
     if (missing.nonEmpty)
       throw new ValidationError(
         s"$SortOrderProperty names missing columns: ${missing.mkString(", ")}")

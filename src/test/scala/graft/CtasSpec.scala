@@ -121,4 +121,33 @@ class CtasSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zz"), e.getMessage)
     assert(!cat.tableExists("main", "bad"))
   }
+
+  test("CTAS applies a declared write sort-order from the first load") {
+    val cat = freshCatalog("gcso")
+    spark.sql("CREATE TABLE gcso.main.sorted " +
+      "TBLPROPERTIES ('graft.write.sort-order' = 'v') " +
+      "AS SELECT id, CAST((id * 48271) % 10000 AS BIGINT) AS v " +
+      "FROM RANGE(4000) DISTRIBUTE BY id % 8")
+    val t = cat.loadTable("main", "sorted")
+    val files = t.metadata.currentFiles.filter(_.stats.contains("v"))
+    // AQE may coalesce the tiny range shuffle to one task/file; when it
+    // leaves several, their v-ranges must be disjoint (the layout claim)
+    val ranges = files.map(f => (f.stats("v").min.get.toLong,
+      f.stats("v").max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"CTAS sorted files must not overlap: $ranges")
+      case _ => ()
+    }
+    assert(spark.sql("SELECT count(*) FROM gcso.main.sorted")
+      .collect()(0).getLong(0) == 4000L)
+    // a sort-order claim over a column the SELECT does not produce
+    // fails at stage time, atomically
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gcso.main.bad " +
+        "TBLPROPERTIES ('graft.write.sort-order' = 'nope') " +
+        "AS SELECT id FROM RANGE(3)"))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    assert(!cat.tableExists("main", "bad"))
+  }
 }
