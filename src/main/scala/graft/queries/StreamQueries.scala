@@ -245,7 +245,55 @@ object StreamQueries {
         |  'delete' AS _change_type
         |FROM orders WHERE o_orderkey % 2 = 0
         |  AND o_orderkey IN (SELECT o_orderkey FROM orders
-        |                     WHERE o_orderkey % 3 <> 0)""".stripMargin)))
+        |                     WHERE o_orderkey % 3 <> 0)""".stripMargin))),
+
+    // the s4 trickle-upsert template composed with write-path
+    // self-maintenance: streaming MoR upserts are EXACTLY the workload
+    // that accumulates a delete backlog (one delete file per micro-batch
+    // of re-emitted windows), so the table opts into
+    // graft.mor.auto-apply-deletes with a tight threshold and the stream
+    // pays its own backlog down inline — the entry asserts the resting
+    // backlog stays bounded AND at least one maintenance snapshot landed
+    // mid-stream, then returns the rollup (maintenance stays
+    // content-neutral under the streaming commit protocol)
+    "s8_stream_auto_maintain" -> ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 4) { iso =>
+        val cat = new GraftCatalog(iso,
+          Files.createTempDirectory("graft-s8-").toString)
+        val w = new graft.write.GraftWriter(cat)
+        val morCfg = WriteConfig(retryUnitMs = 10,
+          primaryKey = Seq("event_type", "event_day"), mergeOnRead = true)
+        // pre-create empty so the maintenance policy precedes the stream
+        val empty = graft.Tables.t(iso, dir, "events").limit(0)
+          .groupBy(col("event_type"), col("ts").cast("date").as("event_day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).cast("double").as("sum_value"))
+        w.writeTable("main", "daily_rollup", Seq(empty), Merge("upsert"),
+          morCfg, "l0")
+        cat.loadTable("main", "daily_rollup").commit(m => m.copy(properties =
+          m.properties
+            + (graft.write.Maintenance.AutoApplyDeletesProp -> "true")
+            + (graft.write.Maintenance.MaxDeleteFilesProp -> "2")), unitMs = 1)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val src = StreamingLoader.eventsChunkedStream(iso, dir, chunks = 8)
+        val q = loader.start(StreamingLoader.dailyRollup(src),
+          "main", "daily_rollup", disposition = Merge("upsert"),
+          cfg = morCfg, queryName = "s8",
+          checkpoint = Some(Files.createTempDirectory("graft-s8ck-").toString),
+          outputMode = Some("update"))
+        try q.awaitTermination() finally q.stop()
+        val tbl = cat.loadTable("main", "daily_rollup")
+        val backlog = graft.write.Maintenance.deleteBacklog(tbl)
+        require(backlog.deleteFileCount <= 2,
+          s"streaming auto-apply must bound the resting backlog: $backlog")
+        require(tbl.metadata.snapshots.exists(_.operation == "apply-deletes"),
+          "inline maintenance must have fired during the stream")
+        tbl.read()
+          .select(col("event_type"), col("event_day"), col("n"), col("sum_value"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
