@@ -176,28 +176,51 @@ final class GraftV2Table(
       }
 
     private var aggPushed = false
+    private var metaAgg: Option[(StructType, org.apache.spark.sql.Row)] = None
 
-    // aggregate pushdown must never reach the raw parquet scan under MoR
-    // (it would count logically-deleted rows)
+    // Aggregate pushdown, two tiers (and never under MoR — the raw data
+    // would count logically-deleted rows):
+    //  1. METADATA: a global, filter-free COUNT/MIN/MAX folds straight
+    //     out of snapshot stats ([[MetaAgg]]) — zero file IO, where the
+    //     parquet tier below still opens every footer (10⁵ files at
+    //     100 TB = 10⁵ reads);
+    //  2. PARQUET: delegate to the inner builder's footer-stats pushdown.
     override def pushAggregation(
-        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+      if (!hasDeletes && catalystFilters.isEmpty) {
+        metaAgg = MetaAgg.answer(aggregation, committedSchema, morFiles)
+        if (metaAgg.isDefined) { aggPushed = true; return true }
+      }
       inner match {
         case Some(p: SupportsPushDownAggregates) if !hasDeletes =>
           aggPushed = p.pushAggregation(aggregation)
           aggPushed
         case _ => false
       }
+    }
 
     override def supportCompletePushDown(
         aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-      inner match {
+      // the metadata tier answers in PARTIAL shape (one row Spark
+      // re-aggregates — cost-free and schema-exact), so never claim
+      // complete pushdown for it
+      if (metaAgg.isDefined) false
+      else inner match {
         case Some(p: SupportsPushDownAggregates) if !hasDeletes =>
           p.supportCompletePushDown(aggregation)
         case _ => false
       }
 
     override def build(): Scan =
-      if (!fileRequested) {
+      if (metaAgg.isDefined) {
+        // metadata-tier aggregate: one driver-local row, no file IO at
+        // all — the scan IS the answer
+        val (aggSchema, row) = metaAgg.get
+        GraftV2Table.v1ScanOf(aggSchema, ctx =>
+          ctx.sparkSession.createDataFrame(
+            java.util.Collections.singletonList(row), aggSchema),
+          desc = Some("graft-meta-agg")).build()
+      } else if (!fileRequested) {
         if (!hasDeletes) {
           val b = inner.get // always constructed on the clean path
           val scan = b.build()
@@ -487,13 +510,19 @@ object GraftV2Table {
     * in joins. */
   def v1ScanOf(outSchema: StructType,
       mkDf: SQLContext => org.apache.spark.sql.DataFrame,
-      stats: Option[org.apache.spark.sql.connector.read.Statistics] = None):
+      stats: Option[org.apache.spark.sql.connector.read.Statistics] = None,
+      desc: Option[String] = None):
       ScanBuilder = {
     trait Shim extends V1Scan {
+      // both: description() is the V2 API, toString is what
+      // RowDataSourceScanExec actually renders into the plan
+      override def description(): String = desc.getOrElse(this.getClass.getName)
+      override def toString: String = description()
       override def readSchema(): StructType = outSchema
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
         new BaseRelation with TableScan {
+          override def toString: String = desc.getOrElse(this.getClass.getName)
           override def sqlContext: SQLContext = context
           override def schema: StructType = outSchema
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =

@@ -1339,7 +1339,40 @@ object WriteQueries {
           .select(col("o_orderkey"), col("o_totalprice"))
       },
       s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
-         |WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin))
+         |WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin)),
+
+    // metadata-tier aggregate pushdown: a filter-free global
+    // COUNT/COUNT(col)/MIN/MAX over the V2 catalog answers from snapshot
+    // stats with ZERO file IO (the tier above parquet-footer pushdown —
+    // at 10⁵ files the footers alone are 10⁵ reads). The entry pins the
+    // graft-meta-agg scan in-plan, then the oracle pins the values
+    "w39_agg_pushdown" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-magg-").toString
+        s.conf.set("spark.sql.catalog.graft_magg",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_magg.warehouse", wh)
+        val w = new GraftWriter(new GraftCatalog(s, wh))
+        // two loads so the fold spans files from distinct snapshots
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir).filter(col("o_orderkey") % 2 === 1)), Append, cfg, "l1")
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir).filter(col("o_orderkey") % 2 === 0)), Append, cfg, "l2")
+        val q = s.sql("""SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+          |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+          |FROM graft_magg.main.orders_t""".stripMargin)
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("graft-meta-agg"),
+          s"global filter-free aggregate must answer from metadata:\n$plan")
+        require(!plan.toLowerCase.contains("parquet"),
+          s"metadata-tier aggregate must not touch a data file:\n$plan")
+        q
+      },
+      s"""SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+         |FROM ($targetSql)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

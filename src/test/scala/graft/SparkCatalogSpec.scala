@@ -644,4 +644,74 @@ class SparkCatalogSpec extends AnyFunSuite {
       Seq("id", "v", "late"))
     assert(cat.tableExists("main", "t"))
   }
+
+  test("metadata-tier aggregate pushdown: filter-free COUNT/MIN/MAX answer without file IO") {
+    val cat = freshCatalog("gagg")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "m",
+      Seq((1 to 500).map(i => (i.toLong, (i % 7).toDouble, s"s$i",
+        if (i % 10 == 0) None else Some(i * 2L)))
+        .toDF("id", "v", "name", "maybe")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    w.writeTable("main", "m",
+      Seq((501 to 800).map(i => (i.toLong, (i % 7).toDouble, s"s$i",
+        Some(i * 2L): Option[Long]))
+        .toDF("id", "v", "name", "maybe")),
+      Append, WriteConfig(retryUnitMs = 1), "l2")
+
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+
+    // COUNT(*), COUNT(col with nulls), MIN/MAX: one metadata row, zero
+    // file IO — the plan scans graft-meta-agg, never parquet
+    val q = "SELECT count(*) AS c, count(maybe) AS cm, min(id) AS mn, " +
+      "max(v) AS mx FROM gagg.main.m"
+    assert(planOf(q).contains("graft-meta-agg"), planOf(q))
+    val r = spark.sql(q).collect()(0)
+    assert(r.getLong(0) == 800L)
+    assert(r.getLong(1) == 750L) // 50 nulls in load 1
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 6.0)
+
+    // any filter disables the metadata tier (results unchanged)
+    val qf = "SELECT count(*) FROM gagg.main.m WHERE id <= 100"
+    assert(!planOf(qf).contains("graft-meta-agg"))
+    assert(spark.sql(qf).collect()(0).getLong(0) == 100L)
+
+    // GROUP BY disables it
+    val qg = "SELECT v, count(*) FROM gagg.main.m GROUP BY v"
+    assert(!planOf(qg).contains("graft-meta-agg"))
+
+    // string MIN/MAX never trusts footer stats (writer truncation)
+    val qs = "SELECT min(name) FROM gagg.main.m"
+    assert(!planOf(qs).contains("graft-meta-agg"))
+    assert(spark.sql(qs).collect()(0).getString(0) == "s1")
+
+    // outstanding MoR deletes disable it — and the count stays exact
+    val mor = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "mm",
+      Seq((1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "x")),
+      Append, mor, "l1")
+    w.writeTable("main", "mm", Seq(Seq((5L, 500L)).toDF("id", "x")),
+      Merge("upsert"), mor, "l2")
+    val qm = "SELECT count(*) AS c, max(x) AS mx FROM gagg.main.mm"
+    assert(!planOf(qm).contains("graft-meta-agg"))
+    val rm = spark.sql(qm).collect()(0)
+    assert(rm.getLong(0) == 100L && rm.getLong(1) == 500L)
+
+    // a schema-evolution straggler (old files lack the new column's
+    // stats) falls back for COUNT(newcol) yet stays correct
+    spark.sql("ALTER TABLE gagg.main.m ADD COLUMN extra BIGINT")
+    w.writeTable("main", "m",
+      Seq(Seq((801L, 1.0, "s801", Some(1602L): Option[Long], Some(9L)))
+        .toDF("id", "v", "name", "maybe", "extra")),
+      Append, WriteConfig(retryUnitMs = 1), "l3")
+    val qe = "SELECT count(extra) FROM gagg.main.m"
+    assert(!planOf(qe).contains("graft-meta-agg"))
+    assert(spark.sql(qe).collect()(0).getLong(0) == 1L)
+    // while COUNT(*) still answers from metadata after evolution
+    val qc = "SELECT count(*) FROM gagg.main.m"
+    assert(planOf(qc).contains("graft-meta-agg"))
+    assert(spark.sql(qc).collect()(0).getLong(0) == 801L)
+  }
 }
