@@ -458,6 +458,44 @@ object TextOps {
   def rollingFingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Zipf-law fit of the corpus vocabulary: least-squares slope of
+    * log(frequency) against log(rank) over the top `topRanks` terms —
+    * the standard corpus-health diagnostic (natural language sits near
+    * alpha ≈ 1; a slope collapsing toward 0 flags boilerplate/spam
+    * flooding, a steep one flags vocabulary collapse). Ranks tie-break
+    * on the term so the fit is deterministic across engines.
+    *
+    * Scale shape: one token explode + one hash-aggregate builds the
+    * frequency table; the rank window runs over the TOP-RANKS slice
+    * only after a frequency threshold computed from one small sort —
+    * never a global window over the full vocabulary. The regression
+    * itself reduces `topRanks` points to one row. */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+      topRanks: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .cache()
+    val nVocab = freq.agg(count(lit(1)).as("n_vocab"))
+    // cheap pre-cut: only terms that can make the top slice enter the
+    // rank window (orderBy limit is a TakeOrdered, not a global sort)
+    val cut = freq.orderBy(col("f").desc, col("w")).limit(topRanks)
+    val ranked = cut.select(col("f"),
+      row_number().over(Window.orderBy(col("f").desc, col("w"))).as("r"))
+    val pts = ranked.select(log(col("r").cast("double")).as("x"),
+      log(col("f").cast("double")).as("y"))
+    val fit = pts.agg(count(lit(1)).as("n_ranks"),
+      avg(col("x")).as("mx"), avg(col("y")).as("my"),
+      avg(col("x") * col("y")).as("mxy"), avg(col("x") * col("x")).as("mxx"))
+    nVocab.crossJoin(fit)
+      .select(col("n_vocab"), col("n_ranks"),
+        round(-(col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx")) + 1e-9, 4).as("zipf_alpha"),
+        round(col("my") - (col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx")) * col("mx") + 1e-9, 4)
+          .as("intercept"))
+  }
+
   /** Mergeable vocabulary-cardinality sketches: per-source Datasketches
     * HLL over distinct tokens (Spark-native `hll_sketch_agg`, lgK=`lgK`
     * → ~1% standard error at 14), then ONE `hll_union_agg` merge for

@@ -1107,7 +1107,29 @@ object LlmQueries {
         |UNION ALL
         |SELECT '__all__' AS source, CAST(COUNT(DISTINCT w) AS BIGINT),
         |  true AS sketch_ok
-        |FROM tok""".stripMargin)))
+        |FROM tok""".stripMargin))),
+
+    // Zipf-law slope of the vocabulary (corpus-health diagnostic):
+    // least-squares log(freq) ~ log(rank) over the top-1000 terms,
+    // rank ties broken on the term so both engines fit identical points
+    "l52_zipf_fit" -> ((
+      (s: SparkSession, dir: String) => TextOps.zipfFit(docs(s, dir)),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+        |ranked AS (SELECT f, row_number()
+        |    OVER (ORDER BY f DESC, w) AS r FROM freq
+        |  QUALIFY r <= 1000),
+        |pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+        |    ln(CAST(f AS DOUBLE)) AS y FROM ranked),
+        |fit AS (SELECT COUNT(*) AS n_ranks, avg(x) AS mx, avg(y) AS my,
+        |    avg(x*y) AS mxy, avg(x*x) AS mxx FROM pts)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM freq) AS n_vocab,
+        |  n_ranks,
+        |  round(-(mxy - mx*my) / (mxx - mx*mx) + 1e-9, 4) AS zipf_alpha,
+        |  round(my - (mxy - mx*my) / (mxx - mx*mx) * mx + 1e-9, 4)
+        |    AS intercept
+        |FROM fit""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

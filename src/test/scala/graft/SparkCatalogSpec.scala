@@ -713,5 +713,10 @@ class SparkCatalogSpec extends AnyFunSuite {
     val qc = "SELECT count(*) FROM gagg.main.m"
     assert(planOf(qc).contains("graft-meta-agg"))
     assert(spark.sql(qc).collect()(0).getLong(0) == 801L)
+
+    // time travel composes: VERSION AS OF folds THAT snapshot's stats
+    val qv = "SELECT count(*) FROM gagg.main.m VERSION AS OF 1"
+    assert(planOf(qv).contains("graft-meta-agg"), planOf(qv))
+    assert(spark.sql(qv).collect()(0).getLong(0) == 500L)
   }
 }
