@@ -176,7 +176,8 @@ final class GraftV2Table(
       }
 
     private var aggPushed = false
-    private var metaAgg: Option[(StructType, org.apache.spark.sql.Row)] = None
+    private var metaAgg:
+      Option[(StructType, Seq[org.apache.spark.sql.Row])] = None
 
     // Aggregate pushdown, two tiers (and never under MoR — the raw data
     // would count logically-deleted rows):
@@ -188,7 +189,8 @@ final class GraftV2Table(
     override def pushAggregation(
         aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
       if (!hasDeletes && catalystFilters.isEmpty) {
-        metaAgg = MetaAgg.answer(aggregation, committedSchema, morFiles)
+        metaAgg = MetaAgg.answer(aggregation, committedSchema, morFiles,
+          partitionSpec)
         if (metaAgg.isDefined) { aggPushed = true; return true }
       }
       inner match {
@@ -213,12 +215,12 @@ final class GraftV2Table(
 
     override def build(): Scan =
       if (metaAgg.isDefined) {
-        // metadata-tier aggregate: one driver-local row, no file IO at
-        // all — the scan IS the answer
-        val (aggSchema, row) = metaAgg.get
+        // metadata-tier aggregate: driver-local rows (one per group; one
+        // total for a global aggregate), no file IO at all — the scan IS
+        // the answer
+        val (aggSchema, rows) = metaAgg.get
         GraftV2Table.v1ScanOf(aggSchema, ctx =>
-          ctx.sparkSession.createDataFrame(
-            java.util.Collections.singletonList(row), aggSchema),
+          ctx.sparkSession.createDataFrame(rows.asJava, aggSchema),
           desc = Some("graft-meta-agg")).build()
       } else if (!fileRequested) {
         if (!hasDeletes) {

@@ -1372,7 +1372,38 @@ object WriteQueries {
       s"""SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
          |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
-         |FROM ($targetSql)""".stripMargin))
+         |FROM ($targetSql)""".stripMargin)),
+
+    // partition-level metadata aggregates (Iceberg's manifest answering,
+    // grouped form): GROUP BY an identity-partition column folds
+    // per-group COUNT/MIN/MAX from file stats — value-exact staging
+    // (one partition tuple per file) makes every file's group key a
+    // metadata fact, so the whole query is still zero file IO
+    "w40_agg_pushdown_grouped" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-magg2-").toString
+        s.conf.set("spark.sql.catalog.graft_magg2",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_magg2.warehouse", wh)
+        val w = new GraftWriter(new GraftCatalog(s, wh))
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append,
+          cfg.copy(partitions =
+            Seq(graft.partition.PartitionHint.identity("o_orderstatus"))), "l1")
+        val q = s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+          |FROM graft_magg2.main.orders_t
+          |GROUP BY o_orderstatus""".stripMargin)
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("graft-meta-agg"),
+          s"partition-grouped aggregate must answer from metadata:\n$plan")
+        require(!plan.toLowerCase.contains("parquet"),
+          s"metadata-tier aggregate must not touch a data file:\n$plan")
+        q
+      },
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM ($targetSql)
+         |GROUP BY o_orderstatus""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -718,5 +718,29 @@ class SparkCatalogSpec extends AnyFunSuite {
     val qv = "SELECT count(*) FROM gagg.main.m VERSION AS OF 1"
     assert(planOf(qv).contains("graft-meta-agg"), planOf(qv))
     assert(spark.sql(qv).collect()(0).getLong(0) == 500L)
+
+    // GROUP BY an identity-partition column answers per-group from
+    // metadata: value-exact staging makes each file's key a stats fact
+    w.writeTable("main", "p",
+      Seq((1 to 400).map(i => (i.toLong, s"g${i % 4}", i.toLong * 3))
+        .toDF("id", "grp", "v")),
+      Append, WriteConfig(retryUnitMs = 1,
+        partitions = Seq(graft.partition.PartitionHint.identity("grp"))), "l1")
+    val qp = "SELECT grp, count(*) AS n, min(v) AS mn, max(v) AS mx " +
+      "FROM gagg.main.p GROUP BY grp"
+    assert(planOf(qp).contains("graft-meta-agg"), planOf(qp))
+    val rp = spark.sql(qp).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(rp.keySet == Set("g0", "g1", "g2", "g3"))
+    (0 to 3).foreach { g =>
+      val ids = (1 to 400).filter(_ % 4 == g)
+      assert(rp(s"g$g") ==
+        ((ids.size.toLong, ids.min.toLong * 3, ids.max.toLong * 3)), s"g$g")
+    }
+    // grouping on a NON-partition column falls back and stays correct
+    val qn = "SELECT v % 2, count(*) FROM gagg.main.p GROUP BY v % 2"
+    assert(!planOf(qn).contains("graft-meta-agg"))
+    assert(spark.sql(qn).collect().map(_.getLong(1)).sum == 400L)
   }
 }
