@@ -81,16 +81,24 @@ class ModelCheckSpec extends AnyFunSuite {
             case 1 => Maintenance.expireSnapshots(t, keepLast = 2, retryUnitMs = 1)
             case 2 => Maintenance.applyDeletes(t, retryUnitMs = 1)
             case _ =>
-              // flip write-path self-maintenance (content-neutral): with
-              // the file threshold at 1, nearly every subsequent MoR
-              // commit triggers an inline apply mid-history
+              // flip write-path self-maintenance and/or a declared sort
+              // order (both content-neutral): with the file threshold at
+              // 1, nearly every subsequent MoR commit triggers an inline
+              // apply mid-history, and flipping sort-order mid-history
+              // mixes sorted and unsorted file layouts in one snapshot —
+              // readers must not care
               val on = rnd.nextBoolean()
-              t.commit(m => m.copy(properties =
-                if (on) m.properties +
-                  (Maintenance.AutoApplyDeletesProp -> "true") +
-                  (Maintenance.MaxDeleteFilesProp -> "1")
-                else m.properties - Maintenance.AutoApplyDeletesProp -
-                  Maintenance.MaxDeleteFilesProp), unitMs = 1)
+              val sortOn = rnd.nextBoolean()
+              t.commit(m => m.copy(properties = {
+                val p0 =
+                  if (on) m.properties +
+                    (Maintenance.AutoApplyDeletesProp -> "true") +
+                    (Maintenance.MaxDeleteFilesProp -> "1")
+                  else m.properties - Maintenance.AutoApplyDeletesProp -
+                    Maintenance.MaxDeleteFilesProp
+                if (sortOn) p0 + (GraftWriter.SortOrderProperty -> "id")
+                else p0 - GraftWriter.SortOrderProperty
+              }), unitMs = 1)
           }
         }
         // rollback to a recorded (snapshot, model) pair: time travel must

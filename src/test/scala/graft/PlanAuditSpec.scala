@@ -185,6 +185,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"duplicate-tail filter (occ > 1) must survive into the plan:\n$p")
   }
 
+  test("round-10 entries keep scale-shaped plans") {
+    // Zipf fit: the rank window runs over a TakeOrdered top-k slice,
+    // never a global sort of the whole vocabulary
+    val p52 = plan("l52_zipf_fit")
+    assert(p52.contains("TakeOrderedAndProject"),
+      s"zipf top-ranks cut must be a TakeOrdered, got:\n$p52")
+    assert(!p52.contains("CartesianProduct"), p52)
+    // HLL sketches: per-source partial aggregation (ObjectHashAggregate
+    // carries the sketch buffers map-side); the only nested-loop join is
+    // the 1-row x 1-row global-audit crossJoin
+    val p51 = plan("l51_hll_cardinality")
+    assert(p51.contains("ObjectHashAggregate"),
+      s"sketch aggregation must be an object hash aggregate:\n$p51")
+    assert(p51.split("BroadcastNestedLoopJoin").length <= 2,
+      s"only the single-row audit crossJoin may nest loops:\n$p51")
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
