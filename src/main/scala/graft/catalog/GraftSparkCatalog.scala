@@ -129,7 +129,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val posDeletes = snap.map(_.posDeletes).getOrElse(Nil)
     new GraftV2Table(nsOf(ident), ident.name(), cat,
       asV2(ident, m, files, schema), schema, files, deletes, posDeletes,
-      m.properties, m.partitionSpec)
+      m.properties, m.partitionSpec,
+      rebuildReader = fs => asV2(ident, m, fs, schema))
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -37,7 +37,11 @@ final class GraftV2Table(
     morDeletes: Seq[DeleteFile] = Nil,
     morPosDeletes: Seq[PosDeleteFile] = Nil,
     tableProperties: Map[String, String] = Map.empty,
-    partitionSpec: Seq[PartitionFieldSpec] = Nil)
+    partitionSpec: Seq[PartitionFieldSpec] = Nil,
+    // rebuilds the inner parquet reader over a FILE SUBSET — the hook
+    // limit pushdown needs to plan a `LIMIT n` over the first files
+    // whose metadata row counts cover n, instead of all 10⁵ of them
+    rebuildReader: Seq[DataFile] => Table = null)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -117,7 +121,8 @@ final class GraftV2Table(
   private final class FileAwareScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
     private val hasDeletes = morDeletes.nonEmpty || morPosDeletes.nonEmpty
     // Under MoR the parquet builder is still constructed when the table
@@ -178,6 +183,44 @@ final class GraftV2Table(
     private var aggPushed = false
     private var metaAgg:
       Option[(StructType, Seq[org.apache.spark.sql.Row])] = None
+    private var pushedLimit: Option[Int] = None
+
+    // LIMIT pushdown, metadata form: a bare `LIMIT n` (no filters — a
+    // filter could eliminate every row in the chosen files, returning
+    // fewer than n; no MoR deletes — same reason) needs only the FIRST
+    // files whose snapshot row counts cover n. Partial pushdown: Spark
+    // keeps its limit operator above the narrowed scan, so correctness
+    // never depends on the subset arithmetic.
+    override def pushLimit(n: Int): Boolean = {
+      if (hasDeletes || catalystFilters.nonEmpty || rebuildReader == null ||
+          n < 0) return false
+      pushedLimit = Some(n)
+      true
+    }
+    override def isPartiallyPushed(): Boolean = true
+
+    /** The narrowed scan for a pushed limit: a fresh parquet reader over
+      * the file-count prefix that covers n rows, column pruning
+      * re-applied. None when the limit spans (nearly) the whole table —
+      * the normal scan (with its SPJ/CBO reporting) is better then.
+      * Evaluated at build() time, after pruning and limit pushes. */
+    private lazy val limitedScan: Option[Scan] =
+      pushedLimit.filter(_ => !fileRequested && !aggPushed).flatMap { n =>
+        var acc = 0L
+        val subset = morFiles.takeWhile { f =>
+          val need = acc < n; acc += f.rowCount; need
+        }
+        if (subset.size >= morFiles.size) None
+        else {
+          val b2 = rebuildReader(subset).asInstanceOf[SupportsRead]
+            .newScanBuilder(options)
+          required.foreach(r => b2 match {
+            case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
+            case _ => ()
+          })
+          Some(b2.build())
+        }
+      }
 
     // Aggregate pushdown, two tiers (and never under MoR — the raw data
     // would count logically-deleted rows):
@@ -222,6 +265,8 @@ final class GraftV2Table(
         GraftV2Table.v1ScanOf(aggSchema, ctx =>
           ctx.sparkSession.createDataFrame(rows.asJava, aggSchema),
           desc = Some("graft-meta-agg")).build()
+      } else if (limitedScan.isDefined) {
+        limitedScan.get
       } else if (!fileRequested) {
         if (!hasDeletes) {
           val b = inner.get // always constructed on the clean path

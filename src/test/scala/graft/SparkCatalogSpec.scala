@@ -743,4 +743,49 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(!planOf(qn).contains("graft-meta-agg"))
     assert(spark.sql(qn).collect().map(_.getLong(1)).sum == 400L)
   }
+
+  test("limit pushdown narrows the scan to the file prefix that covers n rows") {
+    val cat = freshCatalog("glim")
+    val w = new GraftWriter(cat)
+    // ten 100-row files via the record bound
+    w.writeTable("main", "t",
+      Seq((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)),
+      Append, WriteConfig(retryUnitMs = 1, maxRecordsPerFile = 100L), "l1")
+    val total = cat.loadTable("main", "t").metadata.currentFiles.size
+    assert(total >= 8, s"need a multi-file table, got $total")
+    // DataFrame.inputFiles is blind to DSv2 scans: read the planned
+    // file set off the BatchScanExec's file index instead
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+            case _ => -1
+          }
+      }.headOption.getOrElse(-1)
+    val limited = spark.sql("SELECT * FROM glim.main.t LIMIT 30")
+    val nLim = scannedFiles(limited)
+    assert(nLim > 0 && nLim < total,
+      s"LIMIT 30 must plan a file-prefix scan, planned $nLim of $total")
+    assert(limited.count() == 30L, "the limit itself stays exact")
+    // a filter disables the file-prefix cut (the chosen files might not
+    // contain n matching rows) — result count still exact
+    val filtered = spark.sql("SELECT * FROM glim.main.t WHERE id > 950 LIMIT 30")
+    assert(scannedFiles(filtered) == total,
+      s"a filtered limit must keep the full scan, got ${scannedFiles(filtered)}")
+    assert(filtered.count() == 30L)
+    // MoR deletes disable it too
+    val mor = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true)
+    w.writeTable("main", "tm",
+      Seq((1 to 300).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)),
+      Append, mor.copy(maxRecordsPerFile = 100L), "l1")
+    w.writeTable("main", "tm", Seq(Seq((7L, "upd")).toDF("id", "v")),
+      Merge("upsert"), mor, "l2")
+    val morLim = spark.sql("SELECT * FROM glim.main.tm LIMIT 10")
+    assert(morLim.count() == 10L)
+    assert(spark.sql("SELECT v FROM glim.main.tm WHERE id = 7")
+      .collect()(0).getString(0) == "upd")
+  }
 }
