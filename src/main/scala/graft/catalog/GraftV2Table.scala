@@ -122,7 +122,8 @@ final class GraftV2Table(
     extends ScanBuilder with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
       with SupportsPushDownAggregates
-      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
     private val hasDeletes = morDeletes.nonEmpty || morPosDeletes.nonEmpty
     // Under MoR the parquet builder is still constructed when the table
@@ -199,28 +200,85 @@ final class GraftV2Table(
     }
     override def isPartiallyPushed(): Boolean = true
 
-    /** The narrowed scan for a pushed limit: a fresh parquet reader over
-      * the file-count prefix that covers n rows, column pruning
-      * re-applied. None when the limit spans (nearly) the whole table —
-      * the normal scan (with its SPJ/CBO reporting) is better then.
-      * Evaluated at build() time, after pruning and limit pushes. */
-    private lazy val limitedScan: Option[Scan] =
-      pushedLimit.filter(_ => !fileRequested && !aggPushed).flatMap { n =>
-        var acc = 0L
-        val subset = morFiles.takeWhile { f =>
-          val need = acc < n; acc += f.rowCount; need
-        }
-        if (subset.size >= morFiles.size) None
-        else {
-          val b2 = rebuildReader(subset).asInstanceOf[SupportsRead]
+    // TopN pushdown, the sort-order payoff: `ORDER BY key [, tiebreak…]
+    // LIMIT k` on a table whose files cover STRICTLY disjoint ranges of
+    // the lead sort key (declared write sort-order produces exactly this
+    // layout) needs only the file prefix, in key order, that covers k
+    // rows past a strict range gap — every excluded row is then strictly
+    // greater (asc) on the lead key than every planned row, so the
+    // global top-k is inside the prefix REGARDLESS of tiebreak columns.
+    // Spark keeps its sort+limit above the narrowed scan (partial push).
+    // Refused whenever the proof doesn't hold from stats: filters or MoR
+    // deletes outstanding, any nulls in the key column (asc sorts them
+    // first), missing bounds, or no strict gap early enough to help.
+    override def pushTopN(
+        orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+        n: Int): Boolean = {
+      import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+      if (hasDeletes || catalystFilters.nonEmpty || rebuildReader == null ||
+          n < 0 || orders.isEmpty) return false
+      val lead = orders(0)
+      val name = lead.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          nr.fieldNames()(0)
+        case _ => return false
+      }
+      if (!committedSchema.fieldNames.contains(name)) return false
+      val dt = committedSchema(name).dataType
+      val asc = lead.direction() == SortDirection.ASCENDING
+      // every file needs exact bounds and a proven absence of nulls
+      val statted = morFiles.map(f => f.stats.get(name) match {
+        case Some(cs) if cs.min.isDefined && cs.max.isDefined &&
+            cs.nullCount.contains(0L) => Some((f, cs.min.get, cs.max.get))
+        case _ => None
+      })
+      if (statted.exists(_.isEmpty)) return false
+      val inKeyOrder = statted.flatten.sortWith { case ((_, aMin, aMax), (_, bMin, bMax)) =>
+        if (asc) StatCompare.compare(dt, aMin, bMin) < 0
+        else StatCompare.compare(dt, aMax, bMax) > 0
+      }
+      // walk until coverage >= n AND the next file sits past a STRICT gap
+      var acc = 0L
+      var cut = -1
+      var i = 0
+      while (i < inKeyOrder.size - 1 && cut < 0) {
+        acc += inKeyOrder(i)._1.rowCount
+        val strictGap =
+          if (asc) StatCompare.compare(dt, inKeyOrder(i)._3, inKeyOrder(i + 1)._2) < 0
+          else StatCompare.compare(dt, inKeyOrder(i)._2, inKeyOrder(i + 1)._3) > 0
+        if (acc >= n && strictGap) cut = i
+        i += 1
+      }
+      if (cut < 0) return false // never a useful strict gap: full scan
+      topNFiles = Some(inKeyOrder.take(cut + 1).map(_._1))
+      true
+    }
+    private var topNFiles: Option[Seq[DataFile]] = None
+
+    /** The narrowed scan for a pushed limit/TopN: a fresh parquet reader
+      * over the covering file prefix, column pruning re-applied. None
+      * when the prefix spans (nearly) the whole table — the normal scan
+      * (with its SPJ/CBO reporting) is better then. Evaluated at
+      * build() time, after pruning and limit pushes. */
+    private lazy val limitedScan: Option[Scan] = {
+      val subset: Option[Seq[DataFile]] = topNFiles.orElse(
+        pushedLimit.map { n =>
+          var acc = 0L
+          morFiles.takeWhile { f =>
+            val need = acc < n; acc += f.rowCount; need
+          }
+        })
+      subset.filter(_ => !fileRequested && !aggPushed)
+        .filter(_.size < morFiles.size).map { fs =>
+          val b2 = rebuildReader(fs).asInstanceOf[SupportsRead]
             .newScanBuilder(options)
           required.foreach(r => b2 match {
             case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
             case _ => ()
           })
-          Some(b2.build())
+          b2.build()
         }
-      }
+    }
 
     // Aggregate pushdown, two tiers (and never under MoR — the raw data
     // would count logically-deleted rows):

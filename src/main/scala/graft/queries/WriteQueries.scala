@@ -1403,7 +1403,50 @@ object WriteQueries {
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM ($targetSql)
-         |GROUP BY o_orderstatus""".stripMargin))
+         |GROUP BY o_orderstatus""".stripMargin)),
+
+    // TopN pushdown — the declared-sort-order payoff: ORDER BY the sort
+    // key LIMIT k plans only the file prefix, in key order, covering k
+    // rows past a strict range gap (every excluded row is then strictly
+    // greater on the lead key, so the global top-k sits inside the
+    // prefix regardless of tiebreak columns). The entry asserts the
+    // prefix cut in-plan and returns the exact top-50
+    "w41_topn_pushdown" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-topn-").toString
+        s.conf.set("spark.sql.catalog.graft_topn",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_topn.warehouse", wh)
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        val noPk = WriteConfig(retryUnitMs = 10)
+        w.writeTable("main", "orders_t", Seq(target(s, dir).limit(0)),
+          Append, noPk, "l0")
+        cat.loadTable("main", "orders_t").commit(m => m.copy(properties =
+          m.properties
+            + (GraftWriter.SortOrderProperty -> "o_totalprice")), unitMs = 1)
+        val n = target(s, dir).count()
+        w.writeTable("main", "orders_t", Seq(target(s, dir).repartition(8)),
+          Append, noPk.copy(maxRecordsPerFile = math.max(1L, n / 6L)), "l1")
+        val total = cat.loadTable("main", "orders_t").metadata
+          .currentFiles.size
+        val q = s.sql("""SELECT o_orderkey, o_totalprice
+          |FROM graft_topn.main.orders_t
+          |ORDER BY o_totalprice, o_orderkey LIMIT 50""".stripMargin)
+        val planned = q.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+                f.fileIndex.inputFiles.length
+              case _ => -1
+            }
+        }.headOption.getOrElse(-1)
+        require(planned > 0 && planned < total,
+          s"TopN must plan a sort-key file prefix, planned $planned of $total")
+        q
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |ORDER BY o_totalprice, o_orderkey LIMIT 50""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
