@@ -845,6 +845,40 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(topU.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expect)
   }
 
+  test("TopN pushdown fuzz: random layouts, directions, and limits always match the full sort") {
+    // heavy score ties + random file sizes + a random sort-order flag
+    // stress the strict-gap cut from every side; the full in-memory sort
+    // is the oracle. Covers prefix cuts landing early, late, and nowhere.
+    val cat = freshCatalog("gtopf")
+    val w = new GraftWriter(cat)
+    val rnd = new scala.util.Random(7)
+    (0 until 6).foreach { t =>
+      val n = 300 + rnd.nextInt(700)
+      val rows = (1 to n).map(i =>
+        ((i * 2654435761L) % 10007L, rnd.nextInt(40).toLong))
+      val sorted = rnd.nextBoolean()
+      val name = s"f$t"
+      w.writeTable("main", name,
+        Seq(Seq((0L, 0L)).toDF("id", "score").limit(0)), Append,
+        WriteConfig(retryUnitMs = 1), "l0")
+      if (sorted) cat.loadTable("main", name).commit(m => m.copy(properties =
+        m.properties + (GraftWriter.SortOrderProperty -> "score")), unitMs = 1)
+      w.writeTable("main", name,
+        Seq(rows.toDF("id", "score").repartition(1 + rnd.nextInt(6))), Append,
+        WriteConfig(retryUnitMs = 1,
+          maxRecordsPerFile = (20 + rnd.nextInt(200)).toLong), "l1")
+      val k = 1 + rnd.nextInt(80)
+      val desc = rnd.nextBoolean()
+      val dir = if (desc) " DESC" else ""
+      val got = spark.sql(s"SELECT id, score FROM gtopf.main.$name " +
+          s"ORDER BY score$dir, id LIMIT $k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val exp = (if (desc) rows.sortBy { case (i, s) => (-s, i) }
+        else rows.sortBy { case (i, s) => (s, i) }).take(k)
+      assert(got == exp, s"trial $t sorted=$sorted k=$k desc=$desc")
+    }
+  }
+
   private implicit class InRange(n: Int) {
     def in(r: Range): Boolean = r.contains(n)
   }
