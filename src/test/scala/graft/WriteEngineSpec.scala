@@ -553,4 +553,39 @@ class WriteEngineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("sort-order composes with partitioning: rows sort WITHIN each value-exact file") {
+    // partitioned tables keep their value-exact file-per-tuple layout;
+    // the declared order applies INSIDE each file, which is what makes
+    // parquet row-group/page stats on the sort column tight (the scale
+    // payoff when the partition already bounds the file)
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "ps", Seq(users((0L, "seed", 0L))), Append,
+      fastCfg.copy(partitions =
+        Seq(graft.partition.PartitionHint.identity("username"))), "l0")
+    cat.loadTable("main", "ps").commit(m => m.copy(properties =
+      m.properties + (GraftWriter.SortOrderProperty -> "score")), unitMs = 1)
+    val jumbled = (1L to 900L)
+      .map(i => (i, s"grp${i % 3}", (i * 48271L) % 7919L))
+      .toDF("user_id", "username", "score").repartition(8)
+    w.writeTable("main", "ps", Seq(jumbled), Append, fastCfg.copy(partitions =
+      Seq(graft.partition.PartitionHint.identity("username"))), "l1")
+    val t = cat.loadTable("main", "ps")
+    val files = t.metadata.currentFiles.filter(_.rowCount > 1)
+    assert(files.size >= 3, s"one file per username tuple, got ${files.size}")
+    files.foreach { f =>
+      val scores = spark.read.parquet(f.path).select("score")
+        .collect().map(_.getLong(0)).toSeq
+      assert(scores == scores.sorted,
+        s"rows inside ${f.path} must arrive in sort order")
+    }
+    // still value-exact: each file holds exactly one username
+    files.foreach { f =>
+      val names = spark.read.parquet(f.path).select("username")
+        .distinct().collect()
+      assert(names.length == 1, s"${f.path} must hold one partition tuple")
+    }
+    assert(t.read().count() == 901L)
+  }
 }
