@@ -113,11 +113,22 @@ object Maintenance {
     // compacted files get a fresh data sequence, which puts them out of
     // those deletes' reach; copying deleted rows verbatim would resurrect
     // them
-    val df = graft.catalog.MorRead.applyDeletes(t.spark,
-        t.spark.read.schema(m.schema).parquet(small.map(_.path): _*),
-        small, m.currentSnapshot.map(_.deletes).getOrElse(Nil),
-        m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
-      .coalesce(numOut)
+    val applied = graft.catalog.MorRead.applyDeletes(t.spark,
+      t.spark.read.schema(m.schema).parquet(small.map(_.path): _*),
+      small, m.currentSnapshot.map(_.deletes).getOrElse(Nil),
+      m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
+    // a declared write sort-order survives compaction: re-cluster the
+    // restaged rows instead of blindly coalescing, so the disjoint
+    // key-range layout that TopN/min-max pruning rely on is restored
+    // rather than destroyed by maintenance
+    val sortCols = GraftWriter.sortOrder(m.properties, m.schema.fieldNames)
+    val df =
+      if (sortCols.isEmpty) applied.coalesce(numOut)
+      else applied
+        .repartitionByRange(numOut, sortCols.map(org.apache.spark.sql
+          .functions.col): _*)
+        .sortWithinPartitions(sortCols.map(org.apache.spark.sql
+          .functions.col): _*)
     // rebuild table-property bloom stats: compacted files must keep the
     // membership filters or point lookups degrade to full scans
     val staged = Stager.stage(df, t.dataDir, "compact", m.partitionSpec,

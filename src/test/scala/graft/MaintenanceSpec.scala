@@ -415,6 +415,42 @@ class MaintenanceSpec extends AnyFunSuite {
       s"default-off: the backlog must accumulate untouched: $rn")
   }
 
+  test("compaction restores a declared sort-order layout instead of destroying it") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "cs", Seq(Seq((0L, 0L)).toDF("id", "score").limit(0)),
+      Append, cfg, "l0")
+    cat.loadTable("main", "cs").commit(m => m.copy(properties =
+      m.properties + (GraftWriter.SortOrderProperty -> "score")), unitMs = 1)
+    // many small loads: each is range-clustered internally, but files
+    // from DIFFERENT loads overlap — compaction must merge them back
+    // into globally disjoint key ranges
+    (0 until 6).foreach { b =>
+      w.writeTable("main", "cs",
+        Seq((1L to 200L).map(i => (b * 1000L + i, (i * 48271L + b) % 7919L))
+          .toDF("id", "score")),
+        Append, cfg, s"l$b")
+    }
+    val before = cat.loadTable("main", "cs").read().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Maintenance.compact(cat.loadTable("main", "cs"),
+      smallFileBytes = 1L << 30, targetFileBytes = 3L << 10, retryUnitMs = 1))
+    val t = cat.loadTable("main", "cs")
+    // content-neutral
+    assert(t.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == before)
+    // and re-clustered: compacted files cover disjoint score ranges again
+    val files = t.metadata.currentFiles.filter(_.rowCount > 1)
+    assert(files.size >= 2, s"want multiple compacted files, got ${files.size}")
+    val ranges = files.map(f => (f.stats("score").min.get.toLong,
+      f.stats("score").max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"compacted sorted files must not overlap: $ranges")
+      case _ => ()
+    }
+  }
+
   test("auto-apply under concurrent writers: best-effort maintenance never loses an upsert") {
     // four writers trickle MoR upserts into ONE opted-in table with a
     // tight threshold, so inline apply-deletes commits race the other
