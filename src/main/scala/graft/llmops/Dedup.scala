@@ -289,6 +289,40 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
   }
 
+  /** Overlap-coefficient (containment) near-dup pairs: |A∩B| / min(|A|,|B|)
+    * over n-gram shingle sets — the MassiveText-style complement to
+    * [[ngramJaccardPairs]]. Jaccard dilutes when one document nearly
+    * CONTAINS another (page = article + boilerplate wrapper: the union
+    * grows with the wrapper, J drops below threshold while the smaller
+    * doc is wholly duplicated); the overlap coefficient normalizes by
+    * the smaller set, so near-supersets surface at their true
+    * containment. Same candidate generation as Jaccard (shingle
+    * equality self-join — only documents sharing a shingle ever meet;
+    * `maxShingleFreq` caps hot boilerplate shingles), so the cost shape
+    * and the 100-TB answer are identical to l6/l18's. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+      textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = maxShingleFreq.fold(hashedShingles(docs, n, textCol)) { cap =>
+      val sh0 = hashedShingles(docs, n, textCol).cache()
+      val rare = sh0.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("g")
+      sh0.join(rare, "g")
+    }.cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = sh.as("x").join(sh.as("y"), col("x.g") === col("y.g") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("sza"), col("szb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"),
+        round(col("containment") + 1e-9, 4).as("containment"))
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup CLUSTERS (the canonical survivor
     * of a cluster is its min doc id). Deterministic; the DuckDB oracle

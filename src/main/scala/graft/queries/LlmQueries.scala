@@ -1129,7 +1129,30 @@ object LlmQueries {
         |  round(-(mxy - mx*my) / (mxx - mx*mx) + 1e-9, 4) AS zipf_alpha,
         |  round(my - (mxy - mx*my) / (mxx - mx*mx) * mx + 1e-9, 4)
         |    AS intercept
-        |FROM fit""".stripMargin)))
+        |FROM fit""".stripMargin))),
+
+    // overlap-coefficient (containment) near-dups — the MassiveText
+    // complement to Jaccard (l6): one doc nearly CONTAINING another
+    // surfaces at its true containment even when the union-diluted
+    // Jaccard stays under threshold. Threshold 0.6 on the planted corpus
+    // catches pairs Jaccard@0.5 also sees AND asymmetric near-supersets
+    "l53_containment" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.6),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
+        |  FROM s),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+        |SELECT p.a, p.b,
+        |  round(shared * 1.0 / least(sa.sz, sb.sz) + 1e-9, 4) AS containment
+        |FROM pairs p
+        |JOIN sizes sa ON p.a = sa.doc_id
+        |JOIN sizes sb ON p.b = sb.doc_id
+        |WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.6""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

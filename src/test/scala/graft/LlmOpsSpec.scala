@@ -418,6 +418,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs surface near-supersets that Jaccard dilutes away") {
+    // doc 2 = doc 1 + a large boilerplate wrapper: the union grows with
+    // the wrapper so Jaccard falls under 0.5, while the smaller doc's
+    // shingles are fully contained
+    val core = (1 to 20).map(i => s"c$i").mkString(" ")
+    val wrap = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, core), (2L, s"$wrap $core"), (3L, "x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val j = Dedup.ngramJaccardPairs(d, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)),
+      "the wrapper must dilute Jaccard under threshold for this pin to mean anything")
+    val c = Dedup.containmentPairs(d, 3, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(c.contains((1L, 2L)),
+      s"full containment must surface the near-superset pair: $c")
+    assert(c((1L, 2L)) >= 0.99, s"doc 1 is wholly contained: ${c((1L, 2L))}")
+    assert(!c.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated docs must not pair")
+  }
+
   test("HLL cardinality sketches: merged estimate within tolerance, exact counts consistent") {
     val out = TextOps.cardinalitySketch(docs)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
