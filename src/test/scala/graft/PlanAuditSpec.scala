@@ -192,6 +192,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p52.contains("TakeOrderedAndProject"),
       s"zipf top-ranks cut must be a TakeOrdered, got:\n$p52")
     assert(!p52.contains("CartesianProduct"), p52)
+    // containment pairs: same candidate discipline as the Jaccard family
+    // — keyed shingle join, never cartesian
+    val p53 = plan("l53_containment")
+    assert(!p53.contains("CartesianProduct") &&
+      !p53.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must come from the keyed shingle join:\n$p53")
     // HLL sketches: per-source partial aggregation (ObjectHashAggregate
     // carries the sketch buffers map-side); the only nested-loop join is
     // the 1-row x 1-row global-audit crossJoin
