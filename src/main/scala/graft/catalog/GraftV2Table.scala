@@ -164,6 +164,17 @@ final class GraftV2Table(
         filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
         Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
       catalystFilters = filters
+      // Identity-partition-key-only predicates over a fully value-exact
+      // file set are applied EXACTLY by whole-file selection (a file is
+      // wholly in or wholly out, because every row in it carries THE
+      // key tuple) — claim them with an empty residual, so Spark drops
+      // its Filter node and filter-free plan forms (metadata aggregate
+      // pushdown above all) sit directly on the scan. Refused whenever
+      // any file is undecidable or any predicate strays off the keys.
+      if (filters.nonEmpty && !hasDeletes && rebuildReader != null) {
+        claimedFiles = metaFilteredFiles()
+        if (claimedFiles.isDefined) return Nil
+      }
       inner match {
         case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
             if !hasDeletes || morCanPush =>
@@ -171,6 +182,7 @@ final class GraftV2Table(
         case _ => filters // V1/positional-MoR modes: all residual
       }
     }
+    private var claimedFiles: Option[Seq[DataFile]] = None
 
     override def pushedFilters:
         Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -184,6 +196,62 @@ final class GraftV2Table(
     private var aggPushed = false
     private var metaAgg:
       Option[(StructType, Seq[org.apache.spark.sql.Row])] = None
+
+    /** The file set a metadata-tier aggregate may fold over, after
+      * applying any pushed filters AT THE FILE LEVEL — Some(files) when
+      * that application is provably exact, None to fall back to the
+      * parquet tier. No filters → all files. Otherwise every filter
+      * must be deterministic, subquery-free, and reference ONLY
+      * identity-partition source columns; value-exact staging then
+      * makes each file's key tuple a metadata fact, so evaluating the
+      * predicate once per file against the decoded keys selects exactly
+      * the matching rows (a file is wholly in or wholly out — the
+      * filtered form of Iceberg's manifest answering; an all-null key
+      * evaluates to null → excluded, matching WHERE semantics). */
+    private def metaFilteredFiles(): Option[Seq[DataFile]] = {
+      if (catalystFilters.isEmpty) return Some(morFiles)
+      import org.apache.spark.sql.catalyst.expressions._
+      val keyCols = partitionSpec.filter(_.transform == "identity")
+        .map(_.source).filter(committedSchema.fieldNames.contains).toSet
+      val refs = catalystFilters.flatMap(_.references.toSeq.map(_.name)).toSet
+      if (!catalystFilters.forall(_.deterministic) ||
+          !refs.subsetOf(keyCols) ||
+          catalystFilters.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
+        return None
+      val attrs: Seq[Attribute] =
+        catalystFilters.flatMap(_.references.toSeq).distinctBy(_.exprId)
+      if (!attrs.forall(a => MetaAgg.keyDecodable(a.dataType))) return None
+      val pred = Predicate.create(
+        catalystFilters.reduce(And), attrs)
+      val converters = attrs.map(a =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(a.dataType))
+      // per-file single-valued key or provably all-null, else refuse
+      val decided = morFiles.map { f =>
+        val key: Seq[Option[Option[Any]]] = attrs.map { a =>
+          f.stats.get(a.name) match {
+            case Some(cs) => (cs.min, cs.max) match {
+              case (Some(x), Some(y)) if x == y && cs.nullCount.contains(0L) =>
+                Some(Some(MetaAgg.decodeStat(a.dataType, x)))
+              case (None, None) if cs.nullCount.contains(f.rowCount) =>
+                Some(None)
+              case _ => None
+            }
+            case _ => None
+          }
+        }
+        if (key.exists(_.isEmpty)) None
+        else {
+          val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            key.flatten.zip(converters).map { case (v, conv) =>
+              v.map(conv).orNull
+            })
+          Some((f, pred.eval(row)))
+        }
+      }
+      if (decided.exists(_.isEmpty)) None
+      else Some(decided.flatten.collect { case (f, true) => f })
+    }
     private var pushedLimit: Option[Int] = None
 
     // LIMIT pushdown, metadata form: a bare `LIMIT n` (no filters — a
@@ -289,10 +357,16 @@ final class GraftV2Table(
     //  2. PARQUET: delegate to the inner builder's footer-stats pushdown.
     override def pushAggregation(
         aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-      if (!hasDeletes && catalystFilters.isEmpty) {
-        metaAgg = MetaAgg.answer(aggregation, committedSchema, morFiles,
-          partitionSpec)
-        if (metaAgg.isDefined) { aggPushed = true; return true }
+      if (!hasDeletes) {
+        // over the claimed (exactly file-filtered) set when filters were
+        // claimed; over everything when there were none
+        val foldable =
+          if (catalystFilters.isEmpty) Some(morFiles) else claimedFiles
+        foldable.foreach { fs =>
+          metaAgg = MetaAgg.answer(aggregation, committedSchema, fs,
+            partitionSpec)
+          if (metaAgg.isDefined) { aggPushed = true; return true }
+        }
       }
       inner match {
         case Some(p: SupportsPushDownAggregates) if !hasDeletes =>
@@ -325,6 +399,34 @@ final class GraftV2Table(
           desc = Some("graft-meta-agg")).build()
       } else if (limitedScan.isDefined) {
         limitedScan.get
+      } else if (claimedFiles.isDefined && !fileRequested) {
+        // claimed identity-key filters: the predicate IS the file
+        // selection — a pruned scan over exactly the matching files.
+        // SPJ/CBO reports carry over the SUBSET (each surviving file is
+        // still value-exact, so the key-grouped report stays truthful —
+        // an SPJ join filtered on its partition key must not lose its
+        // shuffle-free plan to the claim)
+        val fs = claimedFiles.get
+        val b2 = rebuildReader(fs).asInstanceOf[SupportsRead]
+          .newScanBuilder(options)
+        required.foreach(r => b2 match {
+          case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
+          case _ => ()
+        })
+        val scan2 = b2.build()
+        val conf = org.apache.spark.sql.internal.SQLConf.get
+        val cbo =
+          if (conf.cboEnabled)
+            Some(ColumnStatsSupport.columnStats(
+              committedSchema, tableProperties, fs)).filter(!_.isEmpty)
+          else None
+        val spj =
+          if (conf.v2BucketingEnabled)
+            SpjScan.wrap(scan2, partitionSpec, committedSchema, fs, cbo)
+          else scan2
+        if ((spj eq scan2) && cbo.isDefined)
+          ColStatsScan(scan2, cbo.get, fs.map(_.rowCount).sum)
+        else spj
       } else if (!fileRequested) {
         if (!hasDeletes) {
           val b = inner.get // always constructed on the clean path

@@ -53,7 +53,13 @@ object MetaAgg {
     case _ => false
   }
 
-  private def decode(dt: DataType, s: String): Any = dt match {
+  /** Key-decodable types: everything [[decodeStat]] handles — the
+    * group/filter-key admission rule (ordered-bound use additionally
+    * requires [[minMaxSupported]]). */
+  def keyDecodable(dt: DataType): Boolean =
+    dt == StringType || minMaxSupported(dt)
+
+  def decodeStat(dt: DataType, s: String): Any = dt match {
     case StringType => s
     case ByteType => s.toByte
     case ShortType => s.toShort
@@ -103,7 +109,7 @@ object MetaAgg {
       f.stats.get(name) match {
         case Some(cs) => (cs.min, cs.max) match {
           case (Some(a), Some(b)) if a == b && cs.nullCount.contains(0L) =>
-            Some(Some(decode(schema(name).dataType, a)))
+            Some(Some(decodeStat(schema(name).dataType, a)))
           case (None, None) if cs.nullCount.contains(f.rowCount) =>
             Some(None)
           case _ => None
@@ -155,7 +161,7 @@ object MetaAgg {
           val c = StatCompare.compare(dt, a, b)
           if ((c <= 0) == wantMin) a else b
         }
-        Some(Some(decode(dt, pick)))
+        Some(Some(decodeStat(dt, pick)))
       }
     }
 

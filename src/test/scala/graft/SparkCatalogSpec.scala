@@ -742,6 +742,29 @@ class SparkCatalogSpec extends AnyFunSuite {
     val qn = "SELECT v % 2, count(*) FROM gagg.main.p GROUP BY v % 2"
     assert(!planOf(qn).contains("graft-meta-agg"))
     assert(spark.sql(qn).collect().map(_.getLong(1)).sum == 400L)
+
+    // filters on identity-partition columns stay metadata-served: the
+    // predicate evaluates once per value-exact file, selecting whole
+    // files (the filtered form of Iceberg's manifest answering)
+    val qpf = "SELECT count(*) AS n, min(v) AS mn FROM gagg.main.p " +
+      "WHERE grp = 'g1'"
+    assert(planOf(qpf).contains("graft-meta-agg"), planOf(qpf))
+    val rf = spark.sql(qpf).collect()(0)
+    val g1 = (1 to 400).filter(_ % 4 == 1)
+    assert(rf.getLong(0) == g1.size.toLong && rf.getLong(1) == g1.min * 3L)
+    // composite predicates (IN, !=) evaluate the same way, grouped too
+    val qin = "SELECT grp, count(*) AS n FROM gagg.main.p " +
+      "WHERE grp IN ('g1', 'g2') GROUP BY grp"
+    assert(planOf(qin).contains("graft-meta-agg"), planOf(qin))
+    assert(spark.sql(qin).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+      == Map("g1" -> 100L, "g2" -> 100L))
+    // a filter touching a NON-partition column falls back (and stays
+    // correct) — file-level evaluation would be unsound there
+    val qmix = "SELECT count(*) FROM gagg.main.p WHERE grp = 'g1' AND v > 30"
+    assert(!planOf(qmix).contains("graft-meta-agg"))
+    assert(spark.sql(qmix).collect()(0).getLong(0) ==
+      g1.count(_ * 3 > 30).toLong)
   }
 
   test("limit pushdown narrows the scan to the file prefix that covers n rows") {
