@@ -306,14 +306,27 @@ final class GraftV2Table(
         else StatCompare.compare(dt, aMax, bMax) > 0
       }
       // walk until coverage >= n AND the next file sits past a STRICT gap
+      // from the RUNNING extreme of the whole prefix (max of maxes asc /
+      // min of mins desc), not merely the cut file's own bound — with
+      // overlapping layouts (multi-append, a wide early file plus later
+      // narrow ones) an earlier prefix file can reach past the cut
+      // file's max, and the gap proof must hold against EVERY planned
+      // file, so every excluded file is strictly past every planned row
       var acc = 0L
       var cut = -1
       var i = 0
+      var prefixExtreme: String = null
       while (i < inKeyOrder.size - 1 && cut < 0) {
         acc += inKeyOrder(i)._1.rowCount
+        val fileBound = if (asc) inKeyOrder(i)._3 else inKeyOrder(i)._2
+        prefixExtreme =
+          if (prefixExtreme == null) fileBound
+          else if (asc && StatCompare.compare(dt, fileBound, prefixExtreme) > 0) fileBound
+          else if (!asc && StatCompare.compare(dt, fileBound, prefixExtreme) < 0) fileBound
+          else prefixExtreme
         val strictGap =
-          if (asc) StatCompare.compare(dt, inKeyOrder(i)._3, inKeyOrder(i + 1)._2) < 0
-          else StatCompare.compare(dt, inKeyOrder(i)._2, inKeyOrder(i + 1)._3) > 0
+          if (asc) StatCompare.compare(dt, prefixExtreme, inKeyOrder(i + 1)._2) < 0
+          else StatCompare.compare(dt, prefixExtreme, inKeyOrder(i + 1)._3) > 0
         if (acc >= n && strictGap) cut = i
         i += 1
       }
@@ -368,6 +381,31 @@ final class GraftV2Table(
           if (metaAgg.isDefined) { aggPushed = true; return true }
         }
       }
+      // The inner parquet builder covers ALL files and received no
+      // filters once they were claimed (pushFilters returned Nil without
+      // forwarding) — delegating would accept an aggregate over the
+      // unfiltered table while build() returns the claimed-files row
+      // scan: broken plan shape. Claimed filters ⇒ metadata tier or bust.
+      if (claimedFiles.isDefined) return false
+      // Parquet footer-aggregate pushdown crashes on schema-evolution
+      // stragglers (a file written before ADD COLUMN has no such footer
+      // column — the reader indexes past its schema). Refuse delegation
+      // unless every referenced column has stats on EVERY live file;
+      // stats presence is the commit-time witness that the file was
+      // written under a schema containing the column.
+      val refCols = {
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        def collect(e: org.apache.spark.sql.connector.expressions.Expression): Seq[String] =
+          e match {
+            case nr: NamedReference if nr.fieldNames.length == 1 =>
+              Seq(nr.fieldNames()(0))
+            case other => other.children().toSeq.flatMap(collect)
+          }
+        (aggregation.aggregateExpressions().toSeq ++
+          aggregation.groupByExpressions().toSeq).flatMap(collect)
+      }
+      if (!refCols.forall(c => morFiles.forall(_.stats.contains(c))))
+        return false
       inner match {
         case Some(p: SupportsPushDownAggregates) if !hasDeletes =>
           aggPushed = p.pushAggregation(aggregation)
@@ -381,7 +419,7 @@ final class GraftV2Table(
       // the metadata tier answers in PARTIAL shape (one row Spark
       // re-aggregates — cost-free and schema-exact), so never claim
       // complete pushdown for it
-      if (metaAgg.isDefined) false
+      if (metaAgg.isDefined || claimedFiles.isDefined) false
       else inner match {
         case Some(p: SupportsPushDownAggregates) if !hasDeletes =>
           p.supportCompletePushDown(aggregation)

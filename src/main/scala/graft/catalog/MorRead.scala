@@ -61,6 +61,12 @@ object MorRead {
   def posixPath(c: Column): Column =
     regexp_replace(c, "^file:(//)?", "")
 
+  /** Driver-side twin of [[posixPath]]: metadata paths joined against
+    * `_metadata.file_path` must pass through the SAME canonicalization as
+    * the scan side, or a representation mismatch silently un-matches. */
+  def posixPath(p: String): String =
+    p.replaceFirst("^file:(//)?", "")
+
   /** Distinct (path, row index) keys of positional-delete files, under
     * the join-column names the scan side uses. */
   def posKeys(spark: SparkSession, posDeletes: Seq[PosDeleteFile]): DataFrame =
@@ -83,7 +89,7 @@ object MorRead {
       keyTypes: Map[String, Option[org.apache.spark.sql.types.DataType]],
       dels: Seq[DeleteFile]): DataFrame = {
     import spark.implicits._
-    val seqDf = broadcast(dels.map(d => (d.path, d.seq))
+    val seqDf = broadcast(dels.map(d => (posixPath(d.path), d.seq))
       .toDF("__gf_dpath", "__gf_dseq"))
     // Delete files written across a key-type promotion carry different
     // physical types (int32 before an int→long promotion). With every
@@ -102,8 +108,19 @@ object MorRead {
           .parquet(dels.map(_.path).distinct: _*)
           .select(keyCols.map(k =>
             keyTypes(k).fold(col(k))(col(k).cast(_)).as(k)) :+ pathCol: _*)
+    // LEFT join + row-level raise_error, not an inner join: an inner join
+    // would silently DROP every key of a delete file whose path
+    // representation failed to match (relative path, symlink, scheme
+    // variant), resurrecting its deleted rows. A miss here is metadata
+    // corruption and must fail the read loudly — and the row-level check
+    // costs no extra Spark job, unlike a driver-side coverage count.
     base
-      .join(seqDf, Seq("__gf_dpath"))
+      .join(seqDf, Seq("__gf_dpath"), "left")
+      .withColumn("__gf_dseq",
+        when(col("__gf_dseq").isNull, raise_error(concat(
+          lit("graft MoR: delete-file path failed to match its own scan " +
+            "(canonicalization bug or metadata corruption): "),
+          col("__gf_dpath")))).otherwise(col("__gf_dseq")))
       .drop("__gf_dpath")
   }
 

@@ -94,8 +94,18 @@ object Maintenance {
     val on = t.metadata.properties.get(AutoApplyDeletesProp)
       .exists(_.equalsIgnoreCase("true"))
     if (!on || !deleteBacklog(t).needsMaintenance) return false
+    // NonFatal, not just ValidationError: the triggering write has ALREADY
+    // committed, so ANY failure of this best-effort follow-up (IO error,
+    // Spark job failure, a racing compaction) must not surface as a
+    // failure of that committed write — log and leave the backlog for the
+    // next triggering commit.
     try applyDeletes(t, retryUnitMs)
-    catch { case _: graft.catalog.ValidationError => false }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"auto-apply-deletes maintenance skipped: ${e.getMessage}")
+        false
+    }
   }
 
   /** Bin-pack files smaller than `smallFileBytes` into ~`targetFileBytes`

@@ -765,6 +765,39 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(!planOf(qmix).contains("graft-meta-agg"))
     assert(spark.sql(qmix).collect()(0).getLong(0) ==
       g1.count(_ * 3 > 30).toLong)
+
+    // claimed filters + MetaAgg refusal must NOT fall through to the
+    // parquet aggregate tier: that builder covers ALL files and received
+    // no filters once they were claimed, so accepting there would marry
+    // a pushed-aggregate plan shape to the claimed-files row scan. Build
+    // a refusal case (COUNT(col) with an evolution straggler inside the
+    // claimed group) and force the parquet tier on.
+    w.writeTable("main", "pc",
+      Seq((1 to 40).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp")),
+      Append, WriteConfig(retryUnitMs = 1,
+        partitions = Seq(graft.partition.PartitionHint.identity("grp"))), "l1")
+    spark.sql("ALTER TABLE gagg.main.pc ADD COLUMN name STRING")
+    w.writeTable("main", "pc",
+      Seq((41 to 60).map(i => (i.toLong, s"g${i % 2}", s"n$i"))
+        .toDF("id", "grp", "name")),
+      Append, WriteConfig(retryUnitMs = 1,
+        partitions = Seq(graft.partition.PartitionHint.identity("grp"))), "l2")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val qcl = "SELECT count(name) AS n FROM gagg.main.pc WHERE grp = 'g1'"
+      val p = planOf(qcl)
+      assert(!p.contains("graft-meta-agg") && !p.contains("PushedAggregation: [COUNT("),
+        s"claimed filters must refuse the unfiltered parquet aggregate tier:\n$p")
+      assert(spark.sql(qcl).collect()(0).getLong(0) ==
+        (41 to 60).count(_ % 2 == 1).toLong)
+      // sanity: without a filter, a referenced column missing stats on
+      // some file (the straggler predates it) refuses the parquet tier
+      // too — footer-aggregate pushdown would crash indexing past the
+      // old file's schema — and the value stays exact via the row scan
+      val qnf = "SELECT count(name) AS n FROM gagg.main.pc"
+      assert(!planOf(qnf).contains("PushedAggregation: [COUNT("), planOf(qnf))
+      assert(spark.sql(qnf).collect()(0).getLong(0) == 20L)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
   }
 
   test("limit pushdown narrows the scan to the file prefix that covers n rows") {
@@ -868,6 +901,42 @@ class SparkCatalogSpec extends AnyFunSuite {
     assert(topU.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expect)
   }
 
+  test("TopN pushdown: an early wide file overlapping later files blocks the cut (running-extreme gap)") {
+    // Multi-append layout: file A [1,100] (6 rows), file B [2,3], file
+    // C [50,60]. Sorted by min, a naive gap test between B (max 3) and
+    // C (min 50) would plan only {A, B} for LIMIT 5 — but A reaches past
+    // the gap, so the true top-5 {1,2,3,50,60} needs C. The gap proof
+    // must hold against the RUNNING max of the whole prefix.
+    val cat = freshCatalog("gtov")
+    val w = new GraftWriter(cat)
+    def appendRows(scores: Seq[Long], label: String): Unit =
+      w.writeTable("main", "o",
+        Seq(scores.zipWithIndex.map { case (s, i) => (label + i, s) }
+          .toDF("id", "score").coalesce(1)),
+        Append, WriteConfig(retryUnitMs = 1), label)
+    appendRows(Seq(1L, 96L, 97L, 98L, 99L, 100L), "a")
+    appendRows(Seq(2L, 3L), "b")
+    appendRows(Seq(50L, 60L), "c")
+    assert(cat.loadTable("main", "o").metadata.currentFiles.size == 3)
+    val got = spark.sql(
+      "SELECT score FROM gtov.main.o ORDER BY score LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 50L, 60L), s"got $got")
+    // mirrored layout for DESC: wide low file plus narrow high files
+    def appendRows2(scores: Seq[Long], label: String): Unit =
+      w.writeTable("main", "o2",
+        Seq(scores.zipWithIndex.map { case (s, i) => (label + i, s) }
+          .toDF("id", "score").coalesce(1)),
+        Append, WriteConfig(retryUnitMs = 1), label)
+    appendRows2(Seq(100L, 5L, 4L, 3L, 2L, 1L), "a")
+    appendRows2(Seq(99L, 98L), "b")
+    appendRows2(Seq(50L, 40L), "c")
+    val gotD = spark.sql(
+      "SELECT score FROM gtov.main.o2 ORDER BY score DESC LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotD == Seq(100L, 99L, 98L, 50L, 40L), s"got $gotD")
+  }
+
   test("TopN pushdown fuzz: random layouts, directions, and limits always match the full sort") {
     // heavy score ties + random file sizes + a random sort-order flag
     // stress the strict-gap cut from every side; the full in-memory sort
@@ -886,10 +955,22 @@ class SparkCatalogSpec extends AnyFunSuite {
         WriteConfig(retryUnitMs = 1), "l0")
       if (sorted) cat.loadTable("main", name).commit(m => m.copy(properties =
         m.properties + (GraftWriter.SortOrderProperty -> "score")), unitMs = 1)
-      w.writeTable("main", name,
-        Seq(rows.toDF("id", "score").repartition(1 + rnd.nextInt(6))), Append,
-        WriteConfig(retryUnitMs = 1,
-          maxRecordsPerFile = (20 + rnd.nextInt(200)).toLong), "l1")
+      // sometimes split the load across several appends: multi-append
+      // layouts overlap even under a declared sort order (each append
+      // range-clusters only its own batch), the exact layout class the
+      // running-extreme gap proof exists for
+      val chunks =
+        if (rnd.nextBoolean()) Seq(rows)
+        else {
+          val cut = 1 + rnd.nextInt(rows.size - 1)
+          Seq(rows.take(cut), rows.drop(cut))
+        }
+      chunks.zipWithIndex.foreach { case (ch, ci) =>
+        w.writeTable("main", name,
+          Seq(ch.toDF("id", "score").repartition(1 + rnd.nextInt(6))), Append,
+          WriteConfig(retryUnitMs = 1,
+            maxRecordsPerFile = (20 + rnd.nextInt(200)).toLong), s"l${ci + 1}")
+      }
       val k = 1 + rnd.nextInt(80)
       val desc = rnd.nextBoolean()
       val dir = if (desc) " DESC" else ""
