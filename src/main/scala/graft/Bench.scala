@@ -66,11 +66,23 @@ object Bench {
     val loadAfter = loadavg1m()
     // loadavg above ~1.5x the worker count means external contention:
     // numbers are not comparable across rounds (threshold in BASELINE.md).
-    // Per-run raw times go to stderr: the stdout contract is ONE compact
-    // JSON line, and it must be the last stdout line for the driver's
-    // parse (see build.sbt outputStrategy/showSuccess).
+    //
+    // The stdout contract is ONE compact JSON line, LAST on stdout, and it
+    // must fit the driver's 2,000-char capture tail — at 150+ entries the
+    // full per-query map no longer does (rounds 8-10 stored unparseable
+    // tails). So the line carries the totals plus the ten slowest
+    // entries, and the FULL per-query map (minima + every raw run) goes
+    // to a JSON file in the repo whose path the line names.
+    val perQueryFile = new java.io.File(
+      sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json").getAbsolutePath
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(perQueryFile),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.sortBy(-_._2.min).take(10)
+      .map { case (k, ts) => "\"" + k + "\":" + ts.min }
+      .mkString("{", ",", "}")
     System.err.println(s"""{"queries_raw":$raw}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"slowest":$slowest,"per_query_file":"$perQueryFile","sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}""")
     spark.stop()
   }
 }
