@@ -1152,6 +1152,35 @@ object LlmQueries {
         |FROM pairs p
         |JOIN sizes sa ON p.a = sa.doc_id
         |JOIN sizes sb ON p.b = sb.doc_id
+        |WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.6""".stripMargin))),
+
+    // the corpus-scale containment variant — l53's overlap-coefficient
+    // relation under the SAME df-cap discipline as l18: shingles with
+    // document frequency > 10 are dropped BEFORE the equality self-join
+    // AND the size aggregate, bounding per-shingle fan-out at cap².
+    // This is the formulation that survives 100 TB (the uncapped l53 is
+    // the documented naive baseline, sharing l6's infeasible-at-sf10
+    // record); the oracle applies the identical cap so containment is
+    // computed over the identical capped shingle sets.
+    "l54_containment_capped" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.6,
+          maxShingleFreq = Some(10)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+        |sh0 AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
+        |  FROM s),
+        |rare AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 10),
+        |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN rare USING (g)),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+        |SELECT p.a, p.b,
+        |  round(shared * 1.0 / least(sa.sz, sb.sz) + 1e-9, 4) AS containment
+        |FROM pairs p
+        |JOIN sizes sa ON p.a = sa.doc_id
+        |JOIN sizes sb ON p.b = sb.doc_id
         |WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.6""".stripMargin)))
   )
 
