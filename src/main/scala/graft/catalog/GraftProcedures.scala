@@ -35,7 +35,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
     "create_branch", "publish_branch", "drop_branch", "rewrite_manifests",
-    "delete_backlog")
+    "delete_backlog", "file_health")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -51,6 +51,7 @@ object GraftProcedures {
       case "drop_branch" => Some(DropBranch(cat))
       case "rewrite_manifests" => Some(RewriteManifests(cat))
       case "delete_backlog" => Some(DeleteBacklog(cat))
+      case "file_health" => Some(FileHealth(cat))
       case _ => None
     }
 
@@ -292,6 +293,33 @@ object GraftProcedures {
         Integer.valueOf(r.deleteFileCount),
         java.lang.Double.valueOf(r.ratio),
         java.lang.Boolean.valueOf(r.needsMaintenance))
+    }
+  }
+
+  /** `CALL cat.system.file_health('ns.t')` — the small-file twin of
+    * `delete_backlog`: zero-IO accounting of the live data-file
+    * population, with `needs_compaction` true once the count of files
+    * under `graft.compact.small-file-bytes` passes
+    * `graft.compact.max-small-files`. Pair with `CALL compact` (or the
+    * `graft.write.auto-compact` property) to clear it. */
+  private final case class FileHealth(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "file_health"
+    override def description(): String =
+      "report the live data-file population and whether it needs compaction"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val r = graft.write.Maintenance.fileHealth(t)
+      one(StructType(Seq(
+        StructField("file_count", IntegerType, nullable = false),
+        StructField("small_files", IntegerType, nullable = false),
+        StructField("avg_file_bytes", LongType, nullable = false),
+        StructField("needs_compaction", BooleanType, nullable = false))),
+        Integer.valueOf(r.fileCount),
+        Integer.valueOf(r.smallFileCount),
+        java.lang.Long.valueOf(r.avgFileBytes),
+        java.lang.Boolean.valueOf(r.needsCompaction))
     }
   }
 

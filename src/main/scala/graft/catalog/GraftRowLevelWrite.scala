@@ -402,6 +402,7 @@ final class GraftDeltaBatchWrite(
     }, maxRetries = 5, backoffBase = 2.0, unitMs = 50L)
     if (delFiles.nonEmpty)
       graft.write.Maintenance.autoApplyIfNeeded(t, retryUnitMs = 50L)
+    graft.write.Maintenance.autoCompactIfNeeded(t, retryUnitMs = 50L)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -91,8 +91,11 @@ final class GraftStagedTable(
             val cast = graft.cast.SafeCast(data, target, strict = true)
             val bloomCols = props.get(graft.write.GraftWriter.BloomColumnsProperty)
               .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+            val sketchCols = props.get(graft.write.GraftWriter.SketchColumnsProperty)
+              .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
             staged = graft.write.Stager.stage(cast, dir.resolve("data"),
               loadId, spec, bloomColumns = bloomCols,
+              sketchColumns = sketchCols,
               // a TBLPROPERTIES-declared sort order applies from the
               // very first (CTAS/RTAS) load, same as later appends
               sortBy = graft.write.GraftWriter.sortOrder(props,

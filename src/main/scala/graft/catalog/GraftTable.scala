@@ -442,7 +442,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
       .fold(ranged) { case (bucketCol, b) =>
         ranged.filter { f =>
           f.stats.get(bucketCol) match {
-            case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
+            case Some(ColumnStats(Some(mn), Some(mx), _, _, _)) =>
               mn.toLong <= b && b <= mx.toLong
             case _ => true
           }
@@ -453,7 +453,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
     // cannot affect the result
     val deletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil).filter { d =>
       !d.keyColumns.contains(column) || (d.stats.get(column) match {
-        case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
+        case Some(ColumnStats(Some(mn), Some(mx), _, _, _)) =>
           StatCompare.compare(dt, mx, key) >= 0 &&
             StatCompare.compare(dt, mn, key) <= 0
         case _ => true
@@ -503,7 +503,7 @@ final class GraftTable(val spark: SparkSession, val dir: Path) {
   def filesOverlapping(m: TableMetadata, column: String, lo: String, hi: String): Seq[DataFile] = {
     val dt = m.statTypeOf(column)
     def fileHit(f: DataFile): Boolean = f.stats.get(column) match {
-      case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
+      case Some(ColumnStats(Some(mn), Some(mx), _, _, _)) =>
         dt.forall(t => StatCompare.compare(t, mx, lo) >= 0 &&
           StatCompare.compare(t, mn, hi) <= 0)
       case _ => true

@@ -171,8 +171,11 @@ final class GraftV2Table(
       // its Filter node and filter-free plan forms (metadata aggregate
       // pushdown above all) sit directly on the scan. Refused whenever
       // any file is undecidable or any predicate strays off the keys.
+      // The second tier ([[rangeClaimFiles]]) claims by range-constancy:
+      // comparison predicates no file's stat interval straddles — the
+      // transform-partitioned (day/month/hour) temporal-WHERE form.
       if (filters.nonEmpty && !hasDeletes && rebuildReader != null) {
-        claimedFiles = metaFilteredFiles()
+        claimedFiles = metaFilteredFiles().orElse(rangeClaimFiles())
         if (claimedFiles.isDefined) return Nil
       }
       inner match {
@@ -247,6 +250,119 @@ final class GraftV2Table(
               v.map(conv).orNull
             })
           Some((f, pred.eval(row)))
+        }
+      }
+      if (decided.exists(_.isEmpty)) None
+      else Some(decided.flatten.collect { case (f, true) => f })
+    }
+
+    /** Second claiming tier, RANGE-CONSTANCY: a predicate built from
+      * attr-vs-literal comparisons is exactly applied by whole-file
+      * selection whenever, for every live file, every comparison leaf is
+      * CONSTANT over the file's exact stat interval [min,max] — then all
+      * rows of the file agree on the predicate, and one evaluation at a
+      * representative decides the file. This is the general form of
+      * Iceberg's manifest answering for transform-partitioned layouts: a
+      * day/month/hour-partitioned table keeps each file's timestamp range
+      * inside one grain, so a grain-aligned `ts >= DATE '…'` never
+      * straddles a file and the WHERE becomes pure file selection
+      * (metadata aggregates then answer with zero file IO). Any file
+      * straddling a literal refuses the whole claim — correctness never
+      * depends on partial claiming. Restricted to types whose stat
+      * encodings are EXACT total orders (integers, date, timestamp,
+      * decimal): no strings (writer truncation), no float/double (NaN
+      * sits outside interval reasoning). Straddle detection for the
+      * non-monotone leaves (=, <=>, IN) additionally requires the
+      * leaf's `attr < literal` variant to be constant on the interval —
+      * for monotone leaves that variant is implied, so it is simply
+      * required for all. Mixed-null files (0 < nullCount < rowCount)
+      * refuse: their rows split into classes the single representative
+      * cannot speak for; all-null and null-free files evaluate as one
+      * class under WHERE's null-excludes semantics. */
+    private def rangeClaimFiles(): Option[Seq[DataFile]] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types._
+      if (!catalystFilters.forall(_.deterministic) ||
+          catalystFilters.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
+        return None
+      val pred = catalystFilters.reduce(And)
+      val attrs: Seq[Attribute] = pred.references.toSeq.distinctBy(_.exprId)
+      def rangeOk(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+            TimestampType | TimestampNTZType | _: DecimalType => true
+        case _ => false
+      }
+      if (attrs.isEmpty || !attrs.forall(a => rangeOk(a.dataType) &&
+          committedSchema.fieldNames.contains(a.name))) return None
+
+      // shape check + per-leaf constancy obligations (leaf, attr<lit)
+      val checks = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      def attrLit(l: Expression, r: Expression): Option[(Attribute, Literal)] =
+        (l, r) match {
+          case (a: AttributeReference, lit: Literal) => Some((a, lit))
+          case (lit: Literal, a: AttributeReference) => Some((a, lit))
+          case _ => None
+        }
+      def valid(e: Expression): Boolean = e match {
+        case And(l, r) => valid(l) && valid(r)
+        case Or(l, r) => valid(l) && valid(r)
+        case Not(c) => valid(c)
+        case Literal(_, BooleanType) => true
+        case IsNull(_: AttributeReference) => true
+        case IsNotNull(_: AttributeReference) => true
+        case bc: BinaryComparison =>
+          attrLit(bc.left, bc.right) match {
+            case Some((a, lit)) =>
+              checks += bc; checks += LessThan(a, lit); true
+            case None => false
+          }
+        case In(a: AttributeReference, elems)
+            if elems.forall(_.isInstanceOf[Literal]) =>
+          checks += e
+          elems.foreach(l => checks += LessThan(a, l.asInstanceOf[Literal]))
+          true
+        case InSet(a: AttributeReference, hset) =>
+          checks += e
+          hset.foreach(v => checks += LessThan(a, Literal(v, a.dataType)))
+          true
+        case _ => false
+      }
+      if (!valid(pred)) return None
+
+      val evalPred = Predicate.create(pred, attrs)
+      val evalChecks = checks.toSeq.map(c => Predicate.create(c, attrs))
+      val converters = attrs.map(a =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(a.dataType))
+      // per-file: Some(bound pair) = one row class with reps (min, max);
+      // None = refuse (missing/mixed-null/inexact stats)
+      val decided: Seq[Option[(DataFile, Boolean)]] = morFiles.map { f =>
+        if (f.rowCount == 0L) Some((f, false)) // no rows to lose
+        else {
+          val reps: Seq[Option[(Any, Any)]] = attrs.zip(converters).map {
+            case (a, conv) =>
+              f.stats.get(a.name) match {
+                case Some(cs) if cs.nullCount.contains(0L) &&
+                    cs.min.isDefined && cs.max.isDefined =>
+                  Some((conv(MetaAgg.decodeStat(a.dataType, cs.min.get)),
+                    conv(MetaAgg.decodeStat(a.dataType, cs.max.get))))
+                case Some(cs) if cs.nullCount.contains(f.rowCount) =>
+                  Some((null, null))
+                case _ => None
+              }
+          }
+          if (reps.exists(_.isEmpty)) None
+          else {
+            val rs = reps.flatten
+            val mnRow = org.apache.spark.sql.catalyst.InternalRow
+              .fromSeq(rs.map(_._1))
+            val mxRow = org.apache.spark.sql.catalyst.InternalRow
+              .fromSeq(rs.map(_._2))
+            val constant =
+              evalChecks.forall(c => c.eval(mnRow) == c.eval(mxRow))
+            if (!constant) None
+            else Some((f, evalPred.eval(mnRow)))
+          }
         }
       }
       if (decided.exists(_.isEmpty)) None

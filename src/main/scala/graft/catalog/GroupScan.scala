@@ -83,7 +83,7 @@ object StatsPrune {
       case sources.StringStartsWith(a, v) =>
         // s startsWith v ⟹ s >= v, and mn <= s ⟹ mn.take(|v|) <= v
         stats(f, a) match {
-          case Some(ColumnStats(Some(mn), Some(mx), _, _)) =>
+          case Some(ColumnStats(Some(mn), Some(mx), _, _, _)) =>
             mx.compareTo(v) >= 0 && mn.take(v.length).compareTo(v) <= 0
           case _ => true
         }
@@ -104,7 +104,7 @@ object StatsPrune {
     * [[KeyBloom]] was collected for the column. */
   private def pointHit(f: DataFile, schema: StructType, col: String, v: Any): Boolean =
     stats(f, col) match {
-      case Some(ColumnStats(mn, mx, _, bloom)) =>
+      case Some(ColumnStats(mn, mx, _, bloom, _)) =>
         val inRange =
           mn.flatMap(cmp(schema, col, _, v)).forall(_ <= 0) &&
             mx.flatMap(cmp(schema, col, _, v)).forall(_ >= 0)

@@ -76,7 +76,7 @@ object ManifestIO {
       if (files.isEmpty) (Map.empty[String, String], Map.empty[String, String])
       else {
         val shared = files.map(_.stats.collect {
-          case (c, ColumnStats(Some(_), Some(_), _, _)) => c
+          case (c, ColumnStats(Some(_), Some(_), _, _, _)) => c
         }.toSet).reduce(_ intersect _)
         val typed = shared.flatMap(c => statType(c).map(c -> _)).toMap
         val mins = typed.map { case (c, dt) =>

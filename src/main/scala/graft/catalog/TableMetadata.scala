@@ -14,7 +14,13 @@ final case class ColumnStats(
     min: Option[String],
     max: Option[String],
     nullCount: Option[Long],
-    bloom: Option[String] = None)
+    bloom: Option[String] = None,
+    /** Base64 Apache DataSketches HLL sketch of the column's values in
+      * this file (written opt-in via `graft.sketch-columns`) — the
+      * Iceberg-Puffin design: per-file sketches UNION across the live
+      * file set on the driver, so CBO NDV stays fresh through appends
+      * and compactions without ever rescanning data. */
+    hll: Option[String] = None)
 
 final case class DataFile(
     path: String,

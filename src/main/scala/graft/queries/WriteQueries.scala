@@ -1446,7 +1446,86 @@ object WriteQueries {
         q
       },
       s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
-         |ORDER BY o_totalprice, o_orderkey LIMIT 50""".stripMargin))
+         |ORDER BY o_totalprice, o_orderkey LIMIT 50""".stripMargin)),
+
+    // range-constancy filter claiming on a TRANSFORM-partitioned table:
+    // month(o_orderdate) keeps each file's date range inside one month,
+    // so a month-aligned WHERE never straddles a file — the predicate is
+    // applied exactly by whole-file selection (empty residual) and the
+    // aggregate above it folds from snapshot stats with ZERO file IO.
+    // This is Iceberg's manifest answering for its default temporal
+    // transforms, without transform-specific logic: any file interval
+    // no predicate literal splits is wholly in or wholly out
+    "w42_temporal_claim" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = Files.createTempDirectory("graft-tclaim-").toString
+        s.conf.set("spark.sql.catalog.graft_tclaim",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_tclaim.warehouse", wh)
+        val w = new GraftWriter(new GraftCatalog(s, wh))
+        val src = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate"), col("o_orderstatus"))
+        w.writeTable("main", "orders_t", Seq(src), Append,
+          cfg.copy(partitions =
+            Seq(graft.partition.PartitionHint.month("o_orderdate"))), "l1")
+        val q = s.sql("""SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+          |FROM graft_tclaim.main.orders_t
+          |WHERE o_orderdate >= DATE '1996-01-01'
+          |  AND o_orderdate < DATE '1999-01-01'""".stripMargin)
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("graft-meta-agg"),
+          s"month-aligned temporal WHERE must answer from metadata:\n$plan")
+        require(!plan.toLowerCase.contains("parquet"),
+          s"claimed temporal aggregate must not touch a data file:\n$plan")
+        // a non-aligned boundary must REFUSE the claim and fall back
+        val off = s.sql("""SELECT COUNT(*) AS n
+          |FROM graft_tclaim.main.orders_t
+          |WHERE o_orderdate >= DATE '1996-06-15'""".stripMargin)
+        require(!off.queryExecution.executedPlan.toString
+          .contains("graft-meta-agg"),
+          "a mid-month boundary straddles a file and must not claim")
+        q
+      },
+      s"""SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE o_orderdate >= DATE '1996-01-01'
+         |  AND o_orderdate < DATE '1999-01-01'""".stripMargin)),
+
+    // write-path self-compaction (graft.write.auto-compact), the
+    // small-file mirror of w37's auto-apply-deletes: a 12-commit trickle
+    // of small appends trips the file_health signal mid-stream, inline
+    // compaction bounds the resting file population, and the oracle pins
+    // content-neutrality — maintenance must never change what the table
+    // reads as
+    "w43_auto_compact" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        val noPk = WriteConfig(retryUnitMs = 10)
+        w.writeTable("main", "orders_t", Seq(target(s, dir).limit(0)),
+          Append, noPk, "l0")
+        cat.loadTable("main", "orders_t").commit(m => m.copy(properties =
+          m.properties
+            + (Maintenance.AutoCompactProp -> "true")
+            + (Maintenance.MaxSmallFilesProp -> "4")), unitMs = 1)
+        // 12 disjoint slices = one small file per commit without
+        // maintenance
+        (0 until 12).foreach { i =>
+          w.writeTable("main", "orders_t",
+            Seq(target(s, dir).filter(col("o_orderkey") % 12 === i)),
+            Append, noPk, s"t$i")
+        }
+        val tbl = cat.loadTable("main", "orders_t")
+        val health = Maintenance.fileHealth(tbl)
+        require(health.fileCount <= 5,
+          s"auto-compact must bound the resting file population: $health")
+        require(tbl.metadata.snapshots.exists(_.operation == "compact"),
+          "inline compaction must have fired during the trickle")
+        keyPrice(tbl.read())
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -106,6 +106,36 @@ object DeleteBacklogBench {
       f"commitMax=${commitS.max}%.2fs " +
       f"restingDeleteFiles=${Maintenance.deleteBacklog(
         cat.loadTable("main", "t")).deleteFileCount}%d")
+
+    // ---- auto-compact arm: the same trickle also leaves one small DATA
+    // file per commit (the apply-deletes rewrites touch only affected
+    // files); with graft.write.auto-compact on, the file_health signal
+    // bounds the resting file population the same way auto-apply bounds
+    // the delete backlog — reads stop paying a per-file open tax that
+    // grows with commit count.
+    cat.loadTable("main", "t").commit(m => m.copy(properties =
+      m.properties + (Maintenance.AutoCompactProp -> "true")
+        + (Maintenance.MaxSmallFilesProp -> "64")), unitMs = 1)
+    def compacts(): Int = cat.loadTable("main", "t").metadata.snapshots
+      .count(_.operation == "compact")
+    val compactsBefore = compacts()
+    var commitS2 = List.empty[Double]
+    depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      val key = (depth % baseRows).toLong + 1L
+      val c0 = System.nanoTime()
+      w.writeTable("main", "t",
+        Seq(Seq((key, -depth.toLong)).toDF("id", "v")),
+        Merge("upsert"), cfg, s"c$depth")
+      commitS2 ::= (System.nanoTime() - c0) / 1e9
+      if (checkpoints.contains(depth)) measure(s"cmp=$depth")
+    }
+    val h = Maintenance.fileHealth(cat.loadTable("main", "t"))
+    println(f"BACKLOG auto-compact fired=${compacts() - compactsBefore}%d " +
+      f"commitAvg=${commitS2.sum / commitS2.size}%.3fs " +
+      f"commitMax=${commitS2.max}%.2fs " +
+      f"restingDataFiles=${h.fileCount}%d smallFiles=${h.smallFileCount}%d")
     spark.stop()
   }
 }

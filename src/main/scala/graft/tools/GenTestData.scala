@@ -35,11 +35,14 @@ object GenTestData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, sf)
+    // optional 3rd arg: comma-separated table subset (resume a partial run)
+    generate(spark, out, sf,
+      args.lift(2).map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty))
     spark.stop()
   }
 
-  def generate(spark: SparkSession, out: String, sf: Double): Unit = {
+  def generate(spark: SparkSession, out: String, sf: Double,
+      only: Set[String] = Set.empty): Unit = {
     val nCust = (150000 * sf).toInt.max(100)
     val nOrders = (1500000 * sf).toInt.max(1000)
     val nPart = (200000 * sf).toInt.max(200)
@@ -54,6 +57,8 @@ object GenTestData {
     // reads <dir>/<name>.parquet as a single file): compute stays
     // parallel, the final shuffle funnels into a single writer
     def write(name: String, df: DataFrame, parts: Int = 8): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
+      println(s"[gen] writing $name")
       val tmp = java.nio.file.Paths.get(out, s"_tmp_$name")
       df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
       val part = graft.catalog.PathIO.list(tmp)

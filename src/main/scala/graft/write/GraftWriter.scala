@@ -50,6 +50,10 @@ final case class WriteConfig(
       * decisive for point lookups on random (UUID) keys where min/max
       * range pruning degenerates to a full scan. */
     bloomColumns: Seq[String] = Nil,
+    /** Columns to build per-file HLL distinct sketches for (CBO NDV
+      * that survives appends/compaction without rescans — see
+      * [[GraftWriter.SketchColumnsProperty]]). */
+    sketchColumns: Seq[String] = Nil,
     /** Upper bound on rows per staged parquet file (0 = off) — the
       * write.target-file-size analogue; keeps huge loads from emitting
       * files that defeat split planning. */
@@ -106,8 +110,12 @@ final class GraftWriter(catalog: GraftCatalog) {
         // membership stats (a compacted file without its bloom silently
         // degrades point lookups back to full scans)
         val props =
-          if (cfg.bloomColumns.isEmpty) Map.empty[String, String]
-          else Map(GraftWriter.BloomColumnsProperty -> cfg.bloomColumns.mkString(","))
+          (if (cfg.bloomColumns.isEmpty) Map.empty[String, String]
+           else Map(GraftWriter.BloomColumnsProperty ->
+             cfg.bloomColumns.mkString(","))) ++
+          (if (cfg.sketchColumns.isEmpty) Map.empty[String, String]
+           else Map(GraftWriter.SketchColumnsProperty ->
+             cfg.sketchColumns.mkString(",")))
         catalog.createTable(ns, name, incomingSchema, spec, props, cfg.location)
       } else catalog.loadTable(ns, name)
 
@@ -144,6 +152,7 @@ final class GraftWriter(catalog: GraftCatalog) {
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
       bloomColumns = GraftWriter.bloomColumns(m, cfg),
+      sketchColumns = GraftWriter.sketchColumns(m, cfg),
       maxRecordsPerFile = cfg.maxRecordsPerFile,
       sortBy = GraftWriter.tableSortOrder(m))
     // delta commit: parent manifests carry by identity — zero manifest
@@ -151,12 +160,17 @@ final class GraftWriter(catalog: GraftCatalog) {
     t.commit(fresh => fresh.withSnapshotDelta("append", Some(loadId),
       staged, Set.empty, branch = cfg.toBranch),
       cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+    // trickle appends leave one small file per commit — the opt-in
+    // self-compaction hook bounds the population (branch writes skip:
+    // compact reads main state)
+    if (cfg.toBranch.isEmpty) Maintenance.autoCompactIfNeeded(t, cfg.retryUnitMs)
   }
 
   private def commitReplace(t: GraftTable, m: TableMetadata, df: DataFrame,
       loadId: String, cfg: WriteConfig): Unit = {
     val staged = Stager.stage(df, t.dataDir, loadId, m.partitionSpec,
       bloomColumns = GraftWriter.bloomColumns(m, cfg),
+      sketchColumns = GraftWriter.sketchColumns(m, cfg),
       maxRecordsPerFile = cfg.maxRecordsPerFile,
       sortBy = GraftWriter.tableSortOrder(m))
     // truncate-and-insert: snapshot references ONLY the new files; old
@@ -198,7 +212,7 @@ final class GraftWriter(catalog: GraftCatalog) {
         val delKeys = combined.select(pks.map(col): _*).distinct()
         val staged = Stager.stage(remaining, t.dataDir, loadId, m.partitionSpec,
           if (cfg.clusterByKeys) pks else Nil, GraftWriter.bloomColumns(m, cfg),
-          cfg.maxRecordsPerFile)
+          GraftWriter.sketchColumns(m, cfg), cfg.maxRecordsPerFile)
         if (cfg.mergeOnRead)
           morCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
         else rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
@@ -251,7 +265,8 @@ final class GraftWriter(catalog: GraftCatalog) {
             else Nil
           val staged = Stager.stage(remaining, t.dataDir, loadId,
             t.metadata.partitionSpec, clusterBy,
-            GraftWriter.bloomColumns(t.metadata, cfg), cfg.maxRecordsPerFile)
+            GraftWriter.bloomColumns(t.metadata, cfg),
+            GraftWriter.sketchColumns(t.metadata, cfg), cfg.maxRecordsPerFile)
           if (cfg.mergeOnRead)
             morCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
           else rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg,
@@ -339,6 +354,7 @@ final class GraftWriter(catalog: GraftCatalog) {
           Set.empty, newPosDeletes = posFiles)
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
       Maintenance.autoApplyIfNeeded(t, cfg.retryUnitMs)
+      Maintenance.autoCompactIfNeeded(t, cfg.retryUnitMs)
       deleted
     } else {
       // copy-on-write: restage ONLY the files with matching rows. The
@@ -365,7 +381,8 @@ final class GraftWriter(catalog: GraftCatalog) {
           val kept = live.filter(!coalesce(cond, lit(false)))
           val staged = Stager.stage(kept, t.dataDir, s"$loadId-dw",
             fresh.partitionSpec,
-            bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+            bloomColumns = GraftWriter.bloomColumns(fresh, cfg),
+            sketchColumns = GraftWriter.sketchColumns(fresh, cfg))
           fresh.withSnapshotDelta("delete", Some(loadId), staged, targetPaths)
         } finally live.unpersist()
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
@@ -456,7 +473,8 @@ final class GraftWriter(catalog: GraftCatalog) {
         }
       val allTargets = targetPaths ++ extraTargets
       val newStaged = Stager.stage(cast, t.dataDir, loadId,
-        fresh.partitionSpec, bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+        fresh.partitionSpec, bloomColumns = GraftWriter.bloomColumns(fresh, cfg),
+            sketchColumns = GraftWriter.sketchColumns(fresh, cfg))
       if (allTargets.isEmpty)
         fresh.withSnapshotDelta("overwrite", Some(loadId), newStaged, Set.empty)
       else {
@@ -471,7 +489,8 @@ final class GraftWriter(catalog: GraftCatalog) {
         val kept = live.filter(!coalesce(cond, lit(false)))
         val keptStaged = Stager.stage(kept, t.dataDir, s"$loadId-ow",
           fresh.partitionSpec,
-          bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+          bloomColumns = GraftWriter.bloomColumns(fresh, cfg),
+            sketchColumns = GraftWriter.sketchColumns(fresh, cfg))
         fresh.withSnapshotDelta("overwrite", Some(loadId),
           keptStaged ++ newStaged, allTargets)
       }
@@ -547,7 +566,8 @@ final class GraftWriter(catalog: GraftCatalog) {
     t.commit({ fresh =>
       val spec = fresh.partitionSpec
       val staged = Stager.stage(cast, t.dataDir, loadId, spec,
-        bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+        bloomColumns = GraftWriter.bloomColumns(fresh, cfg),
+            sketchColumns = GraftWriter.sketchColumns(fresh, cfg))
       val stagedTuples = staged.flatMap(tupleOf(_, spec)).toSet
       require(staged.isEmpty || stagedTuples.nonEmpty,
         "staged files must carry value-exact partition stats")
@@ -631,7 +651,8 @@ final class GraftWriter(catalog: GraftCatalog) {
         val staged = Stager.stage(
           matches.select(applySet(m.schema, None): _*),
           t.dataDir, s"$loadId-up", m.partitionSpec,
-          bloomColumns = GraftWriter.bloomColumns(m, cfg))
+          bloomColumns = GraftWriter.bloomColumns(m, cfg),
+      sketchColumns = GraftWriter.sketchColumns(m, cfg))
         val dest = t.dir.resolve("deletes")
           .resolve(s"$loadId-pos-${java.util.UUID.randomUUID().toString.take(8)}")
         matches.select(col("__dw_path").as("file_path"),
@@ -657,6 +678,7 @@ final class GraftWriter(catalog: GraftCatalog) {
             Set.empty, newPosDeletes = posFiles)
         }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
         Maintenance.autoApplyIfNeeded(t, cfg.retryUnitMs)
+      Maintenance.autoCompactIfNeeded(t, cfg.retryUnitMs)
       } finally matches.unpersist()
       updated
     } else {
@@ -678,7 +700,8 @@ final class GraftWriter(catalog: GraftCatalog) {
           val rewritten = live.select(applySet(fresh.schema, Some(cond)): _*)
           val staged = Stager.stage(rewritten, t.dataDir, s"$loadId-up",
             fresh.partitionSpec,
-            bloomColumns = GraftWriter.bloomColumns(fresh, cfg))
+            bloomColumns = GraftWriter.bloomColumns(fresh, cfg),
+            sketchColumns = GraftWriter.sketchColumns(fresh, cfg))
           fresh.withSnapshotDelta("update", Some(loadId), staged, targetPaths)
         } finally live.unpersist()
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
@@ -710,6 +733,7 @@ final class GraftWriter(catalog: GraftCatalog) {
     // routes through a main-line commit that re-evaluates the signal
     if (cfg.toBranch.isEmpty)
       Maintenance.autoApplyIfNeeded(t, cfg.retryUnitMs)
+      Maintenance.autoCompactIfNeeded(t, cfg.retryUnitMs)
   }
 
   /** The heart of every merge variant: rewrite the key-affected subset of
@@ -803,7 +827,8 @@ final class GraftWriter(catalog: GraftCatalog) {
                 pks
               else Nil
             Stager.stage(kept, t.dataDir, s"$loadId-rw", fresh.partitionSpec,
-              clusterBy, GraftWriter.bloomColumns(fresh, cfg), cfg.maxRecordsPerFile)
+              clusterBy, GraftWriter.bloomColumns(fresh, cfg),
+              GraftWriter.sketchColumns(fresh, cfg), cfg.maxRecordsPerFile)
           }
 
         // delta commit: only manifests whose path-bloom hits an affected
@@ -867,4 +892,20 @@ object GraftWriter {
     * plus the table's persisted ones. */
   def bloomColumns(m: TableMetadata, cfg: WriteConfig): Seq[String] =
     (cfg.bloomColumns ++ tableBloomColumns(m)).distinct
+
+  /** Table property naming the columns every staging pass builds a
+    * per-file HLL distinct sketch for (Iceberg-Puffin parity): sketches
+    * live in file stats, so the driver UNIONS them over whatever file
+    * set is live — CBO NDV stays fresh through appends, deletes of
+    * whole files, and compaction without re-reading a byte. */
+  val SketchColumnsProperty = "graft.sketch-columns"
+
+  def tableSketchColumns(m: TableMetadata): Seq[String] =
+    m.properties.get(SketchColumnsProperty).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Effective sketch columns for one staging pass: the write config's
+    * plus the table's persisted ones. */
+  def sketchColumns(m: TableMetadata, cfg: WriteConfig): Seq[String] =
+    (cfg.sketchColumns ++ tableSketchColumns(m)).distinct
 }

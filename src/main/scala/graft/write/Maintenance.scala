@@ -108,6 +108,84 @@ object Maintenance {
     }
   }
 
+  /** Table property: the byte size below which a live data file counts as
+    * "small" for the [[fileHealth]] signal and for auto-compaction
+    * (default 32 MB — the [[compact]] default). */
+  val SmallFileBytesProp = "graft.compact.small-file-bytes"
+  val DefaultSmallFileBytes: Long = 32L << 20
+
+  /** Table property: the small-file COUNT above which [[fileHealth]]
+    * flags the table (default 100). Reads pay a per-file open cost, so a
+    * trickle-append/merge table accumulates a read tax linear in file
+    * count long before total bytes matter; one compaction pays it once. */
+  val MaxSmallFilesProp = "graft.compact.max-small-files"
+  val DefaultMaxSmallFiles = 100
+
+  /** Table property: auto/explicit compaction's output file size target
+    * (default 128 MB — Iceberg's write.target-file-size analogue). */
+  val TargetFileBytesProp = "graft.compact.target-file-size"
+  val DefaultTargetFileBytes: Long = 128L << 20
+
+  /** The small-file twin of [[BacklogReport]]: zero-IO accounting of the
+    * live file population from snapshot metadata. The same trickle
+    * workload that builds a delete backlog also leaves one small data
+    * file per commit; this is the signal that says the per-read
+    * file-open tax has outgrown one compaction's cost. */
+  final case class FileHealthReport(
+      fileCount: Int, smallFileCount: Int, avgFileBytes: Long,
+      smallFileBytes: Long, maxSmallFiles: Int) {
+    def needsCompaction: Boolean = smallFileCount > maxSmallFiles
+  }
+
+  def fileHealth(t: GraftTable): FileHealthReport = {
+    val m = t.metadata
+    val files = m.currentFiles
+    val smallBytes = m.properties.get(SmallFileBytesProp).map(_.toLong)
+      .getOrElse(DefaultSmallFileBytes)
+    val maxSmall = m.properties.get(MaxSmallFilesProp).map(_.toInt)
+      .getOrElse(DefaultMaxSmallFiles)
+    FileHealthReport(
+      fileCount = files.size,
+      smallFileCount = files.count(_.sizeBytes < smallBytes),
+      avgFileBytes =
+        if (files.isEmpty) 0L else files.map(_.sizeBytes).sum / files.size,
+      smallFileBytes = smallBytes,
+      maxSmallFiles = maxSmall)
+  }
+
+  /** Table property opting a table into write-path self-compaction
+    * (default false), the small-file mirror of [[AutoApplyDeletesProp]]:
+    * after a commit, if [[fileHealth]] flags the table, run [[compact]]
+    * inline as a follow-up commit. Same trade, same best-effort
+    * semantics: commit latency absorbs periodic compaction spikes so
+    * read latency holds at the bounded floor, and any failure leaves
+    * the file population for the next triggering commit. */
+  val AutoCompactProp = "graft.write.auto-compact"
+
+  /** Post-commit hook: compact when [[AutoCompactProp]] opts in AND the
+    * [[fileHealth]] signal fires. Returns true when a compaction commit
+    * landed. */
+  def autoCompactIfNeeded(t: GraftTable, retryUnitMs: Long = 1000L): Boolean = {
+    val m = t.metadata
+    val on = m.properties.get(AutoCompactProp)
+      .exists(_.equalsIgnoreCase("true"))
+    if (!on) return false
+    val h = fileHealth(t)
+    if (!h.needsCompaction) return false
+    val target = m.properties.get(TargetFileBytesProp).map(_.toLong)
+      .getOrElse(DefaultTargetFileBytes)
+    // NonFatal like autoApplyIfNeeded: the triggering write already
+    // committed; a failed best-effort compaction must not fail it.
+    try compact(t, smallFileBytes = h.smallFileBytes,
+      targetFileBytes = target, retryUnitMs = retryUnitMs)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"auto-compact maintenance skipped: ${e.getMessage}")
+        false
+    }
+  }
+
   /** Bin-pack files smaller than `smallFileBytes` into ~`targetFileBytes`
     * outputs. Only the small files are rewritten; full-size files carry
     * over untouched. Commits one "compact" snapshot (row set unchanged —
@@ -142,7 +220,8 @@ object Maintenance {
     // rebuild table-property bloom stats: compacted files must keep the
     // membership filters or point lookups degrade to full scans
     val staged = Stager.stage(df, t.dataDir, "compact", m.partitionSpec,
-      bloomColumns = GraftWriter.tableBloomColumns(m))
+      bloomColumns = GraftWriter.tableBloomColumns(m),
+      sketchColumns = GraftWriter.tableSketchColumns(m))
     val smallPaths = small.map(_.path).toSet
     val plannedDeletes = (m.currentSnapshot.map(_.deletes).getOrElse(Nil)
       .map(_.path) ++ m.currentSnapshot.map(_.posDeletes).getOrElse(Nil)
@@ -204,7 +283,8 @@ object Maintenance {
           t.spark.read.schema(m.schema).parquet(affected.map(_.path): _*),
           affected, deletes, posDeletes)
         Stager.stage(applied, t.dataDir, "apply-deletes", m.partitionSpec,
-          bloomColumns = GraftWriter.tableBloomColumns(m))
+          bloomColumns = GraftWriter.tableBloomColumns(m),
+          sketchColumns = GraftWriter.tableSketchColumns(m))
       }
     val priorPaths = affected.map(_.path).toSet
     val plannedDeletes = (deletes.map(_.path) ++ posDeletes.map(_.path)).toSet
@@ -302,6 +382,7 @@ object Maintenance {
       .drop("__graft_z")
     val staged = Stager.stage(rewritten, t.dataDir, "zorder", m.partitionSpec,
       bloomColumns = GraftWriter.tableBloomColumns(m),
+      sketchColumns = GraftWriter.tableSketchColumns(m),
       preshaped = true)
     val priorPaths = files.map(_.path).toSet
     val plannedDeletes = (m.currentSnapshot.map(_.deletes).getOrElse(Nil)

@@ -89,6 +89,7 @@ object Stager {
       spec: Seq[PartitionFieldSpec] = Nil,
       clusterBy: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
+      sketchColumns: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
       preshaped: Boolean = false,
       sortBy: Seq[String] = Nil): Seq[DataFile] = {
@@ -174,7 +175,7 @@ object Stager {
       else collectStats(spark, files, schema, spec)
     val present = bloomColumns.filter(c => schema.fieldNames.contains(c) &&
       graft.catalog.KeyBloom.supportsBloom(schema(c).dataType))
-    if (present.isEmpty) base
+    val withBlooms = if (present.isEmpty) base
     else {
       val blooms = collectBlooms(spark, files, schema, present)
       base.map { f =>
@@ -186,6 +187,55 @@ object Stager {
         }
       }
     }
+    val skPresent = sketchColumns.filter(c => schema.fieldNames.contains(c) &&
+      supportsSketch(schema(c).dataType))
+    if (skPresent.isEmpty) withBlooms
+    else {
+      val sketches = collectSketches(spark, files, schema, skPresent)
+      withBlooms.map { f =>
+        sketches.get(f.path).fold(f) { byCol =>
+          f.copy(stats = byCol.foldLeft(f.stats) { case (st, (c, b64)) =>
+            st.updated(c, st.getOrElse(c, ColumnStats(None, None, None))
+              .copy(hll = Some(b64)))
+          })
+        }
+      }
+    }
+  }
+
+  /** Types Spark's `hll_sketch_agg` accepts. */
+  def supportsSketch(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.StringType |
+          org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+
+  /** One column-pruned pass computing a per-file DataSketches HLL
+    * distinct sketch for each sketch column (Iceberg-Puffin parity):
+    * sketches are KBs per file and MERGEABLE, so the read side serves a
+    * fresh table-wide NDV by unioning whatever file set is live —
+    * appends, whole-file deletes, and compaction all keep the estimate
+    * correct with zero data re-reads, where property-stored ANALYZE
+    * numbers go stale on the first append. */
+  def collectSketches(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], schema: StructType,
+      columns: Seq[String]): Map[String, Map[String, String]] = {
+    val aggs = columns.map(c =>
+      base64(hll_sketch_agg(col(c))).as(s"__sk__$c"))
+    val rows = spark.read.schema(schema).parquet(files: _*)
+      .select(columns.map(col): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged file: metadata-scale
+    rows.map { r =>
+      val byCol = columns.flatMap { c =>
+        Option(r.getAs[String](s"__sk__$c")).map(c -> _)
+      }.toMap
+      normalizeFileUri(r.getAs[String]("__file")) -> byCol
+    }.toMap
   }
 
   /** One column-pruned pass computing a per-file [[KeyBloom]] for each

@@ -212,4 +212,59 @@ class CboStatsSpec extends AnyFunSuite {
     // stale analyzed value (10)
     assert(vStat.nullCount.contains(BigInt(15)), vStat.nullCount)
   }
+
+  test("per-file HLL sketches: NDV tracks appends and compaction with zero rescans (Puffin parity)") {
+    val wh = Files.createTempDirectory("graft-cbo3-").toString
+    val cat = new GraftCatalog(spark, wh)
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, sketchColumns = Seq("grp"))
+    // load 1: 500 distinct grp values
+    w.writeTable("main", "t",
+      Seq((1 to 1000).map(i => (i.toLong, (i % 500).toLong))
+        .toDF("id", "grp")),
+      Append, cfg, "l1")
+    val m1 = cat.loadTable("main", "t").metadata
+    assert(m1.properties(GraftWriter.SketchColumnsProperty) == "grp")
+    assert(m1.currentFiles.forall(_.stats.get("grp").exists(_.hll.isDefined)),
+      "every staged file must carry its grp sketch")
+
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.catalog.gcb3",
+      classOf[GraftSparkCatalog].getName)
+    iso.conf.set("spark.sql.catalog.gcb3.warehouse", wh)
+    iso.conf.set("spark.sql.cbo.enabled", "true")
+    def ndv(): BigInt = iso.sql("SELECT id, grp FROM gcb3.main.t")
+      .queryExecution.optimizedPlan.stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "grp" => s.distinctCount.getOrElse(BigInt(-1))
+      }.getOrElse(BigInt(-1))
+    val n1 = ndv()
+    assert((n1 - 500).abs.toDouble <= 500 * 0.03, s"NDV $n1 vs exact 500")
+
+    // append 300 NEW distinct values — NO analyze ran, yet the unioned
+    // sketch NDV moves to ~800 (a stored ANALYZE number would still say
+    // 500; the sketches updated with zero reads of load-1 data)
+    w.writeTable("main", "t",
+      Seq((1 to 600).map(i => (10000 + i.toLong, 500L + (i % 300)))
+        .toDF("id", "grp")),
+      Append, cfg, "l2")
+    val n2 = ndv()
+    assert((n2 - 800).abs.toDouble <= 800 * 0.03, s"NDV $n2 vs exact 800")
+
+    // compaction restages files and rebuilds their sketches from the
+    // table property: the estimate survives maintenance
+    assert(Maintenance.compact(cat.loadTable("main", "t"), retryUnitMs = 1))
+    val m2 = cat.loadTable("main", "t").metadata
+    assert(m2.currentFiles.forall(_.stats.get("grp").exists(_.hll.isDefined)),
+      "compacted files must carry rebuilt sketches")
+    val n3 = ndv()
+    assert((n3 - 800).abs.toDouble <= 800 * 0.03, s"post-compact NDV $n3")
+
+    // a column with NO sketches (id was not declared) falls back to the
+    // ANALYZE-less default: no NDV reported, nothing throws
+    val idNdv = iso.sql("SELECT id, grp FROM gcb3.main.t")
+      .queryExecution.optimizedPlan.stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "id" => s.distinctCount
+      }.flatten
+    assert(idNdv.isEmpty, s"unsketched column must not invent an NDV: $idNdv")
+  }
 }

@@ -497,4 +497,48 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(ids == (1L to ids.size.toLong),
       s"snapshot chain must be gapless, got $ids")
   }
+
+  test("file_health signal + auto-compact bound a trickle-append file population") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // no auto-compact: a 10-commit trickle leaves 10 small files and the
+    // health signal fires once the count passes the table's threshold
+    (1 to 10).foreach { i =>
+      w.writeTable("main", "h", Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")),
+        Append, cfg, s"l$i")
+    }
+    val t0 = cat.loadTable("main", "h")
+    val h0 = Maintenance.fileHealth(t0)
+    assert(h0.fileCount == 10 && h0.smallFileCount == 10 &&
+      !h0.needsCompaction, h0)
+    t0.commit(m => m.copy(properties =
+      m.properties + (Maintenance.MaxSmallFilesProp -> "4")), unitMs = 1)
+    val h1 = Maintenance.fileHealth(cat.loadTable("main", "h"))
+    assert(h1.needsCompaction, h1)
+    // the signal is also served through CALL system.file_health
+    spark.conf.set("spark.sql.catalog.gfh",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfh.warehouse",
+      cat.warehousePath.toString)
+    val r = spark.sql("CALL gfh.system.file_health('main.h')").collect()(0)
+    assert(r.getInt(0) == 10 && r.getInt(1) == 10 && r.getBoolean(3), r)
+
+    // opt in: the next commit pays the backlog down inline, and the
+    // resting population stays bounded through a further trickle
+    cat.loadTable("main", "h").commit(m => m.copy(properties =
+      m.properties + (Maintenance.AutoCompactProp -> "true")), unitMs = 1)
+    (11 to 20).foreach { i =>
+      w.writeTable("main", "h", Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")),
+        Append, cfg, s"l$i")
+    }
+    val t1 = cat.loadTable("main", "h")
+    assert(t1.metadata.snapshots.exists(_.operation == "compact"),
+      "inline compaction must have fired during the trickle")
+    val h2 = Maintenance.fileHealth(t1)
+    assert(h2.fileCount <= 5,
+      s"auto-compact must bound the resting population: $h2")
+    // content-neutral: every appended row present exactly once
+    assert(t1.read().collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L))
+  }
 }

@@ -298,6 +298,45 @@ class ModelCheckSpec extends AnyFunSuite {
           .select("id", "v").collect()
           .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
         val want = model.toSeq.sortBy(_._1)
+        // read-pushdown probes through the V2 catalog: the same claim /
+        // refuse machinery the per-scenario specs pin, but fuzzed against
+        // tables that randomly carry MoR deletes, evolution stragglers,
+        // mixed sort orders, and spec evolution — each probe's answer is
+        // checked against the model, so a claim that fires when it must
+        // refuse (or folds the wrong stats) is a caught divergence:
+        //  - global COUNT/COUNT(col)/MIN/MAX (metadata-aggregate tier)
+        //  - COUNT under a key-range WHERE (range-constancy claiming)
+        //  - sort-key TopN (file-prefix cut under the running-extreme gap)
+        //  - bare LIMIT (row-count-covering file prefix)
+        if (cat.tableExists("main", "t") && model.nonEmpty) {
+          val agg = spark.sql(s"SELECT count(*) AS n, count(v) AS nv, " +
+            s"min(id) AS mn, max(id) AS mx FROM $sqlCat.main.t").collect()(0)
+          assert(agg.getLong(0) == model.size.toLong &&
+            agg.getLong(1) == model.size.toLong &&
+            agg.getLong(2) == model.keys.min && agg.getLong(3) == model.keys.max,
+            s"seed=$seed step=$step op=$op: aggregate probe diverged " +
+              s"(got $agg, model n=${model.size} " +
+              s"mn=${model.keys.min} mx=${model.keys.max})")
+          val (plo, phi) = {
+            val a = key(); val b = key(); (math.min(a, b), math.max(a, b))
+          }
+          val nr = spark.sql(s"SELECT count(*) AS n FROM $sqlCat.main.t " +
+            s"WHERE id BETWEEN $plo AND $phi").collect()(0).getLong(0)
+          assert(nr == model.keys.count(k => k >= plo && k <= phi).toLong,
+            s"seed=$seed step=$step op=$op: range-claim probe [$plo,$phi] " +
+              s"got $nr")
+          val topK = 1 + rnd.nextInt(7)
+          val top = spark.sql(s"SELECT id FROM $sqlCat.main.t " +
+            s"ORDER BY id LIMIT $topK").collect().map(_.getLong(0)).toSeq
+          assert(top == model.keys.toSeq.sorted.take(topK),
+            s"seed=$seed step=$step op=$op: TopN probe k=$topK got $top")
+          val lim = spark.sql(s"SELECT id FROM $sqlCat.main.t LIMIT $topK")
+            .collect().map(_.getLong(0))
+          assert(lim.length == math.min(topK, model.size) &&
+            lim.forall(model.contains) && lim.distinct.length == lim.length,
+            s"seed=$seed step=$step op=$op: LIMIT probe k=$topK " +
+              s"got ${lim.toSeq}")
+        }
         cat.loadTable("main", "t").metadata.currentSnapshotId.foreach { sid =>
           history += sid -> model.toMap
         }

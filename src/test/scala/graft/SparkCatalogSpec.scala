@@ -163,12 +163,19 @@ class SparkCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 4)
     assert(spark.sql("SELECT count(*) FROM gmor.main.m").collect()(0).getLong(0) == 3)
 
-    // after physical apply, the fast pushdown path returns
+    // after physical apply, the fast DSv2 parquet path returns: the
+    // filter is either pushed to the scan or CLAIMED outright by exact
+    // file selection (range-constancy) — both are the fast path; what
+    // must be gone is the V1 MoR fallback
     graft.write.Maintenance.applyDeletes(t, retryUnitMs = 1)
-    val plan = spark.sql("SELECT v FROM gmor.main.m WHERE id = 2")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
-      "pushdown must return once deletes are applied")
+    val applied = spark.sql("SELECT v FROM gmor.main.m WHERE id = 2")
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(plan.contains("ParquetScan"),
+      s"the DSv2 parquet path must return once deletes are applied:\n$plan")
+    assert((plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"))
+      || plan.contains("InMemoryFileIndex(1 path"),
+      s"the filter must be pushed or claimed by file selection:\n$plan")
+    assert(applied.collect().map(_.getString(0)).toSeq == Seq("b2"))
   }
 
   test("ALTER TABLE routes through the engine's evolution rules") {
@@ -798,6 +805,66 @@ class SparkCatalogSpec extends AnyFunSuite {
       assert(!planOf(qnf).contains("PushedAggregation: [COUNT("), planOf(qnf))
       assert(spark.sql(qnf).collect()(0).getLong(0) == 20L)
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
+  test("range-constancy claiming: grain-aligned temporal WHERE on a day-partitioned table is metadata-served") {
+    val cat = freshCatalog("grng")
+    val w = new GraftWriter(cat)
+    def planOf(q: String): String = spark.sql(q).queryExecution.executedPlan.toString
+    // 10 days x 24 hourly rows, day-partitioned: each file's ts range
+    // sits inside one day by construction
+    val rows = (0 until 240).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2026, 1, 1 + i / 24, i % 24, 30)))
+    }
+    w.writeTable("main", "ev", Seq(rows.toDF("id", "ts")), Append,
+      WriteConfig(retryUnitMs = 1,
+        partitions = Seq(graft.partition.PartitionHint.day("ts"))), "l1")
+    // grain-aligned >= : pure file selection, COUNT folds from metadata
+    val q1 = "SELECT count(*) AS n FROM grng.main.ev " +
+      "WHERE ts >= TIMESTAMP '2026-01-04 00:00:00'"
+    assert(planOf(q1).contains("graft-meta-agg"), planOf(q1))
+    assert(spark.sql(q1).collect()(0).getLong(0) == 7 * 24L)
+    // aligned half-open range
+    val q2 = "SELECT count(*) AS n FROM grng.main.ev " +
+      "WHERE ts >= TIMESTAMP '2026-01-03 00:00:00' " +
+      "AND ts < TIMESTAMP '2026-01-05 00:00:00'"
+    assert(planOf(q2).contains("graft-meta-agg"), planOf(q2))
+    assert(spark.sql(q2).collect()(0).getLong(0) == 2 * 24L)
+    // NON-grain-aligned boundary straddles a file: refuse the claim,
+    // fall back to the pushed-filter scan, stay exact
+    val q3 = "SELECT count(*) AS n FROM grng.main.ev " +
+      "WHERE ts >= TIMESTAMP '2026-01-04 12:00:00'"
+    assert(!planOf(q3).contains("graft-meta-agg"), planOf(q3))
+    assert(spark.sql(q3).collect()(0).getLong(0) == 6 * 24L + 12L)
+    // equality on the raw timestamp never selects whole files here
+    val q4 = "SELECT count(*) AS n FROM grng.main.ev " +
+      "WHERE ts = TIMESTAMP '2026-01-04 05:30:00'"
+    assert(!planOf(q4).contains("graft-meta-agg"))
+    assert(spark.sql(q4).collect()(0).getLong(0) == 1L)
+    // row scans under a claimed filter plan only the matching files
+    // (the scan may be SPJ-wrapped, so read the path count off the plan)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      "InMemoryFileIndex\\((\\d+) paths?\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    val total = cat.loadTable("main", "ev").metadata.currentFiles.size
+    val rowsQ = spark.sql("SELECT id FROM grng.main.ev " +
+      "WHERE ts >= TIMESTAMP '2026-01-09 00:00:00'")
+    assert(scanned(rowsQ) > 0 && scanned(rowsQ) < total,
+      s"claimed rows scan must plan a file subset, ${scanned(rowsQ)} of $total\n" +
+        rowsQ.queryExecution.executedPlan.toString)
+    assert(rowsQ.count() == 2 * 24L)
+    // outstanding MoR deletes refuse claiming entirely
+    val mor = WriteConfig(retryUnitMs = 1, primaryKey = Seq("id"),
+      mergeOnRead = true, partitions = Seq(graft.partition.PartitionHint.day("ts")))
+    w.writeTable("main", "evm", Seq(rows.toDF("id", "ts")), Append, mor, "l1")
+    w.writeTable("main", "evm",
+      Seq(Seq((5L, rows(5)._2)).toDF("id", "ts")), Merge("upsert"), mor, "l2")
+    val qm = "SELECT count(*) AS n FROM grng.main.evm " +
+      "WHERE ts >= TIMESTAMP '2026-01-04 00:00:00'"
+    assert(!planOf(qm).contains("graft-meta-agg"))
+    assert(spark.sql(qm).collect()(0).getLong(0) == 7 * 24L)
   }
 
   test("limit pushdown narrows the scan to the file prefix that covers n rows") {
