@@ -143,9 +143,19 @@ final class GraftReplaceBatchWrite(
     val files = staged.map(_.path).sorted.toSeq
     // the replaced set = what the operation scan ACTUALLY read (the
     // written rows are its output): the full planned set on the V1
-    // fallback, the statically+runtime narrowed group set otherwise
-    val replaced =
-      groupState.flatMap(_.scannedPaths).getOrElse(plannedPaths)
+    // fallback, the statically+runtime narrowed group set otherwise.
+    // On the GROUP path a scan that was never planned means ZERO groups
+    // were read — Spark's runtime group filtering found no matching
+    // files and empty-relation propagation elided the scan subtree
+    // entirely (planInputPartitions never ran), so the write's rows are
+    // pure inserts. Falling back to plannedPaths there would replace
+    // EVERY live file with insert-only output: mass row loss (caught by
+    // the model checker's seed-7 pure-insert MERGE on a multi-file
+    // table).
+    val replaced = groupState match {
+      case Some(st) => st.scannedPaths.getOrElse(Set.empty[String])
+      case None => plannedPaths
+    }
     if (files.isEmpty && replaced.isEmpty) return // zero matched groups
     val t = table
     val spec = t.metadata.partitionSpec

@@ -858,6 +858,21 @@ object GraftV2Table {
         org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(v1, Nil,
           org.apache.spark.sql.execution.datasources.v2.PushedDownOperators(
             None, None, None, None, Nil, Nil, Nil, None))
+      // the full-group row-level fallback must NOT advertise runtime
+      // filtering: an SPJ-wrapped scan exposes PARTITION SOURCE columns
+      // as filter attributes (sound for join DPP on normal reads), and
+      // Spark's RowLevelOperationRuntimeGroupFiltering would treat them
+      // as GROUP columns — injecting a row-granularity `key IN (matched
+      // keys)` filter that drops every carried row of the replaced
+      // files. Under a bucket transform the group is bucket(key), not
+      // key, so the filter is unsound; with a pure-insert MERGE source
+      // its IN-list is empty and the whole table is lost (caught by the
+      // model checker's seed-7 sequence). The fallback's contract is to
+      // read EVERY row of the planned set — narrowing belongs to the
+      // GroupScan path, whose filter attribute is `_file` (a true group
+      // key).
+      case s: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        NoRuntimeFilterScan(s)
       case s => s
     }
   }

@@ -4,7 +4,7 @@ import java.util.OptionalLong
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.read.{Statistics => V2Statistics, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, Statistics => V2Statistics, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, PushedDownOperators, V1ScanWrapper}
 
 /** Size/row statistics for the engine's V1-shim scans.
@@ -103,5 +103,37 @@ object V1ScanStatsRule extends Rule[LogicalPlan] {
     if (!spark.experimental.extraOptimizations.exists(_ eq V1ScanStatsRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ V1ScanStatsRule
+  }
+}
+
+/** Forwarding scan that HIDES `SupportsRuntimeV2Filtering` from Spark.
+  * Used by [[GraftV2Table.wrapV1]] for the row-level FULL-GROUP fallback
+  * scan: there the commit replaces the entire planned file set, so the
+  * scan must read every row of it — a runtime row filter derived from
+  * the inner scan's DPP attributes (partition SOURCE columns on an
+  * SPJ-wrapped merge-on-read scan) would silently drop carried rows of
+  * replaced files. Statistics still forward so join planning keeps its
+  * size information. */
+final case class NoRuntimeFilterScan(inner: Scan)
+  extends Scan with SupportsReportStatistics {
+  override def readSchema(): org.apache.spark.sql.types.StructType =
+    inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def estimateStatistics(): V2Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new V2Statistics {
+      override def sizeInBytes = java.util.OptionalLong.empty()
+      override def numRows = java.util.OptionalLong.empty()
+    }
   }
 }

@@ -1506,10 +1506,23 @@ object WriteQueries {
         val noPk = WriteConfig(retryUnitMs = 10)
         w.writeTable("main", "orders_t", Seq(target(s, dir).limit(0)),
           Append, noPk, "l0")
+        // scale-proportional thresholds: a "small" file is anything under
+        // 2x one slice's size (so the trickle's files count as small at
+        // EVERY sf — at sf100 a slice is ~100 MB and the 32 MB default
+        // would never fire), and the compaction target is ~4 slices
+        val sliceBytes = math.max(1L << 20,
+          t(s, dir, "orders").inputFiles.headOption.map(p =>
+            new java.io.File(p.stripPrefix("file:")).length / 12).getOrElse(1L << 20))
         cat.loadTable("main", "orders_t").commit(m => m.copy(properties =
           m.properties
             + (Maintenance.AutoCompactProp -> "true")
-            + (Maintenance.MaxSmallFilesProp -> "4")), unitMs = 1)
+            + (Maintenance.MaxSmallFilesProp -> "4")
+            + (Maintenance.SmallFileBytesProp -> (sliceBytes * 2).toString)
+            // one compaction output holds a full trickle's worth, so
+            // outputs leave the "small" class and the resting population
+            // stays a handful at every sf
+            + (Maintenance.TargetFileBytesProp -> (sliceBytes * 12).toString)),
+          unitMs = 1)
         // 12 disjoint slices = one small file per commit without
         // maintenance
         (0 until 12).foreach { i =>

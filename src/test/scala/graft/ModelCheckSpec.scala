@@ -46,7 +46,8 @@ class ModelCheckSpec extends AnyFunSuite {
         "('graft.delete.mode', 'graft.primary-key')")
 
   test("random disposition sequences match the in-memory model") {
-    for (seed <- 1 to nSeeds) {
+    for (seed <- sys.env.get("GRAFT_MODEL_ONLY").map(x => Seq(x.toInt))
+        .getOrElse(1 to nSeeds)) {
       val rnd = new scala.util.Random(1000 + seed)
       val wh = Files.createTempDirectory(s"graft-model-$seed-").toString
       val cat = new GraftCatalog(spark, wh)
@@ -64,16 +65,20 @@ class ModelCheckSpec extends AnyFunSuite {
       // negatives — the r1 stats bug's blind spot
       def key(): Long = rnd.between(-120L, 130L)
 
+      val dbg = sys.env.contains("GRAFT_MODEL_DEBUG")
       (1 to 6).foreach { step =>
         val op = rnd.nextInt(14)
         val batchKeys = Seq.fill(rnd.between(1, 30))(key()).distinct
         val rows = batchKeys.map(k => (k, s"s$step-v$k", null: java.lang.Long))
+        if (dbg) println(s"[mc] seed=$seed step=$step op=$op keys=${batchKeys.size}")
         // content-neutral maintenance interleaved at random: compaction
         // and expiry rewrite/drop manifests through the delta commit path
         // and must NEVER change what the table reads as
         if (rnd.nextInt(3) == 0 && cat.tableExists("main", "t")) {
           val t = cat.loadTable("main", "t")
-          rnd.nextInt(4) match {
+          val mnt = rnd.nextInt(4)
+          if (dbg) println(s"[mc]   maintenance branch $mnt")
+          mnt match {
             case 0 =>
               try Maintenance.compact(t, smallFileBytes = 1L << 20,
                 targetFileBytes = 8L << 20, retryUnitMs = 1)
@@ -107,6 +112,7 @@ class ModelCheckSpec extends AnyFunSuite {
           val (snapId, past) = history(rnd.nextInt(history.size))
           val t = cat.loadTable("main", "t")
           if (t.metadata.snapshots.exists(_.snapshotId == snapId)) {
+            if (dbg) println(s"[mc]   rollback to $snapId")
             t.rollbackTo(snapId)
             model.clear(); past.foreach { case (k, v) => model(k) = v }
           }
@@ -114,6 +120,7 @@ class ModelCheckSpec extends AnyFunSuite {
         // the model is merge-mode-blind: CoW and MoR must be
         // indistinguishable to readers
         val mcfg = cfg.copy(mergeOnRead = rnd.nextBoolean())
+        if (dbg) println(s"[mc]   mergeOnRead=${mcfg.mergeOnRead}")
         op match {
           case 0 => // upsert
             w.writeTable("main", "t", Seq(df(rows)), Merge("upsert"), mcfg, s"l$seed-$step")
@@ -178,7 +185,13 @@ class ModelCheckSpec extends AnyFunSuite {
                 s"l$seed-$step")
               rows.foreach { case (k, v, _) => model(k) = v }
             }
-            setSqlDmlMode(sqlCat, rnd.nextBoolean())
+            val delta7 = rnd.nextBoolean()
+            setSqlDmlMode(sqlCat, delta7)
+            if (dbg) {
+              val m7 = cat.loadTable("main", "t").metadata
+              println(s"[mc]   op7 delta=$delta7 preFiles=${m7.currentFiles.map(f => (f.path.split('/').last.take(12), f.rowCount, f.dataSeq))} " +
+                s"deletes=${m7.currentSnapshot.map(_.deletes.size)} snapId=${m7.currentSnapshotId}")
+            }
             df(rows).createOrReplaceTempView(s"mc_src_$seed")
             spark.sql(
               s"""MERGE INTO $sqlCat.main.t AS t USING mc_src_$seed AS s
@@ -186,6 +199,11 @@ class ModelCheckSpec extends AnyFunSuite {
                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
                  |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
                  |""".stripMargin)
+            if (dbg) {
+              val m7 = cat.loadTable("main", "t").metadata
+              println(s"[mc]   op7 postFiles=${m7.currentFiles.map(f => (f.path.split('/').last.take(12), f.rowCount, f.dataSeq))} " +
+                s"deletes=${m7.currentSnapshot.map(s => s.deletes.map(d => (d.rowCount, d.seq)))} op=${m7.currentSnapshot.map(_.operation)}")
+            }
             rows.foreach { case (k, v, _) => model(k) = v }
           case 9 => // SQL MERGE WITH SCHEMA EVOLUTION: the source carries
             // a NEW nullable column; the analyzer routes the add through
@@ -298,6 +316,10 @@ class ModelCheckSpec extends AnyFunSuite {
           .select("id", "v").collect()
           .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
         val want = model.toSeq.sortBy(_._1)
+        assert(got == want,
+          s"seed=$seed step=$step op=$op: table diverged from model\n" +
+            s"extra: ${(got.toSet -- want.toSet).take(5)}\n" +
+            s"missing: ${(want.toSet -- got.toSet).take(5)}")
         // read-pushdown probes through the V2 catalog: the same claim /
         // refuse machinery the per-scenario specs pin, but fuzzed against
         // tables that randomly carry MoR deletes, evolution stragglers,
@@ -316,7 +338,8 @@ class ModelCheckSpec extends AnyFunSuite {
             agg.getLong(2) == model.keys.min && agg.getLong(3) == model.keys.max,
             s"seed=$seed step=$step op=$op: aggregate probe diverged " +
               s"(got $agg, model n=${model.size} " +
-              s"mn=${model.keys.min} mx=${model.keys.max})")
+              s"mn=${model.keys.min} mx=${model.keys.max}, " +
+              s"directRead n=${got.length})")
           val (plo, phi) = {
             val a = key(); val b = key(); (math.min(a, b), math.max(a, b))
           }
@@ -340,10 +363,6 @@ class ModelCheckSpec extends AnyFunSuite {
         cat.loadTable("main", "t").metadata.currentSnapshotId.foreach { sid =>
           history += sid -> model.toMap
         }
-        assert(got == want,
-          s"seed=$seed step=$step op=$op: table diverged from model\n" +
-            s"extra: ${(got.toSet -- want.toSet).take(5)}\n" +
-            s"missing: ${(want.toSet -- got.toSet).take(5)}")
       }
     }
   }
