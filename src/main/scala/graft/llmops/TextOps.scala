@@ -533,4 +533,75 @@ object TextOps {
         okCol(col("est"), col("exact_distinct")).as("sketch_ok"))
     srcRows.unionByName(allRow)
   }
+
+  /** Per-domain quota sampling: keep at most `quota` documents from each
+    * source/domain, selected by a deterministic uniform priority — the
+    * standard web-corpus curation step that stops a handful of giant
+    * domains from dominating the training mix (every pipeline caps
+    * pages-per-domain before mixing).
+    *
+    * Priority is the modular-multiplicative permutation
+    * `(doc_id * 2654435761) mod 2^32` (Knuth's multiplier; a bijection
+    * on [0, 2^32) for the odd multiplier, so priorities are UNIQUE and
+    * the kept set is exactly the quota-smallest — no tie ambiguity,
+    * portable integer arithmetic on both engines).
+    *
+    * Scale shape — this is deliberately NOT
+    * `row_number() OVER (PARTITION BY source)`: a hot domain with 10^9
+    * pages would sort inside one task. Instead a bounded min-k aggregate
+    * ([[graft.functions.MinKAgg]], buffer ≤ quota per partial) computes
+    * each domain's cutoff priority with map-side combine, and the
+    * one-row-per-domain cutoff table broadcast-joins back — the full
+    * corpus is touched twice, shuffled never (aggregate partials are
+    * quota-bounded, the join side is metadata-sized). */
+  def domainQuota(docs: DataFrame, quota: Int = 10,
+      sourceCol: String = "source"): DataFrame = {
+    val prio = docs.select(col("doc_id"), col(sourceCol).as("source"))
+      .withColumn("priority",
+        (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+    val kept = graft.functions.MinK.minK(quota)
+    val cutoffs = prio.groupBy("source")
+      .agg(kept(col("priority")).as("ks"))
+      .select(col("source"),
+        when(size(col("ks")) < quota, lit(Long.MaxValue))
+          .otherwise(element_at(col("ks"), -1)).as("cutoff"))
+    prio.join(broadcast(cutoffs), "source")
+      .filter(col("priority") <= col("cutoff"))
+      .select(col("doc_id"), col("source"), col("priority"))
+  }
+
+  /** Smoothed bigram-LM cross-entropy per document — the context-aware
+    * upgrade of [[unigramLogProb]] (the cheap stand-in for CCNet-style
+    * LM-perplexity filtering): word salad built from common tokens
+    * scores fine on unigrams but poorly here, because every improbable
+    * TRANSITION pays. The model is the corpus's own add-one-smoothed
+    * bigram table: P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V).
+    *
+    * Scale shape: bigram occurrences shuffle ONCE to build the count
+    * table (map-side combined); prefix counts derive from the already
+    * bigram-distinct table, not the occurrences; the enriched model
+    * joins back on (w1,w2) — a plain shuffle join AQE can skew-split,
+    * since hot prefixes ("the …") concentrate there. V and nothing else
+    * is a driver literal (one scalar). Per-doc state is one running
+    * mean, never a collected list. */
+  def bigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col(textCol)).as("ts"))
+    val bi = tok.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w"))).collect()(0).getLong(0)
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab))).as("lp"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        // + 1e-9: see tokenStats
+        round(-avg(col("lp")) + 1e-9, 4).as("bigram_xent"))
+  }
 }

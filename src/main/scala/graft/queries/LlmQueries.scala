@@ -1181,7 +1181,43 @@ object LlmQueries {
         |FROM pairs p
         |JOIN sizes sa ON p.a = sa.doc_id
         |JOIN sizes sb ON p.b = sb.doc_id
-        |WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.6""".stripMargin)))
+        |WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.6""".stripMargin))),
+
+    // per-domain quota sampling: at most 10 docs per source, chosen by a
+    // deterministic modular-permutation priority — the bounded min-k
+    // aggregate route (never a per-domain window; see
+    // TextOps.domainQuota). Priorities are a bijection of doc_id, so
+    // the kept set is tie-free and the oracle's row_number form is
+    // exactly equivalent.
+    "l55_domain_quota" -> ((
+      (s: SparkSession, dir: String) => TextOps.domainQuota(docs(s, dir), 10),
+      Some("""WITH p AS (SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 4294967296 AS priority FROM documents),
+        |r AS (SELECT doc_id, source, priority,
+        |    row_number() OVER (PARTITION BY source ORDER BY priority) AS rn
+        |  FROM p)
+        |SELECT doc_id, source, priority FROM r WHERE rn <= 10""".stripMargin))),
+
+    // smoothed bigram-LM cross-entropy (context-aware perplexity proxy):
+    // the corpus's own add-one bigram model scores each doc's mean
+    // transition surprisal — the CCNet-style quality filter one level up
+    // from l4's unigram form. Both engines build the identical model
+    // (same smoothing arithmetic, same V) so scores hash-match.
+    "l56_bigram_xent" -> ((
+      (s: SparkSession, dir: String) => TextOps.bigramSurprisal(docs(s, dir)),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bi AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+        |    unnest(ts[2:len(ts)]) AS w2 FROM tk WHERE len(ts) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS vv FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |model AS (SELECT c2.w1, c2.w2,
+        |    ln((c2.c2 + 1.0) / (c1.c1 + vv)) AS lp
+        |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(-avg(lp) + 1e-9, 4) AS bigram_xent
+        |FROM bi JOIN model USING (w1, w2) GROUP BY doc_id""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

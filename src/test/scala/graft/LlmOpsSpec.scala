@@ -456,4 +456,59 @@ class LlmOpsSpec extends AnyFunSuite {
       .toMap
     assert(again == out)
   }
+
+  test("min-k aggregator: bounded buffers reproduce sorted.take(k) under any split") {
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(500)(rnd.nextLong() % 1000)
+    for (k <- Seq(1, 7, 100, 600)) {
+      val agg = new graft.functions.MinKAgg(k)
+      // fold through reduce in several chunk shapes, then merge pairwise
+      val chunks = xs.grouped(37).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      chunks.foreach(c => assert(c.length <= k, "buffer must stay bounded"))
+      val merged = chunks.reduce(agg.merge)
+      assert(agg.finish(merged) == xs.sorted.take(k).toSeq,
+        s"k=$k must equal the exact k-smallest")
+    }
+  }
+
+  test("domain quota: per-source cap holds and equals the window-form reference") {
+    val out = TextOps.domainQuota(docs, 5).cache()
+    val perSrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.values.forall(_ <= 5), s"quota exceeded: $perSrc")
+    // sources smaller than the quota keep everything
+    val srcTotals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    srcTotals.foreach { case (s, n) =>
+      assert(perSrc.getOrElse(s, 0L) == math.min(n, 5L), s"source $s") }
+    // the kept set must be EXACTLY the window-form answer (priorities are
+    // a bijection of doc_id, so there is one correct answer)
+    import org.apache.spark.sql.expressions.Window
+    val ref = docs.select(col("doc_id"), col("source"),
+        ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("priority"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("priority")))
+      .filter(col("rn") <= 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == ref)
+  }
+
+  test("bigram cross-entropy: repeated transitions score lower than scrambled text") {
+    import spark.implicits._
+    // corpus: many docs repeating the same transitions + one scrambled doc
+    val fluent = (1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val salad = Seq((99L, "dog the over quick lazy jumps brown the fox"))
+    val d = (fluent ++ salad).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == (fluent ++ salad).map(_._1).toSet)
+    assert(out(1L)._1 == 8L, "9 tokens -> 8 bigrams")
+    // same unigram bag, different transitions: the salad doc must pay
+    assert(out(99L)._2 > out(1L)._2 + 1.0,
+      s"scrambled ${out(99L)._2} vs fluent ${out(1L)._2}")
+    // determinism
+    val again = TextOps.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(again == out)
+  }
 }

@@ -208,6 +208,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the single-row audit crossJoin may nest loops:\n$p51")
   }
 
+  test("round-11 entries keep scale-shaped plans") {
+    // domain quota: cutoff selection must be the BOUNDED min-k aggregate
+    // (ObjectHashAggregate with map-side partials) + a broadcast join of
+    // the one-row-per-domain cutoff table — never a per-domain window,
+    // which would sort a hot domain inside one task
+    val p55 = plan("l55_domain_quota")
+    assert(!p55.contains("Window"),
+      s"quota selection must not window-partition by domain:\n$p55")
+    assert(p55.contains("ObjectHashAggregate"),
+      s"min-k cutoffs must aggregate with bounded buffers:\n$p55")
+    assert(p55.contains("BroadcastHashJoin"),
+      s"the metadata-sized cutoff table must broadcast back:\n$p55")
+    assert(!p55.contains("CartesianProduct") &&
+      !p55.contains("BroadcastNestedLoopJoin"), p55)
+    // bigram LM: counts and model joins stay keyed hash joins with
+    // map-side partial aggregation; no window, no cartesian
+    val p56 = plan("l56_bigram_xent")
+    assert(!p56.contains("CartesianProduct") &&
+      !p56.contains("BroadcastNestedLoopJoin"),
+      s"bigram model joins must stay keyed:\n$p56")
+    assert(!p56.contains("Window"), p56)
+    assert(p56.contains("partial_"),
+      s"count/score aggregates must partial-combine map-side:\n$p56")
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
