@@ -55,10 +55,20 @@ object GenTestData {
 
     // ONE file per table (the TESTDATA.md layout; the DuckDB oracle
     // reads <dir>/<name>.parquet as a single file): compute stays
-    // parallel, the final shuffle funnels into a single writer
+    // parallel, the final shuffle funnels into a single writer.
+    // Past sf~50 the single-writer funnel becomes the wall-clock
+    // bottleneck (lineitem at sf100 is ~600M rows), so big tables write
+    // `<name>.parquet/` as a DIRECTORY of parts — Spark reads either
+    // layout transparently; check_oracle.py globs when it sees a dir.
+    val multiFile = sf >= 50
     def write(name: String, df: DataFrame, parts: Int = 8): Unit = {
       if (only.nonEmpty && !only.contains(name)) return
       println(s"[gen] writing $name")
+      if (multiFile && parts > 1) {
+        df.repartition(parts * 8).write.mode("overwrite")
+          .parquet(java.nio.file.Paths.get(out, s"$name.parquet").toString)
+        return
+      }
       val tmp = java.nio.file.Paths.get(out, s"_tmp_$name")
       df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
       val part = graft.catalog.PathIO.list(tmp)
