@@ -31,6 +31,53 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _norm_expr(col: str, typ: str) -> str:
+    """DuckDB expression mirroring norm()'s per-column normalization."""
+    q = f'"{col}"'
+    t = typ.upper()
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        e = f"round({q}::DOUBLE, 6)::VARCHAR"
+    elif t.startswith("TIMESTAMP"):
+        e = f"({q}::TIMESTAMP)::VARCHAR"
+    elif t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+               "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+        e = f"({q}::BIGINT)::VARCHAR"
+    else:
+        e = f"{q}::VARCHAR"
+    return f"COALESCE({e}, chr(0) || 'NULL')"
+
+
+def big_compare(con, res_files, sql):
+    """Order-independent multiset compare fully inside DuckDB: both sides
+    normalized identically, then count + sum-of-row-hashes (HUGEINT sum,
+    no overflow)."""
+    con.execute("CREATE OR REPLACE TEMP VIEW _exp AS " + sql)
+    cols_exp = con.execute("DESCRIBE _exp").fetchall()
+    files = ", ".join("'" + f.replace("'", "''") + "'" for f in res_files)
+    con.execute(
+        f"CREATE OR REPLACE TEMP VIEW _got AS SELECT * FROM read_parquet([{files}])")
+    cols_got = con.execute("DESCRIBE _got").fetchall()
+    names_exp = sorted(c[0] for c in cols_exp)
+    names_got = sorted(c[0] for c in cols_got)
+    if names_exp != names_got:
+        return False, f"columns {names_got} != {names_exp}"
+
+    def digest(view, cols):
+        types = {c[0]: c[1] for c in cols}
+        parts = ", ".join(_norm_expr(c, types[c]) for c in sorted(types))
+        row = f"hash(concat_ws(chr(31), {parts}))"
+        return con.execute(
+            f"SELECT count(*), sum({row}::HUGEINT) FROM {view}").fetchone()
+
+    n_g, h_g = digest("_got", cols_got)
+    n_e, h_e = digest("_exp", cols_exp)
+    if n_g != n_e:
+        return False, f"rows {n_g} != {n_e}"
+    if h_g != h_e:
+        return False, f"row multiset hash mismatch over {n_g} rows"
+    return True, ""
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -58,6 +105,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
+            # Past a few million rows the pandas sort/compare dominates the
+            # gate's wall clock (sf100 write entries return 100M keys), so
+            # big results compare inside DuckDB: identical per-column
+            # normalization (float round-6, everything stringly), then an
+            # order-independent multiset hash-sum over the rows.
+            n_got = con.execute(
+                "SELECT count(*) FROM read_parquet(?)", [res_files]).fetchone()[0]
+            if n_got > int(os.environ.get("ORACLE_BIG_ROWS", "2000000")):
+                ok, msg = big_compare(con, res_files, sql)
+                if ok:
+                    print(f"PASS {name} ({n_got} rows, hash-sum path)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: {msg}")
+                    n_fail += 1
+                continue
             got = norm(pd.concat([pd.read_parquet(f) for f in res_files]))
             exp = norm(con.execute(sql).fetchdf())
         except Exception as e:
