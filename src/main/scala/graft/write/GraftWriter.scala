@@ -731,9 +731,10 @@ final class GraftWriter(catalog: GraftCatalog) {
     // self-maintenance applies to the main line only: a branch commit's
     // backlog is invisible to main readers until publish, and publish
     // routes through a main-line commit that re-evaluates the signal
-    if (cfg.toBranch.isEmpty)
+    if (cfg.toBranch.isEmpty) {
       Maintenance.autoApplyIfNeeded(t, cfg.retryUnitMs)
       Maintenance.autoCompactIfNeeded(t, cfg.retryUnitMs)
+    }
   }
 
   /** The heart of every merge variant: rewrite the key-affected subset of

@@ -115,6 +115,39 @@ class BranchSpec extends AnyFunSuite {
     assert(t.read().count() == 5)
   }
 
+  test("auto-compact never fires on a WAP-branch MoR merge (main-line only)") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // trickle enough small files past the threshold so the compaction
+    // signal is armed, THEN opt in to auto-compact
+    (1 to 6).foreach(i =>
+      w.writeTable("main", "u", Seq(users((i.toLong, s"u$i", i * 10L))),
+        Append, cfg, s"l$i"))
+    cat.loadTable("main", "u").commit(m => m.copy(properties = m.properties +
+      (Maintenance.AutoCompactProp -> "true") +
+      (Maintenance.MaxSmallFilesProp -> "3")), unitMs = 1)
+    val t = cat.loadTable("main", "u")
+    t.createBranch("audit")
+    // a MoR merge routed to the audit branch must NOT trigger a main-line
+    // compaction: the branch backlog is invisible to main readers until
+    // publish (regression: a brace-less if once guarded only autoApply)
+    w.writeTable("main", "u", Seq(users((1, "a2", 11))), Merge("upsert"),
+      cfg.copy(toBranch = Some("audit"), mergeOnRead = true), "l7")
+    val afterBranch = cat.loadTable("main", "u")
+    assert(!afterBranch.metadata.snapshots.exists(_.operation == "compact"),
+      "branch MoR merge must not fire a main-line auto-compaction")
+    // publish routes through a main-line commit that re-evaluates the
+    // signal; a subsequent main-line MoR merge pays the backlog down
+    afterBranch.publish("audit")
+    w.writeTable("main", "u", Seq(users((2, "b2", 21))), Merge("upsert"),
+      cfg.copy(mergeOnRead = true), "l8")
+    val t2 = cat.loadTable("main", "u")
+    assert(t2.metadata.snapshots.exists(_.operation == "compact"),
+      "main-line MoR merge must fire the armed auto-compaction")
+    assert(t2.read().select("username").as[String].collect().toSet ==
+      Set("a2", "b2", "u3", "u4", "u5", "u6"))
+  }
+
   test("all-numeric ref names are rejected (would shadow snapshot ids)") {
     val w = new GraftWriter(freshCatalog())
     val t = w.writeTable("main", "u", Seq(users((1, "a", 10))), Append, cfg, "l1")
