@@ -10,7 +10,18 @@ import org.apache.spark.sql.SparkSession
   * minima; `queries_raw` carries every run) — a single pass conflates
   * plan cost with JIT/page-cache/machine-contention noise, which made
   * round signals untrustworthy (r1: 137.8 s contended vs 57.9 s idle on
-  * the identical commit). */
+  * the identical commit).
+  *
+  * Hermeticity (round-12, after the r11 w6–w9 contamination incident:
+  * four entries recorded 5–12 s in the driver run vs 0.95–1.54 s
+  * isolated — cross-entry debris + machine load, not plans): between
+  * entries the harness (a) clears the Spark SQL cache, (b) rolls back
+  * every session conf the entry set or changed, (c) deletes the
+  * `graft-*` scratch warehouses the entry created under java.io.tmpdir,
+  * and (d) records the 1-minute loadavg per entry (in `queries_raw`'s
+  * sibling `loads` map) so a contended stretch is attributable to the
+  * specific entries it inflated instead of poisoning the whole artifact.
+  */
 object Bench {
 
   /** 1-minute system load average from /proc/loadavg (linux), -1 when
@@ -22,6 +33,43 @@ object Bench {
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Scratch warehouses entries create (`Files.createTempDirectory
+    * ("graft-…")`) accumulate tens of GB of parquet + page-cache debris
+    * across 150+ entries; later entries then measure dirty-page
+    * writeback, not their plans. List the tmpdir's graft-* children so
+    * the harness can diff before/after an entry and delete what it made. */
+  private def graftTmpDirs(): Set[java.nio.file.Path] = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    val out = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    val s = try java.nio.file.Files.list(tmp) catch { case _: Throwable => return Set.empty }
+    try s.forEach { p =>
+      if (p.getFileName.toString.startsWith("graft-")) out += p
+    } finally s.close()
+    out.toSet
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () })
+      finally s.close()
+    } catch { case _: Throwable => () }
+
+  /** Roll the session conf back to `before`: unset keys the entry added,
+    * restore keys it changed. Static/non-modifiable confs can't have been
+    * changed at runtime, so failures here are ignorable. */
+  private def restoreConf(spark: SparkSession,
+      before: Map[String, String]): Unit = {
+    val after = spark.conf.getAll
+    for (k <- after.keySet diff before.keySet)
+      try spark.conf.unset(k) catch { case _: Throwable => () }
+    for ((k, v) <- before if after.get(k).exists(_ != v))
+      try spark.conf.set(k, v) catch { case _: Throwable => () }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,51 +92,72 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // Optional entry subset (comma-separated names): isolated idle
     // re-measures of specific entries without paying for the full suite.
+    // Unknown names fail fast — a typo must not masquerade as a
+    // 0.0-second measurement (a silent filter once did exactly that).
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names diff SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown entries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val confBaseline = spark.conf.getAll
+    val tmpBaseline = graftTmpDirs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val entryLoad = loadavg1m()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       // several operators cache intermediates (shingle sets, LSH buckets)
-      // that stay referenced for the session: without clearing, 127
+      // that stay referenced for the session: without clearing, 150+
       // queries accumulate executor-memory pressure and the LATER
       // entries' numbers measure GC debt, not their plans (sf1: q26
       // printed 18.5 s inside the suite vs 8.7 s isolated). Clearing
       // between entries makes each number a cold-cache measurement of
       // that query alone.
       spark.catalog.clearCache()
-      name -> times
+      restoreConf(spark, confBaseline)
+      (graftTmpDirs() diff tmpBaseline).foreach(deleteRecursively)
+      (name, times, entryLoad)
     }
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }
+    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
+    val raw = results.map { case (k, ts, _) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val loadAfter = loadavg1m()
-    // loadavg above ~1.5x the worker count means external contention:
-    // numbers are not comparable across rounds (threshold in BASELINE.md).
-    //
+    // loadavg above the documented threshold means external contention:
+    // numbers are not comparable across rounds (doctrine in BASELINE.md
+    // "Bench comparability"). Annotate rather than refuse — the driver
+    // run must still produce an artifact — but the flag makes a
+    // contaminated artifact self-describing.
+    val contended = loadBefore > 5.0 || loadAfter > 1.5 * cpus.toInt
     // The stdout contract is ONE compact JSON line, LAST on stdout, and it
     // must fit the driver's 2,000-char capture tail — at 150+ entries the
     // full per-query map no longer does (rounds 8-10 stored unparseable
     // tails). So the line carries the totals plus the ten slowest
-    // entries, and the FULL per-query map (minima + every raw run) goes
-    // to a JSON file in the repo whose path the line names.
+    // entries, and the FULL per-query map (minima + every raw run +
+    // per-entry loadavg) goes to a JSON file in the repo whose path the
+    // line names. A subset run writes a SEPARATE file so it can never
+    // clobber the canonical full-suite artifact.
     val perQueryFile = new java.io.File(
-      sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json").getAbsolutePath
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}"""
+      sys.props.getOrElse("user.dir", "."),
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+    ).getAbsolutePath
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"entry_loadavg":$loads,"contended":$contended,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(perQueryFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.sortBy(-_._2.min).take(10)
-      .map { case (k, ts) => "\"" + k + "\":" + ts.min }
+      .map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     System.err.println(s"""{"queries_raw":$raw}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"slowest":$slowest,"per_query_file":"$perQueryFile","sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"slowest":$slowest,"per_query_file":"$perQueryFile","contended":$contended,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}""")
     spark.stop()
   }
 }

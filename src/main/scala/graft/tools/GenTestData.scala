@@ -75,8 +75,14 @@ object GenTestData {
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no parquet for $name"))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-      java.nio.file.Files.move(part,
-        java.nio.file.Paths.get(out, s"$name.parquet"),
+      val dest = java.nio.file.Paths.get(out, s"$name.parquet")
+      // REPLACE_EXISTING only replaces an EMPTY directory: if a prior
+      // sf>=50 run left a directory-of-parts here, clear it first or the
+      // move throws DirectoryNotEmptyException
+      if (java.nio.file.Files.isDirectory(dest))
+        graft.catalog.PathIO.walk(dest).sortBy(_.toString).reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      java.nio.file.Files.move(part, dest,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.catalog.PathIO.walk(tmp).sortBy(_.toString).reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))

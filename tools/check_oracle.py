@@ -35,9 +35,16 @@ def _norm_expr(col: str, typ: str) -> str:
     """DuckDB expression mirroring norm()'s per-column normalization."""
     q = f'"{col}"'
     t = typ.upper()
-    if t in ("FLOAT", "DOUBLE", "REAL"):
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
+        # DECIMAL joins the float branch: integer*decimal-literal
+        # arithmetic yields DECIMAL in the oracle but DOUBLE in the
+        # Spark-written parquet; normalizing each side by its own type
+        # would render "1.50" vs "1.5" and false-FAIL the hash compare
         e = f"round({q}::DOUBLE, 6)::VARCHAR"
     elif t.startswith("TIMESTAMP"):
+        # one canonical category for every timestamp flavor: TZ flavors
+        # convert through UTC (connection TimeZone is pinned to UTC in
+        # main) so TIMESTAMPTZ vs TIMESTAMP renders identically
         e = f"({q}::TIMESTAMP)::VARCHAR"
     elif t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
                "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
@@ -80,6 +87,9 @@ def big_compare(con, res_files, sql):
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # pin the session timezone so TIMESTAMPTZ -> TIMESTAMP conversion in
+    # _norm_expr is a UTC conversion regardless of the host TZ
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
