@@ -235,12 +235,77 @@ object Dedup {
       .distinct()
   }
 
+  /** Floor for the auto-derived shingle document-frequency cap: the cap
+    * never drops below this, so ordinary near-dup pairs (whose shared
+    * shingles have df of a few) always survive candidate generation. */
+  val ShingleCapFloor = 10
+
+  /** Auto-derive a shingle df cap from the corpus df distribution:
+    * the integer-exact 99.9th percentile of the per-shingle document
+    * frequencies (smallest df value whose cumulative shingle count
+    * crosses 99.9% — computed as `1000*cum >= 999*total` so there is no
+    * float interpolation and a SQL oracle can replicate the derivation
+    * bit-for-bit), floored at [[ShingleCapFloor]]. Under power-law
+    * shingle frequencies this drops only the boilerplate head — the
+    * shingles whose equality-join fan-out is quadratic in df and which
+    * contribute no qualifying pair at any sane threshold.
+    *
+    * Cost shape: one count aggregate over shingles, then a histogram
+    * over df VALUES — the driver collect is the histogram, whose row
+    * count is the number of distinct df values (clamped at 2^20 so it
+    * stays bounded even on degenerate corpora; a p99.9 above a million
+    * means the corpus is ~all boilerplate and any cap ≥ 2^20 behaves
+    * identically). */
+  def autoShingleCap(dfs: DataFrame, floorCap: Int = ShingleCapFloor): Int = {
+    val hist = dfs.select(least(col("df"), lit(1 << 20)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("c"))
+      .orderBy("df").collect() // histogram of df values: metadata-scale
+    val total = hist.map(_.getLong(1)).sum
+    var cum = 0L
+    var capDf = floorCap.toLong
+    var found = false
+    for (r <- hist if !found) {
+      cum += r.getLong(1)
+      if (1000L * cum >= 999L * total) { capDf = r.getLong(0); found = true }
+    }
+    math.max(floorCap.toLong, capDf).toInt
+  }
+
+  /** Shingle relation with the df-cap discipline applied: explicit cap
+    * when `maxShingleFreq` is given, the uncapped mathematical relation
+    * when `exact = true`, and the [[autoShingleCap]]-derived cap by
+    * DEFAULT. The default changed in r12: the uncapped self-join is
+    * measured-infeasible at sf10 (killed at 32 GB shuffle spill) and
+    * asymptotically impossible at 100 TB under power-law shingles (one
+    * df=10⁸ shingle ⇒ 5·10¹⁵ candidate pairs), so the scale-safe capped
+    * plan must be what a caller gets without opting in — mirroring the
+    * cosine near-dup precedent (r3) where `exact = true` is the explicit
+    * small-corpus escape hatch. */
+  private def cappedShingles(docs: DataFrame, n: Int, textCol: String,
+      maxShingleFreq: Option[Int], exact: Boolean): DataFrame = {
+    require(!(exact && maxShingleFreq.isDefined),
+      "exact=true contradicts an explicit maxShingleFreq")
+    if (exact) hashedShingles(docs, n, textCol)
+    else {
+      // cache the exploded shingles so the document-frequency pass and
+      // the stop-shingle semi-join both read one materialization (the
+      // cap is a count aggregate, never an unbounded per-shingle
+      // collect — a million-document hot shingle costs one counter,
+      // not one list)
+      val sh0 = hashedShingles(docs, n, textCol).cache()
+      val dfs = sh0.groupBy("g").agg(count(lit(1)).as("df"))
+      val cap = maxShingleFreq.getOrElse(autoShingleCap(dfs))
+      sh0.join(dfs.filter(col("df") <= cap).select("g"), "g")
+    }
+  }
+
   /** Exact n-gram Jaccard near-dup pairs above `threshold`.
     * Candidates come from the shingle equality self-join (only documents
     * sharing at least one shingle ever meet), then J = |∩| / |∪|.
-    * At corpus scale, cap pathological shingle frequency with
-    * `maxShingleFreq` (stop-shingle removal) — off by default so the
-    * result is exactly the mathematical Jaccard relation.
+    * Shingles above a document-frequency cap are dropped BEFORE the
+    * join (explicit `maxShingleFreq`, or the [[autoShingleCap]]-derived
+    * p99.9 cap by default); pass `exact = true` for the uncapped
+    * mathematical Jaccard relation — viable only on small corpora.
     *
     * Measured negative result (r8, sf1 = 50k docs): a PPJoin-style
     * prefix-filter rewrite (rarest-first global order, prefix-only
@@ -264,17 +329,9 @@ object Dedup {
     * load-bearing as a cheap recompute barrier, not just as set
     * semantics. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = maxShingleFreq.fold(hashedShingles(docs, n, textCol)) { cap =>
-      // cache the exploded shingles so the document-frequency pass and the
-      // stop-shingle semi-join both read one materialization (the cap is a
-      // count aggregate, never an unbounded per-shingle collect — a
-      // million-document hot shingle costs one counter, not one list)
-      val sh0 = hashedShingles(docs, n, textCol).cache()
-      val rare = sh0.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select("g")
-      sh0.join(rare, "g")
-    }.cache()
+      textCol: String = "text", maxShingleFreq: Option[Int] = None,
+      exact: Boolean = false): DataFrame = {
+    val sh = cappedShingles(docs, n, textCol, maxShingleFreq, exact).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = sh.as("x").join(sh.as("y"), col("x.g") === col("y.g") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -301,13 +358,9 @@ object Dedup {
     * `maxShingleFreq` caps hot boilerplate shingles), so the cost shape
     * and the 100-TB answer are identical to l6/l18's. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
-      textCol: String = "text", maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = maxShingleFreq.fold(hashedShingles(docs, n, textCol)) { cap =>
-      val sh0 = hashedShingles(docs, n, textCol).cache()
-      val rare = sh0.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select("g")
-      sh0.join(rare, "g")
-    }.cache()
+      textCol: String = "text", maxShingleFreq: Option[Int] = None,
+      exact: Boolean = false): DataFrame = {
+    val sh = cappedShingles(docs, n, textCol, maxShingleFreq, exact).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = sh.as("x").join(sh.as("y"), col("x.g") === col("y.g") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -208,10 +208,16 @@ object LlmQueries {
         |  count(*) AS n_copies
         |FROM all_docs GROUP BY 2""".stripMargin))),
 
+    // DEFAULT plan since r12: the auto-derived df cap (integer-exact
+    // p99.9 of shingle document frequency, floored at 10) is applied
+    // before the self-join — the uncapped relation is the `exact = true`
+    // opt-in (measured infeasible at sf10: 32 GB shuffle spill kill).
+    // The oracle re-derives the SAME cap in SQL (1000*cum >= 999*total,
+    // no float interpolation), proving the derivation matches.
     "l6_ngram_jaccard" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5),
-      Some(jaccardOracle))),
+      Some(jaccardAutoCappedOracle))),
 
     // MinHash+LSH verified with exact Jaccard — same relation as l6 for
     // high-similarity pairs (recall ≈ 1 - 2.6e-23 at J≥0.9 with 32×2
@@ -1135,15 +1141,13 @@ object LlmQueries {
     // complement to Jaccard (l6): one doc nearly CONTAINING another
     // surfaces at its true containment even when the union-diluted
     // Jaccard stays under threshold. Threshold 0.6 on the planted corpus
-    // catches pairs Jaccard@0.5 also sees AND asymmetric near-supersets
+    // catches pairs Jaccard@0.5 also sees AND asymmetric near-supersets.
+    // Like l6, defaults to the auto-derived df cap since r12 (uncapped
+    // is `exact = true`); the oracle re-derives the cap in SQL.
     "l53_containment" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.6),
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
-        |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
-        |  FROM s),
+      Some(s"""$autoCapShinglePrefix,
         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
@@ -1226,6 +1230,42 @@ object LlmQueries {
       |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
       |sh AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
       |  FROM s),
+      |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+      |SELECT p.a, p.b,
+      |  round(shared * 1.0 / (sa.sz + sb.sz - shared) + 1e-9, 4) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON p.a = sa.doc_id
+      |JOIN sizes sb ON p.b = sb.doc_id
+      |WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5""".stripMargin
+
+  /** Shared CTE prefix replicating [[graft.llmops.Dedup.autoShingleCap]]
+    * in SQL: shingle relation `sh` with the auto-derived df cap applied —
+    * cap = greatest(10, smallest df whose cumulative shingle count
+    * crosses 99.9% of distinct shingles), computed with the identical
+    * integer comparison `1000*cum >= 999*total` so both engines derive
+    * the same cap with zero float interpolation. */
+  private lazy val autoCapShinglePrefix: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+      |sh0 AS (SELECT DISTINCT doc_id, w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS g
+      |  FROM s),
+      |dfs AS (SELECT g, count(*) AS df FROM sh0 GROUP BY g),
+      |hist AS (SELECT df, count(*) AS c FROM dfs GROUP BY df),
+      |cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cumc,
+      |  sum(c) OVER () AS tot FROM hist),
+      |capv AS (SELECT greatest(10, coalesce(min(df), 10)) AS cap FROM cum
+      |  WHERE 1000 * cumc >= 999 * tot),
+      |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN dfs USING (g), capv
+      |  WHERE dfs.df <= capv.cap)""".stripMargin
+
+  /** l6: the Jaccard relation over auto-capped shingle sets (the r12
+    * default plan) — same tail as [[jaccardCappedOracle]] but the cap is
+    * derived from the df distribution instead of the literal 10. */
+  private lazy val jaccardAutoCappedOracle: String =
+    s"""$autoCapShinglePrefix,
       |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)

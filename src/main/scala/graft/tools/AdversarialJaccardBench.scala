@@ -67,20 +67,31 @@ object AdversarialJaccardBench {
     val (nCapped, tCapped) = time(
       Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3,
         maxShingleFreq = Some(100)).count())
-    val (nUncapped, tUncapped) = time(
+    // the r12 DEFAULT plan: cap auto-derived from the df distribution
+    val (nAuto, tAuto) = time(
       Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3).count())
+    val (nUncapped, tUncapped) = time(
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3,
+        exact = true).count())
 
-    // both plans must find every planted pair (the cap only drops
-    // boilerplate, which contributes no qualifying pair at this threshold)
-    val planted = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3,
-        maxShingleFreq = Some(100))
+    // every plan — including the auto-capped default — must find every
+    // planted pair (the cap only drops boilerplate, which contributes no
+    // qualifying pair at this threshold)
+    def plantedIn(df: org.apache.spark.sql.DataFrame): Long = df
       .filter(col("b") === col("a") + 1 && col("a") % 2 === 0 && col("a") < 100)
       .count()
+    val planted = plantedIn(Dedup.ngramJaccardPairs(docs, n = 3,
+      threshold = 0.3, maxShingleFreq = Some(100)))
+    val plantedAuto = plantedIn(Dedup.ngramJaccardPairs(docs, n = 3,
+      threshold = 0.3))
 
     println(s"""{"metric":"adversarial_jaccard","n_docs":$nDocs,""" +
       s""""uncapped_sec":${f"$tUncapped%.2f"},"capped_sec":${f"$tCapped%.2f"},""" +
+      s""""auto_capped_sec":${f"$tAuto%.2f"},""" +
       s""""speedup":${f"${tUncapped / tCapped}%.1f"},""" +
-      s""""pairs_uncapped":$nUncapped,"pairs_capped":$nCapped,"planted_found":$planted}""")
+      s""""pairs_uncapped":$nUncapped,"pairs_capped":$nCapped,""" +
+      s""""pairs_auto":$nAuto,"planted_found":$planted,""" +
+      s""""planted_found_auto":$plantedAuto}""")
     spark.stop()
   }
 }

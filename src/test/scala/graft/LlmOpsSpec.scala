@@ -25,7 +25,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("minhash-LSH finds exactly the exact-Jaccard pairs at J>0.5") {
-    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5).select("a", "b")
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5, exact = true).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minHashLshPairs(docs, 3, 64, 32, 0.5).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -38,7 +38,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val s2 = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s1 == s2)
     // planted near-dup pairs (J>=0.9) should be within small hamming distance
-    val nearDups = Dedup.ngramJaccardPairs(docs, 3, 0.8).select("a", "b")
+    val nearDups = Dedup.ngramJaccardPairs(docs, 3, 0.8, exact = true).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nearDups.nonEmpty)
     val close = nearDups.count { case (a, b) =>
@@ -175,13 +175,38 @@ class LlmOpsSpec extends AnyFunSuite {
       df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = pairSet(Dedup.ngramJaccardPairs(adv, n = 3, threshold = 0.3,
       maxShingleFreq = Some(100)))
-    val uncapped = pairSet(Dedup.ngramJaccardPairs(adv, n = 3, threshold = 0.3))
+    val uncapped = pairSet(Dedup.ngramJaccardPairs(adv, n = 3, threshold = 0.3,
+      exact = true))
     // identical result sets at this threshold: the cap drops ONLY shingles
     // that cannot produce a qualifying pair
     assert(capped == uncapped)
     // and both contain exactly the 50 planted near-dup pairs
     val planted = (0L until 100L by 2).map(i => (i, i + 1)).toSet
     assert(capped == planted)
+    // the DEFAULT plan (auto-derived cap, r12) also loses nothing: the
+    // boilerplate head sits far above p99.9, the planted pairs' rare
+    // shingles far below
+    assert(pairSet(Dedup.ngramJaccardPairs(adv, n = 3, threshold = 0.3)) ==
+      planted)
+  }
+
+  test("autoShingleCap: integer-exact p99.9 with the documented floor") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // 999 shingles at df=1 and one hot shingle at df=500: p99.9 crossing
+    // lands on df=1 (999/1000 cum), so the floor (10) rules
+    def dfsOf(vals: Seq[Int]) = vals.zipWithIndex
+      .flatMap { case (df, g) => Seq.fill(df)(g.toLong) }
+      .toDF("g").groupBy("g").agg(count(lit(1)).as("df"))
+    assert(Dedup.autoShingleCap(dfsOf(Seq.fill(999)(1) :+ 500)) == 10)
+    // all shingles at df=40: the p99.9 value IS 40 and exceeds the floor
+    assert(Dedup.autoShingleCap(dfsOf(Seq.fill(50)(40))) == 40)
+    // empty corpus: floor
+    assert(Dedup.autoShingleCap(dfsOf(Seq.empty)) == 10)
+    // exact=true with an explicit cap is a contract violation
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleFreq = Some(5),
+        exact = true).count()
+    }
   }
 
   test("cluster resolution converges on graphs with diameter >> round cap") {
