@@ -542,31 +542,47 @@ object TextOps {
     *
     * Priority is the modular-multiplicative permutation
     * `(doc_id * 2654435761) mod 2^32` (Knuth's multiplier; a bijection
-    * on [0, 2^32) for the odd multiplier, so priorities are UNIQUE and
-    * the kept set is exactly the quota-smallest — no tie ambiguity,
-    * portable integer arithmetic on both engines).
+    * on [0, 2^32) for the odd multiplier — portable integer arithmetic
+    * on both engines). Beyond 2^32 doc_ids the permutation COLLIDES
+    * (ids differing by 2^32 map to the same priority), so the selection
+    * ranks by the (priority, doc_id) PAIR: the cutoff is the quota-th
+    * smallest pair and the kept set is exactly `quota` under any
+    * collision pattern — a key-only `priority <= cutoff` would admit
+    * every collider at the cutoff.
     *
     * Scale shape — this is deliberately NOT
     * `row_number() OVER (PARTITION BY source)`: a hot domain with 10^9
     * pages would sort inside one task. Instead a bounded min-k aggregate
-    * ([[graft.functions.MinKAgg]], buffer ≤ quota per partial) computes
-    * each domain's cutoff priority with map-side combine, and the
+    * ([[graft.functions.MinK2Agg]], buffer ≤ quota per partial) computes
+    * each domain's cutoff pair with map-side combine, and the
     * one-row-per-domain cutoff table broadcast-joins back — the full
     * corpus is touched twice, shuffled never (aggregate partials are
     * quota-bounded, the join side is metadata-sized). */
+  /** `(id * 2654435761) mod 2^32` computed overflow-free for any 64-bit
+    * nonnegative id: the result depends only on `id mod 2^32`, and
+    * splitting the multiplier as `40503*2^16 + 31153` keeps every
+    * intermediate under 2^63 (the naive multiply overflows — ANSI Spark
+    * throws — past id ≈ 3.5e9). Bit-identical to the mathematical
+    * definition the DuckDB oracle computes in HUGEINT. */
+  private def knuthPriority(id: Column): Column = {
+    val lo = id.bitwiseAND(lit(4294967295L))
+    (((lo * lit(40503L)) % lit(65536L)) * lit(65536L) + lo * lit(31153L)) %
+      lit(4294967296L)
+  }
+
   def domainQuota(docs: DataFrame, quota: Int = 10,
       sourceCol: String = "source"): DataFrame = {
     val prio = docs.select(col("doc_id"), col(sourceCol).as("source"))
-      .withColumn("priority",
-        (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
-    val kept = graft.functions.MinK.minK(quota)
+      .withColumn("priority", knuthPriority(col("doc_id")))
+    val kept = graft.functions.MinK.minK2(quota)
     val cutoffs = prio.groupBy("source")
-      .agg(kept(col("priority")).as("ks"))
+      .agg(kept(col("priority"), col("doc_id")).as("ks"))
       .select(col("source"),
-        when(size(col("ks")) < quota, lit(Long.MaxValue))
-          .otherwise(element_at(col("ks"), -1)).as("cutoff"))
+        when(size(col("ks")) < quota, lit(null))
+          .otherwise(element_at(col("ks"), -1)).as("cut"))
     prio.join(broadcast(cutoffs), "source")
-      .filter(col("priority") <= col("cutoff"))
+      .filter(col("cut").isNull || col("priority") < col("cut._1") ||
+        (col("priority") === col("cut._1") && col("doc_id") <= col("cut._2")))
       .select(col("doc_id"), col("source"), col("priority"))
   }
 

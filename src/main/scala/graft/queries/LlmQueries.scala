@@ -1190,15 +1190,16 @@ object LlmQueries {
     // per-domain quota sampling: at most 10 docs per source, chosen by a
     // deterministic modular-permutation priority — the bounded min-k
     // aggregate route (never a per-domain window; see
-    // TextOps.domainQuota). Priorities are a bijection of doc_id, so
-    // the kept set is tie-free and the oracle's row_number form is
-    // exactly equivalent.
+    // TextOps.domainQuota). Selection ranks by the (priority, doc_id)
+    // pair so the kept set is exactly the quota even when doc_ids past
+    // 2^32 collide in the 32-bit permutation; the oracle's row_number
+    // carries the same tiebreak.
     "l55_domain_quota" -> ((
       (s: SparkSession, dir: String) => TextOps.domainQuota(docs(s, dir), 10),
       Some("""WITH p AS (SELECT doc_id, source,
         |    (doc_id * 2654435761) % 4294967296 AS priority FROM documents),
         |r AS (SELECT doc_id, source, priority,
-        |    row_number() OVER (PARTITION BY source ORDER BY priority) AS rn
+        |    row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
         |  FROM p)
         |SELECT doc_id, source, priority FROM r WHERE rn <= 10""".stripMargin))),
 

@@ -506,16 +506,36 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     srcTotals.foreach { case (s, n) =>
       assert(perSrc.getOrElse(s, 0L) == math.min(n, 5L), s"source $s") }
-    // the kept set must be EXACTLY the window-form answer (priorities are
-    // a bijection of doc_id, so there is one correct answer)
+    // the kept set must be EXACTLY the window-form answer under the
+    // (priority, doc_id) total order
     import org.apache.spark.sql.expressions.Window
     val ref = docs.select(col("doc_id"), col("source"),
         ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("priority"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy("priority")))
+        Window.partitionBy("source").orderBy("priority", "doc_id")))
       .filter(col("rn") <= 5).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == ref)
+  }
+
+  test("domain quota: colliding priorities past 2^32 ids keep exactly the quota") {
+    // ids differing by 2^32 collide in the 32-bit permutation: all 12
+    // docs here map to just 4 distinct priorities, with the quota-th
+    // smallest pair landing INSIDE a collision class — the case where a
+    // key-only cutoff (priority <= cut) would keep more than the quota
+    val base = Seq(0L, 1L, 2L, 3L)
+    val ids = base.flatMap(i => Seq(i, i + (1L << 32), i + (2L << 32)))
+    val d = ids.map(i => (i, "src")).toDF("doc_id", "source")
+    val out = TextOps.domainQuota(d, 5).cache()
+    assert(out.count() == 5, "exactly the quota must survive")
+    // and the survivors are the lexicographic min-5 by (priority, doc_id)
+    val prio = (i: Long) => java.lang.Math.floorMod(i * 2654435761L, 1L << 32)
+    val expect = ids.sortBy(i => (prio(i), i)).take(5).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == expect)
+    // determinism across partitionings: single-partition answer identical
+    val one = TextOps.domainQuota(d.repartition(1), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == expect)
   }
 
   test("bigram cross-entropy: repeated transitions score lower than scrambled text") {
