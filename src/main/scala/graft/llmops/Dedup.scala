@@ -38,6 +38,90 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
+  /** Per-document MinHash signature as ONE array column — the committable
+    * form of [[minHashLshPairs]]'s signature matrix. A corpus that
+    * maintains this table (512 B/doc at 64 hashes — ~0.5% of corpus
+    * bytes at typical web-document sizes, ~0.5 TB per billion docs)
+    * can near-dedup every future batch against itself WITHOUT rescanning
+    * corpus text: see [[incrementalNearDedup]]. */
+  def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val sh = hashedShingles(docs, n, textCol)
+    val minAggs = (0 until numHashes).map { i =>
+      min(xxhash64(col("g"), lit(i))).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH band buckets from committed signatures. The bucket is the band's
+    * raw VALUE SLICE (array of rowsPerBand longs), not an engine hash of
+    * it — portable to any SQL engine verifying the join, and equality on
+    * a 2-long array shuffles 16 bytes/row more than a hashed bucket
+    * would, a rounding error next to the signature itself. */
+  private def sigBandBuckets(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .join(sigs, "doc_id")
+      .select(col("doc_id"), col("band"),
+        slice(col("sig"), col("band") * rows + 1, lit(rows)).as("bucket"))
+  }
+
+  /** Near-dup dedup of an incoming batch against a COMMITTED corpus — the
+    * incremental companion to [[incrementalDedup]] (which catches only
+    * exact fingerprint matches). Real pipelines ingest continuously and
+    * cannot re-run the corpus-wide pair join per batch; instead the
+    * corpus maintains a committed [[minHashSignatures]] table and each
+    * batch is deduped against it in O(batch + touched buckets):
+    *
+    *  1. candidates: band-bucket equality join between the batch's
+    *     signatures and the committed table — only documents sharing a
+    *     full band ever meet (the standard LSH guarantee: recall
+    *     ≈ 1-(1-J^r)^b, >1-1e-20 at J≥0.9 with 32×2 bands);
+    *  2. verification: signature-component agreement (the unbiased
+    *     MinHash estimator of J, matches/numHashes) — corpus TEXT is
+    *     never read, which is the property that makes the scheme
+    *     incremental at 100 TB. The corpus side ships 512 B/doc of
+    *     signature for touched buckets only; committing the signature
+    *     table bucketed by (band, bucket) makes the join shuffle-free
+    *     on the corpus side.
+    *
+    * Returns one row per incoming document: its best corpus match at
+    * `simThreshold` (max estimate, min corpus id on ties — deterministic)
+    * or NULL/is_new=true when none. Batch-internal near-dups are the
+    * in-batch pair job's business ([[minHashLshPairs]] on the batch). */
+  def incrementalNearDedup(incomingSigs: DataFrame, committedSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 32,
+      simThreshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val incB = sigBandBuckets(incomingSigs, numHashes, bands)
+    val corB = sigBandBuckets(committedSigs, numHashes, bands)
+    val cand = incB.as("i").join(corB.as("c"), Seq("band", "bucket"))
+      .select(col("i.doc_id").as("inc_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val matches = aggregate(
+      zip_with(col("a.sig"), col("b.sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val best = cand
+      .join(incomingSigs.as("a"), col("a.doc_id") === col("inc_id"))
+      .join(committedSigs.as("b"), col("b.doc_id") === col("corpus_id"))
+      .select(col("inc_id"), col("corpus_id"),
+        (matches.cast("double") / numHashes).as("est"))
+      .filter(col("est") >= simThreshold)
+      .groupBy("inc_id")
+      .agg(max(struct(col("est"), (-col("corpus_id")).as("nid"))).as("bst"))
+      .select(col("inc_id"), (-col("bst.nid")).as("match_id"),
+        col("bst.est").as("est"))
+    incomingSigs.select(col("doc_id"))
+      .join(best, col("doc_id") === col("inc_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        round(col("est") + lit(1e-9), 4).as("est_jaccard"),
+        col("match_id").isNull.as("is_new"))
+  }
+
   /** Span-level boilerplate removal (the CCNet/RefinedWeb paragraph-dedup
     * idea, adapted to word spans): documents are segmented into
     * consecutive `spanWords`-word spans, span frequency is counted over

@@ -1187,6 +1187,64 @@ object LlmQueries {
         |JOIN sizes sb ON p.b = sb.doc_id
         |WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.6""".stripMargin))),
 
+    // incremental NEAR-dup dedup against a COMMITTED corpus: the corpus
+    // half's MinHash signatures are committed through the real
+    // table/commit path, then an incoming batch — second half + planted
+    // near-copies (one appended token) of every 9th corpus doc — is
+    // deduped against the committed signatures via band-bucket join +
+    // signature-agreement verification, corpus TEXT never rescanned.
+    // Staged-signature oracle (xxhash64 isn't portable SQL): both
+    // signature tables are staged — the corpus side FROM THE COMMITTED
+    // TABLE READ, so the commit round-trip is in the verified path —
+    // and DuckDB re-derives banding, candidates, the match estimate,
+    // and best-match selection exactly.
+    "l57_incremental_near_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val half = d.count() / 2
+        val corpus = d.filter(col("doc_id") < half)
+        val incoming = d.filter(col("doc_id") >= half)
+          .union(corpus.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" graftmarker")).as("text")))
+        val cat = new graft.catalog.GraftCatalog(s,
+          java.nio.file.Files.createTempDirectory("graft-inear-").toString)
+        val w = new graft.write.GraftWriter(cat)
+        w.writeTable("main", "corpus_sigs",
+          Seq(Dedup.minHashSignatures(corpus)),
+          graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10), "seed")
+        val committed = cat.loadTable("main", "corpus_sigs").read()
+        val incSigs = Dedup.minHashSignatures(incoming)
+        stageForOracle(committed, "l57_corpus_sigs")
+        stageForOracle(incSigs, "l57_inc_sigs")
+        Dedup.incrementalNearDedup(incSigs, committed)
+      },
+      Some(s"""WITH cs AS (SELECT doc_id, sig
+        |  FROM read_parquet('$OracleStageRoot/l57_corpus_sigs/*.parquet')),
+        |inc AS (SELECT doc_id, sig
+        |  FROM read_parquet('$OracleStageRoot/l57_inc_sigs/*.parquet')),
+        |bands AS (SELECT unnest(range(0, 32)) AS band),
+        |cb AS (SELECT doc_id, band, sig[band*2+1 : band*2+2] AS bucket
+        |  FROM cs, bands),
+        |ib AS (SELECT doc_id, band, sig[band*2+1 : band*2+2] AS bucket
+        |  FROM inc, bands),
+        |cand AS (SELECT DISTINCT ib.doc_id AS inc_id, cb.doc_id AS corpus_id
+        |  FROM ib JOIN cb ON ib.band = cb.band AND ib.bucket = cb.bucket),
+        |est AS (SELECT cand.inc_id, cand.corpus_id,
+        |    len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0
+        |      AS est
+        |  FROM cand
+        |  JOIN inc a ON a.doc_id = cand.inc_id
+        |  JOIN cs b ON b.doc_id = cand.corpus_id),
+        |best AS (SELECT inc_id, corpus_id, est,
+        |    row_number() OVER (PARTITION BY inc_id
+        |      ORDER BY est DESC, corpus_id) AS rn
+        |  FROM est WHERE est >= 0.6)
+        |SELECT i.doc_id, b.corpus_id AS match_id,
+        |  round(b.est + 1e-9, 4) AS est_jaccard,
+        |  b.corpus_id IS NULL AS is_new
+        |FROM inc i LEFT JOIN best b ON b.inc_id = i.doc_id AND b.rn = 1""".stripMargin))),
+
     // per-domain quota sampling: at most 10 docs per source, chosen by a
     // deterministic modular-permutation priority — the bounded min-k
     // aggregate route (never a per-domain window; see

@@ -30,7 +30,96 @@ object StreamQueries {
     body(iso)
   }
 
+  /** Staging root shared with LlmQueries' staged-intermediate oracles
+    * (xxhash64 signatures have no portable SQL form; DuckDB re-derives
+    * everything downstream of them). */
+  private val OracleStageRoot =
+    sys.props.get("graft.oracle.stage.dir")
+      .orElse(sys.env.get("GRAFT_ORACLE_STAGE"))
+      .getOrElse("/tmp/graft-oracle-stage")
+
+  private def stageForOracle(df: DataFrame, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$OracleStageRoot/$name")
+
+  /** One absorption step of the s9 oracle: documents of chunk `k` that
+    * share a full LSH band with a PRIOR SURVIVOR at signature agreement
+    * >= 0.6 are absorbed; the rest join the survivor set. Unrolled per
+    * chunk because survivors feed the next step (the same sequential
+    * semantics the stream executes batch-by-batch). */
+  private def s9Step(k: Int): String =
+    s"""m$k AS (SELECT DISTINCT ib.doc_id FROM b ib
+       |  JOIN b cb ON ib.band = cb.band AND ib.bucket = cb.bucket
+       |  JOIN s${k - 1} sv ON cb.doc_id = sv.doc_id
+       |  JOIN sigs a ON a.doc_id = ib.doc_id
+       |  JOIN sigs c ON c.doc_id = cb.doc_id
+       |  WHERE ib.chunk = $k
+       |    AND len(list_filter(range(1, 65), i -> a.sig[i] = c.sig[i])) / 64.0 >= 0.6),
+       |s$k AS (SELECT doc_id FROM s${k - 1}
+       |  UNION ALL SELECT doc_id FROM sigs WHERE chunk = $k
+       |    AND doc_id NOT IN (SELECT doc_id FROM m$k))""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // streaming NEAR-dup dedup against the committed corpus: each
+    // micro-batch (4 contiguous doc_id-range chunks; chunks 1-3 carry
+    // planted near-copies of every 5th doc of the previous chunk) is
+    // deduped against the committed MinHash signature table via
+    // band-bucket join + signature-agreement verification, and only
+    // survivors (docs + their signatures) are appended. ZERO Spark
+    // state — the committed signature table is the dedup state, bounded
+    // by survivor count and restart-durable. Staged-signature oracle:
+    // all incoming signatures are staged with their chunk index and
+    // DuckDB replays the 4-step sequential absorption exactly.
+    "s9_stream_near_dedup" -> ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) { iso =>
+        val cat = new GraftCatalog(iso,
+          Files.createTempDirectory("graft-s9-").toString)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val chunks = 4
+        val src = StreamingLoader.docsChunkedStream(iso, dir, chunks)
+        // stage every incoming signature with its chunk for the oracle
+        // (same minHashSignatures call the stream makes per batch)
+        val docs = graft.Tables.t(iso, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val per = math.max(1L, math.ceil(n.toDouble / chunks).toLong)
+        val copies = docs
+          .filter(col("doc_id") % 5 === 0 &&
+            col("doc_id") < (chunks - 1) * per)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(col("text"), lit(" graftmarker")).as("text"))
+        val incoming = docs.unionByName(copies)
+        stageForOracle(
+          graft.llmops.Dedup.minHashSignatures(incoming)
+            .withColumn("chunk",
+              when(col("doc_id") >= 7000000L,
+                floor((col("doc_id") - 7000000L) / per) + 1)
+                .otherwise(floor(col("doc_id") / per)).cast("int")),
+          "s9_sigs")
+        val q = loader.startNearDeduped(src, "main", "docs_clean",
+          "doc_sigs", cfg = WriteConfig(retryUnitMs = 10), queryName = "s9",
+          checkpoint = Some(Files.createTempDirectory("graft-s9ck-").toString))
+        try q.awaitTermination() finally q.stop()
+        // zero Spark streaming state: the committed table is the state
+        require(q.lastProgress == null ||
+          q.lastProgress.stateOperators.isEmpty,
+          "near-dedup stream must hold no state-store state")
+        val clean = cat.loadTable("main", "docs_clean").read()
+        // every planted cross-batch near-copy must have been absorbed
+        require(clean.filter(col("doc_id") >= 7000000L).count() == 0,
+          "planted near-copies must be absorbed by the committed-corpus dedup")
+        clean.select(col("doc_id"))
+      },
+      Some(s"""WITH sigs AS (SELECT doc_id, chunk, sig
+        |  FROM read_parquet('$OracleStageRoot/s9_sigs/*.parquet')),
+        |b AS (SELECT doc_id, chunk, band, sig[band*2+1 : band*2+2] AS bucket
+        |  FROM sigs, (SELECT unnest(range(0, 32)) AS band) bands),
+        |s0 AS (SELECT doc_id FROM sigs WHERE chunk = 0),
+        |${s9Step(1)},
+        |${s9Step(2)},
+        |${s9Step(3)}
+        |SELECT doc_id FROM s3""".stripMargin))),
 
     // event-time windowed aggregation over a file stream (memory sink)
     "s1_stream_agg" -> ((

@@ -78,6 +78,70 @@ final class StreamingLoader(catalog: GraftCatalog) {
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
+
+  /** Streaming NEAR-dup dedup against a committed corpus: each
+    * micro-batch of documents is deduped against the committed MinHash
+    * signature table ([[graft.llmops.Dedup.incrementalNearDedup]]:
+    * band-bucket join + signature-agreement verification, corpus text
+    * never rescanned), then only the surviving documents — and their
+    * signatures — are appended. The stream holds ZERO Spark state (no
+    * stateful operators, no watermark): the committed signature table IS
+    * the dedup state, so it is bounded by the survivor count, survives
+    * restarts for free, and is shared by every other reader/writer of
+    * the corpus — the property `dropDuplicates` state can never give a
+    * multi-pipeline corpus.
+    *
+    * Crash consistency: docs commit BEFORE sigs under the same loadId,
+    * and each table's snapshot ledger is consulted independently on
+    * replay — if a crash lands between the two commits, the replayed
+    * batch recomputes the identical keep-set (the signature table still
+    * excludes this batch) and commits only the missing half. */
+  def startNearDeduped(stream: DataFrame, ns: String, docsTable: String,
+      sigsTable: String, cfg: WriteConfig = WriteConfig(),
+      queryName: String = "graft-near-dedup",
+      checkpoint: Option[String] = None,
+      numHashes: Int = 64, bands: Int = 32,
+      simThreshold: Double = 0.6): StreamingQuery = {
+    val w = stream.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val loadId = s"$queryName-batch-$batchId"
+        def committed(table: String): Boolean =
+          catalog.tableExists(ns, table) &&
+            catalog.loadTable(ns, table).metadata.snapshots
+              .exists(_.loadId.contains(loadId))
+        val docsDone = committed(docsTable)
+        val sigsDone = committed(sigsTable)
+        if (!(docsDone && sigsDone)) {
+          batch.persist()
+          try if (!batch.isEmpty) {
+            val incSigs = graft.llmops.Dedup
+              .minHashSignatures(batch, numHashes = numHashes).persist()
+            try {
+              val corpusSigs =
+                if (catalog.tableExists(ns, sigsTable))
+                  catalog.loadTable(ns, sigsTable).read()
+                else incSigs.limit(0)
+              val keep = graft.llmops.Dedup
+                .incrementalNearDedup(incSigs, corpusSigs,
+                  numHashes = numHashes, bands = bands,
+                  simThreshold = simThreshold)
+                .filter(col("is_new")).select("doc_id")
+              if (!docsDone)
+                writer.writeTable(ns, docsTable,
+                  Seq(batch.join(keep, "doc_id")), Append, cfg, loadId)
+              if (!sigsDone)
+                writer.writeTable(ns, sigsTable,
+                  Seq(incSigs.join(keep, "doc_id")), Append, cfg, loadId)
+            } finally incSigs.unpersist()
+          } finally batch.unpersist()
+        }
+        ()
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 }
 
 object StreamingLoader {
@@ -200,6 +264,58 @@ object StreamingLoader {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + c * 60000L))
     }
     deleteRecursively(tmp) // the shuffle-stage leftovers (_SUCCESS, CRCs)
+    streamDir.toString
+  }
+
+  /** The `documents` table re-staged as `chunks` contiguous doc_id-range
+    * parquet files delivering one file per micro-batch, with NEAR-COPIES
+    * planted across batch boundaries: chunk k (k >= 1) carries a copy of
+    * every 5th document of chunk k-1 re-keyed to `id + copyIdOffset`
+    * with one appended token (shingle-Jaccard ~0.9) — the cross-batch
+    * near-duplicate shape a streaming near-dedup must absorb. Chunk
+    * boundaries are EXACT doc_id ranges (`floor(doc_id / ceil(n/chunks))`)
+    * so an oracle can re-derive chunk membership from ids alone. */
+  def docsChunkedStream(spark: SparkSession, dir: String,
+      chunks: Int = 4, copyIdOffset: Long = 7000000L): DataFrame = {
+    val stagedDir = stagedDocChunks.computeIfAbsent((dir, chunks),
+      _ => stageDocChunks(spark, dir, chunks, copyIdOffset))
+    val schema = spark.read.parquet(stagedDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+  }
+
+  private val stagedDocChunks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def stageDocChunks(spark: SparkSession, dir: String,
+      chunks: Int, copyIdOffset: Long): String = {
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val per = math.max(1L, math.ceil(n.toDouble / chunks).toLong)
+    val streamDir = registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft-docs-chunks-"))
+    (0 until chunks).foreach { k =>
+      val lo = k * per
+      val own = docs.filter(col("doc_id") >= lo && col("doc_id") < lo + per)
+      val withCopies = if (k == 0) own else own.unionByName(
+        docs.filter(col("doc_id") >= lo - per && col("doc_id") < lo &&
+            col("doc_id") % 5 === 0)
+          .select((col("doc_id") + copyIdOffset).as("doc_id"),
+            concat(col("text"), lit(" graftmarker")).as("text")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-docchunk-")
+      withCopies.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = graft.catalog.PathIO.list(tmp)
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet for chunk $k"))
+      val target = streamDir.resolve(f"chunk-$k%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      // FileStreamSource orders by modification time: make it explicit
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      deleteRecursively(tmp)
+    }
     streamDir.toString
   }
 

@@ -518,6 +518,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == ref)
   }
 
+  test("incremental near-dedup: planted near-copies match their originals, fresh docs pass") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") < 100)
+    // near-copies: one appended token — shingle-Jaccard ~0.9 at typical
+    // lengths, well above the 0.6 signature-agreement threshold
+    val nearCopies = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val fresh = d.filter(col("doc_id") >= 400 && col("doc_id") < 430)
+    val incSigs = Dedup.minHashSignatures(nearCopies.union(fresh))
+    val out = Dedup.incrementalNearDedup(incSigs,
+      Dedup.minHashSignatures(corpus)).cache()
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(3)))).toMap
+    // every incoming doc got exactly one verdict row
+    assert(rows.size == out.count() &&
+      rows.size == nearCopies.count() + fresh.count())
+    // every planted near-copy is absorbed, matched to its own original
+    nearCopies.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val (m, isNew) = rows(id)
+      assert(!isNew && m.contains(id - 5000L),
+        s"near-copy $id should match ${id - 5000L}, got $m")
+    }
+    // fresh docs (no corpus relative) pass as new
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0))
+    val newCount = freshIds.count(id => rows(id)._2)
+    assert(newCount == freshIds.length,
+      s"fresh docs must be new: $newCount/${freshIds.length}")
+  }
+
   test("domain quota: colliding priorities past 2^32 ids keep exactly the quota") {
     // ids differing by 2^32 collide in the 32-bit permutation: all 12
     // docs here map to just 4 distinct priorities, with the quota-th
