@@ -137,10 +137,16 @@ final class GraftV2Table(
     // wrap falls through to the V1 scan, forwarded filters are
     // re-applied on the DataFrame (a filter Spark believes pushed must
     // never be dropped).
-    private val inner: Option[ScanBuilder] =
+    // LAZY: constructing the parquet builder forces its FileIndex, which
+    // stats every live file path — O(files) filesystem calls. The
+    // metadata-served plan shapes (meta-agg fold, claimed-filter scan,
+    // LIMIT/TopN prefix) never read through this builder, so a
+    // 100k-file table answering a claimed aggregate must not pay a
+    // 100k-path listing at plan time (pinned by ManifestScaleSpec).
+    private lazy val inner: Option[ScanBuilder] =
       Some(reader.asInstanceOf[SupportsRead].newScanBuilder(options))
     private def morCanPush: Boolean =
-      hasDeletes && morPosDeletes.isEmpty && inner.isDefined
+      hasDeletes && morPosDeletes.isEmpty
 
     private var required: Option[StructType] = None
     private var catalystFilters:
@@ -151,7 +157,10 @@ final class GraftV2Table(
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
       required = Some(requiredSchema)
-      if (!hasDeletes &&
+      // metaAgg/claimed builds never read through `inner` (they rebuild a
+      // reader over the claimed subset, or return driver-local rows) —
+      // forwarding the prune would force the full-table FileIndex
+      if (!hasDeletes && metaAgg.isEmpty && claimedFiles.isEmpty &&
           !requiredSchema.fieldNames.contains(GroupScan.FileColumn))
         inner.foreach {
           case p: SupportsPushDownRequiredColumns =>
@@ -178,18 +187,22 @@ final class GraftV2Table(
         claimedFiles = metaFilteredFiles().orElse(rangeClaimFiles())
         if (claimedFiles.isDefined) return Nil
       }
+      if (filters.isEmpty) return filters // nothing to forward: keep inner unforced
       inner match {
         case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
             if !hasDeletes || morCanPush =>
+          forwardedFilters = true
           p.pushFilters(filters)
         case _ => filters // V1/positional-MoR modes: all residual
       }
     }
     private var claimedFiles: Option[Seq[DataFile]] = None
+    private var forwardedFilters = false
 
     override def pushedFilters:
         Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-      inner match {
+      if (!forwardedFilters) Array.empty
+      else inner match {
         case Some(p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
             if !hasDeletes || morCanPush =>
           p.pushedFilters

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partitioning, batch shape, typed
   * per-partition processing — is real and tested. The IMAGE decode is
   * real ([[decodeImage]] via the JDK's ImageIO; PNG/BMP/GIF need no
-  * codec jars) and so is WAV/PCM audio ([[decodeWav]] via the JDK's
-  * `javax.sound.sampled`). Only COMPRESSED audio (mp3/aac/opus) and
-  * video container demux remain stubbed ([[decodeStub]],
-  * [[sampleFrames]]) — those genuinely need codec jars this container
-  * lacks; a real demuxer drops into the same per-partition batch shape
-  * with an identical execution plan.
+  * codec jars), so is WAV/PCM audio ([[decodeWav]] via the JDK's
+  * `javax.sound.sampled`), and so is VIDEO container demux
+  * ([[demuxAvi]]: a real RIFF chunk walker over MJPEG-in-AVI, frames
+  * JPEG-decoded through ImageIO). Only COMPRESSED audio (mp3/aac/opus)
+  * and non-AVI/non-MJPEG video codecs remain stubbed ([[decodeStub]]) —
+  * those genuinely need codec jars this container lacks; a real codec
+  * drops into the same per-partition batch shape with an identical
+  * execution plan.
   */
 object Multimodal {
 
@@ -226,33 +228,152 @@ object Multimodal {
         col("content").as("blob"),
         lit(mimeType).as("mime_type"))
 
-  final case class FrameSample(
+  // ===== real video container demux (MJPEG-in-AVI, pure JVM) =====
+
+  /** Deterministic frame count / per-frame dimensions for the synthetic
+    * AVI corpus — pure integer functions of (doc_id, frame_idx) so a SQL
+    * oracle can verify the WHOLE encode → RIFF demux → JPEG decode chain
+    * independently: the decoded dimensions match these formulas iff
+    * every container/codec step was parsed correctly. */
+  def aviFrameCount(docId: Long): Int = 6 + math.floorMod(docId, 7L).toInt
+  def aviFrameWidth(docId: Long, idx: Int): Int =
+    16 + 8 * math.floorMod(docId + idx, 6L).toInt
+  def aviFrameHeight(docId: Long, idx: Int): Int =
+    16 + 8 * math.floorMod(3 * docId + idx, 5L).toInt
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Encode a REAL MJPEG-in-AVI container: RIFF('AVI ') with a
+    * spec-shaped hdrl (avih + strl/strh/strf) and a movi list of one
+    * '00dc' chunk per frame, each a genuine JPEG (JDK ImageIO encoder —
+    * no codec jars). Frames are solid-color with per-frame dimensions
+    * from [[aviFrameWidth]]/[[aviFrameHeight]]. */
+  def encodeAvi(docId: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val n = aviFrameCount(docId)
+    val frames = (0 until n).map { i =>
+      val w = aviFrameWidth(docId, i)
+      val h = aviFrameHeight(docId, i)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (((docId * 37 + i * 11) % 200 + 28).toInt << 16) |
+        (((docId * 17 + i * 7) % 200 + 28).toInt << 8) |
+        ((docId * 29 + i * 13) % 200 + 28).toInt
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      fcc(id) ++ le32(body.length) ++ padded
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(typ) ++ body)
+    val w0 = aviFrameWidth(docId, 0)
+    val h0 = aviFrameHeight(docId, 0)
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w0) ++ le32(h0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh", fcc("vids") ++ fcc("MJPG") ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(n) ++
+      le32(0) ++ le32(-1) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strf = chunk("strf", le32(40) ++ le32(w0) ++ le32(h0) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ fcc("MJPG") ++
+      le32(w0 * h0 * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL RIFF/AVI demux: walk the chunk tree (chunks are fcc + LE32
+    * size + even-padded payload; LISTs nest), find the 'movi' list, and
+    * return every video-frame chunk payload ('##dc'/'##db', including
+    * frames nested in 'rec ' lists) in stream order. Works on any
+    * MJPEG AVI, not just [[encodeAvi]]'s output. */
+  def demuxAvi(blob: Array[Byte]): Seq[Array[Byte]] = {
+    require(blob.length >= 12 &&
+      new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(blob, 8, 4, "US-ASCII") == "AVI ", "not a RIFF/AVI blob")
+    def u32(off: Int): Int =
+      (blob(off) & 0xff) | ((blob(off + 1) & 0xff) << 8) |
+        ((blob(off + 2) & 0xff) << 16) | ((blob(off + 3) & 0xff) << 24)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrame(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = new String(blob, off, 4, "US-ASCII")
+        val sz = u32(off + 4)
+        val dataOff = off + 8
+        if (id == "LIST" && sz >= 4) {
+          val listType = new String(blob, dataOff, 4, "US-ASCII")
+          walk(dataOff + 4, dataOff + sz,
+            inMovi || listType == "movi" || listType == "rec ")
+        } else if (inMovi && isFrame(id)) {
+          out += java.util.Arrays.copyOfRange(blob, dataOff, dataOff + sz)
+        }
+        off = dataOff + sz + (sz & 1) // chunks pad to even
+      }
+    }
+    walk(12, 8 + u32(4), inMovi = false)
+    out.toSeq
+  }
+
+  /** Wrap a corpus as real MJPEG-AVI video blobs (one deterministic
+    * container per doc via [[encodeAvi]]). */
+  def asAviBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeAvi(id))))
+      .toDF("doc_id", "blob")
+      .withColumn("mime_type", lit("video/avi"))
+  }
+
+  final case class VideoFrame(
       doc_id: Long,
       frame_idx: Int,
       n_frames: Int,
-      frame_digest: String)
+      width: Int,
+      height: Int)
 
-  /** Uniform frame sampling over "video" blobs: derive the frame count
-    * (STUB for container demux — deterministic in the blob length), pick
-    * `k` uniformly spaced frame indices, emit one row per sampled frame
-    * with a per-frame digest (STUB for the frame decode). The fan-out is
-    * bounded at `k` rows per media row and runs in the same
-    * per-partition batch shape as [[extractFeatures]] — the plumbing a
-    * real demuxer drops into unchanged. */
-  def sampleFrames(blobs: DataFrame, k: Int = 4): Dataset[FrameSample] = {
+  /** Uniform frame sampling with a REAL demux + decode: RIFF-walk the
+    * AVI ([[demuxAvi]]), pick `k` uniformly spaced frame indices, JPEG-
+    * decode ONLY the sampled frames (ImageIO), and report their genuine
+    * pixel dimensions — the l23 oracle recomputes frame count and
+    * dimensions from (doc_id, frame_idx) alone, so a hash match proves
+    * the whole encode → demux → decode chain. Same bounded per-partition
+    * fan-out (k rows per media row) as the feature path. */
+  def sampleVideoFrames(blobs: DataFrame, k: Int = 4): Dataset[VideoFrame] = {
     require(k >= 2, "need at least 2 sample points")
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("doc_id"), col("blob"), col("mime_type")).as[MediaBlob]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { m =>
-          val nFrames = 8 + (m.blob.length % 120) // stub demux: >= 8 frames
+          val frames = demuxAvi(m.blob)
+          val n = frames.length
           (0 until k).map { i =>
-            val fi = (i.toLong * (nFrames - 1) / (k - 1)).toInt
-            FrameSample(m.doc_id, fi, nFrames,
-              sha256Hex(m.blob ++ s"#$fi".getBytes("UTF-8")))
+            val fi = (i.toLong * (n - 1) / (k - 1)).toInt
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(fi)))
+            require(img != null, s"undecodable frame $fi of doc ${m.doc_id}")
+            VideoFrame(m.doc_id, fi, n, img.getWidth, img.getHeight)
           }
         }
       }
   }
+
 }

@@ -116,19 +116,25 @@ object LlmQueries {
     // multimodal frame sampling: stubbed demux/decode are deterministic
     // arithmetic over the blob, so DuckDB can replay the whole pipeline
     // (frame count, uniform indices, per-frame digests) relationally
+    // REAL video frame sampling (r12, upgraded from the demux stub):
+    // each doc becomes a genuine MJPEG-in-AVI container (real JPEGs, JDK
+    // ImageIO), the engine RIFF-walks the container, samples k=4 uniform
+    // frame indices, and JPEG-decodes only the sampled frames. The
+    // oracle recomputes frame count and per-frame dimensions from pure
+    // integer formulas of (doc_id, frame_idx) — a hash match proves the
+    // whole encode -> demux -> decode chain parsed every container and
+    // codec structure correctly.
     "l23_frame_sample" -> ((
       (s: SparkSession, dir: String) =>
-        Multimodal.sampleFrames(
-          Multimodal.asBlobs(docs(s, dir)), k = 4).toDF(),
-      Some("""WITH b AS (SELECT doc_id, text,
-        |  8 + (octet_length(encode(text)) % 120) AS nf FROM documents),
-        |f AS (SELECT doc_id, text, nf, unnest([0, 1, 2, 3]) AS i FROM b)
-        |SELECT doc_id,
-        |  CAST((i * (nf - 1)) // 3 AS INT) AS frame_idx,
-        |  CAST(nf AS INT) AS n_frames,
-        |  sha256(text || '#' || CAST((i * (nf - 1)) // 3 AS VARCHAR))
-        |    AS frame_digest
-        |FROM f""".stripMargin))),
+        Multimodal.sampleVideoFrames(
+          Multimodal.asAviBlobs(docs(s, dir)), k = 4).toDF(),
+      Some("""WITH b AS (SELECT doc_id, 6 + (doc_id % 7) AS nf FROM documents),
+        |f AS (SELECT doc_id, nf, unnest([0, 1, 2, 3]) AS i FROM b),
+        |g AS (SELECT doc_id, nf, CAST((i * (nf - 1)) // 3 AS INT) AS fi FROM f)
+        |SELECT doc_id, fi AS frame_idx, CAST(nf AS INT) AS n_frames,
+        |  CAST(16 + 8 * ((doc_id + fi) % 6) AS INT) AS width,
+        |  CAST(16 + 8 * ((3 * doc_id + fi) % 5) AS INT) AS height
+        |FROM g""".stripMargin))),
 
     // corpus-statistics quality proxy: per-doc mean unigram log-prob
     "l27_unigram_logprob" -> ((
@@ -990,7 +996,8 @@ object LlmQueries {
         |SELECT doc_id, fp FROM f
         |WHERE fp IN (SELECT fp FROM f WHERE doc_id % 97 = 0)""".stripMargin))),
 
-    // --- multimodal plumbing (decode stubbed, see Multimodal.decodeStub) ---
+    // --- multimodal: real PNG/WAV decode + real AVI demux (only
+    // compressed codecs fall back to Multimodal.decodeStub) ---
     // REAL image decode: each document renders to a genuine PNG
     // (ImageIO encode on executors), the feature pass decodes it back
     // with ImageIO — the oracle verifies the decoded dimensions

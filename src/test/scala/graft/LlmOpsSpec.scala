@@ -254,9 +254,9 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("frame sampling is deterministic, bounded, and within frame range") {
-    val blobs = Multimodal.asBlobs(docs)
-    val a = Multimodal.sampleFrames(blobs, k = 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
-    val b = Multimodal.sampleFrames(blobs.repartition(3), k = 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val blobs = Multimodal.asAviBlobs(docs)
+    val a = Multimodal.sampleVideoFrames(blobs, k = 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val b = Multimodal.sampleVideoFrames(blobs.repartition(3), k = 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
     assert(a.sameElements(b)) // partitioning never affects results
     assert(a.length == docs.count() * 4) // bounded fan-out: k rows per doc
     assert(a.forall(f => f.frame_idx >= 0 && f.frame_idx < f.n_frames))
@@ -264,6 +264,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.groupBy(_.doc_id).values.forall { fs =>
       fs.map(_.frame_idx).min == 0 && fs.map(_.frame_idx).max == fs.head.n_frames - 1
     })
+    // the REAL chain: decoded dimensions equal the deterministic formulas
+    assert(a.forall(f =>
+      f.width == Multimodal.aviFrameWidth(f.doc_id, f.frame_idx) &&
+        f.height == Multimodal.aviFrameHeight(f.doc_id, f.frame_idx) &&
+        f.n_frames == Multimodal.aviFrameCount(f.doc_id)))
+  }
+
+  test("AVI demux: RIFF walk recovers every frame; JPEGs decode to planted dims") {
+    val blob = Multimodal.encodeAvi(42L)
+    val frames = Multimodal.demuxAvi(blob)
+    assert(frames.length == Multimodal.aviFrameCount(42L))
+    javax.imageio.ImageIO.setUseCache(false)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      // every frame is a real JPEG (SOI marker) with the planted dims
+      assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8, s"frame $i not JPEG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img.getWidth == Multimodal.aviFrameWidth(42L, i) &&
+        img.getHeight == Multimodal.aviFrameHeight(42L, i))
+    }
+    // demux rejects non-AVI bytes loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxAvi("plainly not a RIFF".getBytes("UTF-8"))
+    }
   }
 
   test("int8 quantization: degenerate (constant) vectors quantize to zeros, not NaN") {

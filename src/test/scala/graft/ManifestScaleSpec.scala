@@ -219,4 +219,48 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(ManifestIO.bodyReads.get() <= 64,
       s"${ManifestIO.bodyReads.get()} manifest body reads for one load on a cold JVM")
   }
+
+  test("range-constancy claiming stays plan-time-bounded on a 100k-file metadata set") {
+    import org.apache.spark.sql.types._
+    // 100k synthetic DataFiles (day-grain-aligned stats, no bytes on
+    // disk): 1000 days x 100 files/day, file j covers day 10000 + j/100
+    // with v in [j*10, j*10+9]. The w42 claiming tier walks EVERY live
+    // file's stat intervals at plan time — fine at 10^3 files, this pins
+    // it at 10^5: the walk must stay linear and the whole claimed
+    // aggregate must still answer from metadata with ZERO file IO (the
+    // paths don't exist, so any attempted read would fail loudly).
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-claim100k-").toString)
+    val t = cat.createTable("main", "big", StructType(Seq(
+      StructField("d", DateType), StructField("v", LongType))))
+    val files = (0 until 100000).map { j =>
+      val day = (10000 + j / 100).toString
+      DataFile(s"synthetic-$j", 10, 0, Map(
+        "d" -> ColumnStats(Some(day), Some(day), Some(0L)),
+        "v" -> ColumnStats(Some((j * 10L).toString),
+          Some((j * 10L + 9).toString), Some(0L))))
+    }
+    t.commit(_.withSnapshot("append", None, files), unitMs = 1)
+    spark.conf.set("spark.sql.catalog.g100k",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g100k.warehouse",
+      cat.warehousePath.toString)
+    val lo = java.time.LocalDate.ofEpochDay(10250)
+    val hi = java.time.LocalDate.ofEpochDay(10750)
+    val t0 = System.nanoTime()
+    val q = spark.sql(s"""SELECT COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx
+      |FROM g100k.main.big
+      |WHERE d >= DATE '$lo' AND d < DATE '$hi'""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    val row = q.collect()(0)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(plan.contains("graft-meta-agg"),
+      s"day-aligned WHERE over 100k files must claim + fold from metadata:\n$plan")
+    assert(row.getLong(0) == 500000L && row.getLong(1) == 250000L &&
+      row.getLong(2) == 749999L, row)
+    // generous CI bound — the point is "linear walk", not "fast JVM":
+    // a quadratic or per-file-IO regression lands in minutes, not 20 s
+    assert(elapsedMs < 20000,
+      f"plan+fold over 100k file stats took $elapsedMs%.0f ms")
+  }
 }
