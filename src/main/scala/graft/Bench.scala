@@ -103,13 +103,20 @@ object Bench {
     }
     val confBaseline = spark.conf.getAll
     val tmpBaseline = graftTmpDirs()
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val entryLoad = loadavg1m()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a thrown entry must be LOUD: a swallowed failure records its
+        // time-to-throw as if it were a measurement (s6 once recorded
+        // 0.01 s for a broken staging path and read as an improvement)
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed.put(name, String.valueOf(e))
+          System.err.println(s"[bench] ENTRY FAILED $name: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // several operators cache intermediates (shingle sets, LSH buckets)
@@ -121,7 +128,11 @@ object Bench {
       // that query alone.
       spark.catalog.clearCache()
       restoreConf(spark, confBaseline)
-      (graftTmpDirs() diff tmpBaseline).foreach(deleteRecursively)
+      // JVM-lifetime staged stream sources are memoized across entries —
+      // deleting them here would force a re-stage (or, before the
+      // self-healing memoization, a dangling path) on the next stream
+      val keep = graft.streaming.StreamingLoader.registeredTempDirs
+      (graftTmpDirs() diff tmpBaseline diff keep).foreach(deleteRecursively)
       (name, times, entryLoad)
     }
     val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
@@ -150,14 +161,19 @@ object Bench {
       sys.props.getOrElse("user.dir", "."),
       if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
     ).getAbsolutePath
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"entry_loadavg":$loads,"contended":$contended,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}"""
+    val failedJson = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toSeq.sortBy(_._1)
+        .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"entry_loadavg":$loads,"failed":$failedJson,"contended":$contended,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(perQueryFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.sortBy(-_._2.min).take(10)
       .map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     System.err.println(s"""{"queries_raw":$raw}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"slowest":$slowest,"per_query_file":"$perQueryFile","contended":$contended,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"slowest":$slowest,"per_query_file":"$perQueryFile","contended":$contended,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -176,7 +176,12 @@ object WriteQueries {
     // snapshot file listing, schema imposition, and pushdown all flow
     // through Spark's DataSource V2 path instead of the library API
     "w13_sql_catalog" -> ((
-      (s: SparkSession, dir: String) => {
+      (s0: SparkSession, dir: String) => {
+        // fresh CatalogManager per invocation: Spark caches catalog
+        // instances by NAME, so re-registering the same name with a new
+        // warehouse on a shared session silently serves the FIRST
+        // warehouse (a bench double-run hit run-1 state and failed)
+        val s = s0.newSession()
         val wh = Files.createTempDirectory("graft-v2q-").toString
         s.conf.set("spark.sql.catalog.graft_drv",
           classOf[graft.catalog.GraftSparkCatalog].getName)
@@ -397,7 +402,12 @@ object WriteQueries {
     // that files provably outside the DML range survive BY PATH (static
     // stat pruning + runtime `_file` group filtering, GroupScan).
     "w21_sql_merge" -> ((
-      (s: SparkSession, dir: String) => {
+      (s0: SparkSession, dir: String) => {
+        // fresh CatalogManager per invocation: Spark caches catalog
+        // instances by NAME, so re-registering the same name with a new
+        // warehouse on a shared session silently serves the FIRST
+        // warehouse (a bench double-run hit run-1 state and failed)
+        val s = s0.newSession()
         val wh = Files.createTempDirectory("graft-v2m-").toString
         s.conf.set("spark.sql.catalog.graft_mrg",
           classOf[graft.catalog.GraftSparkCatalog].getName)
@@ -460,7 +470,12 @@ object WriteQueries {
     // O(delta) commits, parent files untouched; the in-query require()
     // pins that no parent file was rewritten.
     "w24_sql_mor_merge" -> ((
-      (s: SparkSession, dir: String) => {
+      (s0: SparkSession, dir: String) => {
+        // fresh CatalogManager per invocation: Spark caches catalog
+        // instances by NAME, so re-registering the same name with a new
+        // warehouse on a shared session silently serves the FIRST
+        // warehouse (a bench double-run hit run-1 state and failed)
+        val s = s0.newSession()
         val wh = Files.createTempDirectory("graft-v2dm-").toString
         s.conf.set("spark.sql.catalog.graft_dmr",
           classOf[graft.catalog.GraftSparkCatalog].getName)
@@ -1347,7 +1362,12 @@ object WriteQueries {
     // at 10⁵ files the footers alone are 10⁵ reads). The entry pins the
     // graft-meta-agg scan in-plan, then the oracle pins the values
     "w39_agg_pushdown" -> ((
-      (s: SparkSession, dir: String) => {
+      (s0: SparkSession, dir: String) => {
+        // fresh CatalogManager per invocation: Spark caches catalog
+        // instances by NAME, so re-registering the same name with a new
+        // warehouse on a shared session silently serves the FIRST
+        // warehouse (a bench double-run hit run-1 state and failed)
+        val s = s0.newSession()
         val wh = Files.createTempDirectory("graft-magg-").toString
         s.conf.set("spark.sql.catalog.graft_magg",
           classOf[graft.catalog.GraftSparkCatalog].getName)
@@ -1380,7 +1400,12 @@ object WriteQueries {
     // (one partition tuple per file) makes every file's group key a
     // metadata fact, so the whole query is still zero file IO
     "w40_agg_pushdown_grouped" -> ((
-      (s: SparkSession, dir: String) => {
+      (s0: SparkSession, dir: String) => {
+        // fresh CatalogManager per invocation: Spark caches catalog
+        // instances by NAME, so re-registering the same name with a new
+        // warehouse on a shared session silently serves the FIRST
+        // warehouse (a bench double-run hit run-1 state and failed)
+        val s = s0.newSession()
         val wh = Files.createTempDirectory("graft-magg2-").toString
         s.conf.set("spark.sql.catalog.graft_magg2",
           classOf[graft.catalog.GraftSparkCatalog].getName)
@@ -1412,7 +1437,12 @@ object WriteQueries {
     // prefix regardless of tiebreak columns). The entry asserts the
     // prefix cut in-plan and returns the exact top-50
     "w41_topn_pushdown" -> ((
-      (s: SparkSession, dir: String) => {
+      (s0: SparkSession, dir: String) => {
+        // fresh CatalogManager per invocation: Spark caches catalog
+        // instances by NAME, so re-registering the same name with a new
+        // warehouse on a shared session silently serves the FIRST
+        // warehouse (a bench double-run hit run-1 state and failed)
+        val s = s0.newSession()
         val wh = Files.createTempDirectory("graft-topn-").toString
         s.conf.set("spark.sql.catalog.graft_topn",
           classOf[graft.catalog.GraftSparkCatalog].getName)
@@ -1457,7 +1487,12 @@ object WriteQueries {
     // transforms, without transform-specific logic: any file interval
     // no predicate literal splits is wholly in or wholly out
     "w42_temporal_claim" -> ((
-      (s: SparkSession, dir: String) => {
+      (s0: SparkSession, dir: String) => {
+        // fresh CatalogManager per invocation: Spark caches catalog
+        // instances by NAME, so re-registering the same name with a new
+        // warehouse on a shared session silently serves the FIRST
+        // warehouse (a bench double-run hit run-1 state and failed)
+        val s = s0.newSession()
         val wh = Files.createTempDirectory("graft-tclaim-").toString
         s.conf.set("spark.sql.catalog.graft_tclaim",
           classOf[graft.catalog.GraftSparkCatalog].getName)
