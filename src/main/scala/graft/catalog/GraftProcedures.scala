@@ -35,7 +35,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
     "create_branch", "publish_branch", "drop_branch", "rewrite_manifests",
-    "delete_backlog", "file_health")
+    "delete_backlog", "file_health", "iceberg_export")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -52,6 +52,7 @@ object GraftProcedures {
       case "rewrite_manifests" => Some(RewriteManifests(cat))
       case "delete_backlog" => Some(DeleteBacklog(cat))
       case "file_health" => Some(FileHealth(cat))
+      case "iceberg_export" => Some(IcebergExport(cat))
       case _ => None
     }
 
@@ -320,6 +321,24 @@ object GraftProcedures {
         Integer.valueOf(r.smallFileCount),
         java.lang.Long.valueOf(r.avgFileBytes),
         java.lang.Boolean.valueOf(r.needsCompaction))
+    }
+  }
+
+  private final case class IcebergExport(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "iceberg_export"
+    override def description(): String =
+      "export the current snapshot as an Apache Iceberg v2 metadata tree " +
+        "(data files referenced in place); returns the metadata.json path"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val mdPath = graft.iceberg.IcebergInterop.exportTable(t)
+      one(StructType(Seq(
+        StructField("metadata_json", StringType, nullable = false),
+        StructField("data_files", IntegerType, nullable = false))),
+        UTF8String.fromString(mdPath.toString),
+        Integer.valueOf(t.metadata.currentFiles.size))
     }
   }
 

@@ -1573,7 +1573,48 @@ object WriteQueries {
           "inline compaction must have fired during the trickle")
         keyPrice(tbl.read())
       },
-      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)"""))
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)""")),
+
+    // Apache Iceberg v2 on-disk interop: the committed table is exported
+    // as a REAL Iceberg metadata tree (metadata.json + Avro manifest
+    // list + Avro manifest, spec field ids; data files referenced in
+    // place — a metadata-only O(files) operation) through the SQL
+    // procedure surface, then read back through the independent Iceberg
+    // IMPORT path (metadata.json -> manifest list -> manifests -> files,
+    // schema decoded from the Iceberg schema JSON). The oracle checks
+    // the round-tripped CONTENT; IcebergInteropSpec pins the spec
+    // constants (field ids 0-4/100-134/500-518, required metadata keys).
+    "w44_iceberg_roundtrip" -> ((
+      (s0: SparkSession, dir: String) => {
+        val s = s0.newSession()
+        val wh = Files.createTempDirectory("graft-icex-").toString
+        s.conf.set("spark.sql.catalog.graft_ice",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_ice.warehouse", wh)
+        val cat = new GraftCatalog(s, wh)
+        val w = new GraftWriter(cat)
+        // two commits, second evolves the schema — the export must carry
+        // the evolved schema and import must null-fill stragglers
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir).filter(col("o_orderkey") % 2 === 0)),
+          Append, cfg, "l1")
+        w.writeTable("main", "orders_t",
+          Seq(target(s, dir).filter(col("o_orderkey") % 2 =!= 0)
+            .withColumn("o_flag", lit("odd"))),
+          Append, cfg, "l2")
+        val r = s.sql(
+          "CALL graft_ice.system.iceberg_export('main.orders_t')").collect()(0)
+        val mdPath = r.getString(0)
+        require(mdPath.endsWith("v1.metadata.json") && r.getInt(1) > 0,
+          s"unexpected export result: $r")
+        val tableDir = java.nio.file.Paths.get(mdPath).getParent.getParent
+        graft.iceberg.IcebergInterop.importTable(s, tableDir.toString)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            coalesce(col("o_flag"), lit("even")).as("o_flag"))
+      },
+      s"""SELECT o_orderkey, o_totalprice,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS o_flag
+         |FROM ($targetSql)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

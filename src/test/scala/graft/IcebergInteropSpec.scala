@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.iceberg.IcebergInterop
+import graft.write._
+
+/** Iceberg v2 on-disk interop: export writes a spec-exact metadata tree
+  * (JSON + Avro manifests), import reads one back; the two directions
+  * verify each other through the real bytes, and the spec constants
+  * (field ids, metadata keys) are pinned against the PUBLIC Iceberg
+  * table spec so drift fails loudly. */
+class IcebergInteropSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-ice-").toString)
+
+  test("export -> import round-trip preserves content across commits and evolution") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")),
+      Append, cfg, "l1")
+    // second commit EVOLVES the schema (adds a column): the export must
+    // carry the current schema and the import must null-fill stragglers
+    w.writeTable("main", "t",
+      Seq(Seq((3L, "c", 3.5, "x")).toDF("id", "name", "score", "tag")),
+      Append, cfg, "l2")
+    val t = cat.loadTable("main", "t")
+    val mdPath = IcebergInterop.exportTable(t, nowMs = 1700000000000L)
+    assert(Files.exists(mdPath))
+    val back = IcebergInterop.importTable(spark, t.dir.resolve("iceberg").toString)
+    val expect = t.read().select("id", "name", "score", "tag")
+      .collect().map(_.toSeq).toSet
+    val got = back.select("id", "name", "score", "tag")
+      .collect().map(_.toSeq).toSet
+    assert(got == expect, s"round-trip mismatch: $got vs $expect")
+    assert(back.schema("tag").nullable)
+    assert(back.filter(col("tag").isNull).count() == 2, "stragglers null-fill")
+  }
+
+  test("exported Avro manifests carry the spec field ids and metadata keys") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val t = cat.loadTable("main", "t")
+    IcebergInterop.exportTable(t)
+    val metaDir = t.dir.resolve("iceberg").resolve("metadata")
+    val files = PathIO.list(metaDir).map(_.getFileName.toString)
+    assert(files.exists(_ == "v1.metadata.json"))
+    assert(files.exists(_ == "version-hint.text"))
+    assert(files.exists(f => f.startsWith("snap-") && f.endsWith(".avro")))
+    assert(files.exists(f => f.endsWith("-m0.avro")))
+
+    // spec pins: manifest-list ids (500s family), entry/data_file ids
+    def fid(s: org.apache.avro.Schema.Field): Int =
+      s.getObjectProp("field-id").asInstanceOf[Number].intValue
+    val ml = IcebergInterop.ManifestListSchema
+    assert(fid(ml.getField("manifest_path")) == 500)
+    assert(fid(ml.getField("manifest_length")) == 501)
+    assert(fid(ml.getField("partition_spec_id")) == 502)
+    assert(fid(ml.getField("added_snapshot_id")) == 503)
+    assert(fid(ml.getField("content")) == 517)
+    assert(fid(ml.getField("sequence_number")) == 515)
+    val me = IcebergInterop.ManifestEntrySchema
+    assert(fid(me.getField("status")) == 0)
+    assert(fid(me.getField("snapshot_id")) == 1)
+    assert(fid(me.getField("data_file")) == 2)
+    val df = me.getField("data_file").schema()
+    assert(fid(df.getField("file_path")) == 100)
+    assert(fid(df.getField("file_format")) == 101)
+    assert(fid(df.getField("partition")) == 102)
+    assert(fid(df.getField("record_count")) == 103)
+    assert(fid(df.getField("file_size_in_bytes")) == 104)
+    assert(fid(df.getField("content")) == 134)
+
+    // manifest avro key-value metadata the spec requires
+    val mPath = PathIO.list(metaDir)
+      .find(_.getFileName.toString.endsWith("-m0.avro")).get
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(mPath)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(r.getMetaString("format-version") == "2")
+      assert(r.getMetaString("content") == "data")
+      assert(r.getMetaString("partition-spec-id") == "0")
+      val sj = r.getMetaString("schema")
+      assert(sj.contains("\"schema-id\"") && sj.contains("\"fields\""))
+    } finally r.close()
+
+    // metadata.json carries the v2-required top-level keys
+    val md = Files.readString(metaDir.resolve("v1.metadata.json"))
+    Seq("\"format-version\"", "\"table-uuid\"", "\"last-sequence-number\"",
+      "\"last-column-id\"", "\"schemas\"", "\"current-schema-id\"",
+      "\"partition-specs\"", "\"default-spec-id\"", "\"sort-orders\"",
+      "\"current-snapshot-id\"", "\"snapshots\"", "\"manifest-list\"")
+      .foreach(k => assert(md.contains(k), s"metadata.json missing $k"))
+  }
+
+  test("type mapping round-trips decimal/array/struct/map; refuses unknowns") {
+    val s = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("d", DecimalType(10, 2)),
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("m", MapType(StringType, DoubleType)),
+      StructField("st", StructType(Seq(StructField("x", StringType)))),
+      StructField("ts", TimestampType),
+      StructField("tn", TimestampNTZType)))
+    val (json, lastId) = IcebergInterop.toIcebergSchemaJson(s)
+    assert(lastId >= s.size, "nested ids must extend past top-level")
+    val back = IcebergInterop.fromIcebergSchemaJson(json)
+    assert(back("i").dataType == IntegerType && !back("i").nullable)
+    assert(back("d").dataType == DecimalType(10, 2))
+    assert(back("a").dataType == ArrayType(LongType, containsNull = true))
+    assert(back("m").dataType == MapType(StringType, DoubleType))
+    assert(back("st").dataType == StructType(Seq(StructField("x", StringType))))
+    assert(back("ts").dataType == TimestampType)  // timestamptz
+    assert(back("tn").dataType == TimestampNTZType) // timestamp
+  }
+
+  test("export refuses outstanding merge-on-read deletes") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
+      mergeOnRead = true)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")), Append, cfg, "l1")
+    w.writeTable("main", "t",
+      Seq(Seq((2L, "b2")).toDF("id", "v")), Merge("upsert"), cfg, "l2")
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.currentSnapshot.get.deletes.nonEmpty, "precondition")
+    val e = intercept[IllegalArgumentException] { IcebergInterop.exportTable(t) }
+    assert(e.getMessage.contains("applyDeletes"), e.getMessage)
+    // after applying deletes physically, the export goes through and
+    // the imported content equals the post-merge table
+    Maintenance.applyDeletes(t, retryUnitMs = 1)
+    val t2 = cat.loadTable("main", "t")
+    IcebergInterop.exportTable(t2)
+    val back = IcebergInterop.importTable(spark,
+      t2.dir.resolve("iceberg").toString)
+    assert(back.select("id", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "b2")))
+  }
+}
