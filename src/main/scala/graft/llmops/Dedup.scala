@@ -324,35 +324,61 @@ object Dedup {
     * shingles have df of a few) always survive candidate generation. */
   val ShingleCapFloor = 10
 
+  /** Join-amplification budget for the auto-derived cap: the candidate
+    * pair count of the shingle self-join is Σ df² over kept shingles, so
+    * the cap is additionally bounded by the largest value whose
+    * cumulative pair mass fits this budget. 2e9 pairs ≈ 32 GB of
+    * 16-byte shuffled pair rows — a single fat node's spill room; raise
+    * it on a cluster. Without this bound a TEMPLATE-SATURATED corpus
+    * (measured: the sf100 documents table has 49k distinct shingles for
+    * 5M docs — no rare tail at all, every shingle df in the thousands)
+    * drives the p99.9 rule to cap≈7000 and 2.1e12 candidate pairs:
+    * killed a 40 GB-spill single node. Such a distribution means
+    * exact shingle-pair dedup is the wrong tool (MinHash-LSH or the
+    * committed-signature incremental path scale there); the budget makes
+    * the operator degrade to bounded compute instead of dying. */
+  val DefaultShinglePairMassBudget: Long = 2000000000L
+
   /** Auto-derive a shingle df cap from the corpus df distribution:
-    * the integer-exact 99.9th percentile of the per-shingle document
-    * frequencies (smallest df value whose cumulative shingle count
-    * crosses 99.9% — computed as `1000*cum >= 999*total` so there is no
-    * float interpolation and a SQL oracle can replicate the derivation
-    * bit-for-bit), floored at [[ShingleCapFloor]]. Under power-law
-    * shingle frequencies this drops only the boilerplate head — the
-    * shingles whose equality-join fan-out is quadratic in df and which
-    * contribute no qualifying pair at any sane threshold.
+    * `max(floor, min(p99.9, budgetCap))` where
     *
-    * Cost shape: one count aggregate over shingles, then a histogram
-    * over df VALUES — the driver collect is the histogram, whose row
-    * count is the number of distinct df values (clamped at 2^20 so it
-    * stays bounded even on degenerate corpora; a p99.9 above a million
-    * means the corpus is ~all boilerplate and any cap ≥ 2^20 behaves
-    * identically). */
-  def autoShingleCap(dfs: DataFrame, floorCap: Int = ShingleCapFloor): Int = {
+    *  - p99.9 = the integer-exact 99.9th percentile of per-shingle
+    *    document frequencies (smallest df whose cumulative shingle count
+    *    crosses 99.9% — computed as `1000*cum >= 999*total`, no float
+    *    interpolation, so a SQL oracle replicates it bit-for-bit);
+    *  - budgetCap = the largest df whose CUMULATIVE candidate-pair mass
+    *    `Σ c(df)·df²` stays within `maxPairMass` (same histogram, same
+    *    exact integer arithmetic).
+    *
+    * Under power-law shingle frequencies p99.9 binds and drops only the
+    * boilerplate head; under degenerate template-saturated corpora the
+    * budget binds and bounds the join's amplification instead of letting
+    * it go quadratic. Cost shape: one count aggregate over shingles,
+    * then a histogram over df VALUES — the driver collect is the
+    * histogram, whose row count is the number of distinct df values
+    * (clamped at 2^20 so it stays bounded even on degenerate corpora). */
+  def autoShingleCap(dfs: DataFrame, floorCap: Int = ShingleCapFloor,
+      maxPairMass: Long = DefaultShinglePairMassBudget): Int = {
     val hist = dfs.select(least(col("df"), lit(1 << 20)).as("df"))
       .groupBy("df").agg(count(lit(1)).as("c"))
       .orderBy("df").collect() // histogram of df values: metadata-scale
     val total = hist.map(_.getLong(1)).sum
     var cum = 0L
-    var capDf = floorCap.toLong
-    var found = false
-    for (r <- hist if !found) {
+    var pairMass = BigInt(0) // c·df² sums can exceed Long on hot corpora
+    var p999 = floorCap.toLong
+    var found999 = false
+    var budgetCap = floorCap.toLong
+    for (r <- hist) {
+      val df = r.getLong(0)
       cum += r.getLong(1)
-      if (1000L * cum >= 999L * total) { capDf = r.getLong(0); found = true }
+      pairMass += BigInt(r.getLong(1)) * BigInt(df) * BigInt(df)
+      if (!found999 && 1000L * cum >= 999L * total) {
+        p999 = math.max(floorCap.toLong, df); found999 = true
+      }
+      if (pairMass <= BigInt(maxPairMass))
+        budgetCap = math.max(floorCap.toLong, df)
     }
-    math.max(floorCap.toLong, capDf).toInt
+    math.max(floorCap.toLong, math.min(p999, budgetCap)).toInt
   }
 
   /** Shingle relation with the df-cap discipline applied: explicit cap

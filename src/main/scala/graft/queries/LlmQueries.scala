@@ -1308,10 +1308,12 @@ object LlmQueries {
 
   /** Shared CTE prefix replicating [[graft.llmops.Dedup.autoShingleCap]]
     * in SQL: shingle relation `sh` with the auto-derived df cap applied —
-    * cap = greatest(10, smallest df whose cumulative shingle count
-    * crosses 99.9% of distinct shingles), computed with the identical
-    * integer comparison `1000*cum >= 999*total` so both engines derive
-    * the same cap with zero float interpolation. */
+    * cap = greatest(10, least(p99.9 cap, pair-mass budget cap)), where
+    * the p99.9 cap is the smallest df whose cumulative shingle count
+    * crosses 99.9% (`1000*cum >= 999*total`, zero float interpolation)
+    * and the budget cap is the largest df whose cumulative candidate-
+    * pair mass `sum(c*df*df)` fits the 2e9 join-amplification budget —
+    * both exact integer arithmetic, so both engines derive the same cap. */
   private lazy val autoCapShinglePrefix: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
@@ -1321,9 +1323,14 @@ object LlmQueries {
       |dfs AS (SELECT g, count(*) AS df FROM sh0 GROUP BY g),
       |hist AS (SELECT df, count(*) AS c FROM dfs GROUP BY df),
       |cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cumc,
-      |  sum(c) OVER () AS tot FROM hist),
-      |capv AS (SELECT greatest(10, coalesce(min(df), 10)) AS cap FROM cum
+      |  sum(c) OVER () AS tot,
+      |  sum(c * df * df) OVER (ORDER BY df) AS pm FROM hist),
+      |cap999 AS (SELECT greatest(10, coalesce(min(df), 10)) AS cap FROM cum
       |  WHERE 1000 * cumc >= 999 * tot),
+      |capbud AS (SELECT greatest(10, coalesce(max(df), 10)) AS cap FROM cum
+      |  WHERE pm <= 2000000000),
+      |capv AS (SELECT greatest(10, least(cap999.cap, capbud.cap)) AS cap
+      |  FROM cap999, capbud),
       |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN dfs USING (g), capv
       |  WHERE dfs.df <= capv.cap)""".stripMargin
 

@@ -202,6 +202,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.autoShingleCap(dfsOf(Seq.fill(50)(40))) == 40)
     // empty corpus: floor
     assert(Dedup.autoShingleCap(dfsOf(Seq.empty)) == 10)
+    // pair-mass budget binds on a template-saturated distribution: 50
+    // shingles at df=40 cost 50*1600 = 80k pair mass; with a 60k budget
+    // the cap falls back to the floor instead of admitting the join blowup
+    assert(Dedup.autoShingleCap(dfsOf(Seq.fill(50)(40)),
+      maxPairMass = 60000L) == 10)
+    // mixed: 100 at df=12 (mass 14400) + 50 at df=40 (mass 80000); a
+    // 20k budget admits df=12 (cum 14400) but not df=40 -> cap 12
+    assert(Dedup.autoShingleCap(dfsOf(Seq.fill(100)(12) ++ Seq.fill(50)(40)),
+      maxPairMass = 20000L) == 12)
     // exact=true with an explicit cap is a contract violation
     intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleFreq = Some(5),
