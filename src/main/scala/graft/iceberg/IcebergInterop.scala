@@ -282,8 +282,11 @@ object IcebergInterop {
       e.put("data_file", df)
       e
     }
+    // snapshot-unique name: a later export must never overwrite a file a
+    // prior exported snapshot's manifest list still references
     val manifestPath = metaDir.resolve(
-      s"${java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)}-m0.avro")
+      s"${java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)}" +
+        s"-$snapshotId-m0.avro")
     val manifestLen = writeAvro(ManifestEntrySchema, entries, Map(
       "schema" -> schemaJson,
       "schema-id" -> "0",
@@ -312,10 +315,64 @@ object IcebergInterop {
     writeAvro(ManifestListSchema, Seq(mf),
       Map("format-version" -> "2"), listPath)
 
-    // metadata.json
+    // metadata.json — VERSIONED: a re-export after further commits writes
+    // v<N+1>.metadata.json carrying the previously exported snapshots
+    // (their manifest lists are immutable on disk), an appended
+    // snapshot-log, and a metadata-log entry pointing at v<N> — the
+    // Iceberg metadata version chain external engines expect, so
+    // repeated exports give time travel over export points, not a
+    // dangling single version.
+    import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val schemaJV = JsonMethods.parse(schemaJson)
+    val hintPath = metaDir.resolve("version-hint.text")
+    val prevVersion: Int =
+      if (Files.exists(hintPath)) Files.readString(hintPath).trim.toInt else 0
+    val prev: Option[JValue] =
+      if (prevVersion == 0) None
+      else Some(JMethodsParseFile(metaDir.resolve(
+        s"v$prevVersion.metadata.json")))
+    def prevList(key: String): List[JValue] = prev match {
+      case Some(p) => (p \ key) match {
+        case JArray(xs) => xs
+        case _ => Nil
+      }
+      case None => Nil
+    }
+    // carry prior exported snapshots, dropping a re-export of the SAME
+    // snapshot id (idempotent re-export replaces, never duplicates)
+    val priorSnaps = prevList("snapshots").filterNot(s =>
+      (s \ "snapshot-id") == JInt(snap.snapshotId))
+    val priorLog = prevList("snapshot-log").filterNot(s =>
+      (s \ "snapshot-id") == JInt(snap.snapshotId))
+    val parentOfThis: Option[Long] = priorSnaps.lastOption.flatMap(s =>
+      (s \ "snapshot-id") match { case JInt(i) => Some(i.toLong); case _ => None })
+    val newSnap: JValue =
+      ("sequence-number" -> seq) ~
+      ("snapshot-id" -> snap.snapshotId) ~
+      ("parent-snapshot-id" -> parentOfThis) ~
+      ("timestamp-ms" -> snap.timestampMs) ~
+      ("summary" -> (("operation" -> "append") ~
+        ("added-data-files" -> files.size.toString) ~
+        ("added-records" -> files.map(_.rowCount).sum.toString) ~
+        ("total-records" -> files.map(_.rowCount).sum.toString) ~
+        ("total-data-files" -> files.size.toString))) ~
+      ("manifest-list" -> toUri(listPath.toString)) ~
+      ("schema-id" -> 0)
+    val metadataLog: List[JValue] = prev match {
+      case Some(p) =>
+        val prior = (p \ "metadata-log") match {
+          case JArray(xs) => xs
+          case _ => Nil
+        }
+        prior :+ (("timestamp-ms" -> ((p \ "last-updated-ms") match {
+          case JInt(ms) => ms.toLong; case _ => nowMs
+        })) ~ ("metadata-file" -> toUri(
+          metaDir.resolve(s"v$prevVersion.metadata.json").toString))
+          : JValue)
+      case None => Nil
+    }
     val md: org.json4s.JValue =
       ("format-version" -> 2) ~
       ("table-uuid" -> java.util.UUID
@@ -337,26 +394,20 @@ object IcebergInterop {
       ("current-snapshot-id" -> snap.snapshotId) ~
       ("refs" -> ("main" ->
         ("snapshot-id" -> snap.snapshotId) ~ ("type" -> "branch"))) ~
-      ("snapshots" -> List(
-        ("sequence-number" -> seq) ~
-        ("snapshot-id" -> snap.snapshotId) ~
-        ("timestamp-ms" -> snap.timestampMs) ~
-        ("summary" -> (("operation" -> "append") ~
-          ("added-data-files" -> files.size.toString) ~
-          ("added-records" -> files.map(_.rowCount).sum.toString) ~
-          ("total-records" -> files.map(_.rowCount).sum.toString) ~
-          ("total-data-files" -> files.size.toString))) ~
-        ("manifest-list" -> toUri(listPath.toString)) ~
-        ("schema-id" -> 0))) ~
-      ("snapshot-log" -> List(
-        ("timestamp-ms" -> snap.timestampMs) ~
-        ("snapshot-id" -> snap.snapshotId))) ~
-      ("metadata-log" -> List.empty[String])
-    val mdPath = metaDir.resolve("v1.metadata.json")
+      ("snapshots" -> JArray(priorSnaps :+ newSnap)) ~
+      ("snapshot-log" -> JArray(priorLog :+
+        ((("timestamp-ms" -> snap.timestampMs) ~
+          ("snapshot-id" -> snap.snapshotId)): JValue))) ~
+      ("metadata-log" -> JArray(metadataLog))
+    val version = prevVersion + 1
+    val mdPath = metaDir.resolve(s"v$version.metadata.json")
     Files.writeString(mdPath, JsonMethods.pretty(md))
-    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    Files.writeString(hintPath, version.toString)
     mdPath
   }
+
+  private def JMethodsParseFile(p: Path): org.json4s.JValue =
+    org.json4s.jackson.JsonMethods.parse(Files.readString(p))
 
   private def toUri(p: String): String =
     if (p.startsWith("file:") || p.contains("://")) p else s"file://$p"

@@ -125,6 +125,45 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(back("tn").dataType == TimestampNTZType) // timestamp
   }
 
+  test("repeated exports build the Iceberg metadata version chain") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1)
+    w.writeTable("main", "t", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, cfg, "l1")
+    val p1 = IcebergInterop.exportTable(cat.loadTable("main", "t"),
+      nowMs = 1700000000000L)
+    assert(p1.getFileName.toString == "v1.metadata.json")
+    w.writeTable("main", "t", Seq(Seq((2L, "b")).toDF("id", "v")),
+      Append, cfg, "l2")
+    val t2 = cat.loadTable("main", "t")
+    val p2 = IcebergInterop.exportTable(t2, nowMs = 1700000001000L)
+    assert(p2.getFileName.toString == "v2.metadata.json")
+    val metaDir = t2.dir.resolve("iceberg").resolve("metadata")
+    assert(Files.readString(metaDir.resolve("version-hint.text")).trim == "2")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val md = JsonMethods.parse(Files.readString(p2))
+    // both exported snapshots present; the new one carries its parent;
+    // metadata-log points back at v1
+    val snaps = (md \ "snapshots").asInstanceOf[JArray].arr
+    assert(snaps.size == 2, snaps)
+    assert((snaps.last \ "parent-snapshot-id") == (snaps.head \ "snapshot-id"))
+    val mlog = (md \ "metadata-log").asInstanceOf[JArray].arr
+    assert(mlog.size == 1 &&
+      mlog.head.\("metadata-file").asInstanceOf[JString].s
+        .endsWith("v1.metadata.json"))
+    // prior snapshot's manifest list still resolves: import at v1 sees
+    // only load 1, import at v2 (current) sees both
+    val v1rows = IcebergInterop.importTable(spark, p1.toString).count()
+    val v2rows = IcebergInterop.importTable(spark, p2.toString).count()
+    assert(v1rows == 1 && v2rows == 2, s"$v1rows / $v2rows")
+    // idempotent re-export of the SAME snapshot: replaces, never duplicates
+    val p3 = IcebergInterop.exportTable(t2, nowMs = 1700000002000L)
+    val md3 = JsonMethods.parse(Files.readString(p3))
+    assert((md3 \ "snapshots").asInstanceOf[JArray].arr.size == 2)
+  }
+
   test("export refuses outstanding merge-on-read deletes") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
