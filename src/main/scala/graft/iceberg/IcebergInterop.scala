@@ -428,11 +428,38 @@ object IcebergInterop {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Attach an external Iceberg v2 table as a graft catalog table: the
+    * Iceberg tree is planned once ([[importFiles]]) and committed as one
+    * snapshot REFERENCING the Iceberg data files in place (row counts
+    * from the manifests; no byte copied, no stats — pruning keeps the
+    * files conservatively until a compaction/zorder restages them with
+    * full graft stats). The migration on-ramp mirroring [[exportTable]]:
+    * after attach, the full engine surface (SQL, merges, maintenance,
+    * time travel forward of the attach point) applies. */
+  def importAsTable(cat: graft.catalog.GraftCatalog, ns: String,
+      name: String, location: String): GraftTable = {
+    val (schema, files) = importFilesDetailed(location)
+    val t = cat.createTable(ns, name, schema)
+    t.commit(_.withSnapshot("append", Some(s"iceberg-import:$location"),
+      files.map(f => graft.catalog.DataFile(
+        f.path, f.recordCount, f.sizeBytes, Map.empty))), unitMs = 1)
+    cat.loadTable(ns, name)
+  }
+
+  final case class IcebergFile(path: String, recordCount: Long,
+      sizeBytes: Long)
+
   /** The planning half of [[importTable]]: (Spark schema, live parquet
     * paths) from the Iceberg metadata tree. Refuses delete manifests /
     * delete files (merge-on-read) — applying another engine's deletes
     * approximately would silently return wrong rows. */
   def importFiles(location: String): (StructType, Seq[String]) = {
+    val (s, fs) = importFilesDetailed(location)
+    (s, fs.map(_.path))
+  }
+
+  private def importFilesDetailed(location: String):
+      (StructType, Seq[IcebergFile]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val loc = Paths.get(fromUri(location))
@@ -487,7 +514,14 @@ object IcebergInterop {
           require(df.get("content") == null ||
             df.get("content").asInstanceOf[Int] == 0,
             "iceberg-import: delete FILES present — refuse (see above)")
-          Some(fromUri(df.get("file_path").toString))
+          def longOf(field: String): Long = df.get(field) match {
+            case null => 0L
+            case l: java.lang.Long => l.longValue
+            case n: Number => n.longValue
+            case _ => 0L
+          }
+          Some(IcebergFile(fromUri(df.get("file_path").toString),
+            longOf("record_count"), longOf("file_size_in_bytes")))
         }
       }
     }
