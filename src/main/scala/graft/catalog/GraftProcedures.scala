@@ -35,7 +35,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
     "create_branch", "publish_branch", "drop_branch", "rewrite_manifests",
-    "delete_backlog", "file_health", "iceberg_export")
+    "delete_backlog", "file_health", "iceberg_export", "iceberg_attach")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -53,6 +53,7 @@ object GraftProcedures {
       case "delete_backlog" => Some(DeleteBacklog(cat))
       case "file_health" => Some(FileHealth(cat))
       case "iceberg_export" => Some(IcebergExport(cat))
+      case "iceberg_attach" => Some(IcebergAttach(cat))
       case _ => None
     }
 
@@ -339,6 +340,27 @@ object GraftProcedures {
         StructField("data_files", IntegerType, nullable = false))),
         UTF8String.fromString(mdPath.toString),
         Integer.valueOf(t.metadata.currentFiles.size))
+    }
+  }
+
+  private final case class IcebergAttach(cat: GraftCatalog) extends GraftProcedure {
+    override def name(): String = "iceberg_attach"
+    override def description(): String =
+      "attach an external Apache Iceberg v2 table as a graft table " +
+        "(data files referenced in place, no bytes copied)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("location", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val parts = String.valueOf(input.getUTF8String(0)).split("\\.")
+      require(parts.length == 2,
+        s"procedure table argument must be 'namespace.table'")
+      val t = graft.iceberg.IcebergInterop.importAsTable(cat,
+        parts(0), parts(1), String.valueOf(input.getUTF8String(1)))
+      one(StructType(Seq(
+        StructField("attached", BooleanType, nullable = false),
+        StructField("row_count", LongType, nullable = false))),
+        java.lang.Boolean.TRUE, java.lang.Long.valueOf(t.rowCount))
     }
   }
 

@@ -189,8 +189,9 @@ object Multimodal {
     * analogue of a `mapInPandas` media pipeline: one iterator per
     * partition, arbitrary native work per batch, typed output Encoder.
     * image-typed blobs go through the REAL ImageIO decode
-    * ([[decodeImage]]); other mime types fall back to the deterministic
-    * stub (audio/video demux has no codec in this container). */
+    * ([[decodeImage]]); AVI video goes through the REAL RIFF demux
+    * ([[demuxAvi]], features of the first frame); other mime types
+    * (compressed codecs) fall back to the deterministic stub. */
   def extractFeatures(blobs: DataFrame): Dataset[MediaFeatures] = {
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -199,6 +200,9 @@ object Multimodal {
         it.map { m =>
           val (w, h, mean) =
             if (m.mime_type.startsWith("image/")) decodeImage(m.blob)
+            else if (m.mime_type == "video/avi" ||
+                m.mime_type == "video/x-msvideo")
+              decodeImage(demuxAvi(m.blob).head)
             else decodeStub(m.blob)
           MediaFeatures(m.doc_id, m.blob.length, sha256Hex(m.blob), w, h,
             math.rint(mean * 10000) / 10000)

@@ -191,4 +191,21 @@ class ProcedureSpec extends AnyFunSuite {
     assert(!spark.sql("CALL gproc6.system.rewrite_manifests('main.m')")
       .collect()(0).getBoolean(0))
   }
+
+  test("iceberg_export + iceberg_attach close the migration loop via CALL") {
+    val cat = freshCatalog("gproc7")
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val r = spark.sql("CALL gproc7.system.iceberg_export('main.t')")
+      .collect()(0)
+    assert(r.getString(0).endsWith("v1.metadata.json") && r.getInt(1) >= 1)
+    val loc = java.nio.file.Paths.get(r.getString(0)).getParent.getParent
+    val a = spark.sql(
+      s"CALL gproc7.system.iceberg_attach('main.t2', '$loc')").collect()(0)
+    assert(a.getBoolean(0) && a.getLong(1) == 2L, a)
+    assert(spark.sql("SELECT v FROM gproc7.main.t2 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
 }
