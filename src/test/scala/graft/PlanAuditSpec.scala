@@ -233,6 +233,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"count/score aggregates must partial-combine map-side:\n$p56")
   }
 
+  test("round-12 entries keep scale-shaped plans") {
+    // incremental near-dedup: candidates come from the band-bucket
+    // equality join — never cartesian/nested-loop; the best-match
+    // selection is a hash aggregate (map-side partials), never a
+    // per-incoming-doc window
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val sigs = graft.llmops.Dedup.minHashSignatures(docs)
+    val df = graft.llmops.Dedup.incrementalNearDedup(sigs, sigs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dedup candidates must come from the band join:\n$p")
+    assert(!p.contains("Window"),
+      s"best-match selection must be an aggregate, not a window:\n$p")
+
+    // auto-capped Jaccard (the r12 default): same no-cartesian guarantee
+    // as the explicit-cap plan, plus the df-cap semi-join present
+    val p6 = plan("l6_ngram_jaccard")
+    assert(!p6.contains("CartesianProduct") &&
+      !p6.contains("BroadcastNestedLoopJoin"),
+      s"capped-default Jaccard must stay a hash join:\n$p6")
+  }
+
   test("the deliberate exceptions stay deliberate") {
     // l9 brute-force top-k broadcasts the query side by design (oracle
     // baseline); the corpus side still never self-joins
