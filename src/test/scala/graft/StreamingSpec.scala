@@ -243,4 +243,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.metadata.snapshots.nonEmpty)
     assert(t.metadata.snapshots.forall(_.loadId.get.startsWith("ss-batch-")))
   }
+
+  test("near-dedup stream: crash between the two table commits replays to the identical keep-set") {
+    import spark.implicits._
+    // single-chunk doc stream staged by hand so batch 0's content is known
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    val srcDir = Files.createTempDirectory("graft-nd-crash-src-")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-crash-").toString)
+    val w = new graft.write.GraftWriter(cat)
+    // simulate the crash window: batch 0's DOCS commit landed (under the
+    // stream's loadId) but the SIGS commit did not
+    val expectedKeep = docs // empty corpus: every doc survives batch 0
+    w.writeTable("main", "dc", Seq(expectedKeep), graft.write.Append,
+      WriteConfig(retryUnitMs = 1), "ndx-batch-0")
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "ndx",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-crash-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    // docs table: the replay must NOT double-commit (one snapshot only)
+    val dc = cat.loadTable("main", "dc")
+    assert(dc.metadata.snapshots.size == 1,
+      s"replay double-committed docs: ${dc.metadata.snapshots.map(_.loadId)}")
+    assert(dc.read().count() == docs.count())
+    // sigs table: the replay committed the MISSING half, with the
+    // identical keep-set (signatures of exactly the committed docs)
+    val ds = cat.loadTable("main", "ds")
+    assert(ds.metadata.snapshots.size == 1 &&
+      ds.metadata.snapshots.head.loadId.contains("ndx-batch-0"))
+    val sigIds = ds.read().select("doc_id").as[Long].collect().toSet
+    val docIds = dc.read().select("doc_id").as[Long].collect().toSet
+    assert(sigIds == docIds, "sig keep-set must equal the docs keep-set")
+  }
 }
