@@ -581,6 +581,51 @@ class LlmOpsSpec extends AnyFunSuite {
       s"fresh docs must be new: $newCount/${freshIds.length}")
   }
 
+  test("incremental near-dedup matches a brute-force model on randomized corpora") {
+    // model: given the (collected) signatures, candidates are pairs
+    // sharing any full band slice; est = matching components / 64; keep
+    // the best corpus match (max est, min id on ties) at est >= 0.6 —
+    // exactly the operator's contract, executed naively driver-side
+    def model(inc: Map[Long, Seq[Long]], cor: Map[Long, Seq[Long]])
+        : Map[Long, Option[(Long, Double)]] = {
+      def bands(sig: Seq[Long]) = (0 until 32).map(b => (b, sig.slice(b * 2, b * 2 + 2)))
+      val corBands = cor.toSeq.flatMap { case (id, s) =>
+        bands(s).map { case (b, sl) => (b, sl) -> id } }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      inc.map { case (id, s) =>
+        val cands = bands(s).flatMap(corBands.getOrElse(_, Nil)).distinct
+        val scored = cands.map { cid =>
+          val est = s.zip(cor(cid)).count { case (a, b) => a == b } / 64.0
+          (cid, est)
+        }.filter(_._2 >= 0.6)
+        id -> (if (scored.isEmpty) None
+               else Some(scored.minBy { case (cid, est) => (-est, cid) }))
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 30).map(i => s"w$i") // small vocab: accidental overlap
+      def doc() = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0L until 25L).map(i => (i, doc()))
+      val incoming = (100L until 115L).map(i => (i, doc())) ++
+        corpus.filter(_._1 % 4 == 0).map { case (i, t) => (i + 500, t + " zz") }
+      val corSigs = Dedup.minHashSignatures(corpus.toDF("doc_id", "text"))
+      val incDf = incoming.toDF("doc_id", "text")
+      val incSigs = Dedup.minHashSignatures(incDf.repartition(1 + trial))
+      val got = Dedup.incrementalNearDedup(incSigs, corSigs)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+        .toMap
+      def sigsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = model(sigsOf(incSigs), sigsOf(corSigs)).map {
+        case (k, v) => k -> v.map { case (id, est) =>
+          (id, math.rint((est + 1e-9) * 10000) / 10000) }
+      }
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("domain quota: colliding priorities past 2^32 ids keep exactly the quota") {
     // ids differing by 2^32 collide in the 32-bit permutation: all 12
     // docs here map to just 4 distinct priorities, with the quota-th
