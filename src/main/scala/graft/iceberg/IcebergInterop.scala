@@ -7,7 +7,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
-import graft.catalog.{GraftTable, ValidationError}
+import graft.catalog.{DeleteFile, GraftTable, MorRead, PosDeleteFile, ValidationError}
 
 /** Apache Iceberg v2 on-disk format interop — the #1 "missing" item on
   * the judge's list since the engine's own snapshot format (JSON
@@ -37,11 +37,25 @@ import graft.catalog.{GraftTable, ValidationError}
   * from the published spec fails loudly rather than silently producing
   * almost-Iceberg files.
   *
-  * Deliberate refusals (correctness first): outstanding merge-on-read
-  * deletes refuse export (run Maintenance.applyDeletes first — an
-  * exported table must not resurrect logically-deleted rows), and
-  * import refuses delete manifests/files (content != data) for the same
-  * reason in reverse. Partitioning is exported as the unpartitioned
+  * Merge-on-read deletes round-trip as REAL Iceberg v2 delete files:
+  * export writes the outstanding equality deletes as content=2 delete
+  * files (with `equality_ids` naming the key field ids) and positional
+  * deletes as a content=1 delete file under the spec's reserved
+  * `file_path`/`pos` field ids (2147483546/2147483545), referenced from
+  * a delete manifest (manifest-list content=1). Delete files are written
+  * as AVRO so the Iceberg field ids are genuinely embedded in the file
+  * schema (Spark's parquet writer cannot stamp Iceberg field ids); they
+  * are trickle-merge-sized by design, so the driver-side Avro encode is
+  * metadata-scale — guarded by [[exportDeleteMaxRows]] (computed from
+  * snapshot row counts BEFORE reading a byte; past the threshold export
+  * refuses and points at Maintenance.applyDeletes, because a backlog
+  * that size wants compaction anyway). Import accepts delete manifests
+  * (parquet or Avro delete files, v2 sequence-number inheritance) and
+  * applies them through the engine's own [[graft.catalog.MorRead]] —
+  * Iceberg's strict `data_seq < delete_seq` equality-delete rule is the
+  * same rule MorRead already implements; [[importAsTable]] replays the
+  * tree in sequence-number order so the attached table keeps exact MoR
+  * semantics under FUTURE commits too. Partitioning is exported as the unpartitioned
   * spec: correctness-neutral (Iceberg partitioning is split planning,
   * not semantics); an external engine re-derives pruning from its own
   * scan stats. */
@@ -187,7 +201,9 @@ object IcebergInterop {
             {"name": "partition", "field-id": 102,
              "type": {"type": "record", "name": "r102", "fields": []}},
             {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "equality_ids", "default": null, "field-id": 135,
+             "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
           ]}}
       ]}""")
 
@@ -217,6 +233,145 @@ object IcebergInterop {
               {"name": "upper_bound", "type": ["null", "bytes"], "default": null, "field-id": 511}
             ]}}]}
       ]}""")
+
+  /** Positional-delete FILE schema (spec "Position Delete Files"):
+    * reserved field ids 2147483546 (file_path) / 2147483545 (pos). */
+  private[graft] val PosDeleteAvroSchema: AvroSchema =
+    new AvroSchema.Parser().parse("""{
+      "type": "record", "name": "pos_delete", "fields": [
+        {"name": "file_path", "type": "string", "field-id": 2147483546},
+        {"name": "pos", "type": "long", "field-id": 2147483545}
+      ]}""")
+
+  /** Equality-delete FILE schema: one field per key column carrying the
+    * exported table schema's field id (spec: "equality delete files
+    * store any subset of a table's columns" identified by id). */
+  private[graft] def eqDeleteAvroSchema(
+      cols: Seq[(String, DataType, Int)]): AvroSchema = {
+    val fields = cols.map { case (n, dt, id) =>
+      s"""{"name": "$n", "type": ${avroTypeJson(dt, n)}, "field-id": $id}"""
+    }.mkString(",")
+    new AvroSchema.Parser().parse(
+      s"""{"type": "record", "name": "eq_delete", "fields": [$fields]}""")
+  }
+
+  private def avroTypeJson(dt: DataType, name: String): String = dt match {
+    case BooleanType => "\"boolean\""
+    case ByteType | ShortType | IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case StringType => "\"string\""
+    case BinaryType => "\"bytes\""
+    case DateType => """{"type": "int", "logicalType": "date"}"""
+    case TimestampType =>
+      """{"type": "long", "logicalType": "timestamp-micros", "adjust-to-utc": true}"""
+    case TimestampNTZType =>
+      """{"type": "long", "logicalType": "timestamp-micros", "adjust-to-utc": false}"""
+    case d: DecimalType =>
+      s"""{"type": "bytes", "logicalType": "decimal", "precision": ${d.precision}, "scale": ${d.scale}}"""
+    case other => throw new ValidationError(
+      s"iceberg-export: no Avro delete-file mapping for key column $name: $other")
+  }
+
+  /** Spark row value -> Avro generic value for a delete-file key cell
+    * (both java.sql and java.time flavors — the session's datetime-API
+    * conf decides which the local iterator yields). */
+  private def toAvroValue(dt: DataType, v: Any, col: String): AnyRef = {
+    if (v == null) throw new ValidationError(
+      s"iceberg-export: NULL in delete-file key column $col")
+    dt match {
+      case ByteType => Integer.valueOf(v.asInstanceOf[Byte].toInt)
+      case ShortType => Integer.valueOf(v.asInstanceOf[Short].toInt)
+      case IntegerType => Integer.valueOf(v.asInstanceOf[Int])
+      case LongType => java.lang.Long.valueOf(v.asInstanceOf[Long])
+      case BooleanType | FloatType | DoubleType => v.asInstanceOf[AnyRef]
+      case StringType => v.toString
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case DateType => v match {
+        case d: java.sql.Date => Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => Integer.valueOf(d.toEpochDay.toInt)
+        case other => throw new ValidationError(
+          s"iceberg-export: unexpected date value $other in $col")
+      }
+      case TimestampType | TimestampNTZType =>
+        val inst = v match {
+          case ts: java.sql.Timestamp => ts.toInstant
+          case i: java.time.Instant => i
+          case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+          case other => throw new ValidationError(
+            s"iceberg-export: unexpected timestamp value $other in $col")
+        }
+        java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000)
+      case d: DecimalType =>
+        val bd = v match {
+          case b: java.math.BigDecimal => b
+          case b: scala.math.BigDecimal => b.bigDecimal
+          case other => throw new ValidationError(
+            s"iceberg-export: unexpected decimal value $other in $col")
+        }
+        java.nio.ByteBuffer.wrap(bd.setScale(d.scale).unscaledValue.toByteArray)
+      case other => throw new ValidationError(
+        s"iceberg-export: unsupported delete-key type $other for $col")
+    }
+  }
+
+  /** Avro generic value -> Spark row value under the target Spark type
+    * (import direction; delete files arrive as parquet from most
+    * writers, Avro from ours). */
+  private def fromAvroValue(dt: DataType, v: Any): Any = {
+    if (v == null) return null
+    dt match {
+      case ByteType => v.asInstanceOf[Number].byteValue
+      case ShortType => v.asInstanceOf[Number].shortValue
+      case IntegerType => v.asInstanceOf[Number].intValue
+      case LongType => v.asInstanceOf[Number].longValue
+      case FloatType => v.asInstanceOf[Number].floatValue
+      case DoubleType => v.asInstanceOf[Number].doubleValue
+      case BooleanType => v
+      case StringType => v.toString
+      case BinaryType =>
+        val b = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](b.remaining); b.duplicate.get(arr); arr
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue))
+      case TimestampType =>
+        val micros = v.asInstanceOf[Number].longValue
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+      case TimestampNTZType =>
+        val micros = v.asInstanceOf[Number].longValue
+        java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L),
+          java.time.ZoneOffset.UTC)
+      case d: DecimalType =>
+        val b = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](b.remaining); b.duplicate.get(arr)
+        new java.math.BigDecimal(new java.math.BigInteger(arr), d.scale)
+      case other => throw new ValidationError(
+        s"iceberg-import: unsupported delete-key type $other")
+    }
+  }
+
+  /** Top-level column name -> Iceberg field id, mirroring
+    * [[toIcebergSchemaJson]]'s assignment order (top-level fields take
+    * ids 1..n in schema order before nested types descend) — the
+    * coupling is pinned against the emitted schema JSON by
+    * IcebergInteropSpec. */
+  private[graft] def topLevelFieldIds(s: StructType): Map[String, Int] =
+    s.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+
+  /** Delete rows above which export refuses (driver-side Avro encode is
+    * deliberate — delete files are trickle-sized metadata by design, and
+    * a backlog past this wants compaction, not a bigger export buffer).
+    * Decided from snapshot metadata row counts, no data read. */
+  val ExportDeleteMaxRowsKey = "spark.graft.iceberg.exportDeleteMaxRows"
+  val ExportDeleteMaxRowsDefault = 16000000L
+  private def exportDeleteMaxRows: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(ExportDeleteMaxRowsKey, ExportDeleteMaxRowsDefault.toString)
+      .toLong
 
   private def writeAvro(schema: AvroSchema, records: Seq[GenericRecord],
       meta: Map[String, String], dest: Path): Long = {
@@ -249,9 +404,16 @@ object IcebergInterop {
     val m = t.metadata
     val snap = m.currentSnapshot.getOrElse(
       throw new ValidationError("iceberg-export: table has no snapshot"))
-    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
-      "iceberg-export refuses with outstanding merge-on-read deletes: " +
-        "an external reader would resurrect logically-deleted rows — run " +
+    // merge-on-read backlog exports as real Iceberg delete files; the
+    // driver-side Avro encode is bounded from snapshot METADATA row
+    // counts before reading a byte — a backlog past the threshold wants
+    // compaction, not a bigger export buffer
+    val eqDels = snap.deletes
+    val posDels = snap.posDeletes
+    val delRows = eqDels.map(_.rowCount).sum + posDels.map(_.rowCount).sum
+    require(delRows <= exportDeleteMaxRows,
+      s"iceberg-export refuses a merge-on-read delete backlog of $delRows " +
+        s"rows (> $exportDeleteMaxRows, $ExportDeleteMaxRowsKey): run " +
         "Maintenance.applyDeletes (or CALL system.apply_deletes) first")
     val files = m.currentFiles
     val dest = destDir.getOrElse(t.dir.resolve("iceberg"))
@@ -295,6 +457,82 @@ object IcebergInterop {
       "format-version" -> "2",
       "content" -> "data"), manifestPath)
 
+    // merge-on-read backlog -> genuine Iceberg v2 delete files (Avro, so
+    // the field ids live in the file schema) + a delete manifest. Each
+    // equality delete keeps its own sequence number — Iceberg's strict
+    // `data_seq < delete_seq` rule is the engine's own MorRead rule, so
+    // the exported tree deletes exactly the rows our reads delete.
+    def delEntry(path: Path, rows: Long, entrySeq: Long, content: Int,
+        equalityIds: Seq[Int]): GenericRecord = {
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
+      e.put("sequence_number", java.lang.Long.valueOf(entrySeq))
+      e.put("file_sequence_number", java.lang.Long.valueOf(entrySeq))
+      val df = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", toUri(path.toString))
+      df.put("file_format", "AVRO")
+      df.put("partition", new GenericData.Record(
+        df.getSchema.getField("partition").schema()))
+      df.put("record_count", java.lang.Long.valueOf(rows))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(path)))
+      if (equalityIds.nonEmpty)
+        df.put("equality_ids", equalityIds.map(Integer.valueOf).asJava)
+      e.put("data_file", df)
+      e
+    }
+    val deleteEntries: Seq[GenericRecord] =
+      if (eqDels.isEmpty && posDels.isEmpty) Nil
+      else {
+        val dataDir = dest.resolve("data")
+        Files.createDirectories(dataDir)
+        val topIds = topLevelFieldIds(m.schema)
+        import org.apache.spark.sql.functions.col
+        val eqEntries = eqDels.zipWithIndex.map { case (d, i) =>
+          val keyFields = d.keyColumns.map(k => m.schema(k))
+          val avro = eqDeleteAvroSchema(keyFields.map(f =>
+            (f.name, f.dataType, topIds(f.name))))
+          val out = dataDir.resolve(s"delete-eq-$snapshotId-$i.avro")
+          val rows = t.spark.read.parquet(d.path)
+            .select(d.keyColumns.map(col): _*).toLocalIterator()
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avro))
+          w.create(avro, out.toFile)
+          var n = 0L
+          try rows.asScala.foreach { r =>
+            val rec = new GenericData.Record(avro)
+            keyFields.zipWithIndex.foreach { case (f, j) =>
+              rec.put(f.name, toAvroValue(f.dataType, r.get(j), f.name)) }
+            w.append(rec); n += 1
+          } finally w.close()
+          delEntry(out, n, d.seq.max(1L), content = 2,
+            equalityIds = d.keyColumns.map(topIds))
+        }
+        val posEntries = if (posDels.isEmpty) Nil else {
+          val out = dataDir.resolve(s"delete-pos-$snapshotId.avro")
+          // positions bind to immutable file paths (no sequence
+          // semantics); one combined file in the spec-recommended
+          // (file_path, pos) order
+          val rows = t.spark.read.parquet(posDels.map(_.path): _*)
+            .select(col("file_path"), col("row_index"))
+            .orderBy(col("file_path"), col("row_index")).toLocalIterator()
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](PosDeleteAvroSchema))
+          w.create(PosDeleteAvroSchema, out.toFile)
+          var n = 0L
+          try rows.asScala.foreach { r =>
+            val rec = new GenericData.Record(PosDeleteAvroSchema)
+            rec.put("file_path", toUri(r.getString(0)))
+            rec.put("pos", java.lang.Long.valueOf(r.getLong(1)))
+            w.append(rec); n += 1
+          } finally w.close()
+          Seq(delEntry(out, n, snapshotId.max(1L), content = 1, Nil))
+        }
+        eqEntries ++ posEntries
+      }
+
     // manifest list
     val mf = new GenericData.Record(ManifestListSchema)
     mf.put("manifest_path", toUri(manifestPath.toString))
@@ -310,9 +548,39 @@ object IcebergInterop {
     mf.put("added_rows_count", java.lang.Long.valueOf(files.map(_.rowCount).sum))
     mf.put("existing_rows_count", java.lang.Long.valueOf(0L))
     mf.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+    val deleteListEntry: Seq[GenericRecord] =
+      if (deleteEntries.isEmpty) Nil
+      else {
+        val dmPath = metaDir.resolve(
+          s"${java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)}" +
+            s"-$snapshotId-m1.avro")
+        val dmLen = writeAvro(ManifestEntrySchema, deleteEntries, Map(
+          "schema" -> schemaJson,
+          "schema-id" -> "0",
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> "0",
+          "format-version" -> "2",
+          "content" -> "deletes"), dmPath)
+        val dm = new GenericData.Record(ManifestListSchema)
+        dm.put("manifest_path", toUri(dmPath.toString))
+        dm.put("manifest_length", java.lang.Long.valueOf(dmLen))
+        dm.put("partition_spec_id", 0)
+        dm.put("content", 1)
+        dm.put("sequence_number", java.lang.Long.valueOf(seq))
+        dm.put("min_sequence_number", java.lang.Long.valueOf(
+          (eqDels.map(_.seq.max(1L)) :+ seq).min))
+        dm.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
+        dm.put("added_files_count", Integer.valueOf(deleteEntries.size))
+        dm.put("existing_files_count", Integer.valueOf(0))
+        dm.put("deleted_files_count", Integer.valueOf(0))
+        dm.put("added_rows_count", java.lang.Long.valueOf(delRows))
+        dm.put("existing_rows_count", java.lang.Long.valueOf(0L))
+        dm.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+        Seq(dm)
+      }
     val listPath = metaDir.resolve(s"snap-$snapshotId-1-" +
       s"${java.util.UUID.nameUUIDFromBytes(s"$snapshotId".getBytes)}.avro")
-    writeAvro(ManifestListSchema, Seq(mf),
+    writeAvro(ManifestListSchema, Seq(mf) ++ deleteListEntry,
       Map("format-version" -> "2"), listPath)
 
     // metadata.json — VERSIONED: a re-export after further commits writes
@@ -420,12 +688,29 @@ object IcebergInterop {
 
   /** Read an Iceberg v2 table (ours or an external writer's) as a
     * DataFrame: `location` is the table dir (resolved via
-    * version-hint.text) or a metadata.json path. */
+    * version-hint.text) or a metadata.json path. Merge-on-read delete
+    * files (position + equality, parquet or Avro) are applied through
+    * the engine's own [[MorRead]] under Iceberg's sequence-number rules,
+    * so a v2 tree with an outstanding delete backlog reads exactly what
+    * the writing engine would serve. */
   def importTable(spark: SparkSession, location: String): DataFrame = {
-    val (schema, files) = importFiles(location)
-    if (files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    val plan = importPlan(location)
+    if (plan.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], plan.schema)
+    else if (plan.eqDeletes.isEmpty && plan.posDeletes.isEmpty)
+      spark.read.schema(plan.schema).parquet(plan.files.map(_.path): _*)
+    else {
+      // delete files convert into the native model once (tiny by MoR
+      // design; a pure read has no table dir, so the converted parquet
+      // stages in a scratch dir)
+      val scratch = Files.createTempDirectory("graft-ice-import-del")
+      val (eq, pos) = stageDeletes(spark, plan, scratch)
+      MorRead.read(spark, plan.schema,
+        plan.files.map(f => graft.catalog.DataFile(
+          f.path, f.recordCount, f.sizeBytes, Map.empty, seq = Some(f.seq))),
+        eq, pos)
+    }
   }
 
   /** Attach an external Iceberg v2 table as a graft catalog table: the
@@ -438,28 +723,132 @@ object IcebergInterop {
     * time travel forward of the attach point) applies. */
   def importAsTable(cat: graft.catalog.GraftCatalog, ns: String,
       name: String, location: String): GraftTable = {
-    val (schema, files) = importFilesDetailed(location)
-    val t = cat.createTable(ns, name, schema)
-    t.commit(_.withSnapshot("append", Some(s"iceberg-import:$location"),
-      files.map(f => graft.catalog.DataFile(
-        f.path, f.recordCount, f.sizeBytes, Map.empty))), unitMs = 1)
+    val plan = importPlan(location)
+    val loadId = s"iceberg-import:$location"
+    val t = cat.createTable(ns, name, plan.schema)
+    def toDataFile(f: IcebergFile) = graft.catalog.DataFile(
+      f.path, f.recordCount, f.sizeBytes, Map.empty)
+    if (plan.eqDeletes.isEmpty && plan.posDeletes.isEmpty)
+      t.commit(_.withSnapshot("append", Some(loadId),
+        plan.files.map(toDataFile)), unitMs = 1)
+    else {
+      // REPLAY in Iceberg sequence-number order: our commit path stamps
+      // each added file's / equality delete's sequence from its own
+      // snapshot id, so the only way to preserve the tree's strict
+      // `data_seq < delete_seq` relation is relative commit order —
+      // deletes at sequence S land BEFORE data at S (a delete never hits
+      // same-sequence rows), after data below S. One commit per distinct
+      // sequence, bounded by the source's snapshots-since-compaction.
+      val (eq, pos) = stageDeletes(cat.spark, plan, t.dir.resolve("deletes"))
+      val dataBySeq = plan.files.groupBy(_.seq)
+      val eqBySeq = eq.groupBy(_.seq)
+      for (s <- (dataBySeq.keySet ++ eqBySeq.keySet).toSeq.sorted) {
+        eqBySeq.get(s).foreach(dels =>
+          t.commit(_.withSnapshotDelta("merge", Some(loadId), Nil,
+            Set.empty, newDeletes = dels), unitMs = 1))
+        dataBySeq.get(s).foreach(fs =>
+          t.commit(_.withSnapshotDelta("append", Some(loadId),
+            fs.map(toDataFile), Set.empty), unitMs = 1))
+      }
+      // positions bind to immutable paths — sequence-independent
+      if (pos.nonEmpty)
+        t.commit(_.withSnapshotDelta("delete", Some(loadId), Nil,
+          Set.empty, newPosDeletes = pos), unitMs = 1)
+    }
     cat.loadTable(ns, name)
   }
 
   final case class IcebergFile(path: String, recordCount: Long,
-      sizeBytes: Long)
+      sizeBytes: Long, seq: Long = 0L)
+  final case class IcebergEqDelete(path: String, format: String,
+      keyColumns: Seq[String], recordCount: Long, seq: Long)
+  final case class IcebergPosDelete(path: String, format: String,
+      recordCount: Long)
+  final case class IcebergPlan(schema: StructType, files: Seq[IcebergFile],
+      eqDeletes: Seq[IcebergEqDelete], posDeletes: Seq[IcebergPosDelete])
 
   /** The planning half of [[importTable]]: (Spark schema, live parquet
-    * paths) from the Iceberg metadata tree. Refuses delete manifests /
-    * delete files (merge-on-read) — applying another engine's deletes
-    * approximately would silently return wrong rows. */
+    * paths) from the Iceberg metadata tree. This bare-path surface
+    * refuses merge-on-read trees — returning raw file paths would
+    * resurrect logically-deleted rows; use [[importTable]] /
+    * [[importAsTable]], which apply the delete files. */
   def importFiles(location: String): (StructType, Seq[String]) = {
-    val (s, fs) = importFilesDetailed(location)
-    (s, fs.map(_.path))
+    val plan = importPlan(location)
+    require(plan.eqDeletes.isEmpty && plan.posDeletes.isEmpty,
+      "iceberg-import: tree has merge-on-read delete files; raw paths " +
+        "would resurrect deleted rows — use importTable/importAsTable")
+    (plan.schema, plan.files.map(_.path))
   }
 
-  private def importFilesDetailed(location: String):
-      (StructType, Seq[IcebergFile]) = {
+  /** Delete-file rows above which import refuses to decode an AVRO
+    * delete file on the driver (parquet delete files convert via a
+    * distributed job and are unbounded). Same rationale as
+    * [[ExportDeleteMaxRowsKey]]. */
+  private def importDeleteMaxRows: Long = exportDeleteMaxRows
+
+  /** Convert the plan's Iceberg delete files into the native model.
+    * Parquet equality deletes are referenced IN PLACE (MorRead reads key
+    * columns by name with a cast, exactly like our own delete files);
+    * Avro delete files decode on the driver (bounded by
+    * [[importDeleteMaxRows]], checked against manifest record counts);
+    * position deletes re-stage once as a `(file_path, row_index)`
+    * parquet with scheme-normalized paths so they join the scan's
+    * `_metadata` attribution. */
+  private def stageDeletes(spark: SparkSession, plan: IcebergPlan,
+      destDir: Path): (Seq[DeleteFile], Seq[PosDeleteFile]) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Row
+    Files.createDirectories(destDir)
+    plan.eqDeletes.filter(_.format == "AVRO").foreach(d => require(
+      d.recordCount <= importDeleteMaxRows,
+      s"iceberg-import: Avro delete file ${d.path} has ${d.recordCount} " +
+        s"rows (> $importDeleteMaxRows) — compact with the writing engine"))
+    val eq = plan.eqDeletes.zipWithIndex.map {
+      case (d, _) if d.format == "PARQUET" =>
+        DeleteFile(d.path, d.keyColumns, d.recordCount, d.seq)
+      case (d, i) =>
+        val fields = d.keyColumns.map(k => plan.schema(k))
+        val rows = readAvro(Paths.get(d.path))._1.map { r =>
+          Row.fromSeq(fields.map(f => fromAvroValue(f.dataType, r.get(f.name))))
+        }
+        val df = spark.createDataFrame(rows.asJava, StructType(fields))
+        val staged = graft.write.Stager.stage(
+          df.coalesce(1), destDir, s"icedel-eq$i")
+        DeleteFile(staged.head.path, d.keyColumns, d.recordCount, d.seq,
+          staged.head.stats)
+    }
+    val pos =
+      if (plan.posDeletes.isEmpty) Nil
+      else {
+        val (pq, av) = plan.posDeletes.partition(_.format == "PARQUET")
+        av.foreach(d => require(d.recordCount <= importDeleteMaxRows,
+          s"iceberg-import: Avro delete file ${d.path} has " +
+            s"${d.recordCount} rows (> $importDeleteMaxRows) — compact " +
+            "with the writing engine"))
+        val posSchema = StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("row_index", LongType, nullable = false)))
+        val fromPq =
+          if (pq.isEmpty) None
+          else Some(spark.read.parquet(pq.map(_.path): _*)
+            .select(MorRead.posixPath(col("file_path")).as("file_path"),
+              col("pos").cast(LongType).as("row_index")))
+        val fromAv =
+          if (av.isEmpty) None
+          else {
+            val rows = av.flatMap(d => readAvro(Paths.get(d.path))._1.map(r =>
+              Row(MorRead.posixPath(r.get("file_path").toString),
+                r.get("pos").asInstanceOf[Number].longValue)))
+            Some(spark.createDataFrame(rows.asJava, posSchema))
+          }
+        val all = (fromPq.toSeq ++ fromAv.toSeq).reduce(_ unionByName _)
+        graft.write.Stager.stage(all.coalesce(1), destDir, "icedel-pos")
+          .map(f => PosDeleteFile(f.path, f.rowCount))
+      }
+    (eq, pos)
+  }
+
+  def importPlan(location: String): IcebergPlan = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val loc = Paths.get(fromUri(location))
@@ -498,33 +887,87 @@ object IcebergInterop {
       case JString(p) => Paths.get(fromUri(p))
       case _ => throw new ValidationError("iceberg-import: no manifest-list")
     }
+    // top-level field id -> column name, for equality_ids resolution
+    val idToName: Map[Int, String] = (schemaJV \ "fields") match {
+      case JArray(fs) => fs.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (JInt(id), JString(n)) => Some(id.toInt -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
     val (manifests, _) = readAvro(listPath)
-    val files = manifests.flatMap { mf =>
-      val content = mf.get("content").asInstanceOf[Int]
-      require(content == 0,
-        "iceberg-import: DELETE manifests present (merge-on-read) — " +
-          "compact/expire with the writing engine before importing")
+    var dataFiles = Vector.empty[IcebergFile]
+    var eqDeletes = Vector.empty[IcebergEqDelete]
+    var posDeletes = Vector.empty[IcebergPosDelete]
+    manifests.foreach { mf =>
       val mPath = Paths.get(fromUri(mf.get("manifest_path").toString))
+      val listSeq = mf.get("sequence_number") match {
+        case l: java.lang.Long => l.longValue
+        case n: Number => n.longValue
+        case _ => 0L
+      }
       val (entries, _) = readAvro(mPath)
-      entries.flatMap { e =>
+      entries.foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED entry: file no longer live
-        else {
+        if (status != 2) { // DELETED entries are no longer live
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          require(df.get("content") == null ||
-            df.get("content").asInstanceOf[Int] == 0,
-            "iceberg-import: delete FILES present — refuse (see above)")
           def longOf(field: String): Long = df.get(field) match {
             case null => 0L
-            case l: java.lang.Long => l.longValue
             case n: Number => n.longValue
             case _ => 0L
           }
-          Some(IcebergFile(fromUri(df.get("file_path").toString),
-            longOf("record_count"), longOf("file_size_in_bytes")))
+          // v2 sequence inheritance: an ADDED entry with a null sequence
+          // inherits the manifest list entry's sequence number
+          val seq = e.get("sequence_number") match {
+            case n: Number => n.longValue
+            case _ => if (status == 1) listSeq else 0L
+          }
+          val path = fromUri(df.get("file_path").toString)
+          val format = String.valueOf(df.get("file_format")).toUpperCase
+          val content = df.get("content") match {
+            case null => 0
+            case n: Number => n.intValue
+          }
+          content match {
+            case 0 =>
+              require(format == "PARQUET",
+                s"iceberg-import: only parquet DATA files are supported, " +
+                  s"got $format for $path")
+              dataFiles :+= IcebergFile(path,
+                longOf("record_count"), longOf("file_size_in_bytes"), seq)
+            case 1 =>
+              require(format == "PARQUET" || format == "AVRO",
+                s"iceberg-import: unsupported delete-file format $format")
+              posDeletes :+= IcebergPosDelete(path, format,
+                longOf("record_count"))
+            case 2 =>
+              require(format == "PARQUET" || format == "AVRO",
+                s"iceberg-import: unsupported delete-file format $format")
+              val eqIds: Seq[Int] =
+                (if (df.getSchema.getField("equality_ids") == null) null
+                 else df.get("equality_ids")) match {
+                  case null => throw new ValidationError(
+                    s"iceberg-import: equality delete $path has no " +
+                      "equality_ids")
+                  case xs: java.util.Collection[_] =>
+                    xs.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+                  case other => throw new ValidationError(
+                    s"iceberg-import: malformed equality_ids $other")
+                }
+              val keyCols = eqIds.map(id => idToName.getOrElse(id,
+                throw new ValidationError(
+                  s"iceberg-import: equality field id $id of $path is " +
+                    "not a top-level column of the current schema")))
+              eqDeletes :+= IcebergEqDelete(path, format, keyCols,
+                longOf("record_count"), seq)
+            case other => throw new ValidationError(
+              s"iceberg-import: unknown file content $other for $path")
+          }
         }
       }
     }
-    (schema, files)
+    IcebergPlan(schema, dataFiles, eqDeletes, posDeletes)
   }
 }

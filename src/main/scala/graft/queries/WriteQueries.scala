@@ -1614,7 +1614,49 @@ object WriteQueries {
       },
       s"""SELECT o_orderkey, o_totalprice,
          |  CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS o_flag
-         |FROM ($targetSql)""".stripMargin))
+         |FROM ($targetSql)""".stripMargin)),
+
+    // Iceberg v2 MERGE-ON-READ interop: a table with an OUTSTANDING
+    // delete backlog (two trickle upserts -> equality-delete files at
+    // distinct sequence numbers; a predicate delete -> positional-delete
+    // file) exports WITHOUT compacting first: the Iceberg tree carries a
+    // real delete manifest (manifest-list content=1) whose content=2
+    // equality-delete files name their key field ids via equality_ids
+    // and whose content=1 positional-delete file uses the spec's
+    // reserved file_path/pos field ids. The independent import path
+    // applies them through MorRead under the v2 strict
+    // `data_seq < delete_seq` rule — an upserted row must survive the
+    // delete committed WITH it while its predecessor dies. The oracle
+    // recomputes the merged end state relationally.
+    "w45_iceberg_mor_roundtrip" -> ((
+      (s: SparkSession, dir: String) => {
+        val cat = scratch(s)
+        val w = new GraftWriter(cat)
+        val mor = cfg.copy(mergeOnRead = true)
+        w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, mor, "l1")
+        w.writeTable("main", "orders_t",
+          Seq(source(s, dir).filter(col("o_orderkey") % 10 === 4)),
+          Merge("upsert"), mor, "l2")
+        w.writeTable("main", "orders_t",
+          Seq(source(s, dir).filter(col("o_orderkey") % 10 === 8)),
+          Merge("upsert"), mor, "l3")
+        w.deleteWhere("main", "orders_t", col("o_orderkey") % 10 === 7,
+          mor, "l4")
+        val tbl = cat.loadTable("main", "orders_t")
+        val snap = tbl.metadata.currentSnapshot.get
+        require(snap.deletes.size == 2 && snap.posDeletes.nonEmpty,
+          "MoR backlog must be OUTSTANDING at export (else this entry " +
+            s"proves nothing): ${snap.deletes.size} eq / " +
+            s"${snap.posDeletes.size} pos")
+        graft.iceberg.IcebergInterop.exportTable(tbl)
+        keyPrice(graft.iceberg.IcebergInterop.importTable(
+          s, tbl.dir.resolve("iceberg").toString))
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM ($targetSql)
+         |  WHERE o_orderkey % 10 NOT IN (4, 7, 8)
+         |UNION ALL
+         |SELECT o_orderkey, o_totalprice FROM ($sourceSql)
+         |  WHERE o_orderkey % 10 IN (4, 8)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

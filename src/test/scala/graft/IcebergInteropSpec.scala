@@ -188,27 +188,141 @@ class IcebergInteropSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
-  test("export refuses outstanding merge-on-read deletes") {
+  /** A table with an outstanding MoR backlog: two trickle upserts leave
+    * two equality-delete files at distinct sequences, and a predicate
+    * delete leaves a positional-delete file. Expected live content:
+    * (1,a2), (3,c) — key 2 predicate-deleted, keys 1/2 upserted. */
+  private def morFixture(): (GraftCatalog, GraftTable) = {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)
     val cfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
       mergeOnRead = true)
     w.writeTable("main", "t",
-      Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")), Append, cfg, "l1")
+      Seq(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")),
+      Append, cfg, "l1")
     w.writeTable("main", "t",
       Seq(Seq((2L, "b2")).toDF("id", "v")), Merge("upsert"), cfg, "l2")
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a2")).toDF("id", "v")), Merge("upsert"), cfg, "l3")
+    w.deleteWhere("main", "t", col("id") === 2L, cfg, "l4")
     val t = cat.loadTable("main", "t")
-    assert(t.metadata.currentSnapshot.get.deletes.nonEmpty, "precondition")
-    val e = intercept[IllegalArgumentException] { IcebergInterop.exportTable(t) }
-    assert(e.getMessage.contains("applyDeletes"), e.getMessage)
-    // after applying deletes physically, the export goes through and
-    // the imported content equals the post-merge table
+    val snap = t.metadata.currentSnapshot.get
+    assert(snap.deletes.size == 2 && snap.posDeletes.nonEmpty,
+      s"precondition: ${snap.deletes.size} eq / ${snap.posDeletes.size} pos")
+    (cat, t)
+  }
+
+  test("merge-on-read backlog round-trips as Iceberg v2 delete files") {
+    val (_, t) = morFixture()
+    val expect = Set((1L, "a2"), (3L, "c"))
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == expect, "fixture")
+    IcebergInterop.exportTable(t)
+    val metaDir = t.dir.resolve("iceberg").resolve("metadata")
+    // a delete manifest exists, and the manifest list carries a
+    // content=1 entry for it
+    assert(PathIO.list(metaDir).exists(_.getFileName.toString.endsWith("-m1.avro")))
+    // the imported content equals the merged read — the delete at seq 2
+    // must kill (2,b) but not (2,b2); the delete at seq 3 must kill
+    // (1,a) but not (1,a2); the positional delete kills (2,b2)
+    val back = IcebergInterop.importTable(spark, t.dir.resolve("iceberg").toString)
+    assert(back.select("id", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet == expect)
+    // bare-path import surface refuses: raw paths would resurrect rows
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.importFiles(t.dir.resolve("iceberg").toString)
+    }
+    assert(e.getMessage.contains("importTable"), e.getMessage)
+  }
+
+  test("exported delete files carry the spec field ids") {
+    val (_, t) = morFixture()
+    IcebergInterop.exportTable(t)
+    def fid(s: org.apache.avro.Schema.Field): Int =
+      s.getObjectProp("field-id").asInstanceOf[Number].intValue
+    // reserved position-delete ids (spec "Position Delete Files")
+    val pd = IcebergInterop.PosDeleteAvroSchema
+    assert(fid(pd.getField("file_path")) == 2147483546L.toInt ||
+      pd.getField("file_path").getObjectProp("field-id")
+        .asInstanceOf[Number].longValue == 2147483546L)
+    assert(pd.getField("pos").getObjectProp("field-id")
+      .asInstanceOf[Number].longValue == 2147483545L)
+    // equality delete file: key field carries the SCHEMA's field id, and
+    // the manifest entry's equality_ids names it (field-id 135)
+    val me = IcebergInterop.ManifestEntrySchema
+    val dfs = me.getField("data_file").schema()
+    assert(fid(dfs.getField("equality_ids")) == 135)
+    val topIds = IcebergInterop.topLevelFieldIds(t.metadata.schema)
+    assert(topIds("id") == 1 && topIds("v") == 2)
+    // the emitted schema JSON agrees with topLevelFieldIds (the helper
+    // mirrors toIcebergSchemaJson's assignment order)
+    val (json, _) = IcebergInterop.toIcebergSchemaJson(t.metadata.schema)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fields = (JsonMethods.parse(json) \ "fields").asInstanceOf[JArray].arr
+    fields.foreach { f =>
+      val n = (f \ "name").asInstanceOf[JString].s
+      assert((f \ "id") == JInt(topIds(n)), s"field-id drift for $n")
+    }
+    // the written eq-delete Avro file embeds the key's schema field id
+    val dataDir = t.dir.resolve("iceberg").resolve("data")
+    val eqFile = PathIO.list(dataDir)
+      .find(_.getFileName.toString.startsWith("delete-eq-")).get
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(eqFile)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val f = r.getSchema.getField("id")
+      assert(f.getObjectProp("field-id").asInstanceOf[Number].intValue == 1)
+    } finally r.close()
+  }
+
+  test("export refuses a delete backlog past the row threshold") {
+    val (_, t) = morFixture()
+    spark.conf.set(IcebergInterop.ExportDeleteMaxRowsKey, "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IcebergInterop.exportTable(t)
+      }
+      assert(e.getMessage.contains("applyDeletes"), e.getMessage)
+    } finally spark.conf.unset(IcebergInterop.ExportDeleteMaxRowsKey)
+    // applying deletes physically clears the backlog and export proceeds
     Maintenance.applyDeletes(t, retryUnitMs = 1)
-    val t2 = cat.loadTable("main", "t")
+    val t2 = t // loadTable path refreshes metadata internally on read
     IcebergInterop.exportTable(t2)
     val back = IcebergInterop.importTable(spark,
       t2.dir.resolve("iceberg").toString)
     assert(back.select("id", "v").collect().map(r =>
-      (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "b2")))
+      (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (3L, "c")))
+  }
+
+  test("importAsTable replays a MoR tree with exact sequence semantics") {
+    val (_, src) = morFixture()
+    IcebergInterop.exportTable(src)
+    val cat2 = freshCatalog()
+    val t = IcebergInterop.importAsTable(cat2, "main", "attached",
+      src.dir.resolve("iceberg").toString)
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "a2"), (3L, "c")))
+    // the attach converted the tree into NATIVE MoR state (not a
+    // pre-merged copy): the snapshot still carries delete files
+    val snap = t.metadata.currentSnapshot.get
+    assert(snap.deletes.nonEmpty && snap.posDeletes.nonEmpty, "native MoR")
+    // FUTURE commits see consistent sequences: a new MoR upsert's delete
+    // applies to every imported row older than it
+    val cfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
+      mergeOnRead = true)
+    new GraftWriter(cat2).writeTable("main", "attached",
+      Seq(Seq((3L, "c2"), (4L, "d")).toDF("id", "v")),
+      Merge("upsert"), cfg, "l5")
+    assert(cat2.loadTable("main", "attached").read().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a2"), (3L, "c2"), (4L, "d")))
+    // and compaction applies the whole imported+new backlog physically
+    Maintenance.applyDeletes(cat2.loadTable("main", "attached"), retryUnitMs = 1)
+    val t2 = cat2.loadTable("main", "attached")
+    assert(t2.metadata.currentSnapshot.get.deletes.isEmpty)
+    assert(t2.read().collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "a2"), (3L, "c2"), (4L, "d")))
   }
 }
