@@ -181,6 +181,63 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Transcode a PCM16 WAV into G.711 μ-law or A-law — the JDK's sound
+    * API ships REAL G.711 codecs (`AudioFormat.Encoding.ULAW/ALAW`), so
+    * compressed telephony audio round-trips with no codec jars. Output
+    * is a WAVE container with the compressed (8-bit) stream. */
+  def transcodeG711(wav: Array[Byte], aLaw: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val src = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    try {
+      val f = src.getFormat
+      val enc = if (aLaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW
+      val target = new AudioFormat(enc, f.getSampleRate, 8, f.getChannels,
+        f.getChannels, f.getSampleRate, false)
+      val conv = AudioSystem.getAudioInputStream(target, src)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(conv, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally src.close()
+  }
+
+  /** REAL audio decode with G.711 support: parse the container, and if
+    * the stream is compressed (μ-law/A-law), expand it to PCM16 through
+    * the JDK codec before computing features. Returns
+    * (codec, sampleRate, channels, frames, rms). Only true perceptual
+    * codecs (mp3/aac/opus) remain out of reach without codec jars. */
+  def decodeAudio(blob: Array[Byte]): (String, Int, Int, Int, Double) = {
+    import javax.sound.sampled._
+    val ais0 = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val codec = ais0.getFormat.getEncoding.toString
+    val ais =
+      if (ais0.getFormat.getEncoding == AudioFormat.Encoding.PCM_SIGNED) ais0
+      else {
+        val f = ais0.getFormat
+        AudioSystem.getAudioInputStream(
+          new AudioFormat(f.getSampleRate, 16, f.getChannels, true, false),
+          ais0)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected little-endian PCM16 after expansion, got $fmt")
+      val bytes = ais.readAllBytes()
+      val samples = bytes.length / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val v = (((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort).toDouble
+        sumSq += v * v
+        i += 2
+      }
+      val frames = samples / fmt.getChannels
+      (codec, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        if (samples == 0) 0.0 else math.sqrt(sumSq / samples))
+    } finally ais.close()
+  }
+
   private def sha256Hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(b).map("%02x".format(_)).mkString

@@ -620,4 +620,74 @@ object TextOps {
         // + 1e-9: see tokenStats
         round(-avg(col("lp")) + 1e-9, 4).as("bigram_xent"))
   }
+
+  // ---- web preprocessing (crawl-pipeline front door) ----
+
+  /** Tracking query parameters every crawl pipeline strips before URL
+    * identity is meaningful (the CommonCrawl/ClueWeb convention). */
+  val TrackingParams = "utm_[a-z]+|gclid|fbclid|ref"
+
+  /** URL canonicalization — the identity function URL-level dedup runs
+    * on. Lowercases scheme and host, drops a `www.` prefix and the
+    * scheme's default port, drops the fragment and tracking parameters,
+    * sorts the surviving query parameters (param order is not URL
+    * identity), normalizes an empty path to `/` and strips one trailing
+    * slash elsewhere. A pure expression chain (extract/replace/filter/
+    * sort on builtins): map-only, whole-stage codegen, no UDF — at
+    * 100 TB this runs at scan speed, and every regex here is
+    * RE2-compatible (no backreferences) so the DuckDB oracle replicates
+    * it verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "(?i)^([a-z][a-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val port = regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://[^/:?#]*:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path0 = regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query0 = regexp_extract(u, "\\?([^#]*)", 1)
+    val query = array_join(
+      array_sort(filter(split(query0, "&"),
+        p => !(p.rlike(s"^($TrackingParams)=") || p === ""))), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
+  /** URL-level dedup: group by canonical URL, keep the smallest doc_id
+    * (deterministic winner) and count the raw variants collapsed into
+    * it. Hash group-by with map-side partial aggregation — the same
+    * scale shape as exact text dedup (l5), never pairwise. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .select(canonicalizeUrl(col(urlCol)).as("canonical_url"), col("doc_id"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_doc"),
+        count(lit(1)).cast("long").as("n_variants"))
+
+  /** HTML/markup stripping — the boilerplate-removal front door of every
+    * web-crawl corpus. Removes script/style blocks (handled as two
+    * separate patterns: RE2 — hence the DuckDB oracle — has no
+    * backreferences), comments and tags, decodes the common entities
+    * (`&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` exactly
+    * once), and collapses whitespace. Pure regexp_replace chain:
+    * map-only, codegen, no UDF. */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e),
+          java.util.regex.Matcher.quoteReplacement(r))
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
 }

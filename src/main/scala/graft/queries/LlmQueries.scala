@@ -1053,6 +1053,48 @@ object LlmQueries {
         |  CAST(1000 + (doc_id % 29) * 500 AS DOUBLE) AS rms
         |FROM documents""".stripMargin))),
 
+    // REAL compressed-audio decode: each doc's square-wave PCM WAV is
+    // transcoded to G.711 (μ-law for even ids, A-law for odd) through
+    // the JDK's genuine G.711 codecs, then decoded back — container
+    // parse, codec expansion to PCM16, feature extraction. A square
+    // wave keeps every sample at one magnitude, so the round-tripped
+    // RMS is a per-(amp, codec) constant from the public G.711
+    // quantization tables; the oracle joins those 29 constants per
+    // codec (pinned independently by LlmOpsSpec) against the
+    // doc_id-derived amp class. Only perceptual codecs (mp3/aac/opus)
+    // remain out of reach without codec jars.
+    "l60_g711_audio" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val aLaw = id % 2 == 1
+            val blob = Multimodal.transcodeG711(Multimodal.encodeWav(id), aLaw)
+            val (codec, sr, ch, frames, rms) = Multimodal.decodeAudio(blob)
+            (id, codec, sr, ch, frames, math.rint(rms * 10000) / 10000)
+          })
+          .toDF("doc_id", "codec", "sample_rate", "channels", "n_frames", "rms")
+      },
+      Some("""WITH rt(k, ulaw_rms, alaw_rms) AS (VALUES
+        |  (0, 988.0, 1008.0), (1, 1500.0, 1504.0), (2, 1980.0, 2016.0),
+        |  (3, 2492.0, 2496.0), (4, 3004.0, 3008.0), (5, 3516.0, 3520.0),
+        |  (6, 4092.0, 4032.0), (7, 4604.0, 4480.0), (8, 5116.0, 4992.0),
+        |  (9, 5628.0, 5504.0), (10, 5884.0, 6016.0), (11, 6396.0, 6528.0),
+        |  (12, 6908.0, 7040.0), (13, 7420.0, 7552.0), (14, 7932.0, 8064.0),
+        |  (15, 8316.0, 8448.0), (16, 8828.0, 8960.0), (17, 9340.0, 9472.0),
+        |  (18, 9852.0, 9984.0), (19, 10364.0, 10496.0),
+        |  (20, 10876.0, 11008.0), (21, 11388.0, 11520.0),
+        |  (22, 11900.0, 12032.0), (23, 12412.0, 12544.0),
+        |  (24, 12924.0, 13056.0), (25, 13436.0, 13568.0),
+        |  (26, 13948.0, 14080.0), (27, 14460.0, 14592.0),
+        |  (28, 14972.0, 15104.0))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'ALAW' ELSE 'ULAW' END AS codec,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(400 + (doc_id % 97) * 8 AS INT) AS n_frames,
+        |  CASE WHEN doc_id % 2 = 1 THEN alaw_rms ELSE ulaw_rms END AS rms
+        |FROM documents JOIN rt ON rt.k = doc_id % 29""".stripMargin))),
+
     // first-occurrence paragraph dedup (C4 semantics: keep ONE canonical
     // copy of repeated content — l35 instead drops over-frequent spans
     // everywhere); winner = smallest (doc_id, pos), so fully
@@ -1287,7 +1329,121 @@ object LlmQueries {
         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  round(-avg(lp) + 1e-9, 4) AS bigram_xent
-        |FROM bi JOIN model USING (w1, w2) GROUP BY doc_id""".stripMargin)))
+        |FROM bi JOIN model USING (w1, w2) GROUP BY doc_id""".stripMargin))),
+
+    // URL canonicalization + URL-level dedup — the crawl-pipeline front
+    // door. The synthetic corpus has no URL column, so the entry
+    // constructs four deterministic messy variants per document
+    // (scheme/host case, www., default port, tracking params, fragment,
+    // trailing slash, param order) keyed by (source, doc_id mod classes);
+    // variants 0/1/3 of the same key must collapse to ONE canonical URL.
+    // Canonicalization is a map-only builtin-expression chain (all
+    // RE2-compatible regexes, so the oracle replicates it verbatim);
+    // dedup is a hash group-by with map-side partials — the l5 exact-
+    // dedup scale shape, never pairwise.
+    "l58_url_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          (col("doc_id") % 97).cast("string").as("pg"),
+          (col("doc_id") % 7).cast("string").as("q"))
+        val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW."), col("source"),
+            lit(".Example.COM:443/a/"), col("pg"),
+            lit("?utm_source=feed&id="), col("q"), lit("#top")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://"), col("source"), lit(".example.com/a/"),
+              col("pg"), lit("?id="), col("q")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://"), col("source"), lit(".Example.COM:8080/b/"),
+              col("pg"), lit("?b=2&a=1")))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".example.com/a/"),
+              col("pg"), lit("/?id="), col("q"), lit("&utm_campaign=x")))
+        TextOps.urlDedup(d.select(col("doc_id"), url.as("url")))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+        |    CAST(doc_id % 97 AS VARCHAR) AS pg,
+        |    CAST(doc_id % 7 AS VARCHAR) AS q FROM documents),
+        |raw AS (SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' || source ||
+        |      '.Example.COM:443/a/' || pg || '?utm_source=feed&id=' || q || '#top'
+        |    WHEN doc_id % 4 = 1 THEN 'https://' || source ||
+        |      '.example.com/a/' || pg || '?id=' || q
+        |    WHEN doc_id % 4 = 2 THEN 'http://' || source ||
+        |      '.Example.COM:8080/b/' || pg || '?b=2&a=1'
+        |    ELSE 'https://' || source || '.example.com/a/' || pg ||
+        |      '/?id=' || q || '&utm_campaign=x' END AS url FROM d),
+        |parts AS (SELECT doc_id, trim(url) AS u FROM raw),
+        |canon AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '(?i)^([a-z][a-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(u,
+        |    '(?i)^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)), '^www\.', '') AS host,
+        |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
+        |    AS port,
+        |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |    AS path0,
+        |  regexp_extract(u, '\?([^#]*)', 1) AS query0
+        |  FROM parts),
+        |built AS (SELECT doc_id, scheme || '://' || host ||
+        |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |       AND NOT (scheme = 'https' AND port = '443')
+        |       THEN ':' || port ELSE '' END ||
+        |  CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+        |       ELSE regexp_replace(path0, '/$', '') END ||
+        |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(query0, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)=')
+        |        AND p <> '')), '&') AS qs FROM canon))
+        |SELECT canonical_url, min(doc_id) AS keep_doc,
+        |  CAST(count(*) AS BIGINT) AS n_variants
+        |FROM built GROUP BY 1""".stripMargin))),
+
+    // HTML/markup stripping — boilerplate removal. The corpus text is
+    // plain, so the entry wraps each document in a deterministic page
+    // shell (script + style + comment + nav div with entities) and the
+    // strip chain must recover exactly the visible text: scripts/styles
+    // as two separate non-greedy patterns (RE2 has no backreferences, so
+    // the oracle can run the SAME patterns), comments, tags, entities
+    // (&amp; decoded last), whitespace collapse. Map-only codegen chain.
+    "l59_markup_strip" -> ((
+      (s: SparkSession, dir: String) => {
+        val html = concat(
+          lit("<html><head><script type=\"text/javascript\">var a=1;" +
+            "</script><style>.x{color:red}</style></head><body>" +
+            "<!-- nav --><div id=\"menu\">Home &amp; About &lt;v"),
+          (col("doc_id") % 5).cast("string"),
+          lit("&gt;</div><p>"), col("text"), lit("</p></body></html>"))
+        docs(s, dir).select(col("doc_id"),
+          TextOps.stripMarkup(html).as("stripped"))
+          .select(col("doc_id"), md5(col("stripped")).as("stripped_fp"),
+            length(col("stripped")).cast("long").as("n_chars_stripped"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var a=1;</script>' ||
+        |  '<style>.x{color:red}</style></head><body><!-- nav -->' ||
+        |  '<div id="menu">Home &amp; About &lt;v' ||
+        |  CAST(doc_id % 5 AS VARCHAR) || '&gt;</div><p>' || text ||
+        |  '</p></body></html>' AS x FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(x, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x
+        |  FROM h),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
+        |  FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x
+        |  FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(x,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  trim(regexp_replace(x, '\s+', ' ', 'g')) AS stripped FROM s5)
+        |SELECT doc_id, md5(stripped) AS stripped_fp,
+        |  CAST(len(stripped) AS BIGINT) AS n_chars_stripped FROM s6""".stripMargin)))
   )
 
   private lazy val jaccardOracle: String =

@@ -664,4 +664,86 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(again == out)
   }
+
+  test("G.711 transcode round-trip: real ulaw/alaw codec, pinned RMS constants") {
+    // the l60 oracle's constants come from the public G.711 quantization
+    // tables via the JDK codec; re-derive a sample here so oracle drift
+    // fails loudly in the spec tier, independently of the driver gate
+    val ulaw = Map(0 -> 988.0, 1 -> 1500.0, 10 -> 5884.0, 28 -> 14972.0)
+    val alaw = Map(0 -> 1008.0, 1 -> 1504.0, 10 -> 6016.0, 28 -> 15104.0)
+    for ((k, expect) <- ulaw) {
+      val pcm = Multimodal.encodeWav(k.toLong)
+      val blob = Multimodal.transcodeG711(pcm, aLaw = false)
+      // 8-bit stream: compressed payload is half the PCM16 payload
+      assert(blob.length < pcm.length * 3 / 4,
+        s"ulaw blob ${blob.length} vs pcm ${pcm.length}")
+      val (codec, sr, ch, frames, rms) = Multimodal.decodeAudio(blob)
+      assert(codec == "ULAW" && sr == 8000 && ch == 1)
+      assert(frames == 400 + (k % 97) * 8)
+      assert(rms == expect, s"ulaw k=$k: $rms != $expect")
+    }
+    for ((k, expect) <- alaw) {
+      val blob = Multimodal.transcodeG711(Multimodal.encodeWav(k.toLong),
+        aLaw = true)
+      val (codec, _, _, _, rms) = Multimodal.decodeAudio(blob)
+      assert(codec == "ALAW" && rms == expect, s"alaw k=$k: $rms != $expect")
+    }
+    // plain PCM still decodes through the same entry point
+    val (codec, sr, ch, frames, rms) =
+      Multimodal.decodeAudio(Multimodal.encodeWav(3L))
+    assert(codec == "PCM_SIGNED" && sr == 8000 && ch == 1 &&
+      frames == 424 && rms == 2500.0)
+  }
+
+  test("URL canonicalization: case, www, default ports, tracking, order, slash") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(TextOps.canonicalizeUrl(org.apache.spark.sql.functions.col("u")))
+        .collect()(0).getString(0)
+    // scheme+host lowercase, www. stripped, default port dropped,
+    // fragment dropped, tracking params dropped, trailing slash stripped
+    assert(canon("HTTPS://WWW.News.Example.COM:443/a/b/?utm_source=x&id=3#frag")
+      == "https://news.example.com/a/b?id=3")
+    // non-default port survives; path case is identity (paths are
+    // case-sensitive, unlike hosts)
+    assert(canon("http://Example.com:8080/A/B?b=2&a=1")
+      == "http://example.com:8080/A/B?a=2&b=1".replace("a=2&b=1", "a=1&b=2"))
+    // param sort is the canonical order
+    assert(canon("http://e.com/p?b=2&a=1") == canon("http://e.com/p?a=1&b=2"))
+    // empty path normalizes to /
+    assert(canon("https://e.com") == "https://e.com/")
+    assert(canon("https://e.com?x=1") == "https://e.com/?x=1")
+    // all-tracking query vanishes entirely (no dangling '?')
+    assert(canon("https://e.com/p?utm_campaign=a&fbclid=zz") == "https://e.com/p")
+    // http on 443 is NOT a default: kept
+    assert(canon("http://e.com:443/p") == "http://e.com:443/p")
+
+    // dedup collapses variants to one row, keeps min doc_id
+    val d = Seq(
+      (10L, "https://www.E.com/p?utm_source=a&x=1"),
+      (7L, "HTTPS://e.COM:443/p/?x=1"),
+      (9L, "https://other.com/p?x=1")).toDF("doc_id", "url")
+    val out = TextOps.urlDedup(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("https://e.com/p?x=1", 7L, 2L),
+      ("https://other.com/p?x=1", 9L, 1L)))
+  }
+
+  test("markup strip: blocks, tags, entity order, whitespace collapse") {
+    import spark.implicits._
+    def strip(h: String): String =
+      Seq(h).toDF("h")
+        .select(TextOps.stripMarkup(org.apache.spark.sql.functions.col("h")))
+        .collect()(0).getString(0)
+    assert(strip("<html><head><script>var a='<p>not text</p>';</script>" +
+      "<style>.x{}</style></head><body><!-- c --><p>Hello,\n  world!</p>" +
+      "</body></html>") == "Hello, world!")
+    // script content spanning lines dies ((?s)); attributes in tags die
+    assert(strip("<script type=\"x\">\nline1\nline2\n</script>ok") == "ok")
+    // entity decode: &amp; LAST, so &amp;lt; means the LITERAL string
+    // "&lt;" and must not double-decode into '<'
+    assert(strip("a &amp;lt; b &lt; c &amp; d") == "a &lt; b < c & d")
+    assert(strip("say &quot;hi&#39;s&quot;&nbsp;now") == "say \"hi's\" now")
+  }
 }
