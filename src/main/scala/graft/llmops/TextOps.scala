@@ -632,11 +632,12 @@ object TextOps {
     * scheme's default port, drops the fragment and tracking parameters,
     * sorts the surviving query parameters (param order is not URL
     * identity), normalizes an empty path to `/` and strips one trailing
-    * slash elsewhere. A pure expression chain (extract/replace/filter/
-    * sort on builtins): map-only, whole-stage codegen, no UDF — at
-    * 100 TB this runs at scan speed, and every regex here is
-    * RE2-compatible (no backreferences) so the DuckDB oracle replicates
-    * it verbatim. */
+    * slash elsewhere. A pure builtin-expression chain — the regex
+    * extracts are codegen'd, the param filter/sort are higher-order
+    * builtins (interpreted eval, but over a handful of params per URL
+    * and with no UDF serialization boundary) — map-only, so at 100 TB
+    * this runs at scan speed, and every regex here is RE2-compatible
+    * (no backreferences) so the DuckDB oracle replicates it verbatim. */
   def canonicalizeUrl(url: Column): Column = {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, "(?i)^([a-z][a-z0-9+.-]*)://", 1))

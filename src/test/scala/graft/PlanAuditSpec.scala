@@ -257,6 +257,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p6.contains("CartesianProduct") &&
       !p6.contains("BroadcastNestedLoopJoin"),
       s"capped-default Jaccard must stay a hash join:\n$p6")
+
+    // URL dedup: canonicalization stays a map-only builtin projection
+    // feeding ONE hash aggregate with map-side partials (exactly one
+    // exchange, on the canonical key) — no join, no window, no UDF
+    val p58 = plan("l58_url_dedup")
+    assert(!p58.contains("Join") && !p58.contains("Window") &&
+      !p58.contains("BatchEvalPython") && !p58.contains("ScalaUDF"),
+      s"url dedup must be projection + hash aggregate only:\n$p58")
+    assert(p58.contains("partial_min"),
+      s"url dedup must aggregate map-side first:\n$p58")
+    assert("Exchange".r.findAllIn(p58).size == 1,
+      s"url dedup must shuffle exactly once, on the canonical key:\n$p58")
+
+    // markup strip: pure map-only — no exchange, no join, no UDF; the
+    // whole strip chain is builtin regexp_replace expressions
+    val p59 = plan("l59_markup_strip")
+    assert(!p59.contains("Exchange") && !p59.contains("Join") &&
+      !p59.contains("ScalaUDF") && p59.contains("FileScan parquet"),
+      s"markup strip must be a shuffle-free scan+project:\n$p59")
   }
 
   test("the deliberate exceptions stay deliberate") {
