@@ -642,7 +642,10 @@ object TextOps {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, "(?i)^([a-z][a-z0-9+.-]*)://", 1))
     val host0 = lower(regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
-    val host = regexp_replace(host0, "^www\\.", "")
+    // (www.)+ not www.: stripping one layer would make canonicalization
+    // non-idempotent on a pathological www.www. host (PropertySpec pins
+    // canon . canon == canon)
+    val host = regexp_replace(host0, "^(www\\.)+", "")
     val port = regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://[^/:?#]*:([0-9]+)", 1)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
@@ -654,10 +657,14 @@ object TextOps {
     val query = array_join(
       array_sort(filter(split(query0, "&"),
         p => !(p.rlike(s"^($TrackingParams)=") || p === ""))), "&")
-    concat(scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-      path,
-      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    // a string with no scheme is not an absolute URL: pass it through
+    // untouched (conservative identity — a crawl pipeline quarantines
+    // these rather than guessing a scheme)
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
   /** URL-level dedup: group by canonical URL, keep the smallest doc_id

@@ -1378,7 +1378,7 @@ object LlmQueries {
         |canon AS (SELECT doc_id,
         |  lower(regexp_extract(u, '(?i)^([a-z][a-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(lower(regexp_extract(u,
-        |    '(?i)^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)), '^www\.', '') AS host,
+        |    '(?i)^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)), '^(www\.)+', '') AS host,
         |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
         |    AS port,
         |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)

@@ -718,6 +718,10 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(canon("https://e.com/p?utm_campaign=a&fbclid=zz") == "https://e.com/p")
     // http on 443 is NOT a default: kept
     assert(canon("http://e.com:443/p") == "http://e.com:443/p")
+    // repeated www. strips fully (idempotence: canon(canon(u)) == canon(u))
+    assert(canon("https://www.www.e.com/p") == "https://e.com/p")
+    // no scheme => not an absolute URL => conservative passthrough
+    assert(canon("  example.com/x?utm_source=a ") == "example.com/x?utm_source=a")
 
     // dedup collapses variants to one row, keeps min doc_id
     val d = Seq(
@@ -728,6 +732,43 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set(("https://e.com/p?x=1", 7L, 2L),
       ("https://other.com/p?x=1", 9L, 1L)))
+  }
+
+  test("URL canonicalization: idempotent and junk-invariant over an exhaustive grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val schemes = Seq("http", "HTTPS", "https")
+    val hosts = Seq("news.example.com", "WWW.E.COM", "www.www.a-b.org")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/a/b/", "/A/9")
+    val queries = Seq("", "?a=1&b=2", "?b=2&a=1", "?id=9")
+    val urls = for (s <- schemes; h <- hosts; p <- ports; pa <- paths;
+      q <- queries) yield s + "://" + h + p + pa + q
+    // the same URL with tracking params and a fragment bolted on must
+    // canonicalize identically (the whole point of stripping them)
+    val junked = urls.map { u =>
+      val sep = if (u.contains("?")) "&" else "?"
+      u + sep + "utm_source=x&fbclid=1#frag"
+    }
+    val rows = urls.zip(junked).toDF("u", "uj")
+      .select(TextOps.canonicalizeUrl(col("u")).as("c"),
+        TextOps.canonicalizeUrl(col("uj")).as("cj"))
+      .select(col("c"), col("cj"),
+        TextOps.canonicalizeUrl(col("c")).as("cc"))
+      .collect()
+    assert(rows.length == urls.length)
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(2),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(2)}")
+      assert(r.getString(0) == r.getString(1),
+        s"tracking/fragment junk changed identity: ${r.getString(0)} vs ${r.getString(1)}")
+    }
+    // param order is not identity: the ?a=1&b=2 / ?b=2&a=1 variants halve
+    // the distinct canonical count relative to the raw url count
+    val canon = rows.map(_.getString(0)).toSet
+    val rawDistinct = urls.toSet.size
+    assert(canon.size < rawDistinct,
+      s"canonicalization collapsed nothing: ${canon.size} vs $rawDistinct")
   }
 
   test("markup strip: blocks, tags, entity order, whitespace collapse") {
