@@ -55,10 +55,22 @@ import graft.catalog.{DeleteFile, GraftTable, MorRead, PosDeleteFile, Validation
   * Iceberg's strict `data_seq < delete_seq` equality-delete rule is the
   * same rule MorRead already implements; [[importAsTable]] replays the
   * tree in sequence-number order so the attached table keeps exact MoR
-  * semantics under FUTURE commits too. Partitioning is exported as the unpartitioned
-  * spec: correctness-neutral (Iceberg partitioning is split planning,
-  * not semantics); an external engine re-derives pruning from its own
-  * scan stats. */
+  * semantics under FUTURE commits too.
+  *
+  * Partition specs round-trip for real: when every live file carries a
+  * decodable single-valued partition tuple (value-exact staging — the
+  * same eligibility SPJ uses), export publishes the actual spec
+  * (transform strings, source field ids, partition field ids 1000+) and
+  * each manifest entry's r102 partition record carries the file's tuple
+  * in the spec's ORDINAL encodings (years/months since 1970, days/hours
+  * since epoch, Iceberg-murmur3 buckets); spec evolution between exports
+  * mints fresh spec ids (ids are forever). Import translates the default
+  * spec back and synthesizes the derived-column stats from the tuples,
+  * so an attached table is immediately eligible for exact partition
+  * pruning and storage-partitioned joins — no restage. Files without
+  * provable tuples (pre-spec stragglers) fall back to the unpartitioned
+  * spec, which is correctness-neutral (Iceberg partitioning is split
+  * planning, not semantics). */
 object IcebergInterop {
 
   // ---- Spark <-> Iceberg type mapping (spec "Schemas and Data Types") ----
@@ -184,10 +196,14 @@ object IcebergInterop {
   // ---- Avro schemas from the Iceberg spec ("Manifests", field ids) ----
 
   /** v2 manifest ENTRY schema (spec "Manifest Entry Fields": ids 0-4;
-    * data_file ids 100+ / 134 content). Optional stats columns are
-    * spec-optional and omitted — readers fall back to footer stats. */
-  private[graft] val ManifestEntrySchema: AvroSchema =
-    new AvroSchema.Parser().parse("""{
+    * data_file ids 100+ / 134 content) with the given `partition`
+    * record (r102) — empty for the unpartitioned spec, one
+    * union(null, T) field per partition field otherwise. Optional stats
+    * columns are spec-optional and omitted — readers fall back to
+    * footer stats. */
+  private[graft] def manifestEntrySchemaFor(
+      partitionRecordJson: String): AvroSchema =
+    new AvroSchema.Parser().parse(s"""{
       "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
@@ -199,13 +215,17 @@ object IcebergInterop {
             {"name": "file_path", "type": "string", "field-id": 100},
             {"name": "file_format", "type": "string", "field-id": 101},
             {"name": "partition", "field-id": 102,
-             "type": {"type": "record", "name": "r102", "fields": []}},
+             "type": $partitionRecordJson},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             {"name": "equality_ids", "default": null, "field-id": 135,
              "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
           ]}}
       ]}""")
+
+  private[graft] val ManifestEntrySchema: AvroSchema =
+    manifestEntrySchemaFor(
+      """{"type": "record", "name": "r102", "fields": []}""")
 
   /** v2 manifest LIST schema (spec "Manifest Lists": ids 500-518). */
   private[graft] val ManifestListSchema: AvroSchema =
@@ -362,6 +382,98 @@ object IcebergInterop {
   private[graft] def topLevelFieldIds(s: StructType): Map[String, Int] =
     s.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
 
+  // ---- partition-spec fidelity (spec "Partition Specs" / "Manifests") ----
+
+  /** One exportable partition field: graft spec entry + the Iceberg
+    * representation (field-id 1000+, transform string, source field id,
+    * Avro value type). */
+  private[graft] final case class IcePartField(
+      spec: graft.catalog.PartitionFieldSpec,
+      fieldId: Int,
+      transform: String,
+      sourceId: Int,
+      avroType: String)
+
+  /** Iceberg transform string + Avro value-type JSON for a graft
+    * partition field. Temporal transforms export ORDINAL ints (years/
+    * months since 1970, days/hours since epoch — the spec's required
+    * result types), converted from the engine's human-readable derived
+    * stats at encode time. */
+  private def icePartFields(m: graft.catalog.TableMetadata): Seq[IcePartField] = {
+    val topIds = topLevelFieldIds(m.schema)
+    m.partitionSpec.zipWithIndex.map { case (s, i) =>
+      val transform = s.transform match {
+        case "bucket" => s"bucket[${s.param.get}]"
+        case "truncate" => s"truncate[${s.param.get}]"
+        case t => t // identity | year | month | day | hour
+      }
+      val avroType = s.transform match {
+        case "bucket" | "year" | "month" | "hour" => "\"int\""
+        case "day" => """{"type": "int", "logicalType": "date"}"""
+        case _ => // identity/truncate carry the source type
+          avroTypeJson(m.schema(s.source).dataType, s.source)
+      }
+      IcePartField(s, 1000 + i, transform, topIds(s.source), avroType)
+    }
+  }
+
+  /** Avro schema for the manifest `partition` record (r102) under a real
+    * partition spec: one union(null, T) field per spec entry, each
+    * carrying its Iceberg partition field id. */
+  private def partitionRecordSchema(fields: Seq[IcePartField]): String =
+    if (fields.isEmpty)
+      """{"type": "record", "name": "r102", "fields": []}"""
+    else {
+      val fs = fields.map(f =>
+        s"""{"name": "${f.spec.name}", "type": ["null", ${f.avroType}],
+           | "default": null, "field-id": ${f.fieldId}}""".stripMargin)
+        .mkString(",")
+      s"""{"type": "record", "name": "r102", "fields": [$fs]}"""
+    }
+
+  /** Decode one data file's value for one partition field from its
+    * commit-time stats (value-exact staging ⇒ min == max IS the tuple;
+    * all-null source ⇒ null tuple via nullCount == rowCount). None when
+    * the file has no decodable single value — the caller then falls back
+    * to the unpartitioned export. The Some(null) case is a real null
+    * partition value. */
+  private def icePartValue(f: graft.catalog.DataFile, p: IcePartField,
+      sourceType: DataType): Option[AnyRef] = {
+    val st = f.stats.get(p.spec.name).getOrElse(return None)
+    if (st.nullCount.contains(f.rowCount) && f.rowCount > 0) return Some(null)
+    val (mn, mx) = (st.min.getOrElse(return None), st.max.getOrElse(return None))
+    if (mn != mx) return None
+    def utcField(pattern: String): java.time.format.DateTimeFormatter =
+      java.time.format.DateTimeFormatter.ofPattern(pattern)
+    try Some(p.spec.transform match {
+      case "bucket" => Integer.valueOf(mn.toInt)
+      case "year" => Integer.valueOf(mn.toInt - 1970)
+      case "month" => // stat is "yyyy-MM"
+        val Array(y, mo) = mn.split("-").map(_.toInt)
+        Integer.valueOf((y - 1970) * 12 + (mo - 1))
+      case "day" => Integer.valueOf(mn.toInt) // stat is epoch-day
+      case "hour" => // stat is "yyyy-MM-dd-HH"
+        val t = java.time.LocalDateTime.parse(mn + ":00",
+          utcField("yyyy-MM-dd-HH:mm"))
+        Integer.valueOf((t.toEpochSecond(java.time.ZoneOffset.UTC) / 3600L).toInt)
+      case _ => // identity/truncate: stat string under the SOURCE type's
+        // canonical encoding (epoch-day / epoch-micros for temporals)
+        sourceType match {
+          case ByteType | ShortType | IntegerType => Integer.valueOf(mn.toInt)
+          case LongType => java.lang.Long.valueOf(mn.toLong)
+          case StringType => mn
+          case BooleanType => java.lang.Boolean.valueOf(mn.toBoolean)
+          case FloatType => java.lang.Float.valueOf(mn.toFloat)
+          case DoubleType => java.lang.Double.valueOf(mn.toDouble)
+          case DateType => Integer.valueOf(mn.toInt)
+          case TimestampType | TimestampNTZType => java.lang.Long.valueOf(mn.toLong)
+          case d: DecimalType => java.nio.ByteBuffer.wrap(
+            new java.math.BigDecimal(mn).setScale(d.scale).unscaledValue.toByteArray)
+          case _ => return None
+        }
+    }) catch { case _: RuntimeException => None }
+  }
+
   /** Delete rows above which export refuses (driver-side Avro encode is
     * deliberate — delete files are trickle-sized metadata by design, and
     * a backlog past this wants compaction, not a bigger export buffer).
@@ -423,20 +535,95 @@ object IcebergInterop {
     val snapshotId = snap.snapshotId
     val seq = snapshotId // our snapshot ids are the commit order
 
-    // manifest file: every live data file as an EXISTING/ADDED entry
-    val entries = files.map { f =>
-      val e = new GenericData.Record(ManifestEntrySchema)
+    // prior export state — parsed once, used by both the spec-id
+    // allocation below and the metadata version chain at the end
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val hintPath = metaDir.resolve("version-hint.text")
+    val prevVersion: Int =
+      if (Files.exists(hintPath)) Files.readString(hintPath).trim.toInt else 0
+    val prev: Option[JValue] =
+      if (prevVersion == 0) None
+      else Some(JMethodsParseFile(metaDir.resolve(
+        s"v$prevVersion.metadata.json")))
+    def prevList(key: String): List[JValue] = prev match {
+      case Some(p) => (p \ key) match {
+        case JArray(xs) => xs
+        case _ => Nil
+      }
+      case None => Nil
+    }
+
+    // partition-spec fidelity: when every live file carries a decodable
+    // single-valued partition tuple (value-exact staging — the same
+    // eligibility SPJ uses), export the REAL spec and per-file partition
+    // tuples; otherwise (spec-evolution stragglers, pre-spec files) fall
+    // back to the unpartitioned spec, which is correctness-neutral.
+    val pfields = icePartFields(m)
+    val partValues: Option[Seq[Seq[AnyRef]]] =
+      if (pfields.isEmpty || files.isEmpty) None
+      else {
+        val srcTypes = pfields.map(p => m.schema(p.spec.source).dataType)
+        val vals = files.map(f => pfields.zip(srcTypes).map {
+          case (p, st) => icePartValue(f, p, st) })
+        if (vals.exists(_.exists(_.isEmpty))) None
+        else Some(vals.map(_.map(_.get)))
+      }
+    val partitioned = partValues.isDefined
+    val specFieldsJV: JValue =
+      if (!partitioned) JArray(Nil)
+      else JArray(pfields.toList.map(p =>
+        ("name" -> p.spec.name) ~ ("transform" -> p.transform) ~
+          ("source-id" -> p.sourceId) ~ ("field-id" -> p.fieldId)))
+    // spec-id allocation against the version chain: a prior export may
+    // have published a DIFFERENT spec under some id (spec evolution
+    // between exports) — ids are forever, so reuse only on exact match
+    // and mint a fresh id otherwise; id 0 is always the empty spec
+    val priorSpecs: List[JValue] = {
+      val ps = prevList("partition-specs")
+      if (ps.exists(s => (s \ "spec-id") == JInt(0))) ps
+      else (("spec-id" -> 0) ~ ("fields" -> List.empty[String]): JValue) :: ps
+    }
+    val specId: Int =
+      if (!partitioned) 0
+      else priorSpecs.find(s => (s \ "fields") == specFieldsJV) match {
+        case Some(s) => (s \ "spec-id") match {
+          case JInt(i) => i.toInt
+          case _ => 0
+        }
+        case None => priorSpecs.map(s => (s \ "spec-id") match {
+          case JInt(i) => i.toInt
+          case _ => 0
+        }).max + 1
+      }
+    val allSpecs: List[JValue] =
+      if (!partitioned || priorSpecs.exists(s => (s \ "spec-id") == JInt(specId)))
+        priorSpecs
+      else priorSpecs :+ ((("spec-id" -> specId) ~
+        ("fields" -> specFieldsJV)): JValue)
+    val entrySchema =
+      if (partitioned) manifestEntrySchemaFor(partitionRecordSchema(pfields))
+      else ManifestEntrySchema
+
+    // manifest file: every live data file as an ADDED entry, carrying
+    // its partition tuple under the real spec when eligible
+    val entries = files.zipWithIndex.map { case (f, fi) =>
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED (single exported snapshot owns all files)
       e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
       e.put("sequence_number", java.lang.Long.valueOf(f.dataSeq.max(1L)))
       e.put("file_sequence_number", java.lang.Long.valueOf(f.dataSeq.max(1L)))
       val df = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       df.put("content", 0) // DATA
       df.put("file_path", toUri(f.path))
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        df.getSchema.getField("partition").schema()))
+      val part = new GenericData.Record(
+        df.getSchema.getField("partition").schema())
+      partValues.foreach(vals => pfields.zip(vals(fi)).foreach {
+        case (p, v) => part.put(p.spec.name, v) })
+      df.put("partition", part)
       df.put("record_count", java.lang.Long.valueOf(f.rowCount))
       df.put("file_size_in_bytes", java.lang.Long.valueOf(
         if (f.sizeBytes > 0) f.sizeBytes
@@ -449,11 +636,11 @@ object IcebergInterop {
     val manifestPath = metaDir.resolve(
       s"${java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)}" +
         s"-$snapshotId-m0.avro")
-    val manifestLen = writeAvro(ManifestEntrySchema, entries, Map(
+    val manifestLen = writeAvro(entrySchema, entries, Map(
       "schema" -> schemaJson,
       "schema-id" -> "0",
-      "partition-spec" -> "[]",
-      "partition-spec-id" -> "0",
+      "partition-spec" -> JsonMethods.compact(specFieldsJV),
+      "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
       "content" -> "data"), manifestPath)
 
@@ -537,7 +724,7 @@ object IcebergInterop {
     val mf = new GenericData.Record(ManifestListSchema)
     mf.put("manifest_path", toUri(manifestPath.toString))
     mf.put("manifest_length", java.lang.Long.valueOf(manifestLen))
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", specId)
     mf.put("content", 0)
     mf.put("sequence_number", java.lang.Long.valueOf(seq))
     mf.put("min_sequence_number", java.lang.Long.valueOf(1L))
@@ -589,25 +776,9 @@ object IcebergInterop {
     // snapshot-log, and a metadata-log entry pointing at v<N> — the
     // Iceberg metadata version chain external engines expect, so
     // repeated exports give time travel over export points, not a
-    // dangling single version.
-    import org.json4s._
-    import org.json4s.JsonDSL._
-    import org.json4s.jackson.JsonMethods
+    // dangling single version. (prev/prevList parsed above, before the
+    // spec-id allocation.)
     val schemaJV = JsonMethods.parse(schemaJson)
-    val hintPath = metaDir.resolve("version-hint.text")
-    val prevVersion: Int =
-      if (Files.exists(hintPath)) Files.readString(hintPath).trim.toInt else 0
-    val prev: Option[JValue] =
-      if (prevVersion == 0) None
-      else Some(JMethodsParseFile(metaDir.resolve(
-        s"v$prevVersion.metadata.json")))
-    def prevList(key: String): List[JValue] = prev match {
-      case Some(p) => (p \ key) match {
-        case JArray(xs) => xs
-        case _ => Nil
-      }
-      case None => Nil
-    }
     // carry prior exported snapshots, dropping a re-export of the SAME
     // snapshot id (idempotent re-export replaces, never duplicates)
     val priorSnaps = prevList("snapshots").filterNot(s =>
@@ -651,10 +822,16 @@ object IcebergInterop {
       ("last-column-id" -> lastColumnId) ~
       ("current-schema-id" -> 0) ~
       ("schemas" -> List(schemaJV)) ~
-      ("default-spec-id" -> 0) ~
-      ("partition-specs" -> List(
-        ("spec-id" -> 0) ~ ("fields" -> List.empty[String]))) ~
-      ("last-partition-id" -> 999) ~
+      ("default-spec-id" -> specId) ~
+      ("partition-specs" -> JArray(allSpecs)) ~
+      ("last-partition-id" -> (999 +: allSpecs.flatMap(s =>
+        (s \ "fields") match {
+          case JArray(fs) => fs.map(f => (f \ "field-id") match {
+            case JInt(i) => i.toInt
+            case _ => 999
+          })
+          case _ => Nil
+        })).max) ~
       ("default-sort-order-id" -> 0) ~
       ("sort-orders" -> List(
         ("order-id" -> 0) ~ ("fields" -> List.empty[String]))) ~
@@ -725,9 +902,27 @@ object IcebergInterop {
       name: String, location: String): GraftTable = {
     val plan = importPlan(location)
     val loadId = s"iceberg-import:$location"
-    val t = cat.createTable(ns, name, plan.schema)
+    // partition fidelity: when the tree's spec translated AND every data
+    // file carries a full partition tuple, attach WITH the spec and
+    // synthesize the derived-column stats from the manifest tuples
+    // (min = max = value, or all-null) — the attached table is then
+    // immediately eligible for exact partition pruning and SPJ, no
+    // restage needed
+    val specEligible = plan.spec.nonEmpty &&
+      plan.files.forall(f => plan.spec.forall(s => f.partition.contains(s.name)))
+    val t = cat.createTable(ns, name, plan.schema,
+      spec = if (specEligible) plan.spec else Nil)
     def toDataFile(f: IcebergFile) = graft.catalog.DataFile(
-      f.path, f.recordCount, f.sizeBytes, Map.empty)
+      f.path, f.recordCount, f.sizeBytes,
+      if (!specEligible) Map.empty
+      else f.partition.map { case (n, ov) =>
+        n -> (ov match {
+          case Some(v) =>
+            graft.catalog.ColumnStats(Some(v), Some(v), Some(0L))
+          case None =>
+            graft.catalog.ColumnStats(None, None, Some(f.recordCount))
+        })
+      })
     if (plan.eqDeletes.isEmpty && plan.posDeletes.isEmpty)
       t.commit(_.withSnapshot("append", Some(loadId),
         plan.files.map(toDataFile)), unitMs = 1)
@@ -759,13 +954,23 @@ object IcebergInterop {
   }
 
   final case class IcebergFile(path: String, recordCount: Long,
-      sizeBytes: Long, seq: Long = 0L)
+      sizeBytes: Long, seq: Long = 0L,
+      /** partition-field name -> canonical stat encoding of this file's
+        * partition value (None = null partition value); populated when
+        * the tree's default spec is non-empty and this file's manifest
+        * entry carries a decodable tuple. */
+      partition: Map[String, Option[String]] = Map.empty)
   final case class IcebergEqDelete(path: String, format: String,
       keyColumns: Seq[String], recordCount: Long, seq: Long)
   final case class IcebergPosDelete(path: String, format: String,
       recordCount: Long)
   final case class IcebergPlan(schema: StructType, files: Seq[IcebergFile],
-      eqDeletes: Seq[IcebergEqDelete], posDeletes: Seq[IcebergPosDelete])
+      eqDeletes: Seq[IcebergEqDelete], posDeletes: Seq[IcebergPosDelete],
+      /** the tree's default partition spec translated into the native
+        * model (empty when unpartitioned or when a transform/source
+        * could not be translated — partition fidelity is best-effort on
+        * import, correctness never depends on it). */
+      spec: Seq[graft.catalog.PartitionFieldSpec] = Nil)
 
   /** The planning half of [[importTable]]: (Spark schema, live parquet
     * paths) from the Iceberg metadata tree. This bare-path surface
@@ -897,6 +1102,58 @@ object IcebergInterop {
       }.toMap
       case _ => Map.empty
     }
+    // the default partition spec, translated best-effort into the native
+    // model: every field must have a supported transform and a top-level
+    // source column, else the WHOLE spec drops (partial partition
+    // metadata would be worse than none; correctness never depends on it)
+    val defaultSpecId: Int = (md \ "default-spec-id") match {
+      case JInt(i) => i.toInt
+      case _ => 0
+    }
+    val Param = """(bucket|truncate)\[(\d+)\]""".r
+    val specTranslated: Seq[(String, graft.catalog.PartitionFieldSpec)] =
+      ((md \ "partition-specs") match {
+        case JArray(specs) =>
+          specs.find(s => (s \ "spec-id") == JInt(defaultSpecId))
+            .map(s => (s \ "fields") match {
+              case JArray(fs) => fs.map { f =>
+                for {
+                  name <- (f \ "name") match {
+                    case JString(n) => Some(n); case _ => None
+                  }
+                  srcId <- (f \ "source-id") match {
+                    case JInt(i) => Some(i.toInt); case _ => None
+                  }
+                  src <- idToName.get(srcId)
+                  tp <- (f \ "transform") match {
+                    case JString(Param(t, p)) => Some((t, Some(p.toInt)))
+                    case JString(t@("identity" | "year" | "month" | "day" |
+                        "hour")) => Some((t, None))
+                    case _ => None // void/unknown: drop the whole spec
+                  }
+                } yield {
+                  // a non-identity field named exactly like a schema
+                  // column would shadow it in statTypeOf — rename; the
+                  // identity-named-as-source case is type-consistent
+                  val safe =
+                    if (schema.fieldNames.contains(name) &&
+                      !(tp._1 == "identity" && name == src)) s"${name}_p"
+                    else name
+                  (name, graft.catalog.PartitionFieldSpec(
+                    src, tp._1, tp._2, safe))
+                }
+              }
+              case _ => Nil
+            }).getOrElse(Nil)
+        case _ => Nil
+      }) match {
+        case fs if fs.nonEmpty && fs.forall(_.isDefined) => fs.map(_.get)
+        case _ => Nil
+      }
+    val specSrcTypes: Map[String, DataType] = specTranslated.map {
+      case (_, s) => s.name -> schema(s.source).dataType
+    }.toMap
+
     val (manifests, _) = readAvro(listPath)
     var dataFiles = Vector.empty[IcebergFile]
     var eqDeletes = Vector.empty[IcebergEqDelete]
@@ -935,8 +1192,20 @@ object IcebergInterop {
               require(format == "PARQUET",
                 s"iceberg-import: only parquet DATA files are supported, " +
                   s"got $format for $path")
+              val partMap: Map[String, Option[String]] =
+                if (specTranslated.isEmpty) Map.empty
+                else df.get("partition") match {
+                  case rec: GenericRecord => specTranslated.flatMap {
+                    case (origName, pfs) =>
+                      if (rec.getSchema.getField(origName) == null) None
+                      else Some(pfs.name -> Option(rec.get(origName)).map(
+                        statEncodingOf(pfs, specSrcTypes(pfs.name), _)))
+                  }.toMap
+                  case _ => Map.empty
+                }
               dataFiles :+= IcebergFile(path,
-                longOf("record_count"), longOf("file_size_in_bytes"), seq)
+                longOf("record_count"), longOf("file_size_in_bytes"), seq,
+                partMap)
             case 1 =>
               require(format == "PARQUET" || format == "AVRO",
                 s"iceberg-import: unsupported delete-file format $format")
@@ -968,6 +1237,35 @@ object IcebergInterop {
         }
       }
     }
-    IcebergPlan(schema, dataFiles, eqDeletes, posDeletes)
+    IcebergPlan(schema, dataFiles, eqDeletes, posDeletes,
+      specTranslated.map(_._2))
+  }
+
+  /** Iceberg partition VALUE -> the engine's canonical stat encoding for
+    * the derived column (the exact strings value-exact staging writes:
+    * calendar year int, "yyyy-MM", epoch-day, "yyyy-MM-dd-HH",
+    * canonicalKey for identity/truncate) — so an attached table's
+    * synthesized stats decode through the SAME pruning/SPJ machinery as
+    * a natively written one. Inverse of [[icePartValue]]. */
+  private def statEncodingOf(s: graft.catalog.PartitionFieldSpec,
+      srcType: DataType, v: AnyRef): String = s.transform match {
+    case "bucket" => v.asInstanceOf[Number].intValue.toString
+    case "year" => (v.asInstanceOf[Number].intValue + 1970).toString
+    case "month" =>
+      val ord = v.asInstanceOf[Number].intValue
+      f"${1970 + Math.floorDiv(ord, 12)}%04d-${Math.floorMod(ord, 12) + 1}%02d"
+    case "day" => v.asInstanceOf[Number].intValue.toString
+    case "hour" =>
+      val t = java.time.LocalDateTime.ofEpochSecond(
+        v.asInstanceOf[Number].longValue * 3600L, 0, java.time.ZoneOffset.UTC)
+      f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d-${t.getHour}%02d"
+    case _ => srcType match { // identity/truncate: source-typed encoding
+      case d: DecimalType =>
+        val b = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](b.remaining); b.duplicate.get(arr)
+        new java.math.BigDecimal(new java.math.BigInteger(arr), d.scale).toString
+      case _ => v.toString // ints/longs/strings; date=epoch-day int,
+        // timestamp=epoch-micros long — already the canonical forms
+    }
   }
 }

@@ -1632,7 +1632,12 @@ object WriteQueries {
       (s: SparkSession, dir: String) => {
         val cat = scratch(s)
         val w = new GraftWriter(cat)
-        val mor = cfg.copy(mergeOnRead = true)
+        // bucket-partitioned + merge-on-read: the export must carry the
+        // REAL partition spec (bucket[8] tuples from value-exact stats)
+        // alongside the delete manifest — the full interop matrix in one
+        // driver entry
+        val mor = cfg.copy(mergeOnRead = true, partitions =
+          Seq(graft.partition.PartitionHint.bucket(8, "o_orderkey")))
         w.writeTable("main", "orders_t", Seq(target(s, dir)), Append, mor, "l1")
         w.writeTable("main", "orders_t",
           Seq(source(s, dir).filter(col("o_orderkey") % 10 === 4)),
@@ -1649,6 +1654,16 @@ object WriteQueries {
             s"proves nothing): ${snap.deletes.size} eq / " +
             s"${snap.posDeletes.size} pos")
         graft.iceberg.IcebergInterop.exportTable(tbl)
+        // the export must have published the REAL spec, not fallen back
+        // to unpartitioned (silent fallback would make this entry prove
+        // less than it claims)
+        val mdJson = Files.readString(tbl.dir.resolve("iceberg")
+          .resolve("metadata").resolve("v1.metadata.json"))
+        require(mdJson.contains("\"default-spec-id\" : 1") ||
+          mdJson.contains("\"default-spec-id\": 1") ||
+          mdJson.contains("\"default-spec-id\":1"),
+          "export must carry the bucket[8] partition spec")
+        require(mdJson.contains("bucket[8]"), "spec must name bucket[8]")
         keyPrice(graft.iceberg.IcebergInterop.importTable(
           s, tbl.dir.resolve("iceberg").toString))
       },

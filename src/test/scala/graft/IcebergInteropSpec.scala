@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -294,6 +295,110 @@ class IcebergInteropSpec extends AnyFunSuite {
       t2.dir.resolve("iceberg").toString)
     assert(back.select("id", "v").collect().map(r =>
       (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (3L, "c")))
+  }
+
+  test("partitioned export round-trips the real spec, tuples, and pruning") {
+    import graft.partition.PartitionHint
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1, partitions = Seq(
+      PartitionHint.bucket(4, "id"), PartitionHint.month("d")))
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-05"), "a"),
+      (2L, java.sql.Date.valueOf("2024-01-20"), "b"),
+      (3L, java.sql.Date.valueOf("2024-02-02"), "c"),
+      (4L, java.sql.Date.valueOf("2024-02-28"), "d")).toDF("id", "d", "v")
+    w.writeTable("main", "t", Seq(df), Append, cfg, "l1")
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.partitionSpec.size == 2, "precondition: spec built")
+    IcebergInterop.exportTable(t, nowMs = 1700000000000L)
+
+    // metadata.json publishes the REAL spec under a fresh non-zero id
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = t.dir.resolve("iceberg").resolve("metadata")
+    val md = JsonMethods.parse(Files.readString(
+      metaDir.resolve("v1.metadata.json")))
+    assert((md \ "default-spec-id") == JInt(1), md \ "default-spec-id")
+    val specs = (md \ "partition-specs").asInstanceOf[JArray].arr
+    assert(specs.size == 2, "empty spec 0 + real spec 1")
+    val fields = (specs.find(s => (s \ "spec-id") == JInt(1)).get \ "fields")
+      .asInstanceOf[JArray].arr
+    assert(fields.map(f => (f \ "transform").asInstanceOf[JString].s).toSet ==
+      Set("bucket[4]", "month"))
+    assert(fields.map(f => (f \ "field-id")).toSet == Set(JInt(1000), JInt(1001)))
+    assert((md \ "last-partition-id") == JInt(1001))
+
+    // the manifest partition record carries the field ids + real values
+    val mPath = PathIO.list(metaDir)
+      .find(_.getFileName.toString.endsWith("-m0.avro")).get
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(mPath)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val months = try {
+      assert(r.getMetaString("partition-spec-id") == "1")
+      val recs = r.iterator()
+      val got = scala.collection.mutable.Set[Int]()
+      while (recs.hasNext) {
+        val part = recs.next().get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val mField = part.getSchema.getFields.asScala
+          .find(_.name.contains("month")).get
+        assert(mField.getObjectProp("field-id")
+          .asInstanceOf[Number].intValue >= 1000)
+        got += part.get(mField.name).asInstanceOf[Number].intValue
+      }
+      got.toSet
+    } finally r.close()
+    // Iceberg month ordinals: months since 1970-01 — Jan/Feb 2024
+    assert(months == Set((2024 - 1970) * 12, (2024 - 1970) * 12 + 1), months)
+
+    // DataFrame import: content round-trips
+    val back = IcebergInterop.importTable(spark, t.dir.resolve("iceberg").toString)
+    assert(back.select("id", "v").collect().map(r0 =>
+      (r0.getLong(0), r0.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // attach: spec + synthesized tuple stats carry over, so exact
+    // partition pruning works immediately — no restage
+    val cat2 = freshCatalog()
+    val att = IcebergInterop.importAsTable(cat2, "main", "att",
+      t.dir.resolve("iceberg").toString)
+    val m2 = att.metadata
+    assert(m2.partitionSpec.map(_.transform).toSet == Set("bucket", "month"))
+    val monthName = m2.partitionSpec.find(_.transform == "month").get.name
+    val jan = att.filesOverlapping(m2, monthName, "2024-01", "2024-01")
+    assert(jan.nonEmpty && jan.size < m2.currentFiles.size,
+      s"month pruning must work post-attach: ${jan.size}/${m2.currentFiles.size}")
+    assert(att.read().count() == 4)
+  }
+
+  test("unpartitionable files fall back to the unpartitioned spec") {
+    import graft.partition.PartitionHint
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    // write UNPARTITIONED first, then evolve the spec: the pre-spec file
+    // has no derived tuple, so export must fall back to spec 0 rather
+    // than publish partition metadata it cannot prove
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val t = cat.loadTable("main", "t")
+    t.commit(m => m.withPartitionSpec(graft.partition.Transforms.buildSpec(
+      Seq(PartitionHint.bucket(4, "id")), m.schema)), unitMs = 1)
+    val t2 = cat.loadTable("main", "t")
+    assert(t2.metadata.partitionSpec.nonEmpty, "precondition")
+    IcebergInterop.exportTable(t2)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val md = JsonMethods.parse(Files.readString(
+      t2.dir.resolve("iceberg").resolve("metadata").resolve("v1.metadata.json")))
+    assert((md \ "default-spec-id") == JInt(0),
+      "straddling/pre-spec files must export unpartitioned")
+    val back = IcebergInterop.importTable(spark,
+      t2.dir.resolve("iceberg").toString)
+    assert(back.count() == 2)
   }
 
   test("importAsTable replays a MoR tree with exact sequence semantics") {
