@@ -75,6 +75,35 @@ class SpjSpec extends AnyFunSuite {
     assert(a.length == 97)
   }
 
+  test("Iceberg-attached tables join shuffle-free: synthesized tuple stats drive SPJ") {
+    val wh = Files.createTempDirectory("graft-spj-").toString
+    val cat = new GraftCatalog(spark, wh)
+    writeBucketed(cat)
+    // export both sides as Iceberg trees, attach into a SECOND warehouse:
+    // the attach path synthesizes the derived-column stats from the
+    // manifest partition tuples, which must make the attached tables
+    // SPJ-eligible with no restage
+    graft.iceberg.IcebergInterop.exportTable(cat.loadTable("main", "facts"))
+    graft.iceberg.IcebergInterop.exportTable(cat.loadTable("main", "dims"))
+    val wh2 = Files.createTempDirectory("graft-spjatt-").toString
+    val cat2 = new GraftCatalog(spark, wh2)
+    graft.iceberg.IcebergInterop.importAsTable(cat2, "main", "facts",
+      cat.loadTable("main", "facts").dir.resolve("iceberg").toString)
+    graft.iceberg.IcebergInterop.importAsTable(cat2, "main", "dims",
+      cat.loadTable("main", "dims").dir.resolve("iceberg").toString)
+
+    val sql = """SELECT f.k, d.label, COUNT(*) AS n, SUM(f.v) AS sv
+                |FROM spjatt.main.facts f JOIN spjatt.main.dims d ON f.k = d.k
+                |GROUP BY f.k, d.label""".stripMargin
+    val on = spjSession("spjatt", wh2, enabled = true)
+    val df = on.sql(sql)
+    assert(shuffles(df) == 0,
+      s"attached tables must SPJ shuffle-free:\n${df.queryExecution.executedPlan}")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows.size == 97 && rows.values.sum == 4000L,
+      s"attached SPJ join lost rows: ${rows.size} keys / ${rows.values.sum}")
+  }
+
   test("group-by on the bucketed key aggregates without an exchange") {
     val wh = Files.createTempDirectory("graft-spj-agg-").toString
     writeBucketed(new GraftCatalog(spark, wh))
