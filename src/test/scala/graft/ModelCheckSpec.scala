@@ -360,6 +360,26 @@ class ModelCheckSpec extends AnyFunSuite {
             s"seed=$seed step=$step op=$op: LIMIT probe k=$topK " +
               s"got ${lim.toSeq}")
         }
+        // Iceberg round-trip probe: export the CURRENT tree exactly as it
+        // stands — outstanding MoR backlog, partition-spec evolution
+        // (op 12 flips to bucket(4) mid-history, so exports exercise
+        // spec-id minting AND the mixed-vintage fallback), rollbacks,
+        // evolved schemas, the re-export version chain — and re-read it
+        // through the independent import path; it must equal the model.
+        if (rnd.nextInt(3) == 0 && cat.tableExists("main", "t") &&
+            cat.loadTable("main", "t").metadata.currentSnapshotId.isDefined) {
+          val t = cat.loadTable("main", "t")
+          graft.iceberg.IcebergInterop.exportTable(t)
+          val ice = graft.iceberg.IcebergInterop
+            .importTable(spark, t.dir.resolve("iceberg").toString)
+            .select("id", "v").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+          val want2 = model.toSeq.sortBy(_._1)
+          assert(ice == want2,
+            s"seed=$seed step=$step op=$op: Iceberg round-trip diverged\n" +
+              s"extra: ${(ice.toSet -- want2.toSet).take(5)}\n" +
+              s"missing: ${(want2.toSet -- ice.toSet).take(5)}")
+        }
         cat.loadTable("main", "t").metadata.currentSnapshotId.foreach { sid =>
           history += sid -> model.toMap
         }
