@@ -297,6 +297,124 @@ class IcebergInteropSpec extends AnyFunSuite {
       (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (3L, "c")))
   }
 
+  test("imports an EXTERNAL writer's tree: parquet delete files, URI paths, seq inheritance") {
+    // hand-build the tree the way a Spark+Iceberg writer would lay it
+    // out: parquet DATA and parquet DELETE files (not our Avro),
+    // file:// URIs everywhere, and ADDED entries with NULL sequence
+    // numbers that must inherit the manifest-list sequence (v2
+    // inheritance) — none of which our own exporter produces
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    val root = Files.createTempDirectory("graft-ext-ice-")
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    def onePart(dir: java.nio.file.Path, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      PathIO.list(dir).find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).get.toString
+    }
+    // data: ids 1..10 at sequence 1 (via inheritance)
+    val dataPath = onePart(root.resolve("d1"),
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // equality-delete parquet at seq 2: kills ids 3, 4
+    val eqPath = onePart(root.resolve("ed"), Seq(3L, 4L).toDF("id"))
+    // positional-delete parquet at seq 2: kills positions 0 and 9 of the
+    // data file, addressed by file:// URI like Spark writes it
+    val posPath = onePart(root.resolve("pd"),
+      Seq((s"file://$dataPath", 0L), (s"file://$dataPath", 9L))
+        .toDF("file_path", "pos"))
+
+    def entry(schema: org.apache.avro.Schema, path: String, fmt: String,
+        content: Int, rows: Long, seq: java.lang.Long,
+        eqIds: Seq[Int]): GenericRecord = {
+      val e = new GenericData.Record(schema)
+      e.put("status", 1)
+      e.put("snapshot_id", java.lang.Long.valueOf(77L))
+      e.put("sequence_number", seq) // null => v2 inheritance
+      e.put("file_sequence_number", seq)
+      val df0 = new GenericData.Record(schema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", s"file://$path")
+      df0.put("file_format", fmt)
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", java.lang.Long.valueOf(rows))
+      df0.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(
+        java.nio.file.Paths.get(path))))
+      if (eqIds.nonEmpty)
+        df0.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+      e.put("data_file", df0)
+      e
+    }
+    def writeAvro(schema: org.apache.avro.Schema, recs: Seq[GenericRecord],
+        dest: java.nio.file.Path): Long = {
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dest.toFile)
+      try recs.foreach(w.append) finally w.close()
+      Files.size(dest)
+    }
+    val es = IcebergInterop.ManifestEntrySchema
+    // data manifest: entry seq NULL -> inherits list seq 1
+    val m0 = metaDir.resolve("ext-m0.avro")
+    val m0len = writeAvro(es,
+      Seq(entry(es, dataPath, "PARQUET", 0, 10L, null, Nil)), m0)
+    // delete manifest at list seq 2; entries carry explicit seq 2
+    val m1 = metaDir.resolve("ext-m1.avro")
+    val m1len = writeAvro(es, Seq(
+      entry(es, eqPath, "PARQUET", 2, 2L, 2L, Seq(1)),
+      entry(es, posPath, "PARQUET", 1, 2L, 2L, Nil)), m1)
+    val ml = IcebergInterop.ManifestListSchema
+    def listEntry(p: java.nio.file.Path, len: Long, content: Int,
+        seq: Long): GenericRecord = {
+      val r = new GenericData.Record(ml)
+      r.put("manifest_path", s"file://$p")
+      r.put("manifest_length", java.lang.Long.valueOf(len))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", java.lang.Long.valueOf(seq))
+      r.put("min_sequence_number", java.lang.Long.valueOf(seq))
+      r.put("added_snapshot_id", java.lang.Long.valueOf(77L))
+      r.put("added_files_count", Integer.valueOf(1))
+      r.put("existing_files_count", Integer.valueOf(0))
+      r.put("deleted_files_count", Integer.valueOf(0))
+      r.put("added_rows_count", java.lang.Long.valueOf(2L))
+      r.put("existing_rows_count", java.lang.Long.valueOf(0L))
+      r.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+      r
+    }
+    val listPath = metaDir.resolve("snap-77-1-ext.avro")
+    writeAvro(ml, Seq(listEntry(m0, m0len, 0, 1L),
+      listEntry(m1, m1len, 1, 2L)), listPath)
+    val (schemaJson, lastId) = IcebergInterop.toIcebergSchemaJson(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    Files.writeString(metaDir.resolve("v1.metadata.json"),
+      s"""{"format-version": 2, "table-uuid": "0-0-0-0-0",
+         | "location": "file://$root", "last-sequence-number": 2,
+         | "last-updated-ms": 1, "last-column-id": $lastId,
+         | "current-schema-id": 0, "schemas": [$schemaJson],
+         | "default-spec-id": 0,
+         | "partition-specs": [{"spec-id": 0, "fields": []}],
+         | "last-partition-id": 999, "default-sort-order-id": 0,
+         | "sort-orders": [{"order-id": 0, "fields": []}],
+         | "current-snapshot-id": 77,
+         | "snapshots": [{"snapshot-id": 77, "sequence-number": 2,
+         |   "timestamp-ms": 1, "schema-id": 0,
+         |   "summary": {"operation": "append"},
+         |   "manifest-list": "file://$listPath"}],
+         | "snapshot-log": [], "metadata-log": []}""".stripMargin)
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+
+    // expected: 1..10 minus eq{3,4} minus positions {0,9} = ids 1,10 gone
+    val expect = (1L to 10L).toSet -- Set(3L, 4L) -- Set(1L, 10L)
+    val got = IcebergInterop.importTable(spark, root.toString)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"external-tree import: $got vs $expect")
+    // attach path too (replay): same content, native MoR state
+    val cat = freshCatalog()
+    val att = IcebergInterop.importAsTable(cat, "main", "ext", root.toString)
+    assert(att.read().select("id").collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("partitioned export round-trips the real spec, tuples, and pruning") {
     import graft.partition.PartitionHint
     val cat = freshCatalog()
