@@ -934,7 +934,8 @@ object IcebergInterop {
       // deletes at sequence S land BEFORE data at S (a delete never hits
       // same-sequence rows), after data below S. One commit per distinct
       // sequence, bounded by the source's snapshots-since-compaction.
-      val (eq, pos) = stageDeletes(cat.spark, plan, t.dir.resolve("deletes"))
+      val (eq, pos) = stageDeletes(cat.spark, plan, t.dir.resolve("deletes"),
+        stageAll = true)
       val dataBySeq = plan.files.groupBy(_.seq)
       val eqBySeq = eq.groupBy(_.seq)
       for (s <- (dataBySeq.keySet ++ eqBySeq.keySet).toSeq.sorted) {
@@ -992,15 +993,19 @@ object IcebergInterop {
   private def importDeleteMaxRows: Long = exportDeleteMaxRows
 
   /** Convert the plan's Iceberg delete files into the native model.
-    * Parquet equality deletes are referenced IN PLACE (MorRead reads key
-    * columns by name with a cast, exactly like our own delete files);
     * Avro delete files decode on the driver (bounded by
-    * [[importDeleteMaxRows]], checked against manifest record counts);
-    * position deletes re-stage once as a `(file_path, row_index)`
-    * parquet with scheme-normalized paths so they join the scan's
-    * `_metadata` attribution. */
+    * [[importDeleteMaxRows]], checked against manifest record counts)
+    * and re-stage as parquet; position deletes re-stage once as a
+    * `(file_path, row_index)` parquet with scheme-normalized paths so
+    * they join the scan's `_metadata` attribution. Parquet equality
+    * deletes are referenced IN PLACE for a pure read (`stageAll=false`
+    * — MorRead reads key columns by name with a cast), but an ATTACH
+    * re-stages them too (`stageAll=true`): the tiny copy buys
+    * commit-time key min/max stats, so point lookups on the attached
+    * table prune the delete side exactly like a natively written one. */
   private def stageDeletes(spark: SparkSession, plan: IcebergPlan,
-      destDir: Path): (Seq[DeleteFile], Seq[PosDeleteFile]) = {
+      destDir: Path, stageAll: Boolean = false):
+      (Seq[DeleteFile], Seq[PosDeleteFile]) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.Row
     Files.createDirectories(destDir)
@@ -1009,18 +1014,24 @@ object IcebergInterop {
       s"iceberg-import: Avro delete file ${d.path} has ${d.recordCount} " +
         s"rows (> $importDeleteMaxRows) — compact with the writing engine"))
     val eq = plan.eqDeletes.zipWithIndex.map {
-      case (d, _) if d.format == "PARQUET" =>
+      case (d, _) if d.format == "PARQUET" && !stageAll =>
         DeleteFile(d.path, d.keyColumns, d.recordCount, d.seq)
       case (d, i) =>
         val fields = d.keyColumns.map(k => plan.schema(k))
-        val rows = readAvro(Paths.get(d.path))._1.map { r =>
-          Row.fromSeq(fields.map(f => fromAvroValue(f.dataType, r.get(f.name))))
-        }
-        val df = spark.createDataFrame(rows.asJava, StructType(fields))
+        val df =
+          if (d.format == "PARQUET")
+            spark.read.schema(StructType(fields)).parquet(d.path)
+          else {
+            val rows = readAvro(Paths.get(d.path))._1.map { r =>
+              Row.fromSeq(fields.map(f =>
+                fromAvroValue(f.dataType, r.get(f.name))))
+            }
+            spark.createDataFrame(rows.asJava, StructType(fields))
+          }
         val staged = graft.write.Stager.stage(
           df.coalesce(1), destDir, s"icedel-eq$i")
-        DeleteFile(staged.head.path, d.keyColumns, d.recordCount, d.seq,
-          staged.head.stats)
+        DeleteFile(staged.head.path, d.keyColumns, staged.head.rowCount,
+          d.seq, staged.head.stats)
     }
     val pos =
       if (plan.posDeletes.isEmpty) Nil

@@ -528,9 +528,14 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.read().collect().map(r => (r.getLong(0), r.getString(1)))
       .toSet == Set((1L, "a2"), (3L, "c")))
     // the attach converted the tree into NATIVE MoR state (not a
-    // pre-merged copy): the snapshot still carries delete files
+    // pre-merged copy): the snapshot still carries delete files, and the
+    // re-staged equality deletes carry key min/max stats so point
+    // lookups prune the delete side like a natively written table
     val snap = t.metadata.currentSnapshot.get
     assert(snap.deletes.nonEmpty && snap.posDeletes.nonEmpty, "native MoR")
+    assert(snap.deletes.forall(d =>
+      d.keyColumns.forall(k => d.stats.get(k).exists(_.min.isDefined))),
+      s"attached eq deletes must carry key stats: ${snap.deletes.map(_.stats)}")
     // FUTURE commits see consistent sequences: a new MoR upsert's delete
     // applies to every imported row older than it
     val cfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
