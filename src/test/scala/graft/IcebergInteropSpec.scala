@@ -492,6 +492,40 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(att.read().count() == 4)
   }
 
+  test("null partition tuples round-trip (all-null source file)") {
+    import graft.partition.PartitionHint
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1,
+      partitions = Seq(PartitionHint.identity("grp")))
+    val rows = Seq((1L, "a", "x"), (2L, "b", "x"),
+      (3L, "c", null: String), (4L, "d", null: String))
+    w.writeTable("main", "t", Seq(rows.toDF("id", "v", "grp")), Append, cfg, "l1")
+    val t = cat.loadTable("main", "t")
+    IcebergInterop.exportTable(t)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val md = JsonMethods.parse(Files.readString(t.dir.resolve("iceberg")
+      .resolve("metadata").resolve("v1.metadata.json")))
+    assert((md \ "default-spec-id") == JInt(1),
+      "null tuples are decodable (nullCount == rowCount), not a fallback")
+    // round-trip: content + null group intact through both import flavors
+    val back = IcebergInterop.importTable(spark, t.dir.resolve("iceberg").toString)
+    assert(back.filter(col("grp").isNull).count() == 2)
+    assert(back.count() == 4)
+    val cat2 = freshCatalog()
+    val att = IcebergInterop.importAsTable(cat2, "main", "att",
+      t.dir.resolve("iceberg").toString)
+    assert(att.read().filter(col("grp").isNull).count() == 2)
+    // the null-group file's synthesized stats mark the all-null tuple
+    val nullFile = att.metadata.currentFiles.find(f =>
+      f.stats.exists { case (k, s) =>
+        k.contains("grp") && s.nullCount.contains(f.rowCount) })
+    assert(nullFile.isDefined,
+      s"attached null tuple must synthesize nullCount==rowCount stats: " +
+        s"${att.metadata.currentFiles.map(_.stats)}")
+  }
+
   test("unpartitionable files fall back to the unpartitioned spec") {
     import graft.partition.PartitionHint
     val cat = freshCatalog()
