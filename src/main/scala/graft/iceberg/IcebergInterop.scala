@@ -779,6 +779,23 @@ object IcebergInterop {
     // dangling single version. (prev/prevList parsed above, before the
     // spec-id allocation.)
     val schemaJV = JsonMethods.parse(schemaJson)
+    // declared write sort order (`graft.write.sort-order`) exports as a
+    // real Iceberg sort order: identity/asc/nulls-first per column —
+    // the exact clustering the Stager writes, so an external engine's
+    // scan planning sees the layout it will actually find
+    val sortCols = m.properties.get(graft.write.GraftWriter.SortOrderProperty)
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(m.schema.fieldNames.contains)
+    val emptyOrder: JValue = ("order-id" -> 0) ~ ("fields" -> List.empty[String])
+    val (sortOrderId, sortOrders: List[JValue]) =
+      if (sortCols.isEmpty) (0, List(emptyOrder))
+      else {
+        val topIds = topLevelFieldIds(m.schema)
+        (1, List(emptyOrder,
+          ("order-id" -> 1) ~ ("fields" -> sortCols.toList.map(c =>
+            ("transform" -> "identity") ~ ("source-id" -> topIds(c)) ~
+              ("direction" -> "asc") ~ ("null-order" -> "nulls-first")))))
+      }
     // carry prior exported snapshots, dropping a re-export of the SAME
     // snapshot id (idempotent re-export replaces, never duplicates)
     val priorSnaps = prevList("snapshots").filterNot(s =>
@@ -832,9 +849,8 @@ object IcebergInterop {
           })
           case _ => Nil
         })).max) ~
-      ("default-sort-order-id" -> 0) ~
-      ("sort-orders" -> List(
-        ("order-id" -> 0) ~ ("fields" -> List.empty[String]))) ~
+      ("default-sort-order-id" -> sortOrderId) ~
+      ("sort-orders" -> JArray(sortOrders)) ~
       ("properties" -> m.properties.filter(_._2.nonEmpty)) ~
       ("current-snapshot-id" -> snap.snapshotId) ~
       ("refs" -> ("main" ->
@@ -911,7 +927,8 @@ object IcebergInterop {
     val specEligible = plan.spec.nonEmpty &&
       plan.files.forall(f => plan.spec.forall(s => f.partition.contains(s.name)))
     val t = cat.createTable(ns, name, plan.schema,
-      spec = if (specEligible) plan.spec else Nil)
+      spec = if (specEligible) plan.spec else Nil,
+      properties = plan.properties)
     def toDataFile(f: IcebergFile) = graft.catalog.DataFile(
       f.path, f.recordCount, f.sizeBytes,
       if (!specEligible) Map.empty
@@ -971,7 +988,13 @@ object IcebergInterop {
         * model (empty when unpartitioned or when a transform/source
         * could not be translated — partition fidelity is best-effort on
         * import, correctness never depends on it). */
-      spec: Seq[graft.catalog.PartitionFieldSpec] = Nil)
+      spec: Seq[graft.catalog.PartitionFieldSpec] = Nil,
+      /** the tree's table properties — an attach carries them onto the
+        * new table, so graft-written contracts (`graft.primary-key`,
+        * delete mode, sort order, maintenance knobs) survive a
+        * round-trip and external properties ride along as opaque
+        * strings. */
+      properties: Map[String, String] = Map.empty)
 
   /** The planning half of [[importTable]]: (Spark schema, live parquet
     * paths) from the Iceberg metadata tree. This bare-path surface
@@ -1248,8 +1271,14 @@ object IcebergInterop {
         }
       }
     }
+    val props: Map[String, String] = (md \ "properties") match {
+      case JObject(fs) => fs.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
     IcebergPlan(schema, dataFiles, eqDeletes, posDeletes,
-      specTranslated.map(_._2))
+      specTranslated.map(_._2), props)
   }
 
   /** Iceberg partition VALUE -> the engine's canonical stat encoding for

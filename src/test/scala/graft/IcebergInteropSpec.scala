@@ -427,6 +427,8 @@ class IcebergInteropSpec extends AnyFunSuite {
       (3L, java.sql.Date.valueOf("2024-02-02"), "c"),
       (4L, java.sql.Date.valueOf("2024-02-28"), "d")).toDF("id", "d", "v")
     w.writeTable("main", "t", Seq(df), Append, cfg, "l1")
+    cat.loadTable("main", "t").commit(m => m.copy(properties =
+      m.properties + (GraftWriter.SortOrderProperty -> "id")), unitMs = 1)
     val t = cat.loadTable("main", "t")
     assert(t.metadata.partitionSpec.size == 2, "precondition: spec built")
     IcebergInterop.exportTable(t, nowMs = 1700000000000L)
@@ -446,6 +448,13 @@ class IcebergInteropSpec extends AnyFunSuite {
       Set("bucket[4]", "month"))
     assert(fields.map(f => (f \ "field-id")).toSet == Set(JInt(1000), JInt(1001)))
     assert((md \ "last-partition-id") == JInt(1001))
+    // the declared write sort order exports as a real Iceberg sort order
+    assert((md \ "default-sort-order-id") == JInt(1))
+    val so = (md \ "sort-orders").asInstanceOf[JArray].arr
+      .find(s => (s \ "order-id") == JInt(1)).get
+    val sof = (so \ "fields").asInstanceOf[JArray].arr
+    assert(sof.size == 1 && (sof.head \ "direction") == JString("asc") &&
+      (sof.head \ "source-id") == JInt(1), sof)
 
     // the manifest partition record carries the field ids + real values
     val mPath = PathIO.list(metaDir)
@@ -554,7 +563,12 @@ class IcebergInteropSpec extends AnyFunSuite {
   }
 
   test("importAsTable replays a MoR tree with exact sequence semantics") {
-    val (_, src) = morFixture()
+    val (srcCat, src0) = morFixture()
+    // table properties ride the round-trip: the PK contract set here
+    // must be live on the attached table
+    src0.commit(m => m.copy(properties =
+      m.properties + ("graft.primary-key" -> "id")), unitMs = 1)
+    val src = srcCat.loadTable("main", "t")
     IcebergInterop.exportTable(src)
     val cat2 = freshCatalog()
     val t = IcebergInterop.importAsTable(cat2, "main", "attached",
@@ -570,6 +584,8 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(snap.deletes.forall(d =>
       d.keyColumns.forall(k => d.stats.get(k).exists(_.min.isDefined))),
       s"attached eq deletes must carry key stats: ${snap.deletes.map(_.stats)}")
+    assert(t.metadata.properties.get("graft.primary-key").contains("id"),
+      s"table properties must survive the attach: ${t.metadata.properties}")
     // FUTURE commits see consistent sequences: a new MoR upsert's delete
     // applies to every imported row older than it
     val cfg = WriteConfig(primaryKey = Seq("id"), retryUnitMs = 1,
