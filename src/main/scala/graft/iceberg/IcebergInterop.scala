@@ -508,32 +508,47 @@ object IcebergInterop {
 
   // ---- export ----
 
-  /** Write an Iceberg v2 metadata tree for the table's CURRENT snapshot
-    * at `dest` (default `<table-dir>/iceberg`), referencing the live
-    * parquet files in place. Returns the metadata.json path. */
+  /** Write an Iceberg v2 metadata tree for the table's FULL retained
+    * snapshot history at `dest` (default `<table-dir>/iceberg`),
+    * referencing the live parquet files in place. Every retained graft
+    * snapshot becomes a real Iceberg snapshot with its own manifest
+    * list, so an external engine gets genuine time travel over the
+    * table's history — not just over export points. Manifests export
+    * ONCE per graft manifest (snapshots share manifests by identity,
+    * exactly like the native metadata) and immutable outputs are
+    * skipped on re-export, so export cost is O(distinct manifests +
+    * distinct delete files) — metadata-only, no data bytes, amortized
+    * O(delta) across repeated exports. Branches and tags export as
+    * Iceberg refs. Historical snapshots are served under the CURRENT
+    * schema (columns added later null-fill — graft's own snapshot-time
+    * schema resolution is finer; documented divergence, since Iceberg
+    * field ids must stay stable across schema versions and ours are
+    * assigned per export). Returns the metadata.json path. */
   def exportTable(t: GraftTable, destDir: Option[Path] = None,
       nowMs: Long = System.currentTimeMillis()): Path = {
     val m = t.metadata
-    val snap = m.currentSnapshot.getOrElse(
+    val current = m.currentSnapshot.getOrElse(
       throw new ValidationError("iceberg-export: table has no snapshot"))
-    // merge-on-read backlog exports as real Iceberg delete files; the
+    val snaps = m.snapshots.sortBy(_.snapshotId)
+    // merge-on-read backlogs export as real Iceberg delete files; the
     // driver-side Avro encode is bounded from snapshot METADATA row
-    // counts before reading a byte — a backlog past the threshold wants
-    // compaction, not a bigger export buffer
-    val eqDels = snap.deletes
-    val posDels = snap.posDeletes
+    // counts before reading a byte — DISTINCT files only (snapshots
+    // share delete files until compaction clears them), and a backlog
+    // past the threshold wants compaction, not a bigger export buffer
+    val eqDels = snaps.flatMap(_.deletes).groupBy(_.path).values
+      .map(_.head).toSeq.sortBy(_.path)
+    val posDels = snaps.flatMap(_.posDeletes).groupBy(_.path).values
+      .map(_.head).toSeq.sortBy(_.path)
     val delRows = eqDels.map(_.rowCount).sum + posDels.map(_.rowCount).sum
     require(delRows <= exportDeleteMaxRows,
       s"iceberg-export refuses a merge-on-read delete backlog of $delRows " +
         s"rows (> $exportDeleteMaxRows, $ExportDeleteMaxRowsKey): run " +
         "Maintenance.applyDeletes (or CALL system.apply_deletes) first")
-    val files = m.currentFiles
     val dest = destDir.getOrElse(t.dir.resolve("iceberg"))
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)
     val (schemaJson, lastColumnId) = toIcebergSchemaJson(m.schema)
-    val snapshotId = snap.snapshotId
-    val seq = snapshotId // our snapshot ids are the commit order
+    val tableUuid = java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)
 
     // prior export state — parsed once, used by both the spec-id
     // allocation below and the metadata version chain at the end
@@ -555,24 +570,18 @@ object IcebergInterop {
       case None => Nil
     }
 
-    // partition-spec fidelity: when every live file carries a decodable
-    // single-valued partition tuple (value-exact staging — the same
-    // eligibility SPJ uses), export the REAL spec and per-file partition
-    // tuples; otherwise (spec-evolution stragglers, pre-spec files) fall
-    // back to the unpartitioned spec, which is correctness-neutral.
+    // partition-spec fidelity: the DECLARED spec publishes whenever the
+    // table has one (Iceberg's default spec is the current spec
+    // regardless of file vintages); each manifest carries real tuples
+    // only if EVERY member file decodes a single-valued tuple from its
+    // commit-time stats (value-exact staging — the same eligibility SPJ
+    // uses), else that manifest references the empty spec 0 — so
+    // mixed-vintage histories degrade per-manifest, never whole-table.
     val pfields = icePartFields(m)
-    val partValues: Option[Seq[Seq[AnyRef]]] =
-      if (pfields.isEmpty || files.isEmpty) None
-      else {
-        val srcTypes = pfields.map(p => m.schema(p.spec.source).dataType)
-        val vals = files.map(f => pfields.zip(srcTypes).map {
-          case (p, st) => icePartValue(f, p, st) })
-        if (vals.exists(_.exists(_.isEmpty))) None
-        else Some(vals.map(_.map(_.get)))
-      }
-    val partitioned = partValues.isDefined
+    val srcTypes = pfields.map(p => m.schema(p.spec.source).dataType)
+    val declared = pfields.nonEmpty
     val specFieldsJV: JValue =
-      if (!partitioned) JArray(Nil)
+      if (!declared) JArray(Nil)
       else JArray(pfields.toList.map(p =>
         ("name" -> p.spec.name) ~ ("transform" -> p.transform) ~
           ("source-id" -> p.sourceId) ~ ("field-id" -> p.fieldId)))
@@ -586,7 +595,7 @@ object IcebergInterop {
       else (("spec-id" -> 0) ~ ("fields" -> List.empty[String]): JValue) :: ps
     }
     val specId: Int =
-      if (!partitioned) 0
+      if (!declared) 0
       else priorSpecs.find(s => (s \ "fields") == specFieldsJV) match {
         case Some(s) => (s \ "spec-id") match {
           case JInt(i) => i.toInt
@@ -598,186 +607,221 @@ object IcebergInterop {
         }).max + 1
       }
     val allSpecs: List[JValue] =
-      if (!partitioned || priorSpecs.exists(s => (s \ "spec-id") == JInt(specId)))
+      if (!declared || priorSpecs.exists(s => (s \ "spec-id") == JInt(specId)))
         priorSpecs
       else priorSpecs :+ ((("spec-id" -> specId) ~
         ("fields" -> specFieldsJV)): JValue)
-    val entrySchema =
-      if (partitioned) manifestEntrySchemaFor(partitionRecordSchema(pfields))
-      else ManifestEntrySchema
 
-    // manifest file: every live data file as an ADDED entry, carrying
-    // its partition tuple under the real spec when eligible
-    val entries = files.zipWithIndex.map { case (f, fi) =>
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED (single exported snapshot owns all files)
-      e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
-      e.put("sequence_number", java.lang.Long.valueOf(f.dataSeq.max(1L)))
-      e.put("file_sequence_number", java.lang.Long.valueOf(f.dataSeq.max(1L)))
-      val df = new GenericData.Record(
-        entrySchema.getField("data_file").schema())
-      df.put("content", 0) // DATA
-      df.put("file_path", toUri(f.path))
-      df.put("file_format", "PARQUET")
-      val part = new GenericData.Record(
-        df.getSchema.getField("partition").schema())
-      partValues.foreach(vals => pfields.zip(vals(fi)).foreach {
-        case (p, v) => part.put(p.spec.name, v) })
-      df.put("partition", part)
-      df.put("record_count", java.lang.Long.valueOf(f.rowCount))
-      df.put("file_size_in_bytes", java.lang.Long.valueOf(
-        if (f.sizeBytes > 0) f.sizeBytes
-        else try Files.size(Paths.get(f.path)) catch { case _: Throwable => 0L }))
-      e.put("data_file", df)
-      e
-    }
-    // snapshot-unique name: a later export must never overwrite a file a
-    // prior exported snapshot's manifest list still references
-    val manifestPath = metaDir.resolve(
-      s"${java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)}" +
-        s"-$snapshotId-m0.avro")
-    val manifestLen = writeAvro(entrySchema, entries, Map(
-      "schema" -> schemaJson,
-      "schema-id" -> "0",
-      "partition-spec" -> JsonMethods.compact(specFieldsJV),
-      "partition-spec-id" -> specId.toString,
-      "format-version" -> "2",
-      "content" -> "data"), manifestPath)
+    // ---- data manifests: ONE exported Avro per graft manifest ----
+    final case class ExpManifest(path: Path, len: Long, sid: Int,
+        fileCount: Int, rowCount: Long, minSeq: Long, maxSeq: Long)
+    val manifestCache = scala.collection.mutable.Map.empty[String, ExpManifest]
+    def exportManifest(key: String, files: Seq[graft.catalog.DataFile]): ExpManifest =
+      manifestCache.getOrElseUpdate(key, {
+        val partValues: Option[Seq[Seq[AnyRef]]] =
+          if (!declared || files.isEmpty) None
+          else {
+            val vs = files.map(f => pfields.zip(srcTypes).map {
+              case (p, st) => icePartValue(f, p, st) })
+            if (vs.exists(_.exists(_.isEmpty))) None
+            else Some(vs.map(_.map(_.get)))
+          }
+        val sid = if (partValues.isDefined) specId else 0
+        val entrySchema =
+          if (partValues.isDefined)
+            manifestEntrySchemaFor(partitionRecordSchema(pfields))
+          else ManifestEntrySchema
+        val out = metaDir.resolve(
+          s"${java.util.UUID.nameUUIDFromBytes(key.getBytes)}-spec$sid-m0.avro")
+        // manifests are immutable (key = content identity): a re-export
+        // skips bodies already on disk — the O(delta) amortization
+        if (!Files.exists(out)) {
+          val entries = files.zipWithIndex.map { case (f, fi) =>
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1) // ADDED by the snapshot whose seq it carries
+            e.put("snapshot_id", java.lang.Long.valueOf(f.dataSeq.max(1L)))
+            e.put("sequence_number", java.lang.Long.valueOf(f.dataSeq.max(1L)))
+            e.put("file_sequence_number", java.lang.Long.valueOf(f.dataSeq.max(1L)))
+            val df = new GenericData.Record(
+              entrySchema.getField("data_file").schema())
+            df.put("content", 0) // DATA
+            df.put("file_path", toUri(f.path))
+            df.put("file_format", "PARQUET")
+            val part = new GenericData.Record(
+              df.getSchema.getField("partition").schema())
+            partValues.foreach(vals => pfields.zip(vals(fi)).foreach {
+              case (p, v) => part.put(p.spec.name, v) })
+            df.put("partition", part)
+            df.put("record_count", java.lang.Long.valueOf(f.rowCount))
+            df.put("file_size_in_bytes", java.lang.Long.valueOf(
+              if (f.sizeBytes > 0) f.sizeBytes
+              else try Files.size(Paths.get(f.path))
+              catch { case _: Throwable => 0L }))
+            e.put("data_file", df)
+            e
+          }
+          writeAvro(entrySchema, entries, Map(
+            "schema" -> schemaJson,
+            "schema-id" -> "0",
+            "partition-spec" ->
+              (if (sid == 0) "[]" else JsonMethods.compact(specFieldsJV)),
+            "partition-spec-id" -> sid.toString,
+            "format-version" -> "2",
+            "content" -> "data"), out)
+        }
+        val seqs = files.map(_.dataSeq.max(1L))
+        ExpManifest(out, Files.size(out), sid, files.size,
+          files.map(_.rowCount).sum,
+          seqs.minOption.getOrElse(1L), seqs.maxOption.getOrElse(1L))
+      })
+    // a snapshot's manifest groups: shared refs by path identity, or an
+    // inline/legacy file list as one pseudo-manifest keyed by snapshot
+    val bodyCache = scala.collection.mutable.Map.empty[String, Seq[graft.catalog.DataFile]]
+    def groupsOf(s: graft.catalog.Snapshot): Seq[(String, Seq[graft.catalog.DataFile])] =
+      s.files match {
+        case Some(inline) => Seq((s"inline:${s.snapshotId}", inline))
+        case None => s.manifestPaths.map(p =>
+          (p, bodyCache.getOrElseUpdate(p, graft.catalog.ManifestIO.read(p))))
+      }
 
-    // merge-on-read backlog -> genuine Iceberg v2 delete files (Avro, so
-    // the field ids live in the file schema) + a delete manifest. Each
-    // equality delete keeps its own sequence number — Iceberg's strict
-    // `data_seq < delete_seq` rule is the engine's own MorRead rule, so
-    // the exported tree deletes exactly the rows our reads delete.
-    def delEntry(path: Path, rows: Long, entrySeq: Long, content: Int,
-        equalityIds: Seq[Int]): GenericRecord = {
+    // ---- delete files: convert each DISTINCT file once (Avro, so the
+    // field ids live in the file schema); Iceberg's strict
+    // `data_seq < delete_seq` equality rule is MorRead's own rule, so
+    // the exported tree deletes exactly the rows our reads delete ----
+    val topIds = topLevelFieldIds(m.schema)
+    if (eqDels.nonEmpty || posDels.nonEmpty)
+      Files.createDirectories(dest.resolve("data"))
+    final case class ExpDelete(path: Path, rows: Long, content: Int,
+        eqIds: Seq[Int])
+    import org.apache.spark.sql.functions.col
+    val eqExp: Map[String, ExpDelete] = eqDels.map { d =>
+      val keyFields = d.keyColumns.map(k => m.schema(k))
+      val avro = eqDeleteAvroSchema(keyFields.map(f =>
+        (f.name, f.dataType, topIds(f.name))))
+      val out = dest.resolve("data").resolve(
+        s"delete-eq-${java.util.UUID.nameUUIDFromBytes(d.path.getBytes)}.avro")
+      if (!Files.exists(out)) {
+        val rows = t.spark.read.parquet(d.path)
+          .select(d.keyColumns.map(col): _*).toLocalIterator()
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avro))
+        w.create(avro, out.toFile)
+        try rows.asScala.foreach { r =>
+          val rec = new GenericData.Record(avro)
+          keyFields.zipWithIndex.foreach { case (f, j) =>
+            rec.put(f.name, toAvroValue(f.dataType, r.get(j), f.name)) }
+          w.append(rec)
+        } finally w.close()
+      }
+      d.path -> ExpDelete(out, d.rowCount, 2, d.keyColumns.map(topIds))
+    }.toMap
+    val posExp: Map[String, ExpDelete] = posDels.map { p =>
+      val out = dest.resolve("data").resolve(
+        s"delete-pos-${java.util.UUID.nameUUIDFromBytes(p.path.getBytes)}.avro")
+      if (!Files.exists(out)) {
+        // spec-recommended (file_path, pos) order within the file
+        val rows = t.spark.read.parquet(p.path)
+          .select(col("file_path"), col("row_index"))
+          .orderBy(col("file_path"), col("row_index")).toLocalIterator()
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](PosDeleteAvroSchema))
+        w.create(PosDeleteAvroSchema, out.toFile)
+        try rows.asScala.foreach { r =>
+          val rec = new GenericData.Record(PosDeleteAvroSchema)
+          rec.put("file_path", toUri(r.getString(0)))
+          rec.put("pos", java.lang.Long.valueOf(r.getLong(1)))
+          w.append(rec)
+        } finally w.close()
+      }
+      p.path -> ExpDelete(out, p.rowCount, 1, Nil)
+    }.toMap
+    def delEntry(ed: ExpDelete, entrySeq: Long): GenericRecord = {
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1)
-      e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
+      e.put("snapshot_id", java.lang.Long.valueOf(entrySeq))
       e.put("sequence_number", java.lang.Long.valueOf(entrySeq))
       e.put("file_sequence_number", java.lang.Long.valueOf(entrySeq))
       val df = new GenericData.Record(
         ManifestEntrySchema.getField("data_file").schema())
-      df.put("content", content)
-      df.put("file_path", toUri(path.toString))
+      df.put("content", ed.content)
+      df.put("file_path", toUri(ed.path.toString))
       df.put("file_format", "AVRO")
       df.put("partition", new GenericData.Record(
         df.getSchema.getField("partition").schema()))
-      df.put("record_count", java.lang.Long.valueOf(rows))
-      df.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(path)))
-      if (equalityIds.nonEmpty)
-        df.put("equality_ids", equalityIds.map(Integer.valueOf).asJava)
+      df.put("record_count", java.lang.Long.valueOf(ed.rows))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(ed.path)))
+      if (ed.eqIds.nonEmpty)
+        df.put("equality_ids", ed.eqIds.map(Integer.valueOf).asJava)
       e.put("data_file", df)
       e
     }
-    val deleteEntries: Seq[GenericRecord] =
-      if (eqDels.isEmpty && posDels.isEmpty) Nil
-      else {
-        val dataDir = dest.resolve("data")
-        Files.createDirectories(dataDir)
-        val topIds = topLevelFieldIds(m.schema)
-        import org.apache.spark.sql.functions.col
-        val eqEntries = eqDels.zipWithIndex.map { case (d, i) =>
-          val keyFields = d.keyColumns.map(k => m.schema(k))
-          val avro = eqDeleteAvroSchema(keyFields.map(f =>
-            (f.name, f.dataType, topIds(f.name))))
-          val out = dataDir.resolve(s"delete-eq-$snapshotId-$i.avro")
-          val rows = t.spark.read.parquet(d.path)
-            .select(d.keyColumns.map(col): _*).toLocalIterator()
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](avro))
-          w.create(avro, out.toFile)
-          var n = 0L
-          try rows.asScala.foreach { r =>
-            val rec = new GenericData.Record(avro)
-            keyFields.zipWithIndex.foreach { case (f, j) =>
-              rec.put(f.name, toAvroValue(f.dataType, r.get(j), f.name)) }
-            w.append(rec); n += 1
-          } finally w.close()
-          delEntry(out, n, d.seq.max(1L), content = 2,
-            equalityIds = d.keyColumns.map(topIds))
-        }
-        val posEntries = if (posDels.isEmpty) Nil else {
-          val out = dataDir.resolve(s"delete-pos-$snapshotId.avro")
-          // positions bind to immutable file paths (no sequence
-          // semantics); one combined file in the spec-recommended
-          // (file_path, pos) order
-          val rows = t.spark.read.parquet(posDels.map(_.path): _*)
-            .select(col("file_path"), col("row_index"))
-            .orderBy(col("file_path"), col("row_index")).toLocalIterator()
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](PosDeleteAvroSchema))
-          w.create(PosDeleteAvroSchema, out.toFile)
-          var n = 0L
-          try rows.asScala.foreach { r =>
-            val rec = new GenericData.Record(PosDeleteAvroSchema)
-            rec.put("file_path", toUri(r.getString(0)))
-            rec.put("pos", java.lang.Long.valueOf(r.getLong(1)))
-            w.append(rec); n += 1
-          } finally w.close()
-          Seq(delEntry(out, n, snapshotId.max(1L), content = 1, Nil))
-        }
-        eqEntries ++ posEntries
-      }
 
-    // manifest list
-    val mf = new GenericData.Record(ManifestListSchema)
-    mf.put("manifest_path", toUri(manifestPath.toString))
-    mf.put("manifest_length", java.lang.Long.valueOf(manifestLen))
-    mf.put("partition_spec_id", specId)
-    mf.put("content", 0)
-    mf.put("sequence_number", java.lang.Long.valueOf(seq))
-    mf.put("min_sequence_number", java.lang.Long.valueOf(1L))
-    mf.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
-    mf.put("added_files_count", Integer.valueOf(files.size))
-    mf.put("existing_files_count", Integer.valueOf(0))
-    mf.put("deleted_files_count", Integer.valueOf(0))
-    mf.put("added_rows_count", java.lang.Long.valueOf(files.map(_.rowCount).sum))
-    mf.put("existing_rows_count", java.lang.Long.valueOf(0L))
-    mf.put("deleted_rows_count", java.lang.Long.valueOf(0L))
-    val deleteListEntry: Seq[GenericRecord] =
-      if (deleteEntries.isEmpty) Nil
-      else {
-        val dmPath = metaDir.resolve(
-          s"${java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)}" +
-            s"-$snapshotId-m1.avro")
-        val dmLen = writeAvro(ManifestEntrySchema, deleteEntries, Map(
-          "schema" -> schemaJson,
-          "schema-id" -> "0",
-          "partition-spec" -> "[]",
-          "partition-spec-id" -> "0",
-          "format-version" -> "2",
-          "content" -> "deletes"), dmPath)
-        val dm = new GenericData.Record(ManifestListSchema)
-        dm.put("manifest_path", toUri(dmPath.toString))
-        dm.put("manifest_length", java.lang.Long.valueOf(dmLen))
-        dm.put("partition_spec_id", 0)
-        dm.put("content", 1)
-        dm.put("sequence_number", java.lang.Long.valueOf(seq))
-        dm.put("min_sequence_number", java.lang.Long.valueOf(
-          (eqDels.map(_.seq.max(1L)) :+ seq).min))
-        dm.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
-        dm.put("added_files_count", Integer.valueOf(deleteEntries.size))
-        dm.put("existing_files_count", Integer.valueOf(0))
-        dm.put("deleted_files_count", Integer.valueOf(0))
-        dm.put("added_rows_count", java.lang.Long.valueOf(delRows))
-        dm.put("existing_rows_count", java.lang.Long.valueOf(0L))
-        dm.put("deleted_rows_count", java.lang.Long.valueOf(0L))
-        Seq(dm)
-      }
-    val listPath = metaDir.resolve(s"snap-$snapshotId-1-" +
-      s"${java.util.UUID.nameUUIDFromBytes(s"$snapshotId".getBytes)}.avro")
-    writeAvro(ManifestListSchema, Seq(mf) ++ deleteListEntry,
-      Map("format-version" -> "2"), listPath)
+    // ---- per-snapshot manifest lists + snapshot JSON ----
+    def listEntry(path: Path, len: Long, sid: Int, content: Int, seq: Long,
+        minSeq: Long, snapId: Long, nFiles: Int, nRows: Long): GenericRecord = {
+      val r = new GenericData.Record(ManifestListSchema)
+      r.put("manifest_path", toUri(path.toString))
+      r.put("manifest_length", java.lang.Long.valueOf(len))
+      r.put("partition_spec_id", sid)
+      r.put("content", content)
+      r.put("sequence_number", java.lang.Long.valueOf(seq))
+      r.put("min_sequence_number", java.lang.Long.valueOf(minSeq))
+      r.put("added_snapshot_id", java.lang.Long.valueOf(snapId))
+      r.put("added_files_count", Integer.valueOf(nFiles))
+      r.put("existing_files_count", Integer.valueOf(0))
+      r.put("deleted_files_count", Integer.valueOf(0))
+      r.put("added_rows_count", java.lang.Long.valueOf(nRows))
+      r.put("existing_rows_count", java.lang.Long.valueOf(0L))
+      r.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+      r
+    }
+    def iceOp(op: String): String = op match {
+      case "append" => "append"
+      case "replace" | "compact" | "zorder" | "rewrite" => "replace"
+      case "delete" => "delete"
+      case _ => "overwrite" // upsert/merge/delete-insert/update/…
+    }
+    val snapJVs: List[JValue] = snaps.toList.map { s =>
+      val groups = groupsOf(s).map { case (k, fs) => exportManifest(k, fs) }
+      val dataEntries = groups.map(g => listEntry(g.path, g.len, g.sid, 0,
+        g.maxSeq, g.minSeq, s.snapshotId, g.fileCount, g.rowCount))
+      val dels: Seq[(ExpDelete, Long)] =
+        s.deletes.map(d => (eqExp(d.path), d.seq.max(1L))) ++
+          s.posDeletes.map(p => (posExp(p.path), s.snapshotId.max(1L)))
+      val delEntries =
+        if (dels.isEmpty) Nil
+        else {
+          // per-snapshot delete manifest: snapshots are immutable, so an
+          // overwrite on re-export rewrites identical content
+          val dmPath = metaDir.resolve(s"$tableUuid-${s.snapshotId}-m1.avro")
+          val dmLen = writeAvro(ManifestEntrySchema,
+            dels.map { case (ed, sq) => delEntry(ed, sq) }, Map(
+              "schema" -> schemaJson,
+              "schema-id" -> "0",
+              "partition-spec" -> "[]",
+              "partition-spec-id" -> "0",
+              "format-version" -> "2",
+              "content" -> "deletes"), dmPath)
+          Seq(listEntry(dmPath, dmLen, 0, 1, dels.map(_._2).max,
+            dels.map(_._2).min, s.snapshotId, dels.size,
+            dels.map(_._1.rows).sum))
+        }
+      val listPath = metaDir.resolve(s"snap-${s.snapshotId}-1-" +
+        s"${java.util.UUID.nameUUIDFromBytes(s"${s.snapshotId}".getBytes)}.avro")
+      writeAvro(ManifestListSchema, dataEntries ++ delEntries,
+        Map("format-version" -> "2"), listPath)
+      ("sequence-number" -> s.snapshotId) ~
+        ("snapshot-id" -> s.snapshotId) ~
+        ("parent-snapshot-id" -> s.parentId.filter(pid =>
+          snaps.exists(_.snapshotId == pid))) ~
+        ("timestamp-ms" -> s.timestampMs) ~
+        ("summary" -> (("operation" -> iceOp(s.operation)) ~
+          ("total-records" -> s.rowCount.toString) ~
+          ("total-data-files" -> s.fileCount.toString))) ~
+        ("manifest-list" -> toUri(listPath.toString)) ~
+        ("schema-id" -> 0)
+    }
 
-    // metadata.json — VERSIONED: a re-export after further commits writes
-    // v<N+1>.metadata.json carrying the previously exported snapshots
-    // (their manifest lists are immutable on disk), an appended
-    // snapshot-log, and a metadata-log entry pointing at v<N> — the
-    // Iceberg metadata version chain external engines expect, so
-    // repeated exports give time travel over export points, not a
-    // dangling single version. (prev/prevList parsed above, before the
-    // spec-id allocation.)
     val schemaJV = JsonMethods.parse(schemaJson)
     // declared write sort order (`graft.write.sort-order`) exports as a
     // real Iceberg sort order: identity/asc/nulls-first per column —
@@ -789,33 +833,13 @@ object IcebergInterop {
     val emptyOrder: JValue = ("order-id" -> 0) ~ ("fields" -> List.empty[String])
     val (sortOrderId, sortOrders: List[JValue]) =
       if (sortCols.isEmpty) (0, List(emptyOrder))
-      else {
-        val topIds = topLevelFieldIds(m.schema)
-        (1, List(emptyOrder,
-          ("order-id" -> 1) ~ ("fields" -> sortCols.toList.map(c =>
-            ("transform" -> "identity") ~ ("source-id" -> topIds(c)) ~
-              ("direction" -> "asc") ~ ("null-order" -> "nulls-first")))))
-      }
-    // carry prior exported snapshots, dropping a re-export of the SAME
-    // snapshot id (idempotent re-export replaces, never duplicates)
-    val priorSnaps = prevList("snapshots").filterNot(s =>
-      (s \ "snapshot-id") == JInt(snap.snapshotId))
-    val priorLog = prevList("snapshot-log").filterNot(s =>
-      (s \ "snapshot-id") == JInt(snap.snapshotId))
-    val parentOfThis: Option[Long] = priorSnaps.lastOption.flatMap(s =>
-      (s \ "snapshot-id") match { case JInt(i) => Some(i.toLong); case _ => None })
-    val newSnap: JValue =
-      ("sequence-number" -> seq) ~
-      ("snapshot-id" -> snap.snapshotId) ~
-      ("parent-snapshot-id" -> parentOfThis) ~
-      ("timestamp-ms" -> snap.timestampMs) ~
-      ("summary" -> (("operation" -> "append") ~
-        ("added-data-files" -> files.size.toString) ~
-        ("added-records" -> files.map(_.rowCount).sum.toString) ~
-        ("total-records" -> files.map(_.rowCount).sum.toString) ~
-        ("total-data-files" -> files.size.toString))) ~
-      ("manifest-list" -> toUri(listPath.toString)) ~
-      ("schema-id" -> 0)
+      else (1, List(emptyOrder,
+        ("order-id" -> 1) ~ ("fields" -> sortCols.toList.map(c =>
+          ("transform" -> "identity") ~ ("source-id" -> topIds(c)) ~
+            ("direction" -> "asc") ~ ("null-order" -> "nulls-first")))))
+    // metadata.json — VERSIONED: each export writes v<N+1> with the
+    // table's CURRENT retained history (expired snapshots drop out, new
+    // ones appear) and a metadata-log entry pointing at v<N>
     val metadataLog: List[JValue] = prev match {
       case Some(p) =>
         val prior = (p \ "metadata-log") match {
@@ -829,12 +853,21 @@ object IcebergInterop {
           : JValue)
       case None => Nil
     }
+    // branches/tags export as Iceberg refs (a graft tag is a ref that
+    // never advances — semantically a branch that never moves)
+    val refsJV: JValue = JObject(
+      ("main" -> ((("snapshot-id" -> current.snapshotId) ~
+        ("type" -> "branch")): JValue)) ::
+        m.refs.getOrElse(Map.empty).toList.sortBy(_._1).collect {
+          case (name, id) if name != "main" &&
+              snaps.exists(_.snapshotId == id) =>
+            name -> ((("snapshot-id" -> id) ~ ("type" -> "branch")): JValue)
+        })
     val md: org.json4s.JValue =
       ("format-version" -> 2) ~
-      ("table-uuid" -> java.util.UUID
-        .nameUUIDFromBytes(t.dir.toString.getBytes).toString) ~
+      ("table-uuid" -> tableUuid.toString) ~
       ("location" -> toUri(dest.toString)) ~
-      ("last-sequence-number" -> seq) ~
+      ("last-sequence-number" -> current.snapshotId) ~
       ("last-updated-ms" -> nowMs) ~
       ("last-column-id" -> lastColumnId) ~
       ("current-schema-id" -> 0) ~
@@ -852,13 +885,12 @@ object IcebergInterop {
       ("default-sort-order-id" -> sortOrderId) ~
       ("sort-orders" -> JArray(sortOrders)) ~
       ("properties" -> m.properties.filter(_._2.nonEmpty)) ~
-      ("current-snapshot-id" -> snap.snapshotId) ~
-      ("refs" -> ("main" ->
-        ("snapshot-id" -> snap.snapshotId) ~ ("type" -> "branch"))) ~
-      ("snapshots" -> JArray(priorSnaps :+ newSnap)) ~
-      ("snapshot-log" -> JArray(priorLog :+
-        ((("timestamp-ms" -> snap.timestampMs) ~
-          ("snapshot-id" -> snap.snapshotId)): JValue))) ~
+      ("current-snapshot-id" -> current.snapshotId) ~
+      ("refs" -> refsJV) ~
+      ("snapshots" -> JArray(snapJVs)) ~
+      ("snapshot-log" -> JArray(snaps.toList.map(s =>
+        ((("timestamp-ms" -> s.timestampMs) ~
+          ("snapshot-id" -> s.snapshotId)): JValue)))) ~
       ("metadata-log" -> JArray(metadataLog))
     val version = prevVersion + 1
     val mdPath = metaDir.resolve(s"v$version.metadata.json")
@@ -886,8 +918,9 @@ object IcebergInterop {
     * the engine's own [[MorRead]] under Iceberg's sequence-number rules,
     * so a v2 tree with an outstanding delete backlog reads exactly what
     * the writing engine would serve. */
-  def importTable(spark: SparkSession, location: String): DataFrame = {
-    val plan = importPlan(location)
+  def importTable(spark: SparkSession, location: String,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val plan = importPlan(location, asOfSnapshotId)
     if (plan.files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], plan.schema)
@@ -1087,7 +1120,8 @@ object IcebergInterop {
     (eq, pos)
   }
 
-  def importPlan(location: String): IcebergPlan = {
+  def importPlan(location: String, asOfSnapshotId: Option[Long] = None):
+      IcebergPlan = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val loc = Paths.get(fromUri(location))
@@ -1103,14 +1137,14 @@ object IcebergInterop {
     val md = JsonMethods.parse(Files.readString(mdPath))
     require((md \ "format-version") == JInt(2),
       s"iceberg-import: only format-version 2 is supported, got ${md \ "format-version"}")
-    val currentId = (md \ "current-snapshot-id") match {
+    val currentId = asOfSnapshotId.getOrElse((md \ "current-snapshot-id") match {
       case JInt(i) => i.toLong
       case _ => throw new ValidationError("iceberg-import: no current snapshot")
-    }
+    })
     val snap = (md \ "snapshots").asInstanceOf[JArray].arr
       .find(s => (s \ "snapshot-id") == JInt(currentId))
       .getOrElse(throw new ValidationError(
-        s"iceberg-import: current snapshot $currentId not in snapshots"))
+        s"iceberg-import: snapshot $currentId not in snapshots"))
     val schemaId = (snap \ "schema-id") match {
       case JInt(i) => i.toInt
       case _ => (md \ "current-schema-id") match {

@@ -553,13 +553,91 @@ class IcebergInteropSpec extends AnyFunSuite {
     IcebergInterop.exportTable(t2)
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    val metaDir = t2.dir.resolve("iceberg").resolve("metadata")
     val md = JsonMethods.parse(Files.readString(
-      t2.dir.resolve("iceberg").resolve("metadata").resolve("v1.metadata.json")))
-    assert((md \ "default-spec-id") == JInt(0),
-      "straddling/pre-spec files must export unpartitioned")
+      metaDir.resolve("v1.metadata.json")))
+    // the DECLARED spec publishes (Iceberg's default spec is the current
+    // one regardless of file vintages) …
+    assert((md \ "default-spec-id") == JInt(1), md \ "default-spec-id")
+    // … but the pre-spec manifest cannot prove tuples, so it references
+    // the empty spec 0 — per-manifest degradation, never wrong metadata
+    val mPath = PathIO.list(metaDir)
+      .find(_.getFileName.toString.endsWith("-m0.avro")).get
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(mPath)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try assert(r.getMetaString("partition-spec-id") == "0")
+    finally r.close()
     val back = IcebergInterop.importTable(spark,
       t2.dir.resolve("iceberg").toString)
     assert(back.count() == 2)
+    // the attach sees the declared spec but no provable tuples -> it
+    // attaches unpartitioned (specEligible false), content intact
+    val cat2 = freshCatalog()
+    val att = IcebergInterop.importAsTable(cat2, "main", "att",
+      t2.dir.resolve("iceberg").toString)
+    assert(att.metadata.partitionSpec.isEmpty && att.read().count() == 2)
+  }
+
+  test("full snapshot history exports: external time travel + shared manifests") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1)
+    (1 to 4).foreach { i =>
+      w.writeTable("main", "t",
+        Seq(Seq((i.toLong, s"v$i")).toDF("id", "v")), Append, cfg, s"l$i")
+    }
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.snapshots.size == 4, "precondition")
+    IcebergInterop.exportTable(t, nowMs = 1700000000000L)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = t.dir.resolve("iceberg").resolve("metadata")
+    val md = JsonMethods.parse(Files.readString(
+      metaDir.resolve("v1.metadata.json")))
+    val snaps = (md \ "snapshots").asInstanceOf[JArray].arr
+    assert(snaps.size == 4, "ALL retained snapshots export, not just HEAD")
+    // every snapshot is independently importable: external time travel
+    val ids = snaps.map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+    snaps.zipWithIndex.foreach { case (s, i) =>
+      assert((s \ "summary" \ "total-records") == JString((i + 1).toString),
+        s"snapshot $i totals")
+    }
+    // …and each historical snapshot IMPORTS to exactly the rows the
+    // engine's own time travel serves there
+    ids.zipWithIndex.foreach { case (sid, i) =>
+      val at = IcebergInterop.importTable(spark,
+        t.dir.resolve("iceberg").toString, asOfSnapshotId = Some(sid))
+      assert(at.count() == i + 1, s"import at snapshot $sid")
+      assert(at.select("id").collect().map(_.getLong(0)).toSet ==
+        (1L to (i + 1).toLong).toSet)
+    }
+    // parent chain is the real commit chain
+    ids.sliding(2).foreach { case Seq(a, b) =>
+      val child = snaps.find(s => (s \ "snapshot-id") == JInt(b)).get
+      assert((child \ "parent-snapshot-id") == JInt(a), s"parent of $b")
+    }
+    // manifests are shared by identity: 4 snapshots over 4 appends need
+    // at most 4 + small-merge manifests, NOT 1+2+3+4 re-exports
+    val m0s = PathIO.list(metaDir)
+      .count(_.getFileName.toString.endsWith("-m0.avro"))
+    assert(m0s <= t.metadata.snapshots.flatMap(_.manifestPaths).distinct.size,
+      s"manifest reuse broken: $m0s exported bodies")
+    // current import serves the full content
+    assert(IcebergInterop.importTable(spark,
+      t.dir.resolve("iceberg").toString).count() == 4)
+    // a branch ref exports as an Iceberg ref
+    t.createBranch("audit")
+    IcebergInterop.exportTable(cat.loadTable("main", "t"),
+      nowMs = 1700000001000L)
+    val md2 = JsonMethods.parse(Files.readString(
+      metaDir.resolve("v2.metadata.json")))
+    assert((md2 \ "refs" \ "audit" \ "snapshot-id") != JNothing,
+      md2 \ "refs")
+    // re-export wrote no new manifest bodies (all cached by identity)
+    assert(PathIO.list(metaDir)
+      .count(_.getFileName.toString.endsWith("-m0.avro")) == m0s,
+      "re-export must reuse every exported manifest")
   }
 
   test("importAsTable replays a MoR tree with exact sequence semantics") {
