@@ -263,4 +263,36 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(elapsedMs < 20000,
       f"plan+fold over 100k file stats took $elapsedMs%.0f ms")
   }
+
+  test("Iceberg export stays metadata-only on a 100k-file table") {
+    import org.apache.spark.sql.types._
+    // same synthetic shape (paths do not exist on disk, sizeBytes > 0 so
+    // the exporter never stats them): export must write one manifest
+    // with all 100k entries, touch ZERO data bytes, and stay linear
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-ice100k-").toString)
+    val t = cat.createTable("main", "big", StructType(Seq(
+      StructField("d", DateType), StructField("v", LongType))))
+    val files = (0 until 100000).map { j =>
+      val day = (10000 + j / 100).toString
+      DataFile(s"/nonexistent/synthetic-$j", 10, 1024, Map(
+        "d" -> ColumnStats(Some(day), Some(day), Some(0L)),
+        "v" -> ColumnStats(Some((j * 10L).toString),
+          Some((j * 10L + 9).toString), Some(0L))))
+    }
+    t.commit(_.withSnapshot("append", None, files), unitMs = 1)
+    val t2 = cat.loadTable("main", "big")
+    val t0 = System.nanoTime()
+    val mdPath = graft.iceberg.IcebergInterop.exportTable(t2,
+      nowMs = 1700000000000L)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(Files.exists(mdPath))
+    // the import plan re-reads all 100k entries from the Avro manifests
+    val plan = graft.iceberg.IcebergInterop.importPlan(
+      t2.dir.resolve("iceberg").toString)
+    assert(plan.files.size == 100000 &&
+      plan.files.map(_.recordCount).sum == 1000000L)
+    assert(elapsedMs < 30000,
+      f"metadata-only export of 100k files took $elapsedMs%.0f ms")
+  }
 }
