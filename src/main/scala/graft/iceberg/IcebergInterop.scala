@@ -474,6 +474,60 @@ object IcebergInterop {
     }) catch { case _: RuntimeException => None }
   }
 
+  /** Natural min/max over homogeneous Avro partition values; None for an
+    * empty input or a type without an order defined here (manifest-list
+    * bounds are spec-optional, so skipping them is always legal). */
+  private def reduceValues(vs: Seq[AnyRef], keepMin: Boolean): Option[AnyRef] = {
+    if (vs.isEmpty) return None
+    def cmp(a: AnyRef, b: AnyRef): Option[Int] = (a, b) match {
+      case (x: Integer, y: Integer) => Some(x.compareTo(y))
+      case (x: java.lang.Long, y: java.lang.Long) => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: java.lang.Float, y: java.lang.Float) => Some(x.compareTo(y))
+      case (x: java.lang.Double, y: java.lang.Double) => Some(x.compareTo(y))
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+      case _ => None
+    }
+    var acc = vs.head
+    for (b <- vs.tail) cmp(acc, b) match {
+      case Some(c) => if (if (keepMin) c > 0 else c < 0) acc = b
+      case None => return None
+    }
+    Some(acc)
+  }
+  private def minOfValues(vs: Seq[AnyRef]): Option[AnyRef] =
+    reduceValues(vs, keepMin = true)
+  private def maxOfValues(vs: Seq[AnyRef]): Option[AnyRef] =
+    reduceValues(vs, keepMin = false)
+
+  /** Iceberg single-value binary serialization (table-spec Appendix D):
+    * little-endian fixed-width numerics, UTF-8 strings, raw unscaled
+    * big-endian bytes for decimals. */
+  private[graft] def singleValueBytes(v: AnyRef): java.nio.ByteBuffer = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    v match {
+      case i: Integer =>
+        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(i.intValue); b.flip(); b
+      case l: java.lang.Long =>
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        b.putLong(l.longValue); b.flip(); b
+      case f: java.lang.Float =>
+        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        b.putFloat(f.floatValue); b.flip(); b
+      case d: java.lang.Double =>
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        b.putDouble(d.doubleValue); b.flip(); b
+      case s: String => ByteBuffer.wrap(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case b: java.lang.Boolean =>
+        ByteBuffer.wrap(Array[Byte](if (b.booleanValue) 1 else 0))
+      case bb: ByteBuffer => bb.duplicate()
+      case other => ByteBuffer.wrap(
+        String.valueOf(other).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Delete rows above which export refuses (driver-side Avro encode is
     * deliberate — delete files are trickle-sized metadata by design, and
     * a backlog past this wants compaction, not a bigger export buffer).
@@ -614,7 +668,11 @@ object IcebergInterop {
 
     // ---- data manifests: ONE exported Avro per graft manifest ----
     final case class ExpManifest(path: Path, len: Long, sid: Int,
-        fileCount: Int, rowCount: Long, minSeq: Long, maxSeq: Long)
+        fileCount: Int, rowCount: Long, minSeq: Long, maxSeq: Long,
+        // manifest-list partition summary (spec field 507): per spec
+        // field, (containsNull, lower, upper) over the member files'
+        // tuples — lets an external planner skip whole manifests
+        partSummary: Option[Seq[(Boolean, Option[AnyRef], Option[AnyRef])]] = None)
     val manifestCache = scala.collection.mutable.Map.empty[String, ExpManifest]
     def exportManifest(key: String, files: Seq[graft.catalog.DataFile]): ExpManifest =
       manifestCache.getOrElseUpdate(key, {
@@ -670,9 +728,18 @@ object IcebergInterop {
             "content" -> "data"), out)
         }
         val seqs = files.map(_.dataSeq.max(1L))
+        val summary = partValues.map { vals =>
+          pfields.indices.map { fi =>
+            val col = vals.map(_(fi))
+            val nonNull = col.filter(_ != null)
+            val containsNull = nonNull.size < col.size
+            (containsNull, minOfValues(nonNull), maxOfValues(nonNull))
+          }
+        }
         ExpManifest(out, Files.size(out), sid, files.size,
           files.map(_.rowCount).sum,
-          seqs.minOption.getOrElse(1L), seqs.maxOption.getOrElse(1L))
+          seqs.minOption.getOrElse(1L), seqs.maxOption.getOrElse(1L),
+          summary)
       })
     // a snapshot's manifest groups: shared refs by path identity, or an
     // inline/legacy file list as one pseudo-manifest keyed by snapshot
@@ -758,7 +825,9 @@ object IcebergInterop {
 
     // ---- per-snapshot manifest lists + snapshot JSON ----
     def listEntry(path: Path, len: Long, sid: Int, content: Int, seq: Long,
-        minSeq: Long, snapId: Long, nFiles: Int, nRows: Long): GenericRecord = {
+        minSeq: Long, snapId: Long, nFiles: Int, nRows: Long,
+        partSummary: Option[Seq[(Boolean, Option[AnyRef], Option[AnyRef])]]
+          = None): GenericRecord = {
       val r = new GenericData.Record(ManifestListSchema)
       r.put("manifest_path", toUri(path.toString))
       r.put("manifest_length", java.lang.Long.valueOf(len))
@@ -773,6 +842,23 @@ object IcebergInterop {
       r.put("added_rows_count", java.lang.Long.valueOf(nRows))
       r.put("existing_rows_count", java.lang.Long.valueOf(0L))
       r.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+      // partition summary (spec field 507): per-field contains_null +
+      // single-value-serialized bounds — external planners skip whole
+      // manifests on it
+      partSummary.foreach { fs =>
+        val arraySchema = ManifestListSchema.getField("partitions")
+          .schema().getTypes.get(1)
+        val elemSchema = arraySchema.getElementType
+        val arr = new GenericData.Array[GenericRecord](fs.size, arraySchema)
+        fs.foreach { case (cn, lo, hi) =>
+          val rec = new GenericData.Record(elemSchema)
+          rec.put("contains_null", java.lang.Boolean.valueOf(cn))
+          lo.foreach(v => rec.put("lower_bound", singleValueBytes(v)))
+          hi.foreach(v => rec.put("upper_bound", singleValueBytes(v)))
+          arr.add(rec)
+        }
+        r.put("partitions", arr)
+      }
       r
     }
     def iceOp(op: String): String = op match {
@@ -784,7 +870,8 @@ object IcebergInterop {
     val snapJVs: List[JValue] = snaps.toList.map { s =>
       val groups = groupsOf(s).map { case (k, fs) => exportManifest(k, fs) }
       val dataEntries = groups.map(g => listEntry(g.path, g.len, g.sid, 0,
-        g.maxSeq, g.minSeq, s.snapshotId, g.fileCount, g.rowCount))
+        g.maxSeq, g.minSeq, s.snapshotId, g.fileCount, g.rowCount,
+        g.partSummary))
       val dels: Seq[(ExpDelete, Long)] =
         s.deletes.map(d => (eqExp(d.path), d.seq.max(1L))) ++
           s.posDeletes.map(p => (posExp(p.path), s.snapshotId.max(1L)))

@@ -481,6 +481,28 @@ class IcebergInteropSpec extends AnyFunSuite {
     // Iceberg month ordinals: months since 1970-01 — Jan/Feb 2024
     assert(months == Set((2024 - 1970) * 12, (2024 - 1970) * 12 + 1), months)
 
+    // the manifest-list entry carries the spec's partition summary
+    // (field 507): bounds over the month ordinals, little-endian ints
+    val listFile = PathIO.list(metaDir)
+      .find(_.getFileName.toString.startsWith("snap-")).get
+    val lr = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(listFile)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val entry = lr.iterator().next()
+      val parts = entry.get("partitions")
+        .asInstanceOf[java.util.Collection[org.apache.avro.generic.GenericRecord]]
+      assert(parts != null && parts.size == 2, s"partition summary: $parts")
+      val monthSummary = parts.asScala.toSeq(1) // field order: bucket, month
+      val lo = monthSummary.get("lower_bound").asInstanceOf[java.nio.ByteBuffer]
+        .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val hi = monthSummary.get("upper_bound").asInstanceOf[java.nio.ByteBuffer]
+        .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      assert(lo == (2024 - 1970) * 12 && hi == (2024 - 1970) * 12 + 1,
+        s"month bounds $lo..$hi")
+      assert(monthSummary.get("contains_null") == java.lang.Boolean.FALSE)
+    } finally lr.close()
+
     // DataFrame import: content round-trips
     val back = IcebergInterop.importTable(spark, t.dir.resolve("iceberg").toString)
     assert(back.select("id", "v").collect().map(r0 =>
