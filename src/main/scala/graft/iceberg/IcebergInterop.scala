@@ -92,6 +92,7 @@ object IcebergInterop {
       case DateType => "date"
       case TimestampType => "timestamptz"
       case TimestampNTZType => "timestamp"
+      case _: TimeType => "time" // micros, the Iceberg unit (normalized)
       case StringType => "string"
       case BinaryType => "binary"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
@@ -152,6 +153,7 @@ object IcebergInterop {
         case "date" => DateType
         case "timestamptz" => TimestampType
         case "timestamp" => TimestampNTZType
+        case "time" => TimeType(TimeType.MICROS_PRECISION)
         case "string" => StringType
         case "binary" | "uuid" => BinaryType
         case d if d.startsWith("decimal") =>
@@ -1398,8 +1400,42 @@ object IcebergInterop {
       }.toMap
       case _ => Map.empty
     }
+    // default sort order, all-or-nothing translated (identity/asc only —
+    // a partially translated order would claim a clustering the files
+    // don't have): an attach turns it into `graft.write.sort-order`, so
+    // future writes keep the layout and sort-aware pruning applies
+    val sortCols: Seq[String] = {
+      val soid = (md \ "default-sort-order-id") match {
+        case JInt(i) => i.toInt
+        case _ => 0
+      }
+      if (soid == 0) Nil
+      else (md \ "sort-orders") match {
+        case JArray(orders) =>
+          orders.find(o => (o \ "order-id") == JInt(soid))
+            .map(o => (o \ "fields") match {
+              case JArray(fs) =>
+                val cols = fs.map { f =>
+                  ((f \ "transform"), (f \ "direction"), (f \ "source-id")) match {
+                    case (JString("identity"), JString("asc"), JInt(sid)) =>
+                      idToName.get(sid.toInt)
+                    case _ => None
+                  }
+                }
+                if (cols.nonEmpty && cols.forall(_.isDefined)) cols.map(_.get)
+                else Nil
+              case _ => Nil
+            }).getOrElse(Nil)
+        case _ => Nil
+      }
+    }
+    val propsWithSort =
+      if (sortCols.isEmpty ||
+          props.contains(graft.write.GraftWriter.SortOrderProperty)) props
+      else props + (graft.write.GraftWriter.SortOrderProperty ->
+        sortCols.mkString(","))
     IcebergPlan(schema, dataFiles, eqDeletes, posDeletes,
-      specTranslated.map(_._2), props)
+      specTranslated.map(_._2), propsWithSort)
   }
 
   /** Iceberg partition VALUE -> the engine's canonical stat encoding for

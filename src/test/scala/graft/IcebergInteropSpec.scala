@@ -113,7 +113,8 @@ class IcebergInteropSpec extends AnyFunSuite {
       StructField("m", MapType(StringType, DoubleType)),
       StructField("st", StructType(Seq(StructField("x", StringType)))),
       StructField("ts", TimestampType),
-      StructField("tn", TimestampNTZType)))
+      StructField("tn", TimestampNTZType),
+      StructField("tm", TimeType(TimeType.MICROS_PRECISION))))
     val (json, lastId) = IcebergInterop.toIcebergSchemaJson(s)
     assert(lastId >= s.size, "nested ids must extend past top-level")
     val back = IcebergInterop.fromIcebergSchemaJson(json)
@@ -124,6 +125,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(back("st").dataType == StructType(Seq(StructField("x", StringType))))
     assert(back("ts").dataType == TimestampType)  // timestamptz
     assert(back("tn").dataType == TimestampNTZType) // timestamp
+    assert(back("tm").dataType == TimeType(TimeType.MICROS_PRECISION)) // time
   }
 
   test("repeated exports build the Iceberg metadata version chain") {
@@ -394,8 +396,11 @@ class IcebergInteropSpec extends AnyFunSuite {
          | "current-schema-id": 0, "schemas": [$schemaJson],
          | "default-spec-id": 0,
          | "partition-specs": [{"spec-id": 0, "fields": []}],
-         | "last-partition-id": 999, "default-sort-order-id": 0,
-         | "sort-orders": [{"order-id": 0, "fields": []}],
+         | "last-partition-id": 999, "default-sort-order-id": 1,
+         | "sort-orders": [{"order-id": 0, "fields": []},
+         |   {"order-id": 1, "fields": [{"transform": "identity",
+         |     "source-id": 1, "direction": "asc",
+         |     "null-order": "nulls-first"}]}],
          | "current-snapshot-id": 77,
          | "snapshots": [{"snapshot-id": 77, "sequence-number": 2,
          |   "timestamp-ms": 1, "schema-id": 0,
@@ -413,6 +418,11 @@ class IcebergInteropSpec extends AnyFunSuite {
     val cat = freshCatalog()
     val att = IcebergInterop.importAsTable(cat, "main", "ext", root.toString)
     assert(att.read().select("id").collect().map(_.getLong(0)).toSet == expect)
+    // the external tree's identity/asc sort order translated into the
+    // native sort-order property on attach
+    assert(att.metadata.properties
+      .get(GraftWriter.SortOrderProperty).contains("id"),
+      s"sort order must translate: ${att.metadata.properties}")
   }
 
   test("partitioned export round-trips the real spec, tuples, and pruning") {
