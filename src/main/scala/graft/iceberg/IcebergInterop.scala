@@ -585,21 +585,47 @@ object IcebergInterop {
     val m = t.metadata
     val current = m.currentSnapshot.getOrElse(
       throw new ValidationError("iceberg-export: table has no snapshot"))
-    val snaps = m.snapshots.sortBy(_.snapshotId)
     // merge-on-read backlogs export as real Iceberg delete files; the
     // driver-side Avro encode is bounded from snapshot METADATA row
-    // counts before reading a byte — DISTINCT files only (snapshots
-    // share delete files until compaction clears them), and a backlog
-    // past the threshold wants compaction, not a bigger export buffer
+    // counts before reading a byte. The CURRENT snapshot must fit
+    // (refusing otherwise — that backlog wants compaction, not a bigger
+    // export buffer); HISTORICAL snapshots whose accumulated distinct
+    // delete files would blow the same budget are TRIMMED from the
+    // exported history instead (trimming history is always sound;
+    // silently dropping an old snapshot's deletes — resurrecting rows at
+    // that point in time — would not be).
+    val currentDelRows = current.deletes.map(_.rowCount).sum +
+      current.posDeletes.map(_.rowCount).sum
+    require(currentDelRows <= exportDeleteMaxRows,
+      s"iceberg-export refuses a merge-on-read delete backlog of " +
+        s"$currentDelRows rows (> $exportDeleteMaxRows, " +
+        s"$ExportDeleteMaxRowsKey): run Maintenance.applyDeletes " +
+        "(or CALL system.apply_deletes) first")
+    val snaps: Seq[graft.catalog.Snapshot] = {
+      // current is ALWAYS exported (its budget is the require above);
+      // every other snapshot joins newest-first while the accumulated
+      // distinct-delete-file rows stay inside the same budget
+      val others = m.snapshots.filterNot(_.snapshotId == current.snapshotId)
+        .sortBy(-_.snapshotId)
+      val seen = scala.collection.mutable.Set.empty[String]
+      var budgetRows = 0L
+      def admit(s: graft.catalog.Snapshot): Boolean = {
+        val fresh = (s.deletes.map(d => d.path -> d.rowCount) ++
+          s.posDeletes.map(p => p.path -> p.rowCount))
+          .filterNot { case (p, _) => seen.contains(p) }
+        if (budgetRows + fresh.map(_._2).sum > exportDeleteMaxRows) false
+        else {
+          fresh.foreach { case (p, n) => seen += p; budgetRows += n }
+          true
+        }
+      }
+      admit(current)
+      (current +: others.filter(admit)).sortBy(_.snapshotId)
+    }
     val eqDels = snaps.flatMap(_.deletes).groupBy(_.path).values
       .map(_.head).toSeq.sortBy(_.path)
     val posDels = snaps.flatMap(_.posDeletes).groupBy(_.path).values
       .map(_.head).toSeq.sortBy(_.path)
-    val delRows = eqDels.map(_.rowCount).sum + posDels.map(_.rowCount).sum
-    require(delRows <= exportDeleteMaxRows,
-      s"iceberg-export refuses a merge-on-read delete backlog of $delRows " +
-        s"rows (> $exportDeleteMaxRows, $ExportDeleteMaxRowsKey): run " +
-        "Maintenance.applyDeletes (or CALL system.apply_deletes) first")
     val dest = destDir.getOrElse(t.dir.resolve("iceberg"))
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)

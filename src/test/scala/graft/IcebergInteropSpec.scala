@@ -672,6 +672,36 @@ class IcebergInteropSpec extends AnyFunSuite {
       "re-export must reuse every exported manifest")
   }
 
+  test("history trims to the delete budget; current snapshot always exports") {
+    val (cat, t0) = morFixture()
+    // apply deletes physically: CURRENT becomes delete-free, but the
+    // retained HISTORY snapshots still reference the old delete files
+    Maintenance.applyDeletes(t0, retryUnitMs = 1)
+    val t = cat.loadTable("main", "t")
+    assert(t.metadata.currentSnapshot.get.deletes.isEmpty)
+    assert(t.metadata.snapshots.exists(_.deletes.nonEmpty), "history keeps them")
+    spark.conf.set(IcebergInterop.ExportDeleteMaxRowsKey, "0")
+    try {
+      // current fits the budget (zero delete rows) => export SUCCEEDS,
+      // trimming the delete-carrying history instead of refusing
+      IcebergInterop.exportTable(t)
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val md = JsonMethods.parse(Files.readString(t.dir.resolve("iceberg")
+        .resolve("metadata").resolve("v1.metadata.json")))
+      val ids = (md \ "snapshots").asInstanceOf[JArray].arr
+        .map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+      assert(ids.contains(t.metadata.currentSnapshotId.get),
+        "current must always export")
+      assert(ids.size < t.metadata.snapshots.size,
+        s"delete-carrying history must trim under a zero budget: $ids")
+      val back = IcebergInterop.importTable(spark,
+        t.dir.resolve("iceberg").toString)
+      assert(back.select("id", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (3L, "c")))
+    } finally spark.conf.unset(IcebergInterop.ExportDeleteMaxRowsKey)
+  }
+
   test("importAsTable replays a MoR tree with exact sequence semantics") {
     val (srcCat, src0) = morFixture()
     // table properties ride the round-trip: the PK contract set here
