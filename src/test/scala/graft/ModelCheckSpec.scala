@@ -379,6 +379,23 @@ class ModelCheckSpec extends AnyFunSuite {
             s"seed=$seed step=$step op=$op: Iceberg round-trip diverged\n" +
               s"extra: ${(ice.toSet -- want2.toSet).take(5)}\n" +
               s"missing: ${(want2.toSet -- ice.toSet).take(5)}")
+          // EXTERNAL time travel: a recorded historical (snapshot, model)
+          // pair must import to exactly the model of that moment — the
+          // full-history export's per-snapshot manifest lists under test
+          val retained = history.filter { case (sid, _) =>
+            t.metadata.snapshots.exists(_.snapshotId == sid) }
+          if (retained.nonEmpty) {
+            val (sid, past) = retained(rnd.nextInt(retained.size))
+            val at = graft.iceberg.IcebergInterop
+              .importTable(spark, t.dir.resolve("iceberg").toString,
+                asOfSnapshotId = Some(sid))
+              .select("id", "v").collect()
+              .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+            assert(at == past.toSeq.sortBy(_._1),
+              s"seed=$seed step=$step op=$op: Iceberg time travel to $sid " +
+                s"diverged\nextra: ${(at.toSet -- past.toSet).take(5)}\n" +
+                s"missing: ${(past.toSet -- at.toSet).take(5)}")
+          }
         }
         cat.loadTable("main", "t").metadata.currentSnapshotId.foreach { sid =>
           history += sid -> model.toMap
