@@ -59,7 +59,95 @@ object StreamQueries {
        |  UNION ALL SELECT doc_id FROM sigs WHERE chunk = $k
        |    AND doc_id NOT IN (SELECT doc_id FROM m$k))""".stripMargin
 
+  /** The s10 messy-URL construction — one expression used identically by
+    * the stream and the staged oracle input (four variant classes per
+    * doc; 0/1/3 of the same (id%97, id%7) pair canonicalize together). */
+  private def s10Url(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pg = (id % 97).cast("string")
+    val q = (id % 7).cast("string")
+    when(id % 4 === 0, concat(lit("HTTPS://WWW.Example.COM:443/p/"), pg,
+        lit("?utm_source=s&id="), q, lit("#f")))
+      .when(id % 4 === 1, concat(lit("https://example.com/p/"), pg,
+        lit("?id="), q))
+      .when(id % 4 === 2, concat(lit("http://Example.COM:8080/alt/"), pg,
+        lit("?x="), q))
+      .otherwise(concat(lit("https://example.com/p/"), pg,
+        lit("/?id="), q, lit("&fbclid=z")))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // streaming URL-level dedup against the committed corpus — the
+    // crawl-ingest front door: each micro-batch canonicalizes its messy
+    // URLs, keeps one winner per canonical within the batch, and drops
+    // canonicals the committed table already holds. ZERO Spark state
+    // (the committed table is the dedup state); the winner of a
+    // canonical is therefore the min doc_id of the EARLIEST chunk that
+    // carries it — the oracle replays exactly that with one
+    // row_number() over (chunk, doc_id), after re-deriving the
+    // canonicalization chain in SQL (all RE2-compatible regexes).
+    "s10_stream_url_dedup" -> ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) { iso =>
+        val cat = new GraftCatalog(iso,
+          Files.createTempDirectory("graft-s10-").toString)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val chunks = 4
+        val src = StreamingLoader.docsChunkedStream(iso, dir, chunks)
+        // stage the oracle input: every incoming (doc_id, chunk, url),
+        // including the chunked stream's planted copies (id + 7e6 lands
+        // one chunk after its original — same layout s9 stages)
+        val docs = graft.Tables.t(iso, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val per = math.max(1L, math.ceil(n.toDouble / chunks).toLong)
+        val copies = docs
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") < (chunks - 1) * per)
+          .select((col("doc_id") + 7000000L).as("doc_id"))
+        stageForOracle(docs.unionByName(copies)
+          .withColumn("chunk",
+            when(col("doc_id") >= 7000000L,
+              floor((col("doc_id") - 7000000L) / per) + 1)
+              .otherwise(floor(col("doc_id") / per)).cast("int"))
+          .withColumn("url", s10Url(col("doc_id"))), "s10_urls")
+        val q = loader.startUrlDeduped(
+          src.withColumn("url", s10Url(col("doc_id"))),
+          "main", "pages", cfg = WriteConfig(retryUnitMs = 10),
+          queryName = "s10",
+          checkpoint = Some(Files.createTempDirectory("graft-s10ck-").toString))
+        try q.awaitTermination() finally q.stop()
+        require(q.lastProgress == null ||
+          q.lastProgress.stateOperators.isEmpty,
+          "url-dedup stream must hold no state-store state")
+        cat.loadTable("main", "pages").read()
+          .select(col("doc_id"), col("canonical_url"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, chunk, trim(url) AS u
+        |  FROM read_parquet('$OracleStageRoot/s10_urls/*.parquet')),
+        |c0 AS (SELECT doc_id, chunk,
+        |  lower(regexp_extract(u, '(?i)^([a-z][a-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(u,
+        |    '(?i)^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)), '^(www\\.)+', '') AS host,
+        |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
+        |    AS port,
+        |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |    AS path0,
+        |  regexp_extract(u, '\\?([^#]*)', 1) AS query0
+        |  FROM d),
+        |built AS (SELECT doc_id, chunk, scheme || '://' || host ||
+        |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |       AND NOT (scheme = 'https' AND port = '443')
+        |       THEN ':' || port ELSE '' END ||
+        |  CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+        |       ELSE regexp_replace(path0, '/$$', '') END ||
+        |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(query0, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)=')
+        |        AND p <> '')), '&') AS qs FROM c0)),
+        |r AS (SELECT doc_id, canonical_url,
+        |    row_number() OVER (PARTITION BY canonical_url
+        |      ORDER BY chunk, doc_id) AS rn
+        |  FROM built)
+        |SELECT doc_id, canonical_url FROM r WHERE rn = 1""".stripMargin))),
 
     // streaming NEAR-dup dedup against the committed corpus: each
     // micro-batch (4 contiguous doc_id-range chunks; chunks 1-3 carry

@@ -96,6 +96,49 @@ final class StreamingLoader(catalog: GraftCatalog) {
     * replay — if a crash lands between the two commits, the replayed
     * batch recomputes the identical keep-set (the signature table still
     * excludes this batch) and commits only the missing half. */
+  /** Crawl-ingest URL dedup stream: per micro-batch, canonicalize URLs
+    * ([[graft.llmops.TextOps.canonicalizeUrl]]), keep ONE winner per
+    * canonical within the batch (hash aggregate, min doc_id), drop
+    * canonicals the committed table already holds (anti-join), append
+    * the survivors. ZERO Spark streaming state — the committed table IS
+    * the dedup state, restart-durable and bounded by distinct-URL count;
+    * the [[startNearDeduped]] pattern with the canonical URL as the
+    * exact key. Idempotent per batch through the load-id ledger. */
+  def startUrlDeduped(stream: DataFrame, ns: String, pagesTable: String,
+      cfg: WriteConfig = WriteConfig(),
+      queryName: String = "graft-url-dedup",
+      checkpoint: Option[String] = None,
+      urlCol: String = "url"): StreamingQuery = {
+    val w = stream.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val loadId = s"$queryName-batch-$batchId"
+        val done = catalog.tableExists(ns, pagesTable) &&
+          catalog.loadTable(ns, pagesTable).metadata.snapshots
+            .exists(_.loadId.contains(loadId))
+        if (!done && !batch.isEmpty) {
+          val winners = batch
+            .withColumn("canonical_url",
+              graft.llmops.TextOps.canonicalizeUrl(col(urlCol)))
+            .groupBy(col("canonical_url"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val fresh =
+            if (!catalog.tableExists(ns, pagesTable)) winners
+            else winners.join(
+              catalog.loadTable(ns, pagesTable).read()
+                .select(col("canonical_url")),
+              Seq("canonical_url"), "left_anti")
+          writer.writeTable(ns, pagesTable,
+            Seq(fresh.select(col("doc_id"), col("canonical_url"))),
+            Append, cfg, loadId)
+        }
+        ()
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   def startNearDeduped(stream: DataFrame, ns: String, docsTable: String,
       sigsTable: String, cfg: WriteConfig = WriteConfig(),
       queryName: String = "graft-near-dedup",

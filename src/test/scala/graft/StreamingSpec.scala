@@ -280,4 +280,61 @@ class StreamingSpec extends AnyFunSuite {
     val docIds = dc.read().select("doc_id").as[Long].collect().toSet
     assert(sigIds == docIds, "sig keep-set must equal the docs keep-set")
   }
+
+  test("url-dedup stream: committed-but-uncheckpointed batch replays idempotently") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-ud-crash-").toString)
+    // two chunks of messy URLs; chunk 1 repeats chunk 0's canonical URLs
+    // under different raw forms plus one genuinely new page
+    val srcDir = Files.createTempDirectory("graft-ud-crash-src-")
+    Seq((1L, "https://E.com/p?id=1&utm_source=x"), (2L, "https://e.com/q"))
+      .toDF("doc_id", "url").coalesce(1)
+      .write.parquet(srcDir.resolve("c0").toString)
+    Seq((10L, "HTTPS://WWW.e.COM:443/p/?id=1"), (11L, "https://e.com/new"))
+      .toDF("doc_id", "url").coalesce(1)
+      .write.parquet(srcDir.resolve("c1").toString)
+    val ck = Files.createTempDirectory("graft-ud-crash-ck-").toString
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.resolve("c0").toString).schema
+    def run(): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+          val q = loader.startUrlDeduped(stream, "main", "pages",
+            cfg = WriteConfig(retryUnitMs = 1), queryName = "udx",
+            checkpoint = Some(ck))
+          try q.awaitTermination() finally q.stop()
+          done = true
+        } catch {
+          // the manager releases a terminated query's checkpoint claim
+          // asynchronously; a restart on the same checkpoint can race it
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if e.getMessage.contains("concurrently using") && attempts < 40 =>
+            attempts += 1; Thread.sleep(250)
+        }
+      }
+    }
+    run()
+    val t = cat.loadTable("main", "pages")
+    val got = t.read().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "https://e.com/p?id=1"), (2L, "https://e.com/q"),
+      (11L, "https://e.com/new")), got)
+    // crash window: last table commit landed, checkpoint marker did not —
+    // restart replays that batch id and must commit NOTHING new
+    val committed = t.metadata.snapshots.flatMap(_.loadId)
+    val lastBatch = committed.map(_.stripPrefix("udx-batch-").toInt).max
+    val marker = java.nio.file.Paths.get(ck, "commits", lastBatch.toString)
+    assert(java.nio.file.Files.deleteIfExists(marker), s"no marker $marker")
+    run()
+    val t2 = cat.loadTable("main", "pages")
+    assert(t2.metadata.snapshots.flatMap(_.loadId) == committed,
+      "replayed batch must be skipped, not re-committed")
+    assert(t2.read().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == got)
+  }
 }
