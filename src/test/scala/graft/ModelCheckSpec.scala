@@ -401,6 +401,26 @@ class ModelCheckSpec extends AnyFunSuite {
           history += sid -> model.toMap
         }
       }
+      // end of seed: the MIGRATION shape — export the final table and
+      // ATTACH it into a fresh catalog (sequence-ordered replay, delete
+      // conversion, partition/property carry); the attached table must
+      // read as the model
+      if (cat.tableExists("main", "t") &&
+          cat.loadTable("main", "t").metadata.currentSnapshotId.isDefined) {
+        val t = cat.loadTable("main", "t")
+        graft.iceberg.IcebergInterop.exportTable(t)
+        val cat2 = new GraftCatalog(spark,
+          Files.createTempDirectory(s"graft-model-att-$seed-").toString)
+        val att = graft.iceberg.IcebergInterop.importAsTable(cat2, "main",
+          "attached", t.dir.resolve("iceberg").toString)
+        val got = att.read().select("id", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+        val want = model.toSeq.sortBy(_._1)
+        assert(got == want,
+          s"seed=$seed: ATTACHED table diverged from model\n" +
+            s"extra: ${(got.toSet -- want.toSet).take(5)}\n" +
+            s"missing: ${(want.toSet -- got.toSet).take(5)}")
+      }
     }
   }
 }
