@@ -1250,8 +1250,19 @@ object IcebergInterop {
         loc.resolve("metadata").resolve(s"v$v.metadata.json")
       }
     val md = JsonMethods.parse(Files.readString(mdPath))
-    require((md \ "format-version") == JInt(2),
-      s"iceberg-import: only format-version 2 is supported, got ${md \ "format-version"}")
+    // v2 is the native dialect; v1 (legacy tables) differs only in ways
+    // that RELAX the parse — no sequence numbers (all effectively 0, so
+    // every equality delete applies to every older file — but v1 has no
+    // delete files at all), possibly an inline `manifests` array instead
+    // of a manifest list, and possibly a single `schema`/`partition-spec`
+    // instead of the versioned lists
+    val formatVersion = (md \ "format-version") match {
+      case JInt(i) => i.toInt
+      case other => throw new ValidationError(
+        s"iceberg-import: malformed format-version $other")
+    }
+    require(formatVersion == 1 || formatVersion == 2,
+      s"iceberg-import: only format-version 1/2 are supported, got $formatVersion")
     val currentId = asOfSnapshotId.getOrElse((md \ "current-snapshot-id") match {
       case JInt(i) => i.toLong
       case _ => throw new ValidationError("iceberg-import: no current snapshot")
@@ -1266,15 +1277,15 @@ object IcebergInterop {
         case JInt(i) => i.toInt; case _ => 0
       }
     }
-    val schemaJV = (md \ "schemas").asInstanceOf[JArray].arr
-      .find(s => (s \ "schema-id") == JInt(schemaId))
-      .getOrElse(throw new ValidationError(
-        s"iceberg-import: schema-id $schemaId not found"))
+    val schemaJV = ((md \ "schemas") match {
+      case JArray(ss) => ss.find(s => (s \ "schema-id") == JInt(schemaId))
+      case _ => None
+    }).orElse((md \ "schema") match { // v1 single-schema form
+      case o: JObject => Some(o: JValue)
+      case _ => None
+    }).getOrElse(throw new ValidationError(
+      s"iceberg-import: schema-id $schemaId not found"))
     val schema = fromIcebergSchemaJson(JsonMethods.compact(schemaJV))
-    val listPath = (snap \ "manifest-list") match {
-      case JString(p) => Paths.get(fromUri(p))
-      case _ => throw new ValidationError("iceberg-import: no manifest-list")
-    }
     // top-level field id -> column name, for equality_ids resolution
     val idToName: Map[Int, String] = (schemaJV \ "fields") match {
       case JArray(fs) => fs.flatMap { f =>
@@ -1295,9 +1306,18 @@ object IcebergInterop {
     }
     val Param = """(bucket|truncate)\[(\d+)\]""".r
     val specTranslated: Seq[(String, graft.catalog.PartitionFieldSpec)] =
-      ((md \ "partition-specs") match {
+      (((md \ "partition-specs") match {
         case JArray(specs) =>
           specs.find(s => (s \ "spec-id") == JInt(defaultSpecId))
+        case _ => None
+      })
+        // v1 legacy single-spec form: fields live under `partition-spec`
+        .orElse((md \ "partition-spec") match {
+          case fs: JArray => Some(JObject(List("fields" -> (fs: JValue))))
+          case _ => None
+        }) match {
+        case Some(spec0) =>
+          Some(spec0)
             .map(s => (s \ "fields") match {
               case JArray(fs) => fs.map { f =>
                 for {
@@ -1328,7 +1348,7 @@ object IcebergInterop {
               }
               case _ => Nil
             }).getOrElse(Nil)
-        case _ => Nil
+        case None => Nil
       }) match {
         case fs if fs.nonEmpty && fs.forall(_.isDefined) => fs.map(_.get)
         case _ => Nil
@@ -1337,38 +1357,57 @@ object IcebergInterop {
       case (_, s) => s.name -> schema(s.source).dataType
     }.toMap
 
-    val (manifests, _) = readAvro(listPath)
+    // (manifest path, list sequence): from the manifest-list avro, or —
+    // v1 legacy — an inline `manifests` path array (sequence 0)
+    val manifestRefs: Seq[(java.nio.file.Path, Long)] =
+      (snap \ "manifest-list") match {
+        case JString(p) =>
+          readAvro(Paths.get(fromUri(p)))._1.map { mf =>
+            (Paths.get(fromUri(mf.get("manifest_path").toString)),
+              mf.get("sequence_number") match {
+                case n: Number => n.longValue
+                case _ => 0L
+              })
+          }
+        case _ => (snap \ "manifests") match {
+          case JArray(ps) => ps.collect {
+            case JString(p) => (Paths.get(fromUri(p)), 0L)
+          }
+          case _ => throw new ValidationError(
+            "iceberg-import: no manifest-list or manifests on snapshot")
+        }
+      }
     var dataFiles = Vector.empty[IcebergFile]
     var eqDeletes = Vector.empty[IcebergEqDelete]
     var posDeletes = Vector.empty[IcebergPosDelete]
-    manifests.foreach { mf =>
-      val mPath = Paths.get(fromUri(mf.get("manifest_path").toString))
-      val listSeq = mf.get("sequence_number") match {
-        case l: java.lang.Long => l.longValue
-        case n: Number => n.longValue
-        case _ => 0L
-      }
+    manifestRefs.foreach { case (mPath, listSeq) =>
       val (entries, _) = readAvro(mPath)
       entries.foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) { // DELETED entries are no longer live
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          def longOf(field: String): Long = df.get(field) match {
+          // v1 manifests lack whole fields (sequence numbers, content):
+          // GenericData.Record.get THROWS on unknown names, so every
+          // version-dependent read goes through a schema-checked getter
+          def getOpt(r: GenericRecord, field: String): AnyRef =
+            if (r.getSchema.getField(field) == null) null else r.get(field)
+          def longOf(field: String): Long = getOpt(df, field) match {
             case null => 0L
             case n: Number => n.longValue
             case _ => 0L
           }
           // v2 sequence inheritance: an ADDED entry with a null sequence
           // inherits the manifest list entry's sequence number
-          val seq = e.get("sequence_number") match {
+          val seq = getOpt(e, "sequence_number") match {
             case n: Number => n.longValue
             case _ => if (status == 1) listSeq else 0L
           }
           val path = fromUri(df.get("file_path").toString)
           val format = String.valueOf(df.get("file_format")).toUpperCase
-          val content = df.get("content") match {
+          val content = getOpt(df, "content") match {
             case null => 0
             case n: Number => n.intValue
+            case _ => 0
           }
           content match {
             case 0 =>

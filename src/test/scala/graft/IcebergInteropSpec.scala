@@ -425,6 +425,67 @@ class IcebergInteropSpec extends AnyFunSuite {
       s"sort order must translate: ${att.metadata.properties}")
   }
 
+  test("imports a legacy format-version 1 tree (inline manifests, single schema)") {
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    // the 2017-era v1 shape: no sequence numbers, no content field, an
+    // inline `manifests` path array on the snapshot (no manifest list),
+    // a single `schema` key and a bare `partition-spec` fields array
+    val v1Entry = new org.apache.avro.Schema.Parser().parse("""{
+      "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+        {"name": "data_file", "field-id": 2, "type": {
+          "type": "record", "name": "r2", "fields": [
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "field-id": 102,
+             "type": {"type": "record", "name": "r102", "fields": []}},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+          ]}}]}""")
+    val root = Files.createTempDirectory("graft-v1-ice-")
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    val dataSub = root.resolve("d1")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.parquet(dataSub.toString)
+    val dataPath = PathIO.list(dataSub)
+      .find(_.getFileName.toString.endsWith(".parquet")).get.toString
+    val e = new GenericData.Record(v1Entry)
+    e.put("status", 1)
+    e.put("snapshot_id", java.lang.Long.valueOf(5L))
+    val df0 = new GenericData.Record(v1Entry.getField("data_file").schema())
+    df0.put("file_path", s"file://$dataPath")
+    df0.put("file_format", "PARQUET")
+    df0.put("partition", new GenericData.Record(
+      df0.getSchema.getField("partition").schema()))
+    df0.put("record_count", java.lang.Long.valueOf(3L))
+    df0.put("file_size_in_bytes", java.lang.Long.valueOf(
+      Files.size(java.nio.file.Paths.get(dataPath))))
+    e.put("data_file", df0)
+    val mPath = metaDir.resolve("v1-m0.avro")
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](v1Entry))
+    w.create(v1Entry, mPath.toFile)
+    try w.append(e) finally w.close()
+    val (schemaJson, lastId) = IcebergInterop.toIcebergSchemaJson(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    Files.writeString(metaDir.resolve("v1.metadata.json"),
+      s"""{"format-version": 1, "table-uuid": "0-0-0-0-1",
+         | "location": "file://$root", "last-updated-ms": 1,
+         | "last-column-id": $lastId, "schema": $schemaJson,
+         | "partition-spec": [], "properties": {},
+         | "current-snapshot-id": 5,
+         | "snapshots": [{"snapshot-id": 5, "timestamp-ms": 1,
+         |   "manifests": ["file://$mPath"]}]}""".stripMargin)
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    val back = IcebergInterop.importTable(spark, root.toString)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val cat = freshCatalog()
+    val att = IcebergInterop.importAsTable(cat, "main", "v1t", root.toString)
+    assert(att.read().count() == 3 && att.rowCount == 3L)
+  }
+
   test("partitioned export round-trips the real spec, tuples, and pruning") {
     import graft.partition.PartitionHint
     val cat = freshCatalog()
