@@ -350,13 +350,20 @@ object GraftProcedures {
         "(data files referenced in place, no bytes copied)"
     override def parameters(): Array[ProcedureParameter] = Array(
       in("table", StringType),
-      in("location", StringType))
+      in("location", StringType),
+      // optional: attach a HISTORICAL snapshot of the tree (external
+      // time travel into a live table); 0 = current
+      inDefault("snapshot_id", LongType, "0"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val parts = String.valueOf(input.getUTF8String(0)).split("\\.")
       require(parts.length == 2,
         s"procedure table argument must be 'namespace.table'")
+      val asOf =
+        if (input.numFields < 3 || input.isNullAt(2) || input.getLong(2) == 0L)
+          None
+        else Some(input.getLong(2))
       val t = graft.iceberg.IcebergInterop.importAsTable(cat,
-        parts(0), parts(1), String.valueOf(input.getUTF8String(1)))
+        parts(0), parts(1), String.valueOf(input.getUTF8String(1)), asOf)
       one(StructType(Seq(
         StructField("attached", BooleanType, nullable = false),
         StructField("row_count", LongType, nullable = false))),

@@ -1063,8 +1063,9 @@ object IcebergInterop {
     * after attach, the full engine surface (SQL, merges, maintenance,
     * time travel forward of the attach point) applies. */
   def importAsTable(cat: graft.catalog.GraftCatalog, ns: String,
-      name: String, location: String): GraftTable = {
-    val plan = importPlan(location)
+      name: String, location: String,
+      asOfSnapshotId: Option[Long] = None): GraftTable = {
+    val plan = importPlan(location, asOfSnapshotId)
     val loadId = s"iceberg-import:$location"
     // partition fidelity: when the tree's spec translated AND every data
     // file carries a full partition tuple, attach WITH the spec and

@@ -705,6 +705,17 @@ class IcebergInteropSpec extends AnyFunSuite {
       assert(at.select("id").collect().map(_.getLong(0)).toSet ==
         (1L to (i + 1).toLong).toSet)
     }
+    // historical ATTACH through the SQL procedure surface: snapshot 2
+    // becomes a live table with exactly its 2 rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.g_att",
+      classOf[GraftSparkCatalog].getName)
+    s2.conf.set("spark.sql.catalog.g_att.warehouse",
+      Files.createTempDirectory("graft-att-wh-").toString)
+    val r0 = s2.sql(s"CALL g_att.system.iceberg_attach('main.hist2', " +
+      s"'${t.dir.resolve("iceberg")}', ${ids(1)})").collect()(0)
+    assert(r0.getBoolean(0) && r0.getLong(1) == 2L, r0)
+
     // parent chain is the real commit chain
     ids.sliding(2).foreach { case Seq(a, b) =>
       val child = snaps.find(s => (s \ "snapshot-id") == JInt(b)).get
