@@ -60,5 +60,42 @@ object GraftFunctions {
         QuantileCode(exprs.head, bounds)
       },
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bpe",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_bpe(word, leftsArrayLiteral, rightsArrayLiteral)")
+        def strings(e: Expression, what: String): Seq[String] = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_bpe $what must be a foldable array<string> literal, got $e")
+          val coerced = e.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, _) => e
+            case _: org.apache.spark.sql.types.ArrayType =>
+              org.apache.spark.sql.catalyst.expressions.Cast(e,
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType))
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe $what must be an array<string> literal, got type $other")
+          }
+          coerced.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType).toSeq
+                .map {
+                  case null => throw new IllegalArgumentException(
+                    s"graft_bpe $what must not contain nulls")
+                  case s => s.toString
+                }
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe $what must be an array<string> literal, got $other")
+          }
+        }
+        val lefts = strings(exprs(1), "lefts")
+        val rights = strings(exprs(2), "rights")
+        require(lefts.length == rights.length,
+          s"graft_bpe lefts/rights length mismatch: ${lefts.length} vs ${rights.length}")
+        BpeEncode(exprs.head, lefts.zip(rights))
+      },
+      "built-in")
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.llmops.{Dedup, Multimodal, SemanticDedup, Similarity, TextOps}
+import graft.llmops.{Bpe, Dedup, Multimodal, SemanticDedup, Similarity, TextOps}
 
 /** ★ North-star LLM-data-pipeline operators (SURVEY §2.11) as
   * driver-checkable queries over `documents` / `embeddings`.
@@ -36,6 +36,13 @@ object LlmQueries {
   private def stageForOracle(df: DataFrame, name: String): Unit =
     df.coalesce(1).write.mode("overwrite")
       .parquet(s"$OracleStageRoot/$name")
+
+  /** Merge-table size for l61/l62: big enough that merged symbols feed
+    * later merges (multi-level vocab), small enough that the oracle's
+    * chained-CTE replay stays sub-second. MUST be defined before
+    * `entries` — the map's oracle strings evaluate at object init and
+    * would read a forward reference as 0. */
+  private val BpeMerges = 16
 
   /** Exact top-3 cosine over the staged candidate pairs — l9's oracle
     * restricted to the candidate sets, so staging and scoring must agree
@@ -1443,8 +1450,108 @@ object LlmQueries {
         |s6 AS (SELECT doc_id,
         |  trim(regexp_replace(x, '\s+', ' ', 'g')) AS stripped FROM s5)
         |SELECT doc_id, md5(stripped) AS stripped_fp,
-        |  CAST(len(stripped) AS BIGINT) AS n_chars_stripped FROM s6""".stripMargin)))
+        |  CAST(len(stripped) AS BIGINT) AS n_chars_stripped FROM s6""".stripMargin))),
+
+    // real learned BPE (upgrades l1's BPE-ish regex count to an actual
+    // trained tokenizer). Training runs entirely on the distinct-word
+    // table; the oracle replays every iteration as chained MATERIALIZED
+    // CTEs — the shared `replace('␁l␁␁r␁','␁lr␁')` contract (leftmost,
+    // non-overlapping in Spark, DuckDB, and java.lang.String) makes the
+    // two engines agree merge for merge, hash-exact. See llmops/Bpe.scala
+    // for the 100 TB shape (one corpus pass, vocabulary-sized iterations).
+    "l61_bpe_train" -> ((
+      (s: SparkSession, dir: String) =>
+        Bpe.mergesDf(s, Bpe.trainMerges(docs(s, dir), numMerges = BpeMerges)),
+      Some(bpeTrainOracle(BpeMerges)))),
+
+    // tokenizer application: per-document token counts under the l61
+    // merge list. Spark dedups to distinct words, encodes each once
+    // through the codegen'd graft_bpe expression, joins counts back;
+    // the oracle re-applies the STAGED merges with a recursive CTE over
+    // the same distinct-word set — byte-identical tokenization, so the
+    // per-doc sums hash-match.
+    "l62_bpe_tokens" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val merges = Bpe.trainMerges(d, numMerges = BpeMerges)
+        stageForOracle(Bpe.mergesDf(s, merges), "l62_merges")
+        Bpe.docTokenCounts(d, merges)
+      },
+      Some(bpeApplyOracle)))
   )
+
+  /** DuckDB replay of the whole BPE training loop: w0 = sep-wrapped
+    * char-split word-frequency table, then per iteration a pair-count
+    * CTE, an argmax CTE (cnt DESC, l, r — the engine's tie-break), and a
+    * replace CTE. MATERIALIZED is load-bearing: each w_i is referenced
+    * twice, and without it DuckDB's CTE inlining re-evaluates the chain
+    * exponentially. */
+  private def bpeTrainOracle(n: Int): String = {
+    val head =
+      """w0 AS MATERIALIZED (
+        |  SELECT chr(1) || chr(1) ||
+        |         regexp_replace(w, '([\s\S])', '\1' || chr(1) || chr(1), 'g') AS s,
+        |         count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' AND NOT contains(w, chr(1))
+        |  GROUP BY 1
+        |)""".stripMargin
+    val steps = (1 to n).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT l, r, sum(freq)::BIGINT AS cnt FROM (
+           |    SELECT a[i] AS l, a[i+1] AS r, freq FROM (
+           |      SELECT a, freq, unnest(range(2, len(a) - 1)) AS i
+           |      FROM (SELECT string_split(s, chr(1) || chr(1)) AS a, freq FROM w${i - 1})))
+           |  GROUP BY l, r
+           |)""".stripMargin,
+        s"b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)",
+        s"""w$i AS MATERIALIZED (
+           |  SELECT replace(w.s, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+           |                 chr(1) || b.l || b.r || chr(1)) AS s, w.freq
+           |  FROM w${i - 1} w, b$i b
+           |)""".stripMargin)
+    }
+    val fin = (1 to n).map(i =>
+      s"SELECT $i AS merge_rank, l AS pair_left, r AS pair_right, cnt AS pair_freq FROM b$i")
+      .mkString(" UNION ALL ")
+    s"WITH $head,\n${steps.mkString(",\n")}\nSELECT * FROM ($fin) ORDER BY merge_rank"
+  }
+
+  /** DuckDB replay of tokenizer application: a recursive CTE walks the
+    * staged merge table in rank order, applying the same replace() to
+    * each distinct word's sep-wrapped form; token counts then join back
+    * to the word-exploded corpus and aggregate per document. */
+  private lazy val bpeApplyOracle: String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT merge_rank, pair_left, pair_right
+       |  FROM read_parquet('$OracleStageRoot/l62_merges/*.parquet')),
+       |words AS (
+       |  SELECT DISTINCT w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND NOT contains(w, chr(1))),
+       |enc AS (
+       |  SELECT w, chr(1) || chr(1) ||
+       |           regexp_replace(w, '([\\s\\S])', '\\1' || chr(1) || chr(1), 'g') AS s,
+       |         0 AS r FROM words
+       |  UNION ALL
+       |  SELECT e.w,
+       |         replace(e.s,
+       |                 chr(1) || m.pair_left || chr(1) || chr(1) || m.pair_right || chr(1),
+       |                 chr(1) || m.pair_left || m.pair_right || chr(1)) AS s,
+       |         e.r + 1
+       |  FROM enc e JOIN m ON m.merge_rank = e.r + 1),
+       |tok AS (
+       |  SELECT w, len(string_split(s, chr(1) || chr(1))) - 2 AS ntok
+       |  FROM enc WHERE r = (SELECT count(*) FROM m)),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |       sum(t.ntok)::BIGINT AS n_bpe_tokens
+       |FROM (SELECT doc_id, w FROM docw
+       |      WHERE w <> '' AND NOT contains(w, chr(1))) d
+       |JOIN tok t ON t.w = d.w
+       |GROUP BY d.doc_id""".stripMargin
 
   private lazy val jaccardOracle: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
