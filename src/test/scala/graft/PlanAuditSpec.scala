@@ -276,6 +276,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p59.contains("Exchange") && !p59.contains("Join") &&
       !p59.contains("ScalaUDF") && p59.contains("FileScan parquet"),
       s"markup strip must be a shuffle-free scan+project:\n$p59")
+
+    // BPE tokenizer application: the merge-list tokenizer is the
+    // codegen'd graft_bpe expression (never a ScalaUDF), applied to the
+    // DEDUPED distinct-word side; the count lookup joins back as a hash
+    // join (tiny side broadcastable, never cartesian/nested-loop), and
+    // the per-doc rollup is a hash aggregate with map-side partials,
+    // never a window
+    val merges = graft.llmops.Bpe.trainMerges(docs, numMerges = 4)
+    val qe62 = graft.llmops.Bpe.docTokenCounts(docs, merges).queryExecution
+    val p62 = qe62.executedPlan.toString
+    assert(!p62.contains("ScalaUDF") && !p62.contains("BatchEvalPython"),
+      s"bpe apply must use the native expression, not a UDF:\n$p62")
+    assert(!p62.contains("CartesianProduct") &&
+      !p62.contains("BroadcastNestedLoopJoin"),
+      s"bpe count lookup must stay a keyed hash join:\n$p62")
+    assert(!p62.contains("Window"),
+      s"per-doc rollup must be an aggregate, not a window:\n$p62")
+    // the tokenizer expression folds into the distinct aggregate's result
+    // expressions, which the physical string omits — pin it logically
+    val lp62 = qe62.optimizedPlan.toString
+    assert(lp62.contains("graft_bpe"),
+      s"bpe apply must go through the graft_bpe expression:\n$lp62")
+    assert(p62.contains("partial_count") || p62.contains("partial_sum"),
+      s"per-doc rollup must aggregate map-side first:\n$p62")
   }
 
   test("the deliberate exceptions stay deliberate") {
