@@ -135,13 +135,19 @@ object Bench {
       (graftTmpDirs() diff tmpBaseline diff keep).foreach(deleteRecursively)
       (name, times, entryLoad)
     }
-    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
+    // a FAILED entry's time-to-throw is not a measurement: keep it out
+    // of the per-query minima and the headline total (a 0.01 s throw
+    // would read as an improvement to anyone diffing totals without
+    // cross-referencing `failed`); the raw runs stay recorded for
+    // forensics
+    val ok = results.filter { case (k, _, _) => !failed.containsKey(k) }
+    val qs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, ts, _) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val loads = results.map { case (k, _, l) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    val total = if (ok.nonEmpty) ok.map(_._2.min).sum else 0.0
     val loadAfter = loadavg1m()
     // loadavg above the documented threshold means external contention:
     // numbers are not comparable across rounds (doctrine in BASELINE.md
@@ -169,7 +175,7 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"entry_loadavg":$loads,"failed":$failedJson,"contended":$contended,"sf":"$sfDir","runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(perQueryFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val slowest = results.sortBy(-_._2.min).take(10)
+    val slowest = ok.sortBy(-_._2.min).take(10)
       .map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     System.err.println(s"""{"queries_raw":$raw}""")

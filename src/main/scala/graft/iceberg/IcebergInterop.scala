@@ -484,7 +484,16 @@ object IcebergInterop {
     def cmp(a: AnyRef, b: AnyRef): Option[Int] = (a, b) match {
       case (x: Integer, y: Integer) => Some(x.compareTo(y))
       case (x: java.lang.Long, y: java.lang.Long) => Some(x.compareTo(y))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      // strings order by UNSIGNED UTF-8 bytes (= code-point order), the
+      // ordering Iceberg readers assume for string bounds — Java
+      // String.compareTo is UTF-16 code-UNIT order, which ranks
+      // supplementary-plane characters (surrogate-led) BELOW U+E000..
+      // U+FFFF and would let an external planner prune a manifest that
+      // actually contains the partition it filtered for
+      case (x: String, y: String) =>
+        Some(java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case (x: java.lang.Float, y: java.lang.Float) => Some(x.compareTo(y))
       case (x: java.lang.Double, y: java.lang.Double) => Some(x.compareTo(y))
       case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))

@@ -19,10 +19,16 @@ import graft.functions.BpeWordEncoder
   *    (30k–50k merges): the top pairs of one count pass are applied
   *    together after a greedy conflict filter (no symbol — left, right,
   *    or merged — shared between picked pairs). Disjointness makes the
-  *    batched counts EXACT: merging (a,b) can only create/destroy
+  *    batched COUNTS exact: merging (a,b) can only create/destroy
   *    adjacencies that involve a, b, or ab, so a conflict-free (c,d)'s
-  *    count is unchanged — batched training is classic BPE, just with
-  *    provably-independent merges grouped into one pass;
+  *    recorded frequency is the true post-merge frequency. The merge
+  *    SEQUENCE can still diverge from sequential BPE — a brand-new pair
+  *    involving the merged symbol (x,ab) may outrank the batch's second
+  *    pick, and sequential training would take it first — so batch>1 is
+  *    the standard distributed approximation (identical to sequential
+  *    exactly when no cross-pick pair intervenes, the case BpeSpec
+  *    pins), not a byte-for-byte classic merge table. Callers needing
+  *    tokenizer-compatible textbook output use batch=1;
   *  - tokenizer application dedups to distinct words first (zipfian
   *    reuse makes this a ~20–50× cut), encodes each word once through
   *    the codegen'd [[graft.functions.BpeEncode]] expression, and joins

@@ -63,8 +63,10 @@ object Dedup {
   private def sigBandBuckets(sigs: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     val rows = numHashes / bands
-    sigs.select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .join(sigs, "doc_id")
+    // explode carries sig alongside — re-joining the signature table to
+    // itself on doc_id here would add a corpus-scale shuffle per call
+    sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         slice(col("sig"), col("band") * rows + 1, lit(rows)).as("bucket"))
   }
@@ -354,31 +356,38 @@ object Dedup {
     * boilerplate head; under degenerate template-saturated corpora the
     * budget binds and bounds the join's amplification instead of letting
     * it go quadratic. Cost shape: one count aggregate over shingles,
-    * then a histogram over df VALUES — the driver collect is the
-    * histogram, whose row count is the number of distinct df values
-    * (clamped at 2^20 so it stays bounded even on degenerate corpora). */
+    * then windowed cumulatives over the df-value HISTOGRAM (distinct df
+    * values — O(√ total shingle instances), a single-task window at any
+    * corpus size) — the driver receives ONE row, the cap. The
+    * arithmetic is integer-exact over UNCLAMPED dfs, the same
+    * formulation the SQL oracle runs, so both engines derive the
+    * identical cap on any corpus (an earlier cut clamped df at 2^20
+    * before the histogram, which silently diverged from the oracle —
+    * and under-counted pair mass — once any shingle's df crossed 2^20;
+    * pair mass accumulates in decimal(38,0), the overflow discipline
+    * DuckDB's HUGEINT sum gives the oracle). */
   def autoShingleCap(dfs: DataFrame, floorCap: Int = ShingleCapFloor,
       maxPairMass: Long = DefaultShinglePairMassBudget): Int = {
-    val hist = dfs.select(least(col("df"), lit(1 << 20)).as("df"))
-      .groupBy("df").agg(count(lit(1)).as("c"))
-      .orderBy("df").collect() // histogram of df values: metadata-scale
-    val total = hist.map(_.getLong(1)).sum
-    var cum = 0L
-    var pairMass = BigInt(0) // c·df² sums can exceed Long on hot corpora
-    var p999 = floorCap.toLong
-    var found999 = false
-    var budgetCap = floorCap.toLong
-    for (r <- hist) {
-      val df = r.getLong(0)
-      cum += r.getLong(1)
-      pairMass += BigInt(r.getLong(1)) * BigInt(df) * BigInt(df)
-      if (!found999 && 1000L * cum >= 999L * total) {
-        p999 = math.max(floorCap.toLong, df); found999 = true
-      }
-      if (pairMass <= BigInt(maxPairMass))
-        budgetCap = math.max(floorCap.toLong, df)
-    }
-    math.max(floorCap.toLong, math.min(p999, budgetCap)).toInt
+    import org.apache.spark.sql.expressions.Window
+    val hist = dfs.groupBy("df").agg(count(lit(1)).as("c"))
+    val byDf = Window.orderBy("df")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val cum = hist.select(col("df"),
+      sum("c").over(byDf).as("cumc"),
+      sum("c").over(whole).as("tot"),
+      sum((col("c").cast("decimal(38,0)") * col("df") * col("df")))
+        .over(byDf).as("pm"))
+    val row = cum.select(
+      min(when(col("cumc") * 1000L >= col("tot") * 999L, col("df"))).as("p999"),
+      max(when(col("pm") <= lit(maxPairMass).cast("decimal(38,0)"), col("df")))
+        .as("bud"))
+      .collect()(0) // ONE row: the two candidate caps
+    val p999 = if (row.isNullAt(0)) floorCap.toLong
+      else math.max(floorCap.toLong, row.getLong(0))
+    val bud = if (row.isNullAt(1)) floorCap.toLong
+      else math.max(floorCap.toLong, row.getLong(1))
+    math.max(floorCap.toLong, math.min(p999, bud)).toInt
   }
 
   /** Shingle relation with the df-cap discipline applied: explicit cap

@@ -86,8 +86,10 @@ object Multimodal {
 
   /** REAL image decode (JDK ImageIO — PNG/BMP/GIF need no codec jars):
     * genuine pixel dimensions plus the mean over all RGB channel values.
-    * This is the production path for image-typed blobs; only audio/video
-    * container demux remains stubbed ([[sampleFrames]]). */
+    * This is the production path for image-typed blobs; audio decodes
+    * via [[decodeAudio]] (PCM + G.711) and video demuxes via
+    * [[demuxAvi]] — only perceptual codecs (mp3/aac/h264) remain out of
+    * scope for a codec-jar-free JVM. */
   def decodeImage(blob: Array[Byte]): (Int, Int, Double) = {
     javax.imageio.ImageIO.setUseCache(false)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
@@ -377,6 +379,13 @@ object Multimodal {
         val id = new String(blob, off, 4, "US-ASCII")
         val sz = u32(off + 4)
         val dataOff = off + 8
+        // a corrupt/adversarial size field must FAIL, not wedge: sz < 0
+        // (signed wrap) would stop the offset advancing — an infinite
+        // loop on the executor — and sz past the enclosing chunk would
+        // fabricate zero-padded frames from copyOfRange's padding
+        require(sz >= 0 && dataOff + sz.toLong <= until,
+          s"corrupt AVI: chunk '$id' at offset $off declares size $sz " +
+            s"beyond its enclosing boundary $until")
         if (id == "LIST" && sz >= 4) {
           val listType = new String(blob, dataOff, 4, "US-ASCII")
           walk(dataOff + 4, dataOff + sz,
@@ -387,7 +396,11 @@ object Multimodal {
         off = dataOff + sz + (sz & 1) // chunks pad to even
       }
     }
-    walk(12, 8 + u32(4), inMovi = false)
+    // the RIFF header's size field is untrusted too: read it unsigned
+    // and clamp to the actual blob so a lying header can't push `until`
+    // past the array (or negative)
+    walk(12, math.min(8L + (u32(4) & 0xFFFFFFFFL), blob.length.toLong).toInt,
+      inMovi = false)
     out.toSeq
   }
 

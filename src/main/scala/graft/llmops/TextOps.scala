@@ -653,7 +653,11 @@ object TextOps {
     val path0 = regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "" || path0 === "/", lit("/"))
       .otherwise(regexp_replace(path0, "/$", ""))
-    val query0 = regexp_extract(u, "\\?([^#]*)", 1)
+    // the query is the FIRST '?' BEFORE any '#' (RFC 3986): [^#?]* pins
+    // the scan to the pre-fragment prefix, otherwise a '?' inside the
+    // fragment would invent a query ("…/p#sec?x=1" must canonicalize
+    // like "…/p", not "…/p?x=1")
+    val query0 = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val query = array_join(
       array_sort(filter(split(query0, "&"),
         p => !(p.rlike(s"^($TrackingParams)=") || p === ""))), "&")

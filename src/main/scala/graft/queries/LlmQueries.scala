@@ -1390,7 +1390,7 @@ object LlmQueries {
         |    AS port,
         |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
         |    AS path0,
-        |  regexp_extract(u, '\?([^#]*)', 1) AS query0
+        |  regexp_extract(u, '^[^#?]*\?([^#]*)', 1) AS query0
         |  FROM parts),
         |built AS (SELECT doc_id, scheme || '://' || host ||
         |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')

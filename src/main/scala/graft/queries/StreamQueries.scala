@@ -130,7 +130,7 @@ object StreamQueries {
         |    AS port,
         |  regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
         |    AS path0,
-        |  regexp_extract(u, '\\?([^#]*)', 1) AS query0
+        |  regexp_extract(u, '^[^#?]*\\?([^#]*)', 1) AS query0
         |  FROM d),
         |built AS (SELECT doc_id, chunk, scheme || '://' || host ||
         |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')

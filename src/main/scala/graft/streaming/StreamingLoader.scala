@@ -171,9 +171,17 @@ final class StreamingLoader(catalog: GraftCatalog) {
                   numHashes = numHashes, bands = bands,
                   simThreshold = simThreshold)
                 .filter(col("is_new")).select("doc_id")
+              // docs too short to shingle (< n words) get NO MinHash
+              // signature, so they never appear in `keep` — they must
+              // pass through unconditionally (they can't near-dup
+              // against anything), not be silently dropped from the
+              // corpus table
+              val sigless = batch.select(col("doc_id"))
+                .join(incSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
               if (!docsDone)
                 writer.writeTable(ns, docsTable,
-                  Seq(batch.join(keep, "doc_id")), Append, cfg, loadId)
+                  Seq(batch.join(keep.union(sigless), "doc_id")),
+                  Append, cfg, loadId)
               if (!sigsDone)
                 writer.writeTable(ns, sigsTable,
                   Seq(incSigs.join(keep, "doc_id")), Append, cfg, loadId)
@@ -338,7 +346,10 @@ object StreamingLoader {
   def docsChunkedStream(spark: SparkSession, dir: String,
       chunks: Int = 4, copyIdOffset: Long = 7000000L): DataFrame = {
     // self-healing memoization — see eventsChunkedStream
-    val stagedDir = stagedDocChunks.compute((dir, chunks),
+    // key on EVERY staging parameter: the planted-copy ids depend on
+    // copyIdOffset, so a memo keyed only on (dir, chunks) would hand a
+    // second caller data staged under the first caller's offset
+    val stagedDir = stagedDocChunks.compute((dir, chunks, copyIdOffset),
       (_, v) =>
         if (v != null && java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(v))) v
@@ -350,7 +361,7 @@ object StreamingLoader {
   }
 
   private val stagedDocChunks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), String]()
 
   private def stageDocChunks(spark: SparkSession, dir: String,
       chunks: Int, copyIdOffset: Long): String = {

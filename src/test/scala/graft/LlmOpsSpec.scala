@@ -216,6 +216,12 @@ class LlmOpsSpec extends AnyFunSuite {
       Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleFreq = Some(5),
         exact = true).count()
     }
+    // dfs above 2^20 flow through UNCLAMPED — the cap must be the true
+    // df (the oracle's arithmetic), not a 1<<20 histogram artifact (a
+    // prior cut clamped and silently diverged from the SQL replay)
+    val bigDfs = Seq((0L, 3000000L), (1L, 5L)).toDF("g", "df")
+    assert(Dedup.autoShingleCap(bigDfs, maxPairMass = Long.MaxValue)
+      == 3000000)
   }
 
   test("cluster resolution converges on graphs with diameter >> round cap") {
@@ -296,6 +302,15 @@ class LlmOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.demuxAvi("plainly not a RIFF".getBytes("UTF-8"))
     }
+    // a corrupt chunk size must THROW, not wedge: a negative size field
+    // (signed wrap) once stopped the walk offset from advancing — an
+    // infinite loop on the executor
+    val corrupt = blob.clone()
+    // first chunk header after the RIFF preamble starts at offset 12;
+    // its size field is bytes 16..19
+    corrupt(16) = 0xf8.toByte; corrupt(17) = 0xff.toByte
+    corrupt(18) = 0xff.toByte; corrupt(19) = 0xff.toByte
+    intercept[IllegalArgumentException] { Multimodal.demuxAvi(corrupt) }
   }
 
   test("int8 quantization: degenerate (constant) vectors quantize to zeros, not NaN") {
@@ -722,6 +737,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(canon("https://www.www.e.com/p") == "https://e.com/p")
     // no scheme => not an absolute URL => conservative passthrough
     assert(canon("  example.com/x?utm_source=a ") == "example.com/x?utm_source=a")
+    // a '?' INSIDE the fragment is fragment content, not a query (RFC
+    // 3986: query ends where the fragment starts) — both must collapse
+    // to the bare path, not invent a ?x=1 query
+    assert(canon("https://e.com/p#sec?x=1") == "https://e.com/p")
+    assert(canon("https://e.com/p#sec?x=1") == canon("https://e.com/p"))
+    // and a real query followed by a fragment with a '?' keeps only the
+    // real query
+    assert(canon("https://e.com/p?a=1#sec?x=2") == "https://e.com/p?a=1")
 
     // dedup collapses variants to one row, keeps min doc_id
     val d = Seq(

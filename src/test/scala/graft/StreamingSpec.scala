@@ -281,6 +281,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigIds == docIds, "sig keep-set must equal the docs keep-set")
   }
 
+  test("near-dedup stream: docs too short to shingle pass through, never silently dropped") {
+    import spark.implicits._
+    // 3-word shingles => a 2-word doc gets NO MinHash signature; it must
+    // still land in the corpus table (it cannot near-dup anything), not
+    // vanish because the keep-set join only knows signature holders
+    val srcDir = Files.createTempDirectory("graft-nd-short-src-")
+    Seq(
+      (1L, "key agg row scan slow fast table value part hash"),
+      (2L, "hello world"), // sigless: shorter than the shingle width
+      (3L, "x")) // sigless: single word
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-short-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "nds",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-short-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    val docIds = cat.loadTable("main", "dc").read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(docIds == Set(1L, 2L, 3L),
+      s"short docs must survive near-dedup ingest, got $docIds")
+    // the signature table holds only the signature-bearing doc
+    val sigIds = cat.loadTable("main", "ds").read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds == Set(1L))
+  }
+
   test("url-dedup stream: committed-but-uncheckpointed batch replays idempotently") {
     import spark.implicits._
     val cat = new GraftCatalog(spark,
