@@ -114,6 +114,87 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent in-memory CLASSIC BPE: pair counting and greedy
+    * leftmost non-overlapping merging directly in SYMBOL space (lists of
+    * strings), sharing NO representation with the engine's
+    * separator-string encoding — the cross-check that catches
+    * representation bugs (an earlier single-separator encoding missed
+    * every second in-word occurrence and only a symbol-space reference
+    * exposes that class). */
+  private def referenceBpe(wordFreq: Map[String, Long],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) -> f
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.size < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val maxC = counts.values.max
+        // .toSeq first: collect on a Map whose result is a pair REBUILDS
+        // a Map, so two max-count candidates sharing a left symbol would
+        // collide on the key and one would silently vanish
+        val (l, r) = counts.toSeq.collect { case (p, c) if c == maxC => p }.min
+        out += ((l, r, maxC))
+        words = words.toSeq.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2 // greedy leftmost, non-overlapping
+            } else { b += syms(i); i += 1 }
+          }
+          b.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("fuzz: distributed trainer matches the symbol-space reference on random corpora") {
+    val rnd = new scala.util.Random(20260816L)
+    for (seed <- 1 to 15) {
+      val alphabet = "abcd".take(2 + rnd.nextInt(3))
+      val nWords = 3 + rnd.nextInt(8)
+      val vocab = Seq.fill(nWords)(
+        (1 to (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val freqs = vocab.map(_ => 1 + rnd.nextInt(9))
+      val text = vocab.zip(freqs).flatMap { case (w, f) => Seq.fill(f)(w) }
+        .mkString(" ")
+      val n = 1 + rnd.nextInt(6)
+      val got = Bpe.trainMerges(docsOf(text), numMerges = n)
+        .map(m => (m.left, m.right, m.freq))
+      val want = referenceBpe(
+        vocab.zip(freqs.map(_.toLong)).groupMapReduce(_._1)(_._2)(_ + _), n)
+      assert(got == want, s"seed=$seed corpus='$text' n=$n")
+      // and the encoder reproduces the reference segmentation per word
+      val enc = new BpeWordEncoder(got.map(m => (m._1, m._2)).toArray)
+      for (w <- vocab.distinct) {
+        val refSeg = {
+          var syms = w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+          for ((l, r, _) <- want) {
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            syms = b.result()
+          }
+          syms
+        }
+        assert(enc.encodeToSym(w).split(Bpe.Sep + Bpe.Sep).drop(1).toSeq == refSeg,
+          s"seed=$seed word=$w")
+      }
+    }
+  }
+
   test("docTokenCounts matches a per-doc reference on the real corpus") {
     val d = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
