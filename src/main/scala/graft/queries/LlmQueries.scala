@@ -34,7 +34,11 @@ object LlmQueries {
       .getOrElse("/tmp/graft-oracle-stage")
 
   private def stageForOracle(df: DataFrame, name: String): Unit =
-    df.coalesce(1).write.mode("overwrite")
+    // repartition(1), NOT coalesce(1): coalesce folds the WHOLE upstream
+    // plan into one task (at sf10 the l57 signature aggregation ran
+    // single-threaded for 10+ minutes); repartition keeps the compute
+    // parallel and only the final write funnels into one file
+    df.repartition(1).write.mode("overwrite")
       .parquet(s"$OracleStageRoot/$name")
 
   /** Merge-table size for l61/l62: big enough that merged symbols feed

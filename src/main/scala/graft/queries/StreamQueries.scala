@@ -39,7 +39,9 @@ object StreamQueries {
       .getOrElse("/tmp/graft-oracle-stage")
 
   private def stageForOracle(df: DataFrame, name: String): Unit =
-    df.coalesce(1).write.mode("overwrite")
+    // repartition(1), not coalesce(1) — see LlmQueries.stageForOracle:
+    // coalesce folds the whole upstream plan into one task
+    df.repartition(1).write.mode("overwrite")
       .parquet(s"$OracleStageRoot/$name")
 
   /** One absorption step of the s9 oracle: documents of chunk `k` that
