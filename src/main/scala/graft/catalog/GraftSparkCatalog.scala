@@ -40,7 +40,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private var warehouse: String = _
 
   private def spark = org.apache.spark.sql.SparkSession.active
-  private def cat = new GraftCatalog(spark, warehouse)
+  // one GraftCatalog per active session, not per call: the constructor
+  // runs a warehouse mkdir and a full function re-registration, and
+  // metadata-heavy planning (listTables -> tableExists per entry) calls
+  // into the catalog many times per statement
+  @volatile private var cachedCat: GraftCatalog = _
+  private def cat = {
+    val c = cachedCat
+    if (c != null && (c.spark eq spark)) c
+    else {
+      val n = new GraftCatalog(spark, warehouse)
+      cachedCat = n
+      n
+    }
+  }
+  private lazy val viewStore = new GraftViews(java.nio.file.Paths.get(warehouse))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -233,7 +247,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   // so a view outlives the session that created it — unlike the
   // reference's per-connection DuckDB views (sql_client.py:101-149).
 
-  private def views = new GraftViews(java.nio.file.Paths.get(warehouse))
+  private def views = viewStore
 
   override def listViews(namespace: String*):
       Array[Identifier] = {

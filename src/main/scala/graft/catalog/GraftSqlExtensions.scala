@@ -95,11 +95,21 @@ object GraftViewSupport {
   def target(session: SparkSession, parts: Seq[String]):
       Option[(GraftSparkCatalog, String, Seq[String], String)] = {
     val cm = session.sessionState.catalogManager
+    def isCatalog(name: String): Boolean =
+      try { cm.catalog(name); true } catch { case NonFatal(_) => false }
     if (parts.length >= 2)
       graftCatalog(session, parts.head)
         .map(g => (g, parts.head, parts.tail.init, parts.last))
-        .orElse(graftCatalog(session, cm.currentCatalog.name())
-          .map(g => (g, cm.currentCatalog.name(), parts.init, parts.last)))
+        .orElse {
+          // a head that names a REGISTERED non-graft catalog is an
+          // explicit target — pass through to the delegate instead of
+          // hijacking the statement into the current graft catalog
+          // (CREATE VIEW spark_catalog.default.v must create a session
+          // view, not a graft view under namespace "spark_catalog")
+          if (isCatalog(parts.head)) None
+          else graftCatalog(session, cm.currentCatalog.name())
+            .map(g => (g, cm.currentCatalog.name(), parts.init, parts.last))
+        }
     else
       graftCatalog(session, cm.currentCatalog.name())
         .map(g => (g, cm.currentCatalog.name(),
@@ -130,11 +140,18 @@ final class GraftViewParser(session: SparkSession, delegate: ParserInterface)
         DropGraftViewCommand(cat, ns, name, ifExists)
       }.getOrElse(d)
     case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
+      val cm = session.sessionState.catalogManager
+      def isCatalog(name: String): Boolean =
+        try { cm.catalog(name); true }
+        catch { case scala.util.control.NonFatal(_) => false }
       val (catName, ns) = parts match {
         case head +: rest if GraftViewSupport.graftCatalog(session, head).isDefined =>
           (head, rest)
-        case _ => (session.sessionState.catalogManager.currentCatalog.name(),
-          parts)
+        // an explicit non-graft catalog head passes through to the
+        // delegate — never reinterpreted as a namespace of the current
+        // graft catalog
+        case head +: _ if isCatalog(head) => return s
+        case _ => (cm.currentCatalog.name(), parts)
       }
       if (GraftViewSupport.graftCatalog(session, catName).isDefined)
         ShowGraftViewsCommand(catName, ns, pattern, output)

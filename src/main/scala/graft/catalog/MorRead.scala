@@ -56,22 +56,32 @@ object MorRead {
   private def hinted(df: DataFrame, rows: Long): DataFrame =
     if (rows <= broadcastMaxRows) broadcast(df) else df
 
-  /** `_metadata.file_path` is a URI (`file:///…`); our [[DataFile]] paths
-    * are POSIX. Strip the scheme so they join. */
+  /** `_metadata.file_path` is a percent-ENCODED URI (`file:///…p=a%20b…`);
+    * our [[DataFile]] paths are DECODED POSIX literals. Canonicalize to
+    * the decoded path (scheme stripped AND percent-decoding undone) so
+    * the two representations join even when a partition value or the
+    * warehouse path contains a space/unicode/'%' — a bare scheme strip
+    * left those diverging and deletes silently resurrected. See
+    * [[graft.functions.UriPath]]. */
   def posixPath(c: Column): Column =
-    regexp_replace(c, "^file:(//)?", "")
+    org.apache.spark.sql.classic.GraftSqlShims.column(
+      graft.functions.UriPathExpr(
+        org.apache.spark.sql.classic.GraftSqlShims.expression(c)))
 
   /** Driver-side twin of [[posixPath]]: metadata paths joined against
     * `_metadata.file_path` must pass through the SAME canonicalization as
-    * the scan side, or a representation mismatch silently un-matches. */
-  def posixPath(p: String): String =
-    p.replaceFirst("^file:(//)?", "")
+    * the scan side, or a representation mismatch silently un-matches.
+    * Literal engine paths (no scheme) pass through untouched. */
+  def posixPath(p: String): String = graft.functions.UriPath.decode(p)
 
   /** Distinct (path, row index) keys of positional-delete files, under
     * the join-column names the scan side uses. */
   def posKeys(spark: SparkSession, posDeletes: Seq[PosDeleteFile]): DataFrame =
     spark.read.parquet(posDeletes.map(_.path): _*)
-      .select(col("file_path").as("__gf_path"),
+      // canonicalize stored targets too: new writes store decoded
+      // literals, but externally-imported delete files (Iceberg interop)
+      // may carry scheme-ful URI forms
+      .select(posixPath(col("file_path")).as("__gf_path"),
         col("row_index").as("__gf_pidx")).distinct()
 
   /** One key-column group's delete keys with their per-file sequence, as

@@ -303,7 +303,7 @@ final class GraftWriter(catalog: GraftCatalog) {
     // would hide it
     val scan = spark.read.schema(m.schema).parquet(files.map(_.path): _*)
       .withColumn("__dw_path",
-        regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+        graft.catalog.MorRead.posixPath(col("_metadata.file_path")))
       .withColumn("__dw_idx", col("_metadata.row_index"))
     val liveRows = MorRead.applyDeletes(spark, scan, files,
       snap.map(_.deletes).getOrElse(Nil), snap.map(_.posDeletes).getOrElse(Nil))
@@ -436,7 +436,7 @@ final class GraftWriter(catalog: GraftCatalog) {
       else {
         val scan = spark.read.schema(m.schema).parquet(files.map(_.path): _*)
           .withColumn("__ow_path",
-            regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+            graft.catalog.MorRead.posixPath(col("_metadata.file_path")))
         val live = MorRead.applyDeletes(spark, scan, files,
           snap.map(_.deletes).getOrElse(Nil),
           snap.map(_.posDeletes).getOrElse(Nil))
@@ -464,7 +464,7 @@ final class GraftWriter(catalog: GraftCatalog) {
           val scan = spark.read.schema(fresh.schema)
             .parquet(newcomers.map(_.path): _*)
             .withColumn("__ow_path",
-              regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+              graft.catalog.MorRead.posixPath(col("_metadata.file_path")))
           val live = MorRead.applyDeletes(spark, scan, newcomers,
             fresh.currentSnapshot.map(_.deletes).getOrElse(Nil),
             fresh.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
@@ -615,7 +615,7 @@ final class GraftWriter(catalog: GraftCatalog) {
     val snap = m.currentSnapshot
     val scan = spark.read.schema(m.schema).parquet(files.map(_.path): _*)
       .withColumn("__dw_path",
-        regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+        graft.catalog.MorRead.posixPath(col("_metadata.file_path")))
       .withColumn("__dw_idx", col("_metadata.row_index"))
     val liveRows = MorRead.applyDeletes(spark, scan, files,
       snap.map(_.deletes).getOrElse(Nil), snap.map(_.posDeletes).getOrElse(Nil))

@@ -270,10 +270,15 @@ object Maintenance {
     // a file needs rewriting if an equality delete could fence it OR a
     // positional delete targets it by path
     val maxSeq = deletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
+    // canonicalize stored targets through the same rule the read path
+    // uses (posixPath decodes scheme-ful URI forms from imported delete
+    // files; engine-written literals pass through) so the literal
+    // DataFile.path comparison below cannot silently miss a file
     val posTargets: Set[String] =
       if (posDeletes.isEmpty) Set.empty
       else t.spark.read.parquet(posDeletes.map(_.path): _*)
-        .select("file_path").distinct().collect().map(_.getString(0)).toSet
+        .select("file_path").distinct().collect()
+        .map(r => graft.catalog.MorRead.posixPath(r.getString(0))).toSet
     val affected = m.currentFiles.filter(f =>
       f.dataSeq < maxSeq || posTargets.contains(f.path))
     val staged =

@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
   /** DataFrame over an analyzed logical plan (Dataset.ofRows is
     * private[sql]) — lets an injected command execute a rewritten
     * write's query through the engine's DataFrame-based write path. */

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog._
 import graft.write._
@@ -317,6 +318,44 @@ class MergeOnReadSpec extends AnyFunSuite {
     intercept[ValidationError] {
       t.changesBetween(afterApply, t.metadata.currentSnapshotId.get)
     }
+  }
+
+  test("URI-encodable partition values: deletes still apply, deleteWhere still lands") {
+    // Spark's _metadata.file_path is a percent-ENCODED URI while snapshot
+    // metadata stores DECODED literal paths; a partition value with a
+    // space puts an encodable char in every data-file path, which used to
+    // un-match the attribution joins (resurrected deletes) and the
+    // target-subset checks (spurious concurrency errors)
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val pcfg = cfg.copy(
+      partitions = Seq(graft.partition.PartitionHint.identity("username")))
+    w.writeTable("main", "u",
+      Seq(users((1, "a b", 10), (2, "c d", 20), (3, "a b", 30))),
+      Merge("upsert"), pcfg, "l1")
+    // MoR upsert: equality delete must fence the old row of key 1
+    val t = w.writeTable("main", "u", Seq(users((1, "a b", 11))),
+      Merge("upsert"), pcfg, "l2")
+    assert(rowsOf(t) == Set((1L, "a b", 11L), (2L, "c d", 20L), (3L, "a b", 30L)),
+      "equality delete must apply under an encodable partition path")
+    // positional delete (deleteWhere mergeOnRead): rows must vanish and
+    // the target-subset guard must NOT fire spuriously
+    val n = w.deleteWhere("main", "u", col("score") === 20L,
+      pcfg.copy(mergeOnRead = true), "d1")
+    assert(n == 1L)
+    val t2 = cat.loadTable("main", "u")
+    assert(rowsOf(t2) == Set((1L, "a b", 11L), (3L, "a b", 30L)),
+      "positional delete must apply under an encodable partition path")
+    assert(t2.metadata.currentSnapshot.get.posDeletes.nonEmpty)
+    // physical apply: the rewrite must attribute the positional targets
+    // (a path-form mismatch used to skip the rewrite while still
+    // CLEARING the vector — permanent resurrection)
+    assert(graft.write.Maintenance.applyDeletes(t2, retryUnitMs = 1))
+    val t3 = cat.loadTable("main", "u")
+    assert(t3.metadata.currentSnapshot.get.posDeletes.isEmpty &&
+      t3.metadata.currentSnapshot.get.deletes.isEmpty)
+    assert(rowsOf(t3) == Set((1L, "a b", 11L), (3L, "a b", 30L)),
+      "apply-deletes must not resurrect rows under an encodable path")
   }
 
   test("point lookup and range scan apply deletes") {

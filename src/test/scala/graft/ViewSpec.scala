@@ -143,4 +143,36 @@ class ViewSpec extends AnyFunSuite {
     assert(reader.sql("SELECT sx FROM gview5.main.two_part")
       .collect()(0).getDouble(0) == 30.0)
   }
+
+  test("explicit non-graft catalog in view DDL passes through, never hijacked") {
+    val (_, wh) = freshCatalog("gview6")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.gview6",
+      classOf[GraftSparkCatalog].getName)
+    s.conf.set("spark.sql.catalog.gview6.warehouse", wh)
+    s.sql("USE gview6")
+    // current catalog is the graft one, but the statement names the
+    // SESSION catalog explicitly: it must create a session temp/catalog
+    // view there, NOT a graft view under a namespace literally called
+    // "spark_catalog"
+    s.sql("CREATE VIEW spark_catalog.default.vnat AS SELECT 7 AS x")
+    try {
+      assert(s.sql("SELECT x FROM spark_catalog.default.vnat")
+        .collect()(0).getInt(0) == 7)
+      // and it is NOT in the graft view store (the namespace not even
+      // existing there is equally conclusive)
+      val inGraft =
+        try s.sql("SHOW VIEWS IN gview6.spark_catalog")
+          .collect().map(_.getString(1)).toSet
+        catch { case _: Exception => Set.empty[String] }
+      assert(!inGraft.contains("vnat"))
+      // DROP through the explicit catalog removes the session view
+      s.sql("DROP VIEW spark_catalog.default.vnat")
+      assert(s.sql("SHOW VIEWS IN spark_catalog.default").collect()
+        .forall(r => r.getString(1) != "vnat"))
+    } finally {
+      try s.sql("DROP VIEW IF EXISTS spark_catalog.default.vnat")
+      catch { case _: Throwable => () }
+    }
+  }
 }
