@@ -25,8 +25,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * merge-on-read read and row-level write.
   */
 object UriPath {
-  /** Shared by the expression, its codegen, and driver-side twins. */
-  def decode(s: String): String =
+  /** Shared by the expression, its codegen, and driver-side twins.
+    *
+    * Hot-path discipline (this runs once per row on every merge-on-read
+    * scan): a literal engine path (no scheme) returns without
+    * allocating, and a scheme-ful URI WITHOUT any percent escape strips
+    * scheme+authority by index arithmetic — only strings that actually
+    * contain '%' pay the full java.net.URI parse, whose decoded-path
+    * semantics remain the single source of truth. */
+  def decode(s: String): String = {
+    val colon = s.indexOf(':')
+    if (colon <= 0 || !Character.isLetter(s.charAt(0))) return s
+    var i = 1
+    while (i < colon) {
+      val c = s.charAt(i)
+      if (!(Character.isLetterOrDigit(c) || c == '+' || c == '.' || c == '-'))
+        return s
+      i += 1
+    }
+    if (s.indexOf('%') < 0 && s.indexOf('?') < 0 && s.indexOf('#') < 0) {
+      // scheme-ful, nothing encoded: path extraction needs no decoding.
+      // "file:///p" / "file://host/p" → path from the slash after the
+      // authority; "file:/p" → path right after the colon.
+      if (s.startsWith("//", colon + 1)) {
+        val slash = s.indexOf('/', colon + 3)
+        // authority with no path: rare and fiddly (empty-authority forms
+        // are URI parse errors) — defer to the slow path's exact answer
+        if (slash < 0) slowDecode(s) else s.substring(slash)
+      } else if (colon + 1 < s.length && s.charAt(colon + 1) == '/')
+        s.substring(colon + 1)
+      else s
+    } else slowDecode(s)
+  }
+
+  private def slowDecode(s: String): String =
     try {
       val u = new java.net.URI(s)
       if (u.getScheme != null && u.getPath != null) u.getPath else s
