@@ -1029,9 +1029,12 @@ object IcebergInterop {
   private def toUri(p: String): String =
     if (p.startsWith("file:") || p.contains("://")) p else s"file://$p"
   private def fromUri(u: String): String =
-    if (u.startsWith("file://")) u.stripPrefix("file://")
-    else if (u.startsWith("file:")) u.stripPrefix("file:")
-    else u
+    // route through the engine's single path-canonicalization rule
+    // (scheme strip + percent decode): external Iceberg writers may
+    // store encoded URIs, and an undecoded import would diverge from
+    // the scan-side `_metadata.file_path` canonical form in every
+    // downstream comparison (delete attribution, target-live guards)
+    graft.functions.UriPath.decode(u)
 
   // ---- import ----
 

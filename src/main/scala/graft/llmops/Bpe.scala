@@ -59,10 +59,16 @@ object Bpe {
 
   /** Distinct-word frequency table: (syms, freq) with `syms` the
     * separator-wrapped code-point split. Words containing the separator
-    * are dropped (both engines filter identically). */
+    * are dropped (both engines filter identically), and so are words
+    * containing U+0000: NUL is the one code point that sorts BELOW the
+    * ␁ separator, so a NUL-bearing symbol would break the invariant
+    * that the combined pair string `l␁r` orders exactly like the
+    * (l, r) tuple — engine and oracle could then pick different merges
+    * on a frequency tie. */
   def wordTable(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "" && !col("word").contains(Sep))
+      .filter(col("word") =!= "" && !col("word").contains(Sep) &&
+        !col("word").contains("\u0000"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .select(
@@ -108,17 +114,21 @@ object Bpe {
     val verbose = sys.env.contains("GRAFT_BPE_VERBOSE")
     def trace(what: String, t0: Long): Unit = if (verbose)
       System.err.println(f"[bpe] $what ${(System.nanoTime() - t0) / 1e6}%.0f ms")
-    val sc = docs.sparkSession.sparkContext
     var t = System.nanoTime()
     var wt = wordTable(docs, textCol).cache()
     wt.count()
     trace("word-table", t)
     var baseCached = true // the first generation is a plain cache
-    var prevGenIds = Set.empty[Int] // persisted-RDD ids of the live checkpoint
+    // persisted RDDs of the live checkpoint generation, held by direct
+    // reference: a getPersistentRDDs before/after set-diff could capture
+    // RDDs persisted concurrently by OTHER threads on the shared
+    // SparkContext and wrongly unpersist them later
+    var prevGen: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var symsCol: Column = col("syms")
     var stacked = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var exhausted = false
+    try {
     while (merges.size < numMerges && !exhausted) {
       val want = math.min(numMerges - merges.size, batch)
       // headroom over `want`: conflict filtering may reject candidates
@@ -152,14 +162,17 @@ object Bpe {
         stacked += picked.size
         if (stacked >= checkpointEvery && merges.size < numMerges) {
           t = System.nanoTime()
-          val before = sc.getPersistentRDDs.keySet.toSet
           val next = wt.select(symsCol.as("syms"), col("freq"))
             .localCheckpoint(true)
-          val newIds = sc.getPersistentRDDs.keySet.toSet -- before
+          // the checkpoint's persisted blocks belong to exactly the
+          // LogicalRDD(s) in the returned plan — read the ids off the
+          // plan itself, never off global SparkContext state
+          val newGen = next.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }
           if (baseCached) { wt.unpersist(); baseCached = false }
-          else prevGenIds.foreach(id =>
-            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-          prevGenIds = newIds
+          else prevGen.foreach(_.unpersist(false))
+          prevGen = newGen
           wt = next
           symsCol = col("syms")
           stacked = 0
@@ -167,9 +180,12 @@ object Bpe {
         }
       }
     }
-    if (baseCached) wt.unpersist()
-    prevGenIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    } finally {
+      // unconditional cleanup: a mid-training failure must not leak the
+      // cached word table or the live checkpoint's blocks
+      if (baseCached) wt.unpersist()
+      prevGen.foreach(_.unpersist(false))
+    }
     merges.toSeq
   }
 

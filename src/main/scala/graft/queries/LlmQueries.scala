@@ -1498,6 +1498,7 @@ object LlmQueries {
         |         count(*)::BIGINT AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE w <> '' AND NOT contains(w, chr(1))
+        |    AND NOT contains(w, chr(0))
         |  GROUP BY 1
         |)""".stripMargin
     val steps = (1 to n).flatMap { i =>

@@ -322,8 +322,12 @@ final class GraftWriter(catalog: GraftCatalog) {
     // read: if a concurrent commit rewrote any target file, the plan is
     // stale (its rows moved to a new path) — refuse instead of silently
     // losing the delete, matching the compaction guards
+    // targetPaths came through posixPath (decoded) — canonicalize the
+    // metadata side identically, or an Iceberg-imported file whose
+    // stored path carries percent escapes would mis-compare
     def requireTargetsLive(fresh: TableMetadata): Unit =
-      if (!targetPaths.subsetOf(fresh.currentFiles.map(_.path).toSet))
+      if (!targetPaths.subsetOf(
+          fresh.currentFiles.map(f => MorRead.posixPath(f.path)).toSet))
         throw new ValidationError(
           "deleteWhere superseded by a concurrent rewrite of a target file")
 
@@ -625,8 +629,10 @@ final class GraftWriter(catalog: GraftCatalog) {
     if (hitPaths.isEmpty) return 0L
     val targetPaths = hitPaths.map(_.getString(0)).toSet
     val updated = hitPaths.map(_.getAs[Long]("n")).sum
+    // same canonicalization symmetry note as deleteWhere's guard
     def requireTargetsLive(fresh: TableMetadata): Unit =
-      if (!targetPaths.subsetOf(fresh.currentFiles.map(_.path).toSet))
+      if (!targetPaths.subsetOf(
+          fresh.currentFiles.map(f => MorRead.posixPath(f.path)).toSet))
         throw new ValidationError(
           "updateWhere superseded by a concurrent rewrite of a target file")
     def applySet(schema: org.apache.spark.sql.types.StructType,

@@ -280,7 +280,8 @@ object Maintenance {
         .select("file_path").distinct().collect()
         .map(r => graft.catalog.MorRead.posixPath(r.getString(0))).toSet
     val affected = m.currentFiles.filter(f =>
-      f.dataSeq < maxSeq || posTargets.contains(f.path))
+      f.dataSeq < maxSeq ||
+        posTargets.contains(graft.catalog.MorRead.posixPath(f.path)))
     val staged =
       if (affected.isEmpty) Nil
       else {
