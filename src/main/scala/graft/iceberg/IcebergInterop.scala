@@ -75,15 +75,43 @@ object IcebergInterop {
 
   // ---- Spark <-> Iceberg type mapping (spec "Schemas and Data Types") ----
 
-  private final class FieldIds { var last = 0; def next(): Int = { last += 1; last } }
+  /** Field-id allocator keyed by name-path ("col", "col.inner",
+    * "col.element", "col.key", "col.value") — Iceberg field ids are
+    * FOREVER (the id of a column must be identical in every schema
+    * version that contains it), so ids are minted the first time a path
+    * appears in the schema-version chain (oldest first) and reused by
+    * every later schema and every later export (seeded from the previous
+    * export's schemas). Name-path identity is graft's own evolution
+    * identity (schema history resolves columns by name), so a
+    * dropped-then-re-added column reuses its old id — a documented
+    * divergence from Iceberg's fresh-id-on-re-add, safe here because
+    * graft parquet files resolve by name mapping, not by embedded ids. */
+  private[graft] final class StableFieldIds {
+    private val byPath = scala.collection.mutable.Map.empty[String, Int]
+    var last = 0
+    def idFor(path: String): Int =
+      byPath.getOrElseUpdate(path, { last += 1; last })
+    def note(path: String, id: Int): Unit = {
+      byPath(path) = id
+      if (id > last) last = id
+    }
+  }
 
-  /** Iceberg schema JSON for a Spark struct, assigning fresh field ids
-    * (top-level first, then nested — any unique assignment is spec-legal;
-    * readers resolve columns by the ids written here and in the file
-    * metadata, not by position). Returns (json, lastColumnId). */
+  /** Iceberg schema JSON for a Spark struct with fresh ids (top-level
+    * first, then nested depth-first) and schema-id 0 — the single-schema
+    * form. Returns (json, lastColumnId). */
   private[graft] def toIcebergSchemaJson(s: StructType): (String, Int) = {
-    val ids = new FieldIds
-    def typeJson(dt: DataType): Any = dt match {
+    val ids = new StableFieldIds
+    val json = toIcebergSchemaJsonStable(s, 0, ids)
+    (json, ids.last)
+  }
+
+  /** Iceberg schema JSON under a shared [[StableFieldIds]] allocator:
+    * already-seen name-paths keep their ids, new paths mint fresh ones
+    * in the same top-level-first order the fresh form uses. */
+  private[graft] def toIcebergSchemaJsonStable(s: StructType,
+      schemaId: Int, ids: StableFieldIds): String = {
+    def typeJson(dt: DataType, path: String): Any = dt match {
       case BooleanType => "boolean"
       case ByteType | ShortType | IntegerType => "int"
       case LongType => "long"
@@ -97,30 +125,33 @@ object IcebergInterop {
       case BinaryType => "binary"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case a: ArrayType =>
-        Map("type" -> "list", "element-id" -> ids.next(),
-          "element" -> typeJson(a.elementType),
+        Map("type" -> "list", "element-id" -> ids.idFor(s"$path.element"),
+          "element" -> typeJson(a.elementType, s"$path.element"),
           "element-required" -> !a.containsNull)
       case m: MapType =>
-        Map("type" -> "map", "key-id" -> ids.next(),
-          "key" -> typeJson(m.keyType), "value-id" -> ids.next(),
-          "value" -> typeJson(m.valueType),
+        Map("type" -> "map", "key-id" -> ids.idFor(s"$path.key"),
+          "key" -> typeJson(m.keyType, s"$path.key"),
+          "value-id" -> ids.idFor(s"$path.value"),
+          "value" -> typeJson(m.valueType, s"$path.value"),
           "value-required" -> !m.valueContainsNull)
       case st: StructType =>
-        Map("type" -> "struct", "fields" -> st.fields.toSeq.map(fieldJson))
+        Map("type" -> "struct", "fields" -> st.fields.toSeq.map(f =>
+          fieldJson(f, path)))
       case other => throw new ValidationError(
         s"iceberg-export: no Iceberg mapping for Spark type $other")
     }
-    def fieldJson(f: StructField): Map[String, Any] = {
-      val id = ids.next()
+    def fieldJson(f: StructField, parent: String): Map[String, Any] = {
+      val path = s"$parent.${f.name}"
+      val id = ids.idFor(path)
       Map("id" -> id, "name" -> f.name, "required" -> !f.nullable,
-        "type" -> typeJson(f.dataType))
+        "type" -> typeJson(f.dataType, path))
     }
     // Iceberg assigns top-level ids before descending; do the same so
     // column ids are stable under nested-type evolution
-    val tops = s.fields.toSeq.map(f => (f, ids.next()))
+    val tops = s.fields.toSeq.map(f => (f, ids.idFor(f.name)))
     val fields = tops.map { case (f, id) =>
       Map("id" -> id, "name" -> f.name, "required" -> !f.nullable,
-        "type" -> typeJson(f.dataType))
+        "type" -> typeJson(f.dataType, f.name))
     }
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -134,9 +165,105 @@ object IcebergInterop {
       case b: Boolean => org.json4s.JBool(b)
       case other => org.json4s.JString(String.valueOf(other))
     }
-    val json = JsonMethods.compact(toJValue(Map(
-      "type" -> "struct", "schema-id" -> 0, "fields" -> fields)))
-    (json, ids.last)
+    JsonMethods.compact(toJValue(Map(
+      "type" -> "struct", "schema-id" -> schemaId, "fields" -> fields)))
+  }
+
+  /** Seed a [[StableFieldIds]] allocator from an already-exported Iceberg
+    * schema JValue, reconstructing name-paths — re-exports must never
+    * reassign a published id. */
+  private def seedFieldIds(schemaJV: org.json4s.JValue,
+      ids: StableFieldIds): Unit = {
+    import org.json4s._
+    def walkFields(fs: List[JValue], parent: String): Unit = fs.foreach { f =>
+      ((f \ "name"), (f \ "id")) match {
+        case (JString(n), JInt(id)) =>
+          val path = if (parent.isEmpty) n else s"$parent.$n"
+          ids.note(path, id.toInt)
+          walkType(f \ "type", path)
+        case _ => ()
+      }
+    }
+    def walkType(t: JValue, path: String): Unit = t match {
+      case o: JObject => (o \ "type") match {
+        case JString("struct") => (o \ "fields") match {
+          case JArray(fs) => walkFields(fs, path)
+          case _ => ()
+        }
+        case JString("list") =>
+          (o \ "element-id") match {
+            case JInt(id) => ids.note(s"$path.element", id.toInt)
+            case _ => ()
+          }
+          walkType(o \ "element", s"$path.element")
+        case JString("map") =>
+          (o \ "key-id") match {
+            case JInt(id) => ids.note(s"$path.key", id.toInt)
+            case _ => ()
+          }
+          walkType(o \ "key", s"$path.key")
+          (o \ "value-id") match {
+            case JInt(id) => ids.note(s"$path.value", id.toInt)
+            case _ => ()
+          }
+          walkType(o \ "value", s"$path.value")
+        case _ => ()
+      }
+      case _ => ()
+    }
+    (schemaJV \ "fields") match {
+      case JArray(fs) => walkFields(fs, "")
+      case _ => ()
+    }
+  }
+
+  /** Iceberg name-mapping JSON (`schema.name-mapping.default`) for a
+    * schema's field-id assignment: graft parquet data files carry no
+    * embedded Iceberg field ids, so external readers resolve columns
+    * through this mapping (the spec's fallback rule for exactly this
+    * migration shape). */
+  private def nameMappingJson(s: StructType, ids: StableFieldIds): String = {
+    def entries(st: StructType, parent: String): Seq[Any] =
+      st.fields.toSeq.map { f =>
+        val path = if (parent.isEmpty) f.name else s"$parent.${f.name}"
+        val base = Map("field-id" -> ids.idFor(path),
+          "names" -> Seq(f.name))
+        f.dataType match {
+          case inner: StructType =>
+            base + ("fields" -> entries(inner, path))
+          case a: ArrayType =>
+            val el = Map("field-id" -> ids.idFor(s"$path.element"),
+              "names" -> Seq("element")) ++ (a.elementType match {
+              case inner: StructType =>
+                Map("fields" -> entries(inner, s"$path.element"))
+              case _ => Map.empty[String, Any]
+            })
+            base + ("fields" -> Seq(el))
+          case mt: MapType =>
+            val kv = Seq(
+              Map("field-id" -> ids.idFor(s"$path.key"),
+                "names" -> Seq("key")),
+              Map("field-id" -> ids.idFor(s"$path.value"),
+                "names" -> Seq("value")) ++ (mt.valueType match {
+                case inner: StructType =>
+                  Map("fields" -> entries(inner, s"$path.value"))
+                case _ => Map.empty[String, Any]
+              }))
+            base + ("fields" -> kv)
+          case _ => base
+        }
+      }
+    import org.json4s.jackson.JsonMethods
+    def toJValue(v: Any): org.json4s.JValue = v match {
+      case m: Map[_, _] => org.json4s.JObject(
+        m.toSeq.map { case (k, x) => (k.toString, toJValue(x)) }.toList)
+      case xs: Seq[_] => org.json4s.JArray(xs.map(toJValue).toList)
+      case s: String => org.json4s.JString(s)
+      case i: Int => org.json4s.JInt(i)
+      case b: Boolean => org.json4s.JBool(b)
+      case other => org.json4s.JString(String.valueOf(other))
+    }
+    JsonMethods.compact(toJValue(entries(s, "")))
   }
 
   /** Spark schema from an Iceberg schema JSON (import direction). */
@@ -401,8 +528,8 @@ object IcebergInterop {
     * months since 1970, days/hours since epoch — the spec's required
     * result types), converted from the engine's human-readable derived
     * stats at encode time. */
-  private def icePartFields(m: graft.catalog.TableMetadata): Seq[IcePartField] = {
-    val topIds = topLevelFieldIds(m.schema)
+  private def icePartFields(m: graft.catalog.TableMetadata,
+      topIds: Map[String, Int]): Seq[IcePartField] = {
     m.partitionSpec.zipWithIndex.map { case (s, i) =>
       val transform = s.transform match {
         case "bucket" => s"bucket[${s.param.get}]"
@@ -638,11 +765,10 @@ object IcebergInterop {
     val dest = destDir.getOrElse(t.dir.resolve("iceberg"))
     val metaDir = dest.resolve("metadata")
     Files.createDirectories(metaDir)
-    val (schemaJson, lastColumnId) = toIcebergSchemaJson(m.schema)
     val tableUuid = java.util.UUID.nameUUIDFromBytes(t.dir.toString.getBytes)
 
-    // prior export state — parsed once, used by both the spec-id
-    // allocation below and the metadata version chain at the end
+    // prior export state — parsed once, used by the field-id seeding,
+    // the spec-id allocation below, and the metadata version chain
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -661,6 +787,32 @@ object IcebergInterop {
       case None => Nil
     }
 
+    // ---- schemas: one Iceberg schema PER GRAFT SCHEMA VERSION used by
+    // an exported snapshot (schema-id = graft schemaVersion), so time
+    // travel across an evolution boundary serves the columns of THAT
+    // point in history. Field ids are path-stable: minted oldest-version
+    // first and reused by every later schema, seeded from the previous
+    // export so published ids never reassign. ----
+    val fieldIds = new StableFieldIds
+    prevList("schemas").foreach(seedFieldIds(_, fieldIds))
+    prev.foreach(p => (p \ "last-column-id") match {
+      case JInt(i) => if (i.toInt > fieldIds.last) fieldIds.last = i.toInt
+      case _ => ()
+    })
+    def verOf(s: graft.catalog.Snapshot): Int =
+      s.schemaVersionAt.getOrElse(m.schemaVersion)
+    val schemaVersions: Seq[Int] =
+      (snaps.map(verOf) :+ m.schemaVersion).distinct.sorted
+    val schemaJsonByVer: Map[Int, String] = schemaVersions.map(v =>
+      v -> toIcebergSchemaJsonStable(m.schemaAt(v), v, fieldIds)).toMap
+    val schemaJson = schemaJsonByVer(m.schemaVersion)
+    // top-level ids of the CURRENT schema under the stable assignment —
+    // partition-spec source-ids, sort orders, and equality-delete field
+    // ids must all reference these, never a fresh positional count
+    val topIds: Map[String, Int] =
+      m.schema.fieldNames.map(n => n -> fieldIds.idFor(n)).toMap
+    val lastColumnId = fieldIds.last
+
     // partition-spec fidelity: the DECLARED spec publishes whenever the
     // table has one (Iceberg's default spec is the current spec
     // regardless of file vintages); each manifest carries real tuples
@@ -668,7 +820,7 @@ object IcebergInterop {
     // commit-time stats (value-exact staging — the same eligibility SPJ
     // uses), else that manifest references the empty spec 0 — so
     // mixed-vintage histories degrade per-manifest, never whole-table.
-    val pfields = icePartFields(m)
+    val pfields = icePartFields(m, topIds)
     val srcTypes = pfields.map(p => m.schema(p.spec.source).dataType)
     val declared = pfields.nonEmpty
     val specFieldsJV: JValue =
@@ -757,7 +909,7 @@ object IcebergInterop {
           }
           writeAvro(entrySchema, entries, Map(
             "schema" -> schemaJson,
-            "schema-id" -> "0",
+            "schema-id" -> m.schemaVersion.toString,
             "partition-spec" ->
               (if (sid == 0) "[]" else JsonMethods.compact(specFieldsJV)),
             "partition-spec-id" -> sid.toString,
@@ -792,7 +944,6 @@ object IcebergInterop {
     // field ids live in the file schema); Iceberg's strict
     // `data_seq < delete_seq` equality rule is MorRead's own rule, so
     // the exported tree deletes exactly the rows our reads delete ----
-    val topIds = topLevelFieldIds(m.schema)
     if (eqDels.nonEmpty || posDels.nonEmpty)
       Files.createDirectories(dest.resolve("data"))
     final case class ExpDelete(path: Path, rows: Long, content: Int,
@@ -921,7 +1072,7 @@ object IcebergInterop {
           val dmLen = writeAvro(ManifestEntrySchema,
             dels.map { case (ed, sq) => delEntry(ed, sq) }, Map(
               "schema" -> schemaJson,
-              "schema-id" -> "0",
+              "schema-id" -> m.schemaVersion.toString,
               "partition-spec" -> "[]",
               "partition-spec-id" -> "0",
               "format-version" -> "2",
@@ -943,10 +1094,9 @@ object IcebergInterop {
           ("total-records" -> s.rowCount.toString) ~
           ("total-data-files" -> s.fileCount.toString))) ~
         ("manifest-list" -> toUri(listPath.toString)) ~
-        ("schema-id" -> 0)
+        ("schema-id" -> verOf(s))
     }
 
-    val schemaJV = JsonMethods.parse(schemaJson)
     // declared write sort order (`graft.write.sort-order`) exports as a
     // real Iceberg sort order: identity/asc/nulls-first per column —
     // the exact clustering the Stager writes, so an external engine's
@@ -994,8 +1144,9 @@ object IcebergInterop {
       ("last-sequence-number" -> current.snapshotId) ~
       ("last-updated-ms" -> nowMs) ~
       ("last-column-id" -> lastColumnId) ~
-      ("current-schema-id" -> 0) ~
-      ("schemas" -> List(schemaJV)) ~
+      ("current-schema-id" -> m.schemaVersion) ~
+      ("schemas" -> JArray(schemaVersions.toList.map(v =>
+        JsonMethods.parse(schemaJsonByVer(v))))) ~
       ("default-spec-id" -> specId) ~
       ("partition-specs" -> JArray(allSpecs)) ~
       ("last-partition-id" -> (999 +: allSpecs.flatMap(s =>
@@ -1008,7 +1159,12 @@ object IcebergInterop {
         })).max) ~
       ("default-sort-order-id" -> sortOrderId) ~
       ("sort-orders" -> JArray(sortOrders)) ~
-      ("properties" -> m.properties.filter(_._2.nonEmpty)) ~
+      ("properties" -> (m.properties.filter(_._2.nonEmpty) +
+        // graft parquet carries no embedded Iceberg field ids: the
+        // spec's name-mapping property is how external readers resolve
+        // columns (same move as Iceberg's own migrate-from-Hive path)
+        ("schema.name-mapping.default" ->
+          nameMappingJson(m.schema, fieldIds)))) ~
       ("current-snapshot-id" -> current.snapshotId) ~
       ("refs" -> refsJV) ~
       ("snapshots" -> JArray(snapJVs)) ~

@@ -71,6 +71,23 @@ object Dedup {
         slice(col("sig"), col("band") * rows + 1, lit(rows)).as("bucket"))
   }
 
+  /** Committable LSH band index of a signature table: one (doc_id, bkey)
+    * row per band, `bkey = xxhash64(band, bucket-slice)` — a single
+    * 64-bit scalar per band instead of the (band, value-slice) pair.
+    * The scalar key is the piece that makes the incremental path
+    * shuffle-free on the corpus side: a table of this shape committed
+    * with a `bucket[N]` partition hint on `bkey` SPJ-resolves the
+    * candidate join ([[incrementalNearDedup]]'s `committedBandKeys`),
+    * so the committed index is scanned map-only in its existing layout
+    * and ONLY the incoming batch shuffles — the per-batch operator a
+    * 100-TB ingest pipeline runs forever. Size: ~16 B/row × bands
+    * ≈ the signature table itself (512 B/doc at 64 hashes). */
+  def sigBandKeys(sigs: DataFrame, numHashes: Int = 64,
+      bands: Int = 32): DataFrame =
+    sigBandBuckets(sigs, numHashes, bands)
+      .select(col("doc_id"),
+        xxhash64(col("band"), col("bucket")).as("bkey"))
+
   /** Near-dup dedup of an incoming batch against a COMMITTED corpus — the
     * incremental companion to [[incrementalDedup]] (which catches only
     * exact fingerprint matches). Real pipelines ingest continuously and
@@ -96,12 +113,26 @@ object Dedup {
     * in-batch pair job's business ([[minHashLshPairs]] on the batch). */
   def incrementalNearDedup(incomingSigs: DataFrame, committedSigs: DataFrame,
       numHashes: Int = 64, bands: Int = 32,
-      simThreshold: Double = 0.6): DataFrame = {
+      simThreshold: Double = 0.6,
+      committedBandKeys: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val incB = sigBandBuckets(incomingSigs, numHashes, bands)
-    val corB = sigBandBuckets(committedSigs, numHashes, bands)
-    val cand = incB.as("i").join(corB.as("c"), Seq("band", "bucket"))
-      .select(col("i.doc_id").as("inc_id"), col("c.doc_id").as("corpus_id"))
+    // With a committed [[sigBandKeys]] index the candidate join keys on
+    // the single bkey scalar, so a bucket[N](bkey)-partitioned index
+    // SPJ-resolves (corpus side map-only). Joining on the 64-bit hash
+    // ALONE is sound: candidates are only a superset generator — a hash
+    // collision can add a candidate pair, but a pair reaches the output
+    // only if its exact signature-agreement estimate clears the
+    // threshold, so the result is candidate-superset-invariant (and
+    // identical to the (band, bucket) join below).
+    val cand = (committedBandKeys match {
+      case Some(idx) =>
+        sigBandKeys(incomingSigs, numHashes, bands).as("i")
+          .join(idx.as("c"), Seq("bkey"))
+      case None =>
+        sigBandBuckets(incomingSigs, numHashes, bands).as("i")
+          .join(sigBandBuckets(committedSigs, numHashes, bands).as("c"),
+            Seq("band", "bucket"))
+    }).select(col("i.doc_id").as("inc_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
     val matches = aggregate(
       zip_with(col("a.sig"), col("b.sig"),

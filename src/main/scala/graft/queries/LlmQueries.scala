@@ -1248,36 +1248,72 @@ object LlmQueries {
         |WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.6""".stripMargin))),
 
     // incremental NEAR-dup dedup against a COMMITTED corpus: the corpus
-    // half's MinHash signatures are committed through the real
-    // table/commit path, then an incoming batch — second half + planted
-    // near-copies (one appended token) of every 9th corpus doc — is
-    // deduped against the committed signatures via band-bucket join +
-    // signature-agreement verification, corpus TEXT never rescanned.
-    // Staged-signature oracle (xxhash64 isn't portable SQL): both
+    // half's MinHash signatures AND their LSH band index — committed
+    // with a bucket[8] partition hint on the 64-bit band key — go
+    // through the real table/commit path, then an incoming batch —
+    // second half + planted near-copies (one appended token) of every
+    // 9th corpus doc — is deduped against the committed corpus via the
+    // index join + signature-agreement verification, corpus TEXT never
+    // rescanned. The candidate join reads the index through the DSv2
+    // catalog with one-sided SPJ: the committed side is scanned map-only
+    // in its bucket layout and ONLY the incoming batch shuffles — pinned
+    // by the in-query require (exactly 1 exchange in the candidate
+    // join). Staged-signature oracle (xxhash64 isn't portable SQL): both
     // signature tables are staged — the corpus side FROM THE COMMITTED
     // TABLE READ, so the commit round-trip is in the verified path —
     // and DuckDB re-derives banding, candidates, the match estimate,
-    // and best-match selection exactly.
+    // and best-match selection exactly (the engine's bkey-hash
+    // candidates are a collision-superset of the oracle's (band, bucket)
+    // candidates, and the output is candidate-superset-invariant:
+    // only pairs clearing the exact agreement threshold survive).
     "l57_incremental_near_dedup" -> ((
       (s: SparkSession, dir: String) => {
-        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val wh = java.nio.file.Files.createTempDirectory("graft-inear-")
+          .toString
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_inear",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_inear.warehouse", wh)
+        iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val d = docs(iso, dir).select(col("doc_id"), col("text"))
         val half = d.count() / 2
         val corpus = d.filter(col("doc_id") < half)
         val incoming = d.filter(col("doc_id") >= half)
           .union(corpus.filter(col("doc_id") % 9 === 0)
             .select((col("doc_id") + 3000000L).as("doc_id"),
               concat(col("text"), lit(" graftmarker")).as("text")))
-        val cat = new graft.catalog.GraftCatalog(s,
-          java.nio.file.Files.createTempDirectory("graft-inear-").toString)
+        val cat = new graft.catalog.GraftCatalog(iso, wh)
         val w = new graft.write.GraftWriter(cat)
-        w.writeTable("main", "corpus_sigs",
-          Seq(Dedup.minHashSignatures(corpus)),
+        val corpusSigs = Dedup.minHashSignatures(corpus)
+        w.writeTable("main", "corpus_sigs", Seq(corpusSigs),
           graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10), "seed")
-        val committed = cat.loadTable("main", "corpus_sigs").read()
+        w.writeTable("main", "corpus_bands",
+          Seq(Dedup.sigBandKeys(corpusSigs)),
+          graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10,
+            partitions = Seq(graft.partition.PartitionHint.bucket(8, "bkey"))),
+          "seed")
+        val committed = iso.table("graft_inear.main.corpus_sigs")
+        val committedIdx = iso.table("graft_inear.main.corpus_bands")
         val incSigs = Dedup.minHashSignatures(incoming)
         stageForOracle(committed, "l57_corpus_sigs")
         stageForOracle(incSigs, "l57_inc_sigs")
-        Dedup.incrementalNearDedup(incSigs, committed)
+        // pin the 100-TB property: the committed index never shuffles —
+        // the candidate join's ONLY exchange is the incoming side
+        // routing into the corpus's existing bucket layout. The probe
+        // reads the incoming signatures back from the staged parquet so
+        // the pin counts the JOIN's exchanges, not the signature
+        // aggregation's.
+        val incStaged = iso.read.parquet(s"$OracleStageRoot/l57_inc_sigs")
+        val candJoin = Dedup.sigBandKeys(incStaged).as("i")
+          .join(committedIdx.as("c"), Seq("bkey"))
+        val nSh = graft.plans.PlanOps.shuffles(candJoin)
+        require(nSh == 1,
+          s"committed band index must SPJ-resolve (1 incoming-side " +
+            s"exchange), got $nSh")
+        Dedup.incrementalNearDedup(incSigs, committed,
+          committedBandKeys = Some(committedIdx))
       },
       Some(s"""WITH cs AS (SELECT doc_id, sig
         |  FROM read_parquet('$OracleStageRoot/l57_corpus_sigs/*.parquet')),

@@ -45,6 +45,20 @@ object WriteQueries {
   private def keyPrice(df: DataFrame): DataFrame =
     df.select(col("o_orderkey"), col("o_totalprice"))
 
+  /** Record an exported Iceberg tree's location for the independent
+    * post-check (`tools/check_iceberg_walk.py` walks the tree with a
+    * third, pure-Python implementation and hash-compares against the
+    * engine's Verify output). Same staging root the oracle
+    * intermediates use. */
+  private def stageIcebergTree(name: String, treeDir: String): Unit = {
+    val root = sys.props.get("graft.oracle.stage.dir")
+      .orElse(sys.env.get("GRAFT_ORACLE_STAGE"))
+      .getOrElse("/tmp/graft-oracle-stage")
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    Files.writeString(
+      java.nio.file.Paths.get(root, s"${name}_tree.txt"), treeDir)
+  }
+
   /** SQL fragments shared by the oracles. */
   private val targetSql =
     "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority " +
@@ -1608,6 +1622,7 @@ object WriteQueries {
         require(mdPath.endsWith("v1.metadata.json") && r.getInt(1) > 0,
           s"unexpected export result: $r")
         val tableDir = java.nio.file.Paths.get(mdPath).getParent.getParent
+        stageIcebergTree("w44_iceberg_roundtrip", tableDir.toString)
         graft.iceberg.IcebergInterop.importTable(s, tableDir.toString)
           .select(col("o_orderkey"), col("o_totalprice"),
             coalesce(col("o_flag"), lit("even")).as("o_flag"))
@@ -1664,6 +1679,8 @@ object WriteQueries {
           mdJson.contains("\"default-spec-id\":1"),
           "export must carry the bucket[8] partition spec")
         require(mdJson.contains("bucket[8]"), "spec must name bucket[8]")
+        stageIcebergTree("w45_iceberg_mor_roundtrip",
+          tbl.dir.resolve("iceberg").toString)
         keyPrice(graft.iceberg.IcebergInterop.importTable(
           s, tbl.dir.resolve("iceberg").toString))
       },

@@ -139,12 +139,29 @@ final class StreamingLoader(catalog: GraftCatalog) {
     w.start()
   }
 
+  /** Near-dedup ingest with ZERO Spark state: the committed corpus keeps
+    * THREE tables — docs, MinHash signatures (doc_id, sig), and an LSH
+    * band index (doc_id, bkey) committed with a `bucket[bandBuckets]`
+    * partition hint on `bkey`. The index is what makes the per-batch
+    * candidate join shuffle-free on the corpus side: its scan reports
+    * `KeyGroupedPartitioning(bucket(N, bkey))` (SpjScan) and with one-
+    * sided SPJ shuffle enabled Spark routes ONLY the incoming batch's
+    * band keys into the committed layout — the corpus index is read
+    * map-only, in place, every batch, forever. Commit order within a
+    * load is docs → sigs → bands; a crash window leaving bands behind is
+    * repaired on replay by re-deriving this load's index rows from the
+    * committed signatures (doc_ids are unique), never by re-running the
+    * dedup against the already-updated corpus. */
   def startNearDeduped(stream: DataFrame, ns: String, docsTable: String,
       sigsTable: String, cfg: WriteConfig = WriteConfig(),
       queryName: String = "graft-near-dedup",
       checkpoint: Option[String] = None,
       numHashes: Int = 64, bands: Int = 32,
-      simThreshold: Double = 0.6): StreamingQuery = {
+      simThreshold: Double = 0.6,
+      bandBuckets: Int = 16): StreamingQuery = {
+    val bandsTable = sigsTable + "_bands"
+    val bandCfg = cfg.copy(partitions =
+      Seq(graft.partition.PartitionHint.bucket(bandBuckets, "bkey")))
     val w = stream.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -156,35 +173,70 @@ final class StreamingLoader(catalog: GraftCatalog) {
               .exists(_.loadId.contains(loadId))
         val docsDone = committed(docsTable)
         val sigsDone = committed(sigsTable)
-        if (!(docsDone && sigsDone)) {
+        val bandsDone = committed(bandsTable)
+        if (!(docsDone && sigsDone && bandsDone)) {
           batch.persist()
           try if (!batch.isEmpty) {
             val incSigs = graft.llmops.Dedup
               .minHashSignatures(batch, numHashes = numHashes).persist()
             try {
-              val corpusSigs =
-                if (catalog.tableExists(ns, sigsTable))
-                  catalog.loadTable(ns, sigsTable).read()
-                else incSigs.limit(0)
-              val keep = graft.llmops.Dedup
-                .incrementalNearDedup(incSigs, corpusSigs,
-                  numHashes = numHashes, bands = bands,
-                  simThreshold = simThreshold)
-                .filter(col("is_new")).select("doc_id")
-              // docs too short to shingle (< n words) get NO MinHash
-              // signature, so they never appear in `keep` — they must
-              // pass through unconditionally (they can't near-dup
-              // against anything), not be silently dropped from the
-              // corpus table
-              val sigless = batch.select(col("doc_id"))
-                .join(incSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-              if (!docsDone)
-                writer.writeTable(ns, docsTable,
-                  Seq(batch.join(keep.union(sigless), "doc_id")),
-                  Append, cfg, loadId)
-              if (!sigsDone)
-                writer.writeTable(ns, sigsTable,
-                  Seq(incSigs.join(keep, "doc_id")), Append, cfg, loadId)
+              if (!(docsDone && sigsDone)) {
+                val corpusSigs =
+                  if (catalog.tableExists(ns, sigsTable))
+                    catalog.loadTable(ns, sigsTable).read()
+                  else incSigs.limit(0)
+                // SPJ read of the committed index when it exists; a
+                // pre-upgrade corpus (sigs without a bands table) falls
+                // back to deriving bands from the signatures in-query
+                val corpusIdx =
+                  if (catalog.tableExists(ns, bandsTable))
+                    Some(spjRead(batch.sparkSession, ns, bandsTable))
+                  else None
+                val keep = graft.llmops.Dedup
+                  .incrementalNearDedup(incSigs, corpusSigs,
+                    numHashes = numHashes, bands = bands,
+                    simThreshold = simThreshold,
+                    committedBandKeys = corpusIdx)
+                  .filter(col("is_new")).select("doc_id")
+                // docs too short to shingle (< n words) get NO MinHash
+                // signature, so they never appear in `keep` — they must
+                // pass through unconditionally (they can't near-dup
+                // against anything), not be silently dropped from the
+                // corpus table
+                val sigless = batch.select(col("doc_id"))
+                  .join(incSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+                if (!docsDone)
+                  writer.writeTable(ns, docsTable,
+                    Seq(batch.join(keep.union(sigless), "doc_id")),
+                    Append, cfg, loadId)
+                val keptSigs = incSigs.join(keep, "doc_id")
+                if (!sigsDone)
+                  writer.writeTable(ns, sigsTable,
+                    Seq(keptSigs), Append, cfg, loadId)
+                if (!bandsDone)
+                  writer.writeTable(ns, bandsTable,
+                    Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
+                      numHashes = numHashes, bands = bands)),
+                    Append, bandCfg, loadId)
+                // lifecycle: a per-batch append trickle grows the file
+                // population without bound — opt the state tables into
+                // write-path self-compaction (fires on file_health, not
+                // per batch)
+                ensureAutoCompact(ns, sigsTable, cfg.retryUnitMs)
+                ensureAutoCompact(ns, bandsTable, cfg.retryUnitMs)
+              } else {
+                // crash window: docs+sigs landed, bands did not. The
+                // corpus signature table already contains this load's
+                // kept docs, so re-running the dedup would self-match
+                // everything — instead rebuild exactly this load's index
+                // rows from the committed signatures of the batch's ids.
+                val keptSigs = catalog.loadTable(ns, sigsTable).read()
+                  .join(incSigs.select(col("doc_id")), Seq("doc_id"))
+                writer.writeTable(ns, bandsTable,
+                  Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
+                    numHashes = numHashes, bands = bands)),
+                  Append, bandCfg, loadId)
+              }
             } finally incSigs.unpersist()
           } finally batch.unpersist()
         }
@@ -192,6 +244,73 @@ final class StreamingLoader(catalog: GraftCatalog) {
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
+  }
+
+  /** Opt a loader-managed state table into write-path self-compaction
+    * (no-op once set; property-only CAS commit). */
+  private def ensureAutoCompact(ns: String, table: String,
+      retryUnitMs: Long): Unit = {
+    val t = catalog.loadTable(ns, table)
+    if (!t.metadata.properties.contains(
+        graft.write.Maintenance.AutoCompactProp))
+      t.commit(m => m.copy(properties = m.properties +
+        (graft.write.Maintenance.AutoCompactProp -> "true")),
+        unitMs = retryUnitMs)
+  }
+
+  /** Retention maintenance for the near-dedup state tables: signatures
+    * (and their band-index rows) of documents no longer present in the
+    * corpus table are never pruned by the ingest path itself — after
+    * deletes/GDPR erasure on the docs table, run this to rewrite the
+    * signature and band tables down to the live document set. One
+    * replace commit per table, O(signature table) = ~0.5% of corpus
+    * bytes — an occasional maintenance cost, never on the ingest path.
+    * Returns the number of orphaned documents pruned. */
+  def pruneOrphanSignatures(ns: String, docsTable: String,
+      sigsTable: String, cfg: WriteConfig = WriteConfig()): Long = {
+    val bandsTable = sigsTable + "_bands"
+    val docIds = catalog.loadTable(ns, docsTable).read().select("doc_id")
+    val sigs = catalog.loadTable(ns, sigsTable).read()
+    val orphans = sigs.select("doc_id")
+      .join(docIds, Seq("doc_id"), "left_anti").count()
+    if (orphans == 0L) return 0L
+    val loadId = s"prune-sigs-${java.util.UUID.randomUUID().toString.take(8)}"
+    writer.writeTable(ns, sigsTable,
+      Seq(sigs.join(docIds, Seq("doc_id"), "left_semi")),
+      graft.write.Replace, cfg, loadId)
+    if (catalog.tableExists(ns, bandsTable)) {
+      val bandsLive = catalog.loadTable(ns, bandsTable).read()
+        .join(docIds, Seq("doc_id"), "left_semi")
+      writer.writeTable(ns, bandsTable, Seq(bandsLive),
+        graft.write.Replace,
+        cfg.copy(partitions = catalog.loadTable(ns, bandsTable)
+          .metadata.partitionSpec.collect {
+            case f if f.transform == "bucket" =>
+              graft.partition.PartitionHint.bucket(f.param.getOrElse(16),
+                f.source)
+          }), loadId)
+    }
+    orphans
+  }
+
+  /** Catalog-routed (DSv2) read of `ns.table`, with storage-partitioned
+    * join and one-sided SPJ shuffle enabled, so a scan of a bucketed
+    * table reports its `KeyGroupedPartitioning` and a join against it
+    * shuffles only the other side. Registers a deterministic catalog
+    * name for this loader's warehouse; conf mutations land on the
+    * MICRO-BATCH session (Structured Streaming runs `foreachBatch` on a
+    * cloned session), never on the user's. */
+  private def spjRead(sess: SparkSession, ns: String,
+      table: String): DataFrame = {
+    val wh = catalog.warehousePath.toString
+    val catName =
+      "graft_spj_" + java.lang.Integer.toHexString(wh.hashCode)
+    sess.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    sess.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    sess.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    sess.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    sess.table(s"`$catName`.`$ns`.`$table`")
   }
 }
 

@@ -102,6 +102,7 @@ final class GraftWriter(catalog: GraftCatalog) {
       TypeLattice.normalize(batches.head.schema).fields.map(f =>
         f.copy(nullable = !cfg.requiredColumns.contains(f.name))))
     val exists = catalog.tableExists(ns, name)
+    var created = false
     val t =
       if (!exists) {
         val spec = Transforms.buildSpec(cfg.partitions, incomingSchema)
@@ -116,11 +117,23 @@ final class GraftWriter(catalog: GraftCatalog) {
           (if (cfg.sketchColumns.isEmpty) Map.empty[String, String]
            else Map(GraftWriter.SketchColumnsProperty ->
              cfg.sketchColumns.mkString(",")))
-        catalog.createTable(ns, name, incomingSchema, spec, props, cfg.location)
+        try {
+          val nt = catalog.createTable(ns, name, incomingSchema, spec,
+            props, cfg.location)
+          created = true
+          nt
+        } catch {
+          // two writers racing the FIRST load of a shared table: create
+          // is CAS on v1.metadata.json, so exactly one wins — the loser
+          // proceeds against the winner's table exactly as if it had
+          // existed all along (evolution + CAS-retried commit)
+          case _: graft.catalog.TableAlreadyExistsError =>
+            catalog.loadTable(ns, name)
+        }
       } else catalog.loadTable(ns, name)
 
     // Schema evolution before cast (destination_client.py:1341-1348)
-    if (exists) {
+    if (!created) {
       val evo = SchemaEvolution.evolve(t.metadata.schema, incomingSchema,
         cfg.allowColumnDrops)
       if (evo.evolved)

@@ -195,6 +195,36 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("depth-300 batched training: checkpoint flushes preserve the exact merge sequence") {
+    // exercises the machinery no shallow test reaches: localCheckpoint
+    // lineage truncation (checkpointEvery = 64 -> 4+ flushes at depth
+    // 300), freed-generation bookkeeping, and conflict-filtered batch
+    // picks at depth. Oracle = the identical run that NEVER flushes
+    // (checkpointEvery = 1000): checkpointing is a materialization
+    // strategy and must be sequence-invisible.
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = (0 until 1500).map { _ =>
+      val len = 5 + rnd.nextInt(8)
+      (0 until len).map(_ => alphabet(rnd.nextInt(26))).mkString
+    }
+    val corpus = vocab.zipWithIndex
+      .map { case (w, i) => Seq.fill(1 + (i % 7))(w).mkString(" ") }
+      .mkString(" ")
+    val docs = docsOf(corpus)
+    val flushed = Bpe.trainMerges(docs, numMerges = 300, batch = 8,
+      checkpointEvery = 64).map(m => (m.rank, m.left, m.right, m.freq))
+    assert(flushed.size == 300, s"corpus too small: ${flushed.size} merges")
+    val never = Bpe.trainMerges(docs, numMerges = 300, batch = 8,
+      checkpointEvery = 1000).map(m => (m.rank, m.left, m.right, m.freq))
+    assert(flushed == never,
+      "checkpoint flushes must not change a single merge")
+    // depth survives into application: deep-vocab encoding round-trips
+    val enc = new BpeWordEncoder(flushed.map(m => (m._2, m._3)).toArray)
+    assert(vocab.distinct.forall(w =>
+      enc.encodeToSym(w).split(Bpe.Sep + Bpe.Sep).drop(1).mkString == w))
+  }
+
   test("docTokenCounts matches a per-doc reference on the real corpus") {
     val d = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))

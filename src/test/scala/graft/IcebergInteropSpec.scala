@@ -46,6 +46,78 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(back.filter(col("tag").isNull).count() == 2, "stragglers null-fill")
   }
 
+  test("per-snapshot schemas export: time travel across an evolution boundary sees the old schema") {
+    val cat = freshCatalog()
+    val w = new GraftWriter(cat)
+    val cfg = WriteConfig(retryUnitMs = 1)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "name")), Append, cfg, "l1")
+    w.writeTable("main", "t",
+      Seq(Seq((3L, "c", 9.5)).toDF("id", "name", "score")), Append, cfg, "l2")
+    val t = cat.loadTable("main", "t")
+    IcebergInterop.exportTable(t, nowMs = 1700000000000L)
+    val tree = t.dir.resolve("iceberg")
+    val md = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(tree.resolve("metadata").resolve("v1.metadata.json")))
+    import org.json4s._
+    // one Iceberg schema per graft schema version, current pointing at
+    // the evolved one
+    val schemas = (md \ "schemas").asInstanceOf[JArray].arr
+    assert(schemas.size == 2, s"expected 2 schemas, got ${schemas.size}")
+    val ids = schemas.map(s => (s \ "schema-id") match {
+      case JInt(i) => i.toInt
+      case other => fail(s"bad schema-id $other")
+    }).toSet
+    assert(ids == Set(1, 2))
+    assert((md \ "current-schema-id") == JInt(2))
+    // snapshots pin the schema in force when they committed
+    val snapSchemaIds = (md \ "snapshots").asInstanceOf[JArray].arr
+      .map(s => ((s \ "snapshot-id"), (s \ "schema-id"))).collect {
+        case (JInt(sid), JInt(sch)) => sid.toInt -> sch.toInt
+      }.toMap
+    assert(snapSchemaIds == Map(1 -> 1, 2 -> 2), s"got $snapSchemaIds")
+    // field ids are FOREVER: shared columns keep their ids across the
+    // schema versions; the added column mints a fresh one
+    def fieldIds(s: JValue): Map[String, Int] =
+      (s \ "fields").asInstanceOf[JArray].arr.map(f =>
+        ((f \ "name"), (f \ "id")) match {
+          case (JString(n), JInt(i)) => n -> i.toInt
+          case other => fail(s"bad field $other")
+        }).toMap
+    val v1 = fieldIds(schemas.find(s => (s \ "schema-id") == JInt(1)).get)
+    val v2 = fieldIds(schemas.find(s => (s \ "schema-id") == JInt(2)).get)
+    assert(v1 == Map("id" -> 1, "name" -> 2))
+    assert(v2("id") == 1 && v2("name") == 2 &&
+      v2("score") > 2, s"ids must be stable: $v1 vs $v2")
+    // name-mapping published (graft parquet carries no embedded ids)
+    (md \ "properties" \ "schema.name-mapping.default") match {
+      case JString(nm) =>
+        assert(nm.contains("\"field-id\"") && nm.contains("score"))
+      case other => fail(s"name-mapping missing: $other")
+    }
+    // import time travel across the boundary serves the OLD schema
+    val back1 = IcebergInterop.importTable(spark, tree.toString,
+      asOfSnapshotId = Some(1L))
+    assert(back1.columns.toSeq == Seq("id", "name"),
+      s"snapshot 1 must serve schema v1, got ${back1.columns.toSeq}")
+    assert(back1.count() == 2)
+    val back2 = IcebergInterop.importTable(spark, tree.toString)
+    assert(back2.columns.toSeq == Seq("id", "name", "score"))
+    assert(back2.count() == 3)
+    // re-export after ANOTHER evolution never reassigns published ids
+    w.writeTable("main", "t",
+      Seq(Seq((4L, "d", 1.0, true)).toDF("id", "name", "score", "flag")),
+      Append, cfg, "l3")
+    IcebergInterop.exportTable(cat.loadTable("main", "t"),
+      nowMs = 1700000001000L)
+    val md2 = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(tree.resolve("metadata").resolve("v2.metadata.json")))
+    val v3 = fieldIds((md2 \ "schemas").asInstanceOf[JArray].arr
+      .find(s => (s \ "schema-id") == JInt(3)).get)
+    assert(v3("id") == 1 && v3("name") == 2 && v3("score") == v2("score") &&
+      v3("flag") > v2("score"), s"re-export reassigned ids: $v3")
+  }
+
   test("exported Avro manifests carry the spec field ids and metadata keys") {
     val cat = freshCatalog()
     val w = new GraftWriter(cat)

@@ -279,6 +279,109 @@ class StreamingSpec extends AnyFunSuite {
     val sigIds = ds.read().select("doc_id").as[Long].collect().toSet
     val docIds = dc.read().select("doc_id").as[Long].collect().toSet
     assert(sigIds == docIds, "sig keep-set must equal the docs keep-set")
+    // the band index committed too, under the same load, bucket-bucketed
+    val db = cat.loadTable("main", "ds_bands")
+    assert(db.metadata.snapshots.size == 1 &&
+      db.metadata.snapshots.head.loadId.contains("ndx-batch-0"))
+    assert(db.metadata.partitionSpec.exists(f =>
+      f.source == "bkey" && f.transform == "bucket"),
+      s"band index must carry a bucket spec: ${db.metadata.partitionSpec}")
+    val bandIds = db.read().select("doc_id").as[Long].collect().toSet
+    assert(bandIds == sigIds, "band index keep-set must equal the sig set")
+    assert(db.read().count() == sigIds.size * 32L,
+      "band index must hold one row per (kept doc, band)")
+  }
+
+  test("near-dedup stream: crash after docs+sigs commits rebuilds the band index without re-deduping") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    val srcDir = Files.createTempDirectory("graft-nd-bands-src-")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-bands-").toString)
+    val w = new graft.write.GraftWriter(cat)
+    // crash window: batch 0's docs AND sigs commits landed, bands did not
+    w.writeTable("main", "dc", Seq(docs), graft.write.Append,
+      WriteConfig(retryUnitMs = 1), "ndb-batch-0")
+    val sigs = graft.llmops.Dedup.minHashSignatures(docs)
+    w.writeTable("main", "ds", Seq(sigs), graft.write.Append,
+      WriteConfig(retryUnitMs = 1), "ndb-batch-0")
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "ndb",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-bands-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    // replay must NOT have re-run the dedup against the already-updated
+    // corpus (which would self-match every doc): docs and sigs untouched
+    val dc = cat.loadTable("main", "dc")
+    val ds = cat.loadTable("main", "ds")
+    assert(dc.metadata.snapshots.size == 1 && ds.metadata.snapshots.size == 1,
+      "replay must not double-commit docs or sigs")
+    assert(dc.read().count() == docs.count())
+    // ...and the bands table was rebuilt from the COMMITTED signatures
+    val db = cat.loadTable("main", "ds_bands")
+    assert(db.metadata.snapshots.size == 1 &&
+      db.metadata.snapshots.head.loadId.contains("ndb-batch-0"))
+    val sigIds = ds.read().select("doc_id").as[Long].collect().toSet
+    val bandIds = db.read().select("doc_id").as[Long].collect().toSet
+    assert(bandIds == sigIds,
+      "rebuilt band index must cover exactly the committed signatures")
+  }
+
+  test("near-dedup stream: committed band index SPJ-resolves — corpus side never shuffles") {
+    import spark.implicits._
+    // two chunks: chunk 1 plants a near-copy of a chunk-0 doc, so batch 1
+    // runs the candidate join against the COMMITTED index of batch 0
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val srcDir = Files.createTempDirectory("graft-nd-spj-src-")
+    docs.filter(col("doc_id") < 30).coalesce(1)
+      .write.parquet(srcDir.resolve("c0").toString)
+    docs.filter(col("doc_id") >= 30)
+      .union(docs.filter(col("doc_id") === 5)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          concat(col("text"), lit(" graftmarker")).as("text")))
+      .coalesce(1).write.parquet(srcDir.resolve("c1").toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-spj-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.resolve("c0").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "ndj",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-spj-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    // cross-batch near-copy absorbed through the index path
+    val docIds = cat.loadTable("main", "dc").read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(!docIds.contains(9000005L),
+      "cross-batch near-copy must be absorbed via the committed index")
+    // the synthetic corpus carries natural near-dups of its own, so the
+    // original-doc survivor count is bounded, not exact
+    assert(docIds.count(_ < 9000000L) >= 55)
+    // pin the plan shape the stream runs every batch: candidate join of
+    // a plain batch against the committed bucket[16] index = exactly one
+    // exchange (the incoming side), committed side map-only
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.catalog.g_ndj",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    iso.conf.set("spark.sql.catalog.g_ndj.warehouse",
+      cat.warehousePath.toString)
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val idx = iso.table("g_ndj.main.ds_bands")
+    val probe = iso.range(0, 50).select(col("id").as("doc_id"),
+      (col("id") * 7919L).as("bkey"))
+    val j = probe.join(idx, Seq("bkey"))
+    val n = graft.plans.PlanOps.shuffles(j)
+    assert(n == 1,
+      s"committed band index must SPJ-resolve one-sided, got $n exchanges:\n" +
+        j.queryExecution.executedPlan)
   }
 
   test("near-dedup stream: docs too short to shingle pass through, never silently dropped") {
@@ -310,6 +413,101 @@ class StreamingSpec extends AnyFunSuite {
     val sigIds = cat.loadTable("main", "ds").read()
       .select("doc_id").as[Long].collect().toSet
     assert(sigIds == Set(1L))
+  }
+
+  test("near-dedup state tables: auto-compact opt-in at creation, orphan signatures prunable") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    val srcDir = Files.createTempDirectory("graft-nd-life-src-")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-life-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "ndl",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-life-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    // state tables opted into write-path self-compaction at creation
+    for (table <- Seq("ds", "ds_bands"))
+      assert(cat.loadTable("main", table).metadata.properties
+        .get(graft.write.Maintenance.AutoCompactProp).contains("true"),
+        s"$table must opt into auto-compact")
+    // delete half the corpus docs, then prune: sig + band rows of the
+    // erased docs must leave the state tables
+    val w = new graft.write.GraftWriter(cat)
+    w.deleteWhere("main", "dc", col("doc_id") < 20,
+      WriteConfig(retryUnitMs = 1))
+    val pruned = loader.pruneOrphanSignatures("main", "dc", "ds",
+      WriteConfig(retryUnitMs = 1))
+    assert(pruned > 0, "erased docs must have had signatures to prune")
+    val liveIds = cat.loadTable("main", "dc").read()
+      .select("doc_id").as[Long].collect().toSet
+    val sigIds = cat.loadTable("main", "ds").read()
+      .select("doc_id").as[Long].collect().toSet
+    val bandIds = cat.loadTable("main", "ds_bands").read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds.subsetOf(liveIds), "pruned sig table must cover only live docs")
+    assert(bandIds == sigIds, "band index must track the sig table")
+    assert(loader.pruneOrphanSignatures("main", "dc", "ds",
+      WriteConfig(retryUnitMs = 1)) == 0L, "second prune must be a no-op")
+  }
+
+  test("near-dedup: two concurrent pipelines on one state table lose no signatures") {
+    import spark.implicits._
+    // two ingest pipelines share the corpus + state tables — e.g. two
+    // crawl partitions loading through separate streams. Contract: every
+    // commit lands through the CAS (no lost docs/sigs/bands), and dedup
+    // is AT-LEAST-ONCE across concurrent batches: two batches planned
+    // against the same corpus snapshot cannot see each other, so a
+    // near-pair SPLIT between them may double-keep (same bound as
+    // batch-internal pairs, which are the in-batch job's business).
+    def mkDocs(idBase: Long, tag: String) = (0 until 25).map { i =>
+      (idBase + i,
+        (0 until 12).map(j => s"$tag-w${i * 31 + j * 7}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val srcA = Files.createTempDirectory("graft-nd-conc-a-")
+    val srcB = Files.createTempDirectory("graft-nd-conc-b-")
+    mkDocs(1000L, "alpha").coalesce(1).write.mode("overwrite")
+      .parquet(srcA.toString)
+    mkDocs(2000L, "beta").coalesce(1).write.mode("overwrite")
+      .parquet(srcB.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-conc-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcA.toString).schema
+    def launch(src: java.nio.file.Path, name: String) =
+      loader.startNearDeduped(
+        spark.readStream.schema(schema).parquet(src.toString),
+        "main", "dc", "ds", cfg = WriteConfig(retryUnitMs = 1),
+        queryName = name,
+        checkpoint = Some(
+          Files.createTempDirectory(s"graft-nd-conc-ck-$name-").toString))
+    val qa = launch(srcA, "ndca")
+    val qb = launch(srcB, "ndcb")
+    try { qa.awaitTermination(); qb.awaitTermination() }
+    finally { qa.stop(); qb.stop() }
+    val docIds = cat.loadTable("main", "dc").read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(docIds == ((1000L until 1025L) ++ (2000L until 2025L)).toSet,
+      s"no doc may be lost to the concurrent commits, got ${docIds.size}")
+    val sigIds = cat.loadTable("main", "ds").read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds == docIds, "every kept doc's signature must have landed")
+    val bandRows = cat.loadTable("main", "ds_bands").read()
+    assert(bandRows.select("doc_id").as[Long].collect().toSet == sigIds &&
+      bandRows.count() == sigIds.size * 32L,
+      "every kept doc's band-index rows must have landed")
+    // both pipelines' loads are in the snapshot ledger of all 3 tables
+    for (table <- Seq("dc", "ds", "ds_bands")) {
+      val loads = cat.loadTable("main", table).metadata.snapshots
+        .flatMap(_.loadId)
+      assert(loads.exists(_.startsWith("ndca-")) &&
+        loads.exists(_.startsWith("ndcb-")),
+        s"$table must carry both pipelines' commits: $loads")
+    }
   }
 
   test("url-dedup stream: committed-but-uncheckpointed batch replays idempotently") {
