@@ -689,11 +689,27 @@ object TextOps {
     * (`&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` exactly
     * once), and collapses whitespace. Pure regexp_replace chain:
     * map-only, codegen, no UDF. */
+  /** Tag recognition is attribute-aware: quoted attribute values may
+    * contain `>` (`<a title="a>b">`), so the tag pattern consumes
+    * quoted runs atomically instead of stopping at the first `>`; a tag
+    * must open with `/ ! ?` or a letter, so plain-text inequalities
+    * (`a < b and c > d`) survive. CDATA sections contribute their
+    * CONTENT (they are character data, not markup). All patterns are
+    * RE2-safe and replicated verbatim in the DuckDB oracle. Documented
+    * non-goal: the strip is NOT idempotent under entity decoding — a
+    * document containing literal `&lt;b&gt;` decodes to `<b>` in the
+    * output, exactly as a browser would render it; re-stripping the
+    * OUTPUT is out of contract (pinned in LlmOpsSpec). */
   def stripMarkup(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noScript = regexp_replace(html,
+      "(?is)<script(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val cdata = regexp_replace(noComment,
+      "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", " $1 ")
+    val noTags = regexp_replace(cdata,
+      "<[/!?a-zA-Z][^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) =>

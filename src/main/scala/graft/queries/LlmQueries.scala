@@ -1106,6 +1106,71 @@ object LlmQueries {
         |  CASE WHEN doc_id % 2 = 1 THEN alaw_rms ELSE ulaw_rms END AS rms
         |FROM documents JOIN rt ON rt.k = doc_id % 29""".stripMargin))),
 
+    // perceptual-format CONTAINER metadata without decode: per doc,
+    // spec-exact MP3 (MPEG-1 Layer III headers), ADTS-AAC, and Ogg-Opus
+    // (RFC 3533 pages, CRC32 verified; RFC 7845 OpusHead/granule)
+    // fixtures are built and then walked by real header parsers —
+    // duration, sample rate, channels, frame count, byte size — the
+    // same demux-without-decode move as l23's AVI walker (payload
+    // decode genuinely needs codec jars this container lacks). The
+    // oracle recomputes every field from the public header arithmetic:
+    // frame sizes from the bitrate/rate tables and padding bits,
+    // durations from samples-per-frame, Ogg page sizes from the lacing
+    // layout.
+    "l63_codec_metadata" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val m = Multimodal.parseMp3(Multimodal.encodeMp3(id))
+            val a = Multimodal.parseAdts(Multimodal.encodeAdts(id))
+            val o = Multimodal.parseOpus(Multimodal.encodeOpus(id))
+            Seq((id, "mp3", m._1, m._2, m._3, m._4, m._5),
+              (id, "aac", a._1, a._2, a._3, a._4, a._5),
+              (id, "opus", o._1, o._2, o._3, o._4, o._5))
+          })
+          .toDF("doc_id", "fmt", "sample_rate", "channels", "n_frames",
+            "duration_us", "n_bytes")
+      },
+      Some("""WITH br(i, kbps) AS (VALUES (1,32),(2,40),(3,48),(4,56),
+        |  (5,64),(6,80),(7,96),(8,112),(9,128),(10,160),(11,192),
+        |  (12,224),(13,256),(14,320)),
+        |sr3(i, hz) AS (VALUES (0,44100),(1,48000),(2,32000)),
+        |aacsr(i, hz) AS (VALUES (3,48000),(4,44100),(5,32000),(6,24000),
+        |  (7,22050),(8,16000),(9,12000),(10,11025),(11,8000)),
+        |mp3 AS (SELECT doc_id, 'mp3' AS fmt,
+        |    CAST(sr3.hz AS INT) AS sample_rate,
+        |    CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT)
+        |      AS channels,
+        |    CAST(10 + doc_id % 50 AS INT) AS n_frames,
+        |    CAST((10 + doc_id % 50) * 1152 * 1000000 // sr3.hz AS BIGINT)
+        |      AS duration_us,
+        |    CAST((10 + doc_id % 50) * (144000 * br.kbps // sr3.hz) +
+        |      CASE WHEN doc_id % 2 = 0 THEN (10 + doc_id % 50 + 1) // 2
+        |           ELSE (10 + doc_id % 50) // 2 END AS BIGINT) AS n_bytes
+        |  FROM documents
+        |  JOIN br ON br.i = 1 + doc_id % 14
+        |  JOIN sr3 ON sr3.i = doc_id % 3),
+        |aac AS (SELECT doc_id, 'aac' AS fmt,
+        |    CAST(aacsr.hz AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(8 + doc_id % 40 AS INT) AS n_frames,
+        |    CAST((8 + doc_id % 40) * 1024 * 1000000 // aacsr.hz AS BIGINT)
+        |      AS duration_us,
+        |    CAST((8 + doc_id % 40) * (57 + doc_id % 100) AS BIGINT)
+        |      AS n_bytes
+        |  FROM documents JOIN aacsr ON aacsr.i = 3 + doc_id % 9),
+        |opus AS (SELECT doc_id, 'opus' AS fmt,
+        |    CAST(48000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(2 + doc_id % 20 AS INT) AS n_frames,
+        |    CAST((2 + doc_id % 20) * 20000 AS BIGINT) AS duration_us,
+        |    CAST(47 + 44 + (2 + doc_id % 20) * (28 + 20 + doc_id % 50)
+        |      AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT * FROM mp3 UNION ALL SELECT * FROM aac
+        |UNION ALL SELECT * FROM opus""".stripMargin))),
+
     // first-occurrence paragraph dedup (C4 semantics: keep ONE canonical
     // copy of repeated content — l35 instead drops over-frequent spans
     // everywhere); winner = smallest (doc_id, pos), so fully
@@ -1456,10 +1521,16 @@ object LlmQueries {
     // (&amp; decoded last), whitespace collapse. Map-only codegen chain.
     "l59_markup_strip" -> ((
       (s: SparkSession, dir: String) => {
+        // the wrapper plants the adversarial shapes the strip must hold
+        // against: a quoted `>` inside an attribute, a CDATA section
+        // (content survives as text), and a plain-text inequality (must
+        // NOT be eaten as a tag)
         val html = concat(
           lit("<html><head><script type=\"text/javascript\">var a=1;" +
             "</script><style>.x{color:red}</style></head><body>" +
-            "<!-- nav --><div id=\"menu\">Home &amp; About &lt;v"),
+            "<!-- nav --><a title=\"a>b\" href='q>r'>link</a>" +
+            "<![CDATA[raw 2 < 3 text]]>x < y and p > q" +
+            "<div id=\"menu\">Home &amp; About &lt;v"),
           (col("doc_id") % 5).cast("string"),
           lit("&gt;</div><p>"), col("text"), lit("</p></body></html>"))
         docs(s, dir).select(col("doc_id"),
@@ -1470,19 +1541,24 @@ object LlmQueries {
       Some("""WITH h AS (SELECT doc_id,
         |  '<html><head><script type="text/javascript">var a=1;</script>' ||
         |  '<style>.x{color:red}</style></head><body><!-- nav -->' ||
+        |  '<a title="a>b" href=''q>r''>link</a>' ||
+        |  '<![CDATA[raw 2 < 3 text]]>x < y and p > q' ||
         |  '<div id="menu">Home &amp; About &lt;v' ||
         |  CAST(doc_id % 5 AS VARCHAR) || '&gt;</div><p>' || text ||
         |  '</p></body></html>' AS x FROM documents),
-        |s1 AS (SELECT doc_id,
-        |  regexp_replace(x, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x
-        |  FROM h),
-        |s2 AS (SELECT doc_id,
-        |  regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
-        |  FROM s1),
+        |s1 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?is)<script(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*?</script>',
+        |  ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?is)<style(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*?</style>',
+        |  ' ', 'g') AS x FROM s1),
         |s3 AS (SELECT doc_id,
         |  regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x
-        |  FROM s3),
+        |s3c AS (SELECT doc_id, regexp_replace(x,
+        |  '(?s)<!\[CDATA\[(.*?)\]\]>', ' \1 ', 'g') AS x FROM s3),
+        |s4 AS (SELECT doc_id, regexp_replace(x,
+        |  '<[/!?a-zA-Z][^>"'']*(?:"[^"]*"[^>"'']*|''[^'']*''[^>"'']*)*>',
+        |  ' ', 'g') AS x FROM s3c),
         |s5 AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(replace(x,
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

@@ -313,6 +313,39 @@ class LlmOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.demuxAvi(corrupt) }
   }
 
+  test("codec container walkers: header arithmetic round-trips, corruption throws") {
+    for (id <- Seq(0L, 1L, 7L, 97L, 1234L)) {
+      val (msr, mch, mfr, mus, mb) = Multimodal.parseMp3(Multimodal.encodeMp3(id))
+      assert(mfr == 10 + (id % 50).toInt && Set(44100, 48000, 32000)(msr))
+      assert(mch == (if (id % 2 == 1) 1 else 2))
+      assert(mus == mfr.toLong * 1152L * 1000000L / msr && mb > 0)
+      val (asr, ach, afr, aus, _) = Multimodal.parseAdts(Multimodal.encodeAdts(id))
+      assert(afr == 8 + (id % 40).toInt && ach == 1 + (id % 2).toInt)
+      assert(aus == afr.toLong * 1024L * 1000000L / asr)
+      val (osr, och, ofr, ous, _) = Multimodal.parseOpus(Multimodal.encodeOpus(id))
+      assert(osr == 48000 && och == 1 + (id % 2).toInt)
+      assert(ofr == 2 + (id % 20).toInt && ous == ofr.toLong * 20000L)
+    }
+    // walkers are REAL parsers: corruption fails loudly, never wedges
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp3("not audio".getBytes("UTF-8"))
+    }
+    val mp3 = Multimodal.encodeMp3(5L)
+    mp3(0) = 0x00 // break the sync word
+    intercept[IllegalArgumentException] { Multimodal.parseMp3(mp3) }
+    val adts = Multimodal.encodeAdts(5L)
+    adts(4) = 0xFF.toByte // frame length points past the buffer
+    intercept[IllegalArgumentException] { Multimodal.parseAdts(adts) }
+    val opus = Multimodal.encodeOpus(5L)
+    opus(40) = (opus(40) ^ 0x5A).toByte // flip a body byte -> CRC mismatch
+    intercept[IllegalArgumentException] { Multimodal.parseOpus(opus) }
+    // truncation (half the last page gone) is detected
+    intercept[IllegalArgumentException] {
+      Multimodal.parseOpus(java.util.Arrays.copyOfRange(
+        Multimodal.encodeOpus(5L), 0, Multimodal.encodeOpus(5L).length - 9))
+    }
+  }
+
   test("int8 quantization: degenerate (constant) vectors quantize to zeros, not NaN") {
     val vecs = Seq(
       (1L, Array.fill(8)(0.5f)),              // constant: mx == mn
@@ -809,5 +842,30 @@ class LlmOpsSpec extends AnyFunSuite {
     // "&lt;" and must not double-decode into '<'
     assert(strip("a &amp;lt; b &lt; c &amp; d") == "a &lt; b < c & d")
     assert(strip("say &quot;hi&#39;s&quot;&nbsp;now") == "say \"hi's\" now")
+  }
+
+  test("markup strip: quoted '>' in attributes, CDATA content, plain-text inequalities") {
+    import spark.implicits._
+    def strip(h: String): String =
+      Seq(h).toDF("h")
+        .select(TextOps.stripMarkup(org.apache.spark.sql.functions.col("h")))
+        .collect()(0).getString(0)
+    // a quoted attribute value may contain '>': the tag must be consumed
+    // whole, never truncated at the first '>' (which leaked `b">` into
+    // the text before the r13 hardening)
+    assert(strip("<a title=\"a>b\">text</a>") == "text")
+    assert(strip("<a href='x>y' id=\"z>w\">t</a>") == "t")
+    // script openers get the same treatment
+    assert(strip("<script data-x=\"a>b\">var y;</script>ok") == "ok")
+    // CDATA is character data: content survives, wrapper dies
+    assert(strip("<p><![CDATA[raw 2 < 3 text]]></p>") == "raw 2 < 3 text")
+    // plain-text inequalities are NOT tags (a tag opens with /!? or a
+    // letter)
+    assert(strip("x < y and p > q") == "x < y and p > q")
+    assert(strip("5 <6> 7") == "5 <6> 7")
+    // documented non-idempotence: entity decoding may REINTRODUCE
+    // markup-shaped text, exactly as a browser renders `&lt;b&gt;`;
+    // re-stripping the output is out of contract
+    assert(strip("&lt;b&gt;bold&lt;/b&gt;") == "<b>bold</b>")
   }
 }
