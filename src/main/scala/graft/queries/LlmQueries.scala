@@ -1341,7 +1341,6 @@ object LlmQueries {
         iso.conf.set("spark.sql.catalog.graft_inear.warehouse", wh)
         iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val d = docs(iso, dir).select(col("doc_id"), col("text"))
         val half = d.count() / 2
         val corpus = d.filter(col("doc_id") < half)
@@ -1354,8 +1353,11 @@ object LlmQueries {
         val corpusSigs = Dedup.minHashSignatures(corpus)
         w.writeTable("main", "corpus_sigs", Seq(corpusSigs),
           graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10), "seed")
+        // derive the band index from the COMMITTED signature table, not
+        // the unmaterialized plan — deriving from `corpusSigs` would
+        // re-run the whole corpus MinHash aggregation a second time
         w.writeTable("main", "corpus_bands",
-          Seq(Dedup.sigBandKeys(corpusSigs)),
+          Seq(Dedup.sigBandKeys(cat.loadTable("main", "corpus_sigs").read())),
           graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10,
             partitions = Seq(graft.partition.PartitionHint.bucket(8, "bkey"))),
           "seed")
@@ -1365,15 +1367,18 @@ object LlmQueries {
         stageForOracle(committed, "l57_corpus_sigs")
         stageForOracle(incSigs, "l57_inc_sigs")
         // pin the 100-TB property: the committed index never shuffles —
-        // the candidate join's ONLY exchange is the incoming side
-        // routing into the corpus's existing bucket layout. The probe
-        // reads the incoming signatures back from the staged parquet so
-        // the pin counts the JOIN's exchanges, not the signature
-        // aggregation's.
-        val incStaged = iso.read.parquet(s"$OracleStageRoot/l57_inc_sigs")
-        val candJoin = Dedup.sigBandKeys(incStaged).as("i")
-          .join(committedIdx.as("c"), Seq("bkey"))
-        val nSh = graft.plans.PlanOps.shuffles(candJoin)
+        // a plain relation joined to it plans with exactly ONE exchange
+        // (the incoming side routing into the corpus's bucket layout).
+        // The probe side is tiny and synthetic (the plan SHAPE is what
+        // the pin checks; a corpus-scale probe would re-execute the
+        // whole join just to read its plan) and broadcast is disabled
+        // only for the probe, then restored so the RETURNED dedup plan
+        // keeps its broadcast-verify joins.
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = iso.range(0, 64).select((col("id") * 7919L).as("bkey"))
+        val nSh = graft.plans.PlanOps.shuffles(
+          probe.join(committedIdx, Seq("bkey")))
+        iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         require(nSh == 1,
           s"committed band index must SPJ-resolve (1 incoming-side " +
             s"exchange), got $nSh")

@@ -192,32 +192,38 @@ final class StreamingLoader(catalog: GraftCatalog) {
                   if (catalog.tableExists(ns, bandsTable))
                     Some(spjRead(batch.sparkSession, ns, bandsTable))
                   else None
+                // persist the keep-set: it feeds the docs, sigs, AND
+                // bands writes — unpersisted, each write would re-run
+                // the whole dedup join against the committed corpus
                 val keep = graft.llmops.Dedup
                   .incrementalNearDedup(incSigs, corpusSigs,
                     numHashes = numHashes, bands = bands,
                     simThreshold = simThreshold,
                     committedBandKeys = corpusIdx)
-                  .filter(col("is_new")).select("doc_id")
-                // docs too short to shingle (< n words) get NO MinHash
-                // signature, so they never appear in `keep` — they must
-                // pass through unconditionally (they can't near-dup
-                // against anything), not be silently dropped from the
-                // corpus table
-                val sigless = batch.select(col("doc_id"))
-                  .join(incSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-                if (!docsDone)
-                  writer.writeTable(ns, docsTable,
-                    Seq(batch.join(keep.union(sigless), "doc_id")),
-                    Append, cfg, loadId)
-                val keptSigs = incSigs.join(keep, "doc_id")
-                if (!sigsDone)
-                  writer.writeTable(ns, sigsTable,
-                    Seq(keptSigs), Append, cfg, loadId)
-                if (!bandsDone)
-                  writer.writeTable(ns, bandsTable,
-                    Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
-                      numHashes = numHashes, bands = bands)),
-                    Append, bandCfg, loadId)
+                  .filter(col("is_new")).select("doc_id").persist()
+                try {
+                  // docs too short to shingle (< n words) get NO MinHash
+                  // signature, so they never appear in `keep` — they must
+                  // pass through unconditionally (they can't near-dup
+                  // against anything), not be silently dropped from the
+                  // corpus table
+                  val sigless = batch.select(col("doc_id"))
+                    .join(incSigs.select(col("doc_id")), Seq("doc_id"),
+                      "left_anti")
+                  if (!docsDone)
+                    writer.writeTable(ns, docsTable,
+                      Seq(batch.join(keep.union(sigless), "doc_id")),
+                      Append, cfg, loadId)
+                  val keptSigs = incSigs.join(keep, "doc_id")
+                  if (!sigsDone)
+                    writer.writeTable(ns, sigsTable,
+                      Seq(keptSigs), Append, cfg, loadId)
+                  if (!bandsDone)
+                    writer.writeTable(ns, bandsTable,
+                      Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
+                        numHashes = numHashes, bands = bands)),
+                      Append, bandCfg, loadId)
+                } finally keep.unpersist()
                 // lifecycle: a per-batch append trickle grows the file
                 // population without bound — opt the state tables into
                 // write-path self-compaction (fires on file_health, not
