@@ -61,6 +61,9 @@ class ModelCheckSpec extends AnyFunSuite {
       val w = new GraftWriter(cat)
       val model = mutable.LinkedHashMap.empty[Long, String]
       val history = mutable.Buffer.empty[(Long, Map[Long, String])]
+      // Iceberg field-ids observed across every export THIS seed makes:
+      // ids are forever — a name must never re-export under a new id
+      val fieldIdSeen = mutable.Map.empty[String, Int]
       // keys drawn from a range spanning digit-count boundaries and
       // negatives — the r1 stats bug's blind spot
       def key(): Long = rnd.between(-120L, 130L)
@@ -370,6 +373,37 @@ class ModelCheckSpec extends AnyFunSuite {
             cat.loadTable("main", "t").metadata.currentSnapshotId.isDefined) {
           val t = cat.loadTable("main", "t")
           graft.iceberg.IcebergInterop.exportTable(t)
+          // field-id stability fuzz: every schema in the exported chain
+          // (including schemas minted by ops 8/9's evolution and every
+          // RE-export this seed already did) must agree on a name's id
+          locally {
+            import org.json4s._
+            val mdDir = t.dir.resolve("iceberg").resolve("metadata")
+            val v = Files.readString(
+              mdDir.resolve("version-hint.text")).trim
+            val md = org.json4s.jackson.JsonMethods.parse(Files.readString(
+              mdDir.resolve(s"v$v.metadata.json")))
+            (md \ "schemas") match {
+              case JArray(ss) => ss.foreach { s0 =>
+                (s0 \ "fields") match {
+                  case JArray(fs) => fs.foreach { f =>
+                    ((f \ "name"), (f \ "id")) match {
+                      case (JString(n), JInt(id)) =>
+                        fieldIdSeen.get(n) match {
+                          case Some(prev) => assert(prev == id.toInt,
+                            s"seed=$seed step=$step op=$op: field-id of " +
+                              s"'$n' reassigned $prev -> $id")
+                          case None => fieldIdSeen(n) = id.toInt
+                        }
+                      case _ => ()
+                    }
+                  }
+                  case _ => ()
+                }
+              }
+              case _ => ()
+            }
+          }
           val ice = graft.iceberg.IcebergInterop
             .importTable(spark, t.dir.resolve("iceberg").toString)
             .select("id", "v").collect()

@@ -74,6 +74,36 @@ def main(out_dir, stage_dir="/tmp/graft-oracle-stage"):
         else:
             print(f"PASS {name} ({n} rows, independent-walker hash match)")
             n_pass += 1
+        # per-snapshot schema probe (w44's tree evolves mid-history):
+        # walking the FIRST snapshot must serve the pre-evolution columns
+        if name == "w44_iceberg_roundtrip":
+            md_file = os.path.join(tree, "metadata", "v" + open(
+                os.path.join(tree, "metadata", "version-hint.text"))
+                .read().strip() + ".metadata.json")
+            md = json.load(open(md_file))
+            first = min(s["snapshot-id"] for s in md["snapshots"])
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(HERE, "iceberg_walk.py"),
+                     tree, "--snapshot", str(first)],
+                    capture_output=True, text=True, check=True)
+                past = json.loads(out.stdout.strip().splitlines()[-1])
+            except subprocess.CalledProcessError as e:
+                print(f"FAIL {name}@snap{first}: {e.stderr.strip()[-300:]}")
+                n_fail += 1
+                continue
+            if "o_flag" in past["columns"]:
+                print(f"FAIL {name}@snap{first}: pre-evolution snapshot "
+                      f"must NOT serve the evolved column: {past['columns']}")
+                n_fail += 1
+            elif not (0 < past["rows"] < n):
+                print(f"FAIL {name}@snap{first}: implausible time-travel "
+                      f"row count {past['rows']} (current {n})")
+                n_fail += 1
+            else:
+                print(f"PASS {name}@snap{first} ({past['rows']} rows, "
+                      "pre-evolution schema served)")
+                n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 

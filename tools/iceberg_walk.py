@@ -202,6 +202,7 @@ def main(argv):
     loc = argv[1]
     snap_id = None
     sql = "SELECT * FROM live"
+    dump = None
     args = argv[2:]
     while args:
         a = args.pop(0)
@@ -209,6 +210,8 @@ def main(argv):
             snap_id = int(args.pop(0))
         elif a == "--sql":
             sql = args.pop(0)
+        elif a == "--dump":
+            dump = args.pop(0)
         else:
             raise SystemExit(f"unknown arg {a}")
 
@@ -319,6 +322,8 @@ def main(argv):
     n, h = con.execute(
         f"SELECT count(*), sum(hash(concat_ws(chr(31), {parts}))::HUGEINT) "
         "FROM _out").fetchone()
+    if dump:
+        con.execute(f"COPY _out TO '{dump}' (FORMAT PARQUET)")
     print(json.dumps({"snapshot": snap_id, "rows": int(n),
                       "hash": str(h), "columns": sorted(types)}))
     return 0
