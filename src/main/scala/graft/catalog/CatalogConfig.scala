@@ -102,8 +102,11 @@ final case class CatalogConfig(
   }
 
   private def filePath: Option[String] = {
-    val p = uri.stripPrefix("file://").stripPrefix("file:")
-    if (p.isEmpty) None else Some(p)
+    // same single canonicalization rule as every other path boundary
+    // (scheme strip + percent decode) — a file: URI with an encoded
+    // character must resolve to the real directory
+    val p = graft.functions.UriPath.decode(uri)
+    if (p.isEmpty || p == "file:") None else Some(p)
   }
 
   /** Open the catalog. `file://` resolves to the directory-backed

@@ -35,7 +35,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "zorder", "expire_snapshots",
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
     "create_branch", "publish_branch", "drop_branch", "rewrite_manifests",
-    "delete_backlog", "file_health", "iceberg_export", "iceberg_attach")
+    "delete_backlog", "file_health", "iceberg_export", "iceberg_attach",
+    "prune_signatures")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -54,6 +55,7 @@ object GraftProcedures {
       case "file_health" => Some(FileHealth(cat))
       case "iceberg_export" => Some(IcebergExport(cat))
       case "iceberg_attach" => Some(IcebergAttach(cat))
+      case "prune_signatures" => Some(PruneSignatures(cat))
       case _ => None
     }
 
@@ -181,6 +183,34 @@ object GraftProcedures {
       val applied = graft.write.Maintenance.applyDeletes(t)
       one(StructType(Seq(StructField("applied", BooleanType, nullable = false))),
         java.lang.Boolean.valueOf(applied))
+    }
+  }
+
+  /** `CALL cat.system.prune_signatures('ns.docs', 'ns.sigs')` —
+    * retention maintenance for the near-dedup state tables: rewrite the
+    * signature table (and its `_bands` index, when present) down to the
+    * documents still live in the corpus table. The SQL face of
+    * [[graft.streaming.StreamingLoader.pruneOrphanSignatures]]. */
+  private final case class PruneSignatures(cat: GraftCatalog)
+      extends GraftProcedure {
+    override def name(): String = "prune_signatures"
+    override def description(): String =
+      "prune near-dedup signatures/bands of documents erased from the corpus"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("docs_table", StringType), in("sigs_table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      def split(raw: UTF8String): (String, String) = {
+        val parts = raw.toString.split("\\.")
+        require(parts.length == 2, s"expected ns.table, got $raw")
+        (parts(0), parts(1))
+      }
+      val (dns, docs) = split(input.getUTF8String(0))
+      val (sns, sigs) = split(input.getUTF8String(1))
+      require(dns == sns, "docs and sigs tables must share a namespace")
+      val pruned = new graft.streaming.StreamingLoader(cat)
+        .pruneOrphanSignatures(dns, docs, sigs)
+      one(StructType(Seq(StructField("pruned", LongType, nullable = false))),
+        java.lang.Long.valueOf(pruned))
     }
   }
 

@@ -136,6 +136,64 @@ object SemanticDedup {
         coalesce(col("pruned"), lit(false)).as("pruned"))
   }
 
+  /** Candidate pairs of an incoming batch against a COMMITTED corpus
+    * assignment table: incoming vectors are assigned to the corpus's
+    * centroids (a map-only pass over broadcast centroid literals) and
+    * joined cluster-to-cluster. With the assignment table committed
+    * under an `identity(cluster)` partition hint, the join SPJ-resolves:
+    * the corpus side is served in its existing layout (map-only,
+    * cluster-pruned) and only the incoming batch shuffles — the same
+    * committed-state design as [[Dedup.sigBandKeys]], in embedding
+    * space. */
+  def incrementalSemanticCandidates(incoming: DataFrame,
+      committedAssign: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(ensureRegistered(incoming), centroids, idCol, vecCol)
+      .select(col("cluster"), col(idCol).as("inc_id"))
+      .join(committedAssign.select(col("cluster"),
+        col(idCol).as("corpus_id")), Seq("cluster"))
+      .select(col("inc_id"), col("corpus_id"))
+
+  /** Incremental SemDeDup: near-dup check of an incoming batch against a
+    * COMMITTED corpus in embedding space — the semantic analogue of
+    * [[Dedup.incrementalNearDedup]]. Candidates come from the
+    * cluster-equality join above (identical vectors share the argmin
+    * cluster STRUCTURALLY, so recall on exact duplicates is 1 — the
+    * contract the driver entry pins); verification is exact cosine
+    * against the candidates' committed vectors, so corpus text/raw
+    * embeddings outside the touched clusters are never read. Ranking
+    * uses the 4-decimal-rounded cosine (ties broken by smallest corpus
+    * id) so best-match selection is reproducible across engines.
+    * Returns one row per incoming vector: best corpus match at
+    * `threshold` or NULL/is_new = true. */
+  def incrementalSemanticDedup(incoming0: DataFrame,
+      committedAssign: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val incoming = ensureRegistered(incoming0)
+    val inc = assign(incoming, centroids, idCol, vecCol)
+      .withColumn("inrm", sqrt(Similarity.fastDot(col("v"), col("v"))))
+      .select(col("cluster"), col(idCol).as("inc_id"),
+        col("v").as("iv"), col("inrm"))
+    val cor = committedAssign
+      .select(col("cluster"), col(idCol).as("corpus_id"),
+        asDouble(col("v")).as("cv"))
+      .withColumn("cnrm", sqrt(Similarity.fastDot(col("cv"), col("cv"))))
+    val best = inc.join(cor, Seq("cluster"))
+      .select(col("inc_id"), col("corpus_id"),
+        round(Similarity.fastDot(col("iv"), col("cv")) /
+          (col("inrm") * col("cnrm")) + lit(1e-9), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("inc_id")
+      .agg(max(struct(col("cos"), (-col("corpus_id")).as("nid"))).as("bst"))
+      .select(col("inc_id"), (-col("bst.nid")).as("match_id"),
+        col("bst.cos").as("cos"))
+    incoming.select(col(idCol))
+      .join(best, col(idCol) === col("inc_id"), "left")
+      .select(col(idCol), col("match_id"), col("cos").as("cosine"),
+        col("match_id").isNull.as("is_new"))
+  }
+
   /** Driver entry shape: per-cluster membership / pruning stats. */
   def clusterStats(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
       threshold: Double = 0.4): DataFrame =

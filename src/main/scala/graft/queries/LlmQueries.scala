@@ -1171,6 +1171,93 @@ object LlmQueries {
         |SELECT * FROM mp3 UNION ALL SELECT * FROM aac
         |UNION ALL SELECT * FROM opus""".stripMargin))),
 
+    // incremental SemDeDup against a COMMITTED corpus — the embedding-
+    // space analogue of l57: the corpus keeps a committed k-means
+    // assignment table under an identity(cluster) partition hint, an
+    // incoming batch (second half + planted EXACT copies of every 9th
+    // corpus vector) assigns to the same centroids map-side and joins
+    // cluster-to-cluster with the corpus served in place (one-sided SPJ
+    // pinned in-query), then exact-cosine verification picks the best
+    // match by 4dp-rounded cosine (min corpus id on ties — reproducible
+    // across engines). Staged-candidate oracle (l20's pattern): DuckDB
+    // re-derives the exact cosine filter, ranking, and the left join
+    // over the staged candidates/vectors; the in-query require pins the
+    // structural recall contract (an exact copy shares its source's
+    // argmin cluster, so every planted copy MUST be absorbed).
+    "l64_incremental_semdedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft-isem-")
+          .toString
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.catalog.graft_isem",
+          classOf[graft.catalog.GraftSparkCatalog].getName)
+        iso.conf.set("spark.sql.catalog.graft_isem.warehouse", wh)
+        iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+        val e = emb(iso, dir).select(col("vec_id"), col("embedding"))
+        val half = e.count() / 2
+        val corpus = e.filter(col("vec_id") < half)
+        val incoming = e.filter(col("vec_id") >= half)
+          .union(corpus.filter(col("vec_id") % 9 === 0)
+            .select((col("vec_id") + 3000000L).as("vec_id"),
+              col("embedding")))
+        val cents = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
+        val cat = new graft.catalog.GraftCatalog(iso, wh)
+        val w = new graft.write.GraftWriter(cat)
+        w.writeTable("main", "corpus_assign",
+          Seq(SemanticDedup.assign(corpus, cents)),
+          graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10,
+            partitions =
+              Seq(graft.partition.PartitionHint.identity("cluster"))),
+          "seed")
+        val committedAssign = iso.table("graft_isem.main.corpus_assign")
+        // pin the 100-TB property: the committed assignment table never
+        // shuffles — a plain relation joined on cluster plans with ONE
+        // exchange (the incoming side)
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = iso.range(0, 8)
+          .select(col("id").cast("int").as("cluster"))
+        val nSh = graft.plans.PlanOps.shuffles(
+          probe.join(committedAssign.select("cluster", "vec_id"),
+            Seq("cluster")))
+        iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        require(nSh == 1,
+          s"committed assignment table must SPJ-resolve (1 incoming-side " +
+            s"exchange), got $nSh")
+        stageForOracle(committedAssign.select(col("vec_id"), col("v")),
+          "l64_corpus")
+        stageForOracle(incoming.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v")), "l64_inc")
+        stageForOracle(SemanticDedup.incrementalSemanticCandidates(
+          incoming, committedAssign, cents), "l64_cand")
+        val res = SemanticDedup.incrementalSemanticDedup(
+          incoming, committedAssign, cents)
+        // structural recall: an exact copy shares its source's argmin
+        // cluster and has cosine 1 — none may survive as "new"
+        require(res.filter(col("vec_id") >= 3000000L && col("is_new"))
+          .count() == 0, "planted exact copies must be absorbed")
+        res
+      },
+      Some(s"""WITH cor AS (SELECT vec_id, v
+        |  FROM read_parquet('$OracleStageRoot/l64_corpus/*.parquet')),
+        |inc AS (SELECT vec_id, v
+        |  FROM read_parquet('$OracleStageRoot/l64_inc/*.parquet')),
+        |cand AS (SELECT DISTINCT inc_id, corpus_id
+        |  FROM read_parquet('$OracleStageRoot/l64_cand/*.parquet')),
+        |est AS (SELECT c.inc_id, c.corpus_id,
+        |    round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) AS cos
+        |  FROM cand c
+        |  JOIN inc a ON a.vec_id = c.inc_id
+        |  JOIN cor b ON b.vec_id = c.corpus_id),
+        |best AS (SELECT inc_id, corpus_id, cos,
+        |    row_number() OVER (PARTITION BY inc_id
+        |      ORDER BY cos DESC, corpus_id) AS rn
+        |  FROM est WHERE cos >= 0.4)
+        |SELECT i.vec_id, b.corpus_id AS match_id, b.cos AS cosine,
+        |  b.corpus_id IS NULL AS is_new
+        |FROM inc i LEFT JOIN best b ON b.inc_id = i.vec_id AND b.rn = 1"""
+        .stripMargin))),
+
     // first-occurrence paragraph dedup (C4 semantics: keep ONE canonical
     // copy of repeated content — l35 instead drops over-frequent spans
     // everywhere); winner = smallest (doc_id, pos), so fully

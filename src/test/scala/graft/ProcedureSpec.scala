@@ -102,6 +102,42 @@ class ProcedureSpec extends AnyFunSuite {
     assert(row.map(_.getInt(0)).toSeq == Seq(700))
   }
 
+  test("prune_signatures via CALL rewrites sigs+bands down to the live corpus") {
+    val cat = freshCatalog("gproc8")
+    val w = new GraftWriter(cat)
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
+    w.writeTable("main", "docs", Seq(docs), Append,
+      WriteConfig(retryUnitMs = 1), "l1")
+    val sigs = graft.llmops.Dedup.minHashSignatures(docs)
+    w.writeTable("main", "sigs", Seq(sigs), Append,
+      WriteConfig(retryUnitMs = 1), "l1")
+    w.writeTable("main", "sigs_bands",
+      Seq(graft.llmops.Dedup.sigBandKeys(sigs)), Append,
+      WriteConfig(retryUnitMs = 1, partitions =
+        Seq(graft.partition.PartitionHint.bucket(4, "bkey"))), "l1")
+    w.deleteWhere("main", "docs",
+      org.apache.spark.sql.functions.col("doc_id") < 20,
+      WriteConfig(retryUnitMs = 1))
+    val r = spark.sql(
+      "CALL gproc8.system.prune_signatures('main.docs', 'main.sigs')")
+      .collect()
+    assert(r(0).getLong(0) > 0, "erased docs must have had signatures")
+    val live = cat.loadTable("main", "docs").read()
+      .select("doc_id").as[Long].collect().toSet
+    val sigIds = cat.loadTable("main", "sigs").read()
+      .select("doc_id").as[Long].collect().toSet
+    val bandIds = cat.loadTable("main", "sigs_bands").read()
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds.subsetOf(live) && bandIds == sigIds)
+    // idempotent: second call prunes nothing
+    assert(spark.sql(
+      "CALL gproc8.system.prune_signatures('main.docs', 'main.sigs')")
+      .collect()(0).getLong(0) == 0L)
+  }
+
   test("unknown procedures fail with the available list; discovery works") {
     val cat = freshCatalog("gproc4")
     val w = new GraftWriter(cat)
