@@ -242,6 +242,7 @@ final class StreamingLoader(catalog: GraftCatalog) {
                   Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
                     numHashes = numHashes, bands = bands)),
                   Append, bandCfg, loadId)
+                ensureAutoCompact(ns, bandsTable, cfg.retryUnitMs)
               }
             } finally incSigs.unpersist()
           } finally batch.unpersist()
