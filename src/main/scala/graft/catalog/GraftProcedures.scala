@@ -131,10 +131,15 @@ object GraftProcedures {
       "drop snapshot history beyond keep_last (branch chains protected)"
     override def parameters(): Array[ProcedureParameter] = Array(
       in("table", StringType),
-      inDefault("keep_last", IntegerType, "1"))
+      inDefault("keep_last", IntegerType, "1"),
+      // streaming-replay guard override: expiring a streaming batch's
+      // snapshot inside the restart window turns a checkpoint replay
+      // into a duplicate apply — without force the call refuses
+      inDefault("force", BooleanType, "false"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val t = tableOf(cat, input.getUTF8String(0))
-      val removed = graft.write.Maintenance.expireSnapshots(t, input.getInt(1))
+      val removed = graft.write.Maintenance.expireSnapshots(t, input.getInt(1),
+        force = !input.isNullAt(2) && input.getBoolean(2))
       one(StructType(Seq(StructField("expired", IntegerType, nullable = false))),
         Integer.valueOf(removed.size))
     }

@@ -87,14 +87,89 @@ object IcebergInterop {
     * divergence from Iceberg's fresh-id-on-re-add, safe here because
     * graft parquet files resolve by name mapping, not by embedded ids. */
   private[graft] final class StableFieldIds {
+    // latest id per path — what untyped lookups (name mapping, spec
+    // source-ids, equality ids) resolve against
     private val byPath = scala.collection.mutable.Map.empty[String, Int]
+    // every (path, type-family) ever published keeps ITS OWN id forever:
+    // a path re-appearing with a type outside the family (not a legal
+    // Iceberg promotion — int→long, float→double, decimal precision
+    // widening) mints a FRESH id instead of publishing a schemas chain
+    // in which one field id changes type illegally (e.g. double→string
+    // across a drop/re-add), which spec-conformant readers may reject.
+    // Keying by family (not exact sig) keeps re-walks of OLD schema
+    // versions returning their original ids on every later export.
+    private val byTyped =
+      scala.collection.mutable.Map.empty[(String, String), Int]
+    private val typedPaths = scala.collection.mutable.Set.empty[String]
     var last = 0
     def idFor(path: String): Int =
       byPath.getOrElseUpdate(path, { last += 1; last })
+    def idFor(path: String, sig: String): Int = {
+      val key = (path, typeFamily(sig))
+      val id = byTyped.get(key) match {
+        case Some(i) => i
+        case None =>
+          val minted = byPath.get(path) match {
+            // path known but only under DIFFERENT families →
+            // incompatible re-type: fresh id (the old one stays retired)
+            case Some(_) if typedPaths.contains(path) => last += 1; last
+            // untyped prior knowledge (or unseen): adopt/mint
+            case Some(i) => i
+            case None => last += 1; last
+          }
+          byTyped(key) = minted
+          typedPaths += path
+          minted
+      }
+      byPath(path) = id
+      id
+    }
     def note(path: String, id: Int): Unit = {
       byPath(path) = id
       if (id > last) last = id
     }
+    def note(path: String, id: Int, sig: String): Unit = {
+      note(path, id)
+      byTyped((path, typeFamily(sig))) = id
+      typedPaths += path
+    }
+  }
+
+  /** Promotion family of an Iceberg type signature. Iceberg v2's legal
+    * primitive promotions (spec "Schema Evolution") are int→long,
+    * float→double, and decimal precision widening at fixed scale —
+    * types within one family may legally share a field id across schema
+    * versions; types in different families may not. */
+  private def typeFamily(sig: String): String = {
+    val Dec = """decimal\((\d+),\s*(\d+)\)""".r
+    sig match {
+      case "int" | "long" => "long"
+      case "float" | "double" => "double"
+      case Dec(_, s) => s"decimal(_, $s)"
+      case other => other
+    }
+  }
+
+  /** Compact per-path type signature for [[StableFieldIds]] promotion
+    * checks: Iceberg primitive strings; containers compare by kind only
+    * (inner changes are caught at the child paths). */
+  private def typeSig(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case _: TimeType => "time"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case _: ArrayType => "list"
+    case _: MapType => "map"
+    case _: StructType => "struct"
+    case other => other.simpleString
   }
 
   /** Iceberg schema JSON for a Spark struct with fresh ids (top-level
@@ -125,13 +200,15 @@ object IcebergInterop {
       case BinaryType => "binary"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case a: ArrayType =>
-        Map("type" -> "list", "element-id" -> ids.idFor(s"$path.element"),
+        Map("type" -> "list",
+          "element-id" -> ids.idFor(s"$path.element", typeSig(a.elementType)),
           "element" -> typeJson(a.elementType, s"$path.element"),
           "element-required" -> !a.containsNull)
       case m: MapType =>
-        Map("type" -> "map", "key-id" -> ids.idFor(s"$path.key"),
+        Map("type" -> "map",
+          "key-id" -> ids.idFor(s"$path.key", typeSig(m.keyType)),
           "key" -> typeJson(m.keyType, s"$path.key"),
-          "value-id" -> ids.idFor(s"$path.value"),
+          "value-id" -> ids.idFor(s"$path.value", typeSig(m.valueType)),
           "value" -> typeJson(m.valueType, s"$path.value"),
           "value-required" -> !m.valueContainsNull)
       case st: StructType =>
@@ -142,13 +219,14 @@ object IcebergInterop {
     }
     def fieldJson(f: StructField, parent: String): Map[String, Any] = {
       val path = s"$parent.${f.name}"
-      val id = ids.idFor(path)
+      val id = ids.idFor(path, typeSig(f.dataType))
       Map("id" -> id, "name" -> f.name, "required" -> !f.nullable,
         "type" -> typeJson(f.dataType, path))
     }
     // Iceberg assigns top-level ids before descending; do the same so
     // column ids are stable under nested-type evolution
-    val tops = s.fields.toSeq.map(f => (f, ids.idFor(f.name)))
+    val tops = s.fields.toSeq.map(f =>
+      (f, ids.idFor(f.name, typeSig(f.dataType))))
     val fields = tops.map { case (f, id) =>
       Map("id" -> id, "name" -> f.name, "required" -> !f.nullable,
         "type" -> typeJson(f.dataType, f.name))
@@ -175,11 +253,21 @@ object IcebergInterop {
   private def seedFieldIds(schemaJV: org.json4s.JValue,
       ids: StableFieldIds): Unit = {
     import org.json4s._
+    // record each path's published TYPE alongside its id, so a later
+    // export re-using the path with an incompatible type mints fresh
+    def sigOfJ(t: JValue): String = t match {
+      case JString(s) => s
+      case o: JObject => (o \ "type") match {
+        case JString(k) => k
+        case _ => "?"
+      }
+      case _ => "?"
+    }
     def walkFields(fs: List[JValue], parent: String): Unit = fs.foreach { f =>
       ((f \ "name"), (f \ "id")) match {
         case (JString(n), JInt(id)) =>
           val path = if (parent.isEmpty) n else s"$parent.$n"
-          ids.note(path, id.toInt)
+          ids.note(path, id.toInt, sigOfJ(f \ "type"))
           walkType(f \ "type", path)
         case _ => ()
       }
@@ -192,18 +280,21 @@ object IcebergInterop {
         }
         case JString("list") =>
           (o \ "element-id") match {
-            case JInt(id) => ids.note(s"$path.element", id.toInt)
+            case JInt(id) =>
+              ids.note(s"$path.element", id.toInt, sigOfJ(o \ "element"))
             case _ => ()
           }
           walkType(o \ "element", s"$path.element")
         case JString("map") =>
           (o \ "key-id") match {
-            case JInt(id) => ids.note(s"$path.key", id.toInt)
+            case JInt(id) =>
+              ids.note(s"$path.key", id.toInt, sigOfJ(o \ "key"))
             case _ => ()
           }
           walkType(o \ "key", s"$path.key")
           (o \ "value-id") match {
-            case JInt(id) => ids.note(s"$path.value", id.toInt)
+            case JInt(id) =>
+              ids.note(s"$path.value", id.toInt, sigOfJ(o \ "value"))
             case _ => ()
           }
           walkType(o \ "value", s"$path.value")
@@ -223,35 +314,31 @@ object IcebergInterop {
     * through this mapping (the spec's fallback rule for exactly this
     * migration shape). */
   private def nameMappingJson(s: StructType, ids: StableFieldIds): String = {
+    // fully recursive over DataType, mirroring typeJson's recursion:
+    // EVERY field id the schema export mints gets a mapping entry
+    // (list-of-list elements, map-of-map, struct-typed map KEYS,
+    // structs under a list inside a map value, …). graft parquet
+    // carries no embedded field ids, so an id missing from the mapping
+    // silently null-fills that column for external readers.
+    def entry(name: String, dt: DataType, path: String): Map[String, Any] = {
+      val base = Map("field-id" -> ids.idFor(path), "names" -> Seq(name))
+      val kids = childEntries(dt, path)
+      if (kids.isEmpty) base else base + ("fields" -> kids)
+    }
+    def childEntries(dt: DataType, path: String): Seq[Any] = dt match {
+      case st: StructType => st.fields.toSeq.map(f =>
+        entry(f.name, f.dataType, s"$path.${f.name}"))
+      case a: ArrayType =>
+        Seq(entry("element", a.elementType, s"$path.element"))
+      case m: MapType =>
+        Seq(entry("key", m.keyType, s"$path.key"),
+          entry("value", m.valueType, s"$path.value"))
+      case _ => Nil
+    }
     def entries(st: StructType, parent: String): Seq[Any] =
       st.fields.toSeq.map { f =>
         val path = if (parent.isEmpty) f.name else s"$parent.${f.name}"
-        val base = Map("field-id" -> ids.idFor(path),
-          "names" -> Seq(f.name))
-        f.dataType match {
-          case inner: StructType =>
-            base + ("fields" -> entries(inner, path))
-          case a: ArrayType =>
-            val el = Map("field-id" -> ids.idFor(s"$path.element"),
-              "names" -> Seq("element")) ++ (a.elementType match {
-              case inner: StructType =>
-                Map("fields" -> entries(inner, s"$path.element"))
-              case _ => Map.empty[String, Any]
-            })
-            base + ("fields" -> Seq(el))
-          case mt: MapType =>
-            val kv = Seq(
-              Map("field-id" -> ids.idFor(s"$path.key"),
-                "names" -> Seq("key")),
-              Map("field-id" -> ids.idFor(s"$path.value"),
-                "names" -> Seq("value")) ++ (mt.valueType match {
-                case inner: StructType =>
-                  Map("fields" -> entries(inner, s"$path.value"))
-                case _ => Map.empty[String, Any]
-              }))
-            base + ("fields" -> kv)
-          case _ => base
-        }
+        entry(f.name, f.dataType, path)
       }
     import org.json4s.jackson.JsonMethods
     def toJValue(v: Any): org.json4s.JValue = v match {
@@ -1183,7 +1270,17 @@ object IcebergInterop {
     org.json4s.jackson.JsonMethods.parse(Files.readString(p))
 
   private def toUri(p: String): String =
-    if (p.startsWith("file:") || p.contains("://")) p else s"file://$p"
+    // percent-ENCODE on export (Paths.toUri escapes space/%/unicode):
+    // a literal '%' in a path written bare would read back through any
+    // spec-conformant URI decode as a DIFFERENT path (a valid escape
+    // silently decodes, an invalid one is a parse error) — encode/decode
+    // must be inverse bijections for [[fromUri]] round-trips to hold
+    if (p.startsWith("file:") || p.contains("://")) p
+    // URI's multi-arg constructor always quotes '%' (unlike Path.toUri
+    // it never stats the filesystem, so no directory trailing-slash)
+    else if (p.startsWith("/"))
+      new java.net.URI("file", "", p, null).toString
+    else s"file://$p" // non-absolute non-URI: legacy passthrough
   private def fromUri(u: String): String =
     // route through the engine's single path-canonicalization rule
     // (scheme strip + percent decode): external Iceberg writers may

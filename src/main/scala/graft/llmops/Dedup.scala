@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Table properties stamping the MinHash parameters a committed band
+    * index ([[sigBandKeys]]) was built with. The bkey is a hash of
+    * (band, signature slice): an index built under DIFFERENT
+    * numHashes/bands produces bkeys that simply NEVER match a batch's —
+    * zero candidates, every duplicate silently re-admitted — so
+    * consumers must validate these against their call parameters before
+    * trusting the index (fail loudly / fall back, never drift). */
+  val NumHashesProp = "graft.dedup.num-hashes"
+  val BandsProp = "graft.dedup.bands"
+
   /** Exact dedup by content fingerprint: keeps the smallest doc_id per
     * fingerprint group. One hash-aggregate — the distributed equivalent of
     * `dropDuplicates`, but with an explicit deterministic survivor. */

@@ -498,6 +498,10 @@ object Multimodal {
       frames += 1
     }
     require(pos == blob.length, "mp3: trailing garbage")
+    // an empty blob passes every per-frame require vacuously (the loop
+    // never runs) — without this the duration math below throws
+    // ArithmeticException (sr = 0) instead of the corrupt-input contract
+    require(frames > 0, "mp3: no frames")
     (sr, ch, frames, frames.toLong * 1152L * 1000000L / sr, blob.length.toLong)
   }
 
@@ -552,6 +556,7 @@ object Multimodal {
       frames += 1
     }
     require(pos == blob.length, "adts: trailing garbage")
+    require(frames > 0, "adts: no frames") // see parseMp3
     (sr, ch, frames, frames.toLong * 1024L * 1000000L / sr, blob.length.toLong)
   }
 

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * arXiv:2303.09540 — method only; no code consulted).
   *
   * Scale design:
-  *  - centroids live on the driver as literals (k·dim doubles), so every
-  *    assignment pass is ONE map-side codegen scan — no join, no shuffle;
+  *  - centroids live on the driver (k·dim doubles), so every assignment
+  *    pass is ONE map-side scan — no shuffle: plan-literal arrays below
+  *    [[Similarity.LiteralPlanMax]] (fastest codegen at small k), a
+  *    broadcast one-row centroid frame above it (identical floats, plan
+  *    size O(1) in k — the form that survives k=10⁴⁻⁵);
   *  - the update step shuffles k·dim·partitions partial sums (posexplode
   *    + two-level agg with map-side combine), independent of corpus size;
   *  - iteration count is FIXED (no convergence data-dependence), keeping
@@ -35,8 +38,13 @@ object SemanticDedup {
   /** Squared distance to a centroid literal via the codegen'd dot:
     * ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is shared across the k
     * distances and cancels in the argmin, so only -2x·c + ||c||² is
-    * computed per centroid. */
-  private def argminCluster(v: Column, centroids: Array[Array[Double]]): Column = {
+    * computed per centroid. Plan size grows with k·dim (every centroid
+    * is an array literal), so this form is only used below
+    * [[Similarity.LiteralPlanMax]]; past it, [[argminDist]] over a
+    * broadcast centroid frame computes the SAME floats with an O(1)
+    * plan — the k∝corpus doctrine above requires the frame path. */
+  private[llmops] def argminCluster(v: Column,
+      centroids: Array[Array[Double]]): Column = {
     val scores = centroids.map { c =>
       val c2 = c.map(x => x * x).sum
       lit(c2) - lit(2.0) * Similarity.fastDot(v, typedlit(c.toSeq))
@@ -44,6 +52,51 @@ object SemanticDedup {
     val arr = array(scores: _*)
     // first index of the min — deterministic tie-break by centroid index
     (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** Argmin-distance cluster id against a broadcast one-row centroid
+    * frame ([[Similarity.centroidFrame]] with `_3` = ||c||²): ONE
+    * `aggregate()` pass — per-row float math IDENTICAL to
+    * [[argminCluster]] (same `c² - 2x·c` expression, same first-min
+    * tie-break), plan size O(1) in k. `excluding` skips one cluster id
+    * (the multi-probe second pass). */
+  private[llmops] def argminDist(v: Column,
+      excluding: Option[Column] = None): Column =
+    aggregate(col("__cents"),
+      struct(lit(-1).as("cluster"), lit(Double.MaxValue).as("dist")),
+      (acc, c) => {
+        val d = c.getField("_3") -
+          lit(2.0) * Similarity.fastDot(v, c.getField("_2"))
+        val better = excluding match {
+          case Some(ex) => d < acc.getField("dist") && c.getField("_1") =!= ex
+          case None => d < acc.getField("dist")
+        }
+        when(better,
+          struct(c.getField("_1").as("cluster"), d.as("dist")))
+          .otherwise(acc)
+      }).getField("cluster")
+
+  /** Centroids in [[Similarity.centroidFrame]] shape with `_3` = ||c||²
+    * (the constant the distance argmin needs). */
+  private def centroidTuples(centroids: Array[Array[Double]]): Seq[(Int, Seq[Double], Double)] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq
+
+  /** Add the argmin `cluster` column to a frame carrying `v`: literal
+    * plan below [[Similarity.LiteralPlanMax]] (fastest codegen at small
+    * k), broadcast centroid frame above it (same floats, O(1) plan —
+    * the only form that survives the k=10⁴⁻⁵ a 100 TB corpus needs). */
+  private def withCluster(df: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    if (centroids.length.toLong * dim <= Similarity.LiteralPlanMax)
+      df.withColumn("cluster", argminCluster(col("v"), centroids))
+    else
+      df.crossJoin(broadcast(Similarity.centroidFrame(df.sparkSession,
+          centroidTuples(centroids))))
+        .withColumn("cluster", argminDist(col("v")))
+        .drop("__cents")
   }
 
   private def quantize(x: Double): Double = math.rint(x * 1e6) / 1e6
@@ -76,7 +129,7 @@ object SemanticDedup {
       s"k-means init found ${seeds.length} of $k seeds (ids $ids)")
 
     (1 to iters).foldLeft(seeds) { (centroids, _) =>
-      val assigned = e.withColumn("cluster", argminCluster(col("v"), centroids))
+      val assigned = withCluster(e, centroids)
       // k·dim·partitions partial sums — corpus-size-independent shuffle
       val rows = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -99,13 +152,77 @@ object SemanticDedup {
   }
 
   /** Cluster assignment for every vector under the given centroids — one
-    * map-side pass. */
+    * map-side pass (no join, no shuffle in either plan form). */
   def assign(embeddings0: DataFrame, centroids: Array[Array[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val embeddings = ensureRegistered(embeddings0)
-    embeddings
-      .select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("cluster", argminCluster(col("v"), centroids))
+    withCluster(
+      embeddings.select(col(idCol), asDouble(col(vecCol)).as("v")),
+      centroids)
+      .select(col(idCol), col("cluster"), col("v"))
+  }
+
+  /** Test seam: assignment with the plan form FORCED (literal vs
+    * broadcast frame) — the spec asserts the two produce IDENTICAL
+    * assignments at k≥512 and that the frame plan stays O(1) in k. */
+  private[graft] def assignForced(embeddings0: DataFrame,
+      centroids: Array[Array[Double]], literal: Boolean,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val embeddings = ensureRegistered(embeddings0)
+    val base = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val out =
+      if (literal) base.withColumn("cluster", argminCluster(col("v"), centroids))
+      else base.crossJoin(broadcast(Similarity.centroidFrame(
+          base.sparkSession, centroidTuples(centroids))))
+        .withColumn("cluster", argminDist(col("v")))
+        .drop("__cents")
+    out.select(col(idCol), col("cluster"), col("v"))
+  }
+
+  /** Multi-probe assignment: each vector's `probes` NEAREST clusters
+    * (probes ∈ {1, 2}), one row per probe. Probe 2 is the standard
+    * near-copy-recall mitigation for incremental SemDeDup: a near-copy
+    * sitting just across its source's cluster boundary is still a
+    * candidate through its second-nearest cluster. Still map-only: the
+    * second argmin is one more pass over the same broadcast centroids
+    * (or literal array), and the row fan-out is ×probes on the PROBING
+    * side only — the committed corpus side stays single-assignment. */
+  def assignProbes(embeddings0: DataFrame, centroids: Array[Array[Double]],
+      probes: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes == 1 || probes == 2, "probes must be 1 or 2")
+    if (probes == 1) return assign(embeddings0, centroids, idCol, vecCol)
+    val embeddings = ensureRegistered(embeddings0)
+    val base = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    val both =
+      if (centroids.length.toLong * dim <= Similarity.LiteralPlanMax) {
+        val scores = centroids.map { c =>
+          val c2 = c.map(x => x * x).sum
+          lit(c2) - lit(2.0) * Similarity.fastDot(col("v"), typedlit(c.toSeq))
+        }
+        val arr = array(scores: _*)
+        val first = (array_position(arr, array_min(arr)) - 1).cast("int")
+        // second-best: min over the array with the winner masked out —
+        // position is searched in the MASKED array (searching the
+        // original would re-find the winner on an exact score tie)
+        val masked = zip_with(arr,
+          sequence(lit(0), lit(centroids.length - 1)),
+          (s, i) => when(i === col("c1"), lit(Double.MaxValue)).otherwise(s))
+        val second =
+          if (centroids.length == 1) lit(-1).cast("int")
+          else (array_position(masked, array_min(masked)) - 1).cast("int")
+        base.withColumn("c1", first).withColumn("c2", second)
+      } else
+        base.crossJoin(broadcast(Similarity.centroidFrame(
+            base.sparkSession, centroidTuples(centroids))))
+          .withColumn("c1", argminDist(col("v")))
+          .withColumn("c2", argminDist(col("v"), Some(col("c1"))))
+          .drop("__cents")
+    both
+      .select(col(idCol), col("v"),
+        explode(array(col("c1"), col("c2"))).as("cluster"))
+      .filter(col("cluster") >= 0) // k=1 corner: no second cluster exists
       .select(col(idCol), col("cluster"), col("v"))
   }
 
@@ -147,8 +264,9 @@ object SemanticDedup {
     * space. */
   def incrementalSemanticCandidates(incoming: DataFrame,
       committedAssign: DataFrame, centroids: Array[Array[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    assign(ensureRegistered(incoming), centroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 1): DataFrame =
+    assignProbes(ensureRegistered(incoming), centroids, probes, idCol, vecCol)
       .select(col("cluster"), col(idCol).as("inc_id"))
       .join(committedAssign.select(col("cluster"),
         col(idCol).as("corpus_id")), Seq("cluster"))
@@ -169,9 +287,10 @@ object SemanticDedup {
   def incrementalSemanticDedup(incoming0: DataFrame,
       committedAssign: DataFrame, centroids: Array[Array[Double]],
       threshold: Double = 0.4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 1): DataFrame = {
     val incoming = ensureRegistered(incoming0)
-    val inc = assign(incoming, centroids, idCol, vecCol)
+    val inc = assignProbes(incoming, centroids, probes, idCol, vecCol)
       .withColumn("inrm", sqrt(Similarity.fastDot(col("v"), col("v"))))
       .select(col("cluster"), col(idCol).as("inc_id"),
         col("v").as("iv"), col("inrm"))
@@ -192,6 +311,35 @@ object SemanticDedup {
       .join(best, col(idCol) === col("inc_id"), "left")
       .select(col(idCol), col("match_id"), col("cos").as("cosine"),
         col("match_id").isNull.as("is_new"))
+  }
+
+  /** The k-means centroids as a committable k-row table
+    * (cluster, centroid) — metadata-scale (k·dim doubles). A real
+    * pipeline trains Lloyd's ONCE as a corpus bootstrap and every later
+    * batch loads THIS table instead of re-running k-means; re-training
+    * under drift is offline maintenance (new centroids + full re-assign
+    * commit), never per-batch work. */
+  def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+  }
+
+  /** Load committed centroids back into driver memory (k rows — bounded
+    * by the same budget that holds them during assignment). Cluster ids
+    * must be exactly 0..k-1 (the argmin index space). */
+  def loadCentroids(df: DataFrame): Array[Array[Double]] = {
+    val rows = df.select(col("cluster").cast("int"),
+        transform(col("centroid"), _.cast("double")).as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(rows.nonEmpty, "centroid table is empty")
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      s"centroid table cluster ids must be 0..k-1, got ${rows.map(_._1).toSeq}")
+    rows.map(_._2)
   }
 
   /** Driver entry shape: per-cluster membership / pruning stats. */

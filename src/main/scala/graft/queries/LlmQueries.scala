@@ -1201,9 +1201,19 @@ object LlmQueries {
           .union(corpus.filter(col("vec_id") % 9 === 0)
             .select((col("vec_id") + 3000000L).as("vec_id"),
               col("embedding")))
-        val cents = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
+        val trained = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
         val cat = new graft.catalog.GraftCatalog(iso, wh)
         val w = new graft.write.GraftWriter(cat)
+        // the centroids are COMMITTED state (k rows), not per-run driver
+        // artifacts: the incremental path loads this table instead of
+        // re-running Lloyd's — the property that makes per-batch ingest
+        // possible (re-training under drift is offline maintenance)
+        w.writeTable("main", "corpus_centroids",
+          Seq(SemanticDedup.centroidsToDf(iso, trained)),
+          graft.write.Append,
+          graft.write.WriteConfig(retryUnitMs = 10), "seed")
+        val cents = SemanticDedup.loadCentroids(
+          iso.table("graft_isem.main.corpus_centroids"))
         w.writeTable("main", "corpus_assign",
           Seq(SemanticDedup.assign(corpus, cents)),
           graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10,

@@ -61,6 +61,20 @@ object StreamQueries {
        |  UNION ALL SELECT doc_id FROM sigs WHERE chunk = $k
        |    AND doc_id NOT IN (SELECT doc_id FROM m$k))""".stripMargin
 
+  /** One absorption step of the s11 oracle: vectors of chunk `k` whose
+    * 4dp-rounded cosine against a PRIOR SURVIVOR in the SAME argmin
+    * cluster clears 0.4 are absorbed; the rest join the survivor set —
+    * the identical sequential semantics the stream executes. */
+  private def s11Step(k: Int): String =
+    s"""m$k AS (SELECT DISTINCT i.vec_id FROM a i
+       |  JOIN a c ON i.cluster = c.cluster
+       |  JOIN s${k - 1} sv ON c.vec_id = sv.vec_id
+       |  WHERE i.chunk = $k
+       |    AND round(list_cosine_similarity(i.v, c.v) + 1e-9, 4) >= 0.4),
+       |s$k AS (SELECT vec_id FROM s${k - 1}
+       |  UNION ALL SELECT vec_id FROM a WHERE chunk = $k
+       |    AND vec_id NOT IN (SELECT vec_id FROM m$k))""".stripMargin
+
   /** The s10 messy-URL construction — one expression used identically by
     * the stream and the staged oracle input (four variant classes per
     * doc; 0/1/3 of the same (id%97, id%7) pair canonicalize together). */
@@ -472,7 +486,69 @@ object StreamQueries {
       },
       Some("""SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n,
         |  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)))
+        |FROM events GROUP BY 1, 2""".stripMargin))),
+
+    // streaming SEMANTIC dedup against the committed corpus — the
+    // embedding-space twin of s9, with the same zero-Spark-state
+    // doctrine: batch 0 bootstraps (trains deterministic Lloyd's,
+    // commits the k-row centroid table), every later batch loads the
+    // COMMITTED centroids, assigns map-side, and near-dups against the
+    // committed identity(cluster) assignment table (one-sided SPJ —
+    // pinned in StreamingSpec). Planted EXACT copies cross every chunk
+    // boundary; an exact copy shares its source's argmin cluster
+    // structurally, so absorption is a hard require, and the staged
+    // assignment + DuckDB sequential replay pin everything else.
+    "s11_stream_sem_dedup" -> ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) { iso =>
+        val cat = new GraftCatalog(iso,
+          Files.createTempDirectory("graft-s11-").toString)
+        val loader = new graft.streaming.StreamingLoader(cat)
+        val chunks = 4
+        val src = StreamingLoader.embeddingsChunkedStream(iso, dir, chunks)
+        val q = loader.startSemanticDeduped(src, "main", "vecs_clean",
+          "vec_assign", cfg = WriteConfig(retryUnitMs = 10),
+          queryName = "s11",
+          checkpoint = Some(Files.createTempDirectory("graft-s11ck-").toString))
+        try q.awaitTermination() finally q.stop()
+        require(q.lastProgress == null ||
+          q.lastProgress.stateOperators.isEmpty,
+          "semantic-dedup stream must hold no state-store state")
+        // stage (vec_id, chunk, cluster, v) for EVERY incoming vector
+        // under the COMMITTED centroids — the oracle replays the
+        // sequential absorption over exactly this assignment
+        val cents = graft.llmops.SemanticDedup.loadCentroids(
+          cat.loadTable("main", "vec_assign_centroids").read())
+        val vecs = graft.Tables.t(iso, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val n = vecs.count()
+        val per = math.max(1L, math.ceil(n.toDouble / chunks).toLong)
+        val copies = vecs
+          .filter(col("vec_id") % 9 === 0 &&
+            col("vec_id") < (chunks - 1) * per)
+          .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+        val incoming = vecs.unionByName(copies)
+        stageForOracle(
+          graft.llmops.SemanticDedup.assign(incoming, cents)
+            .withColumn("chunk",
+              when(col("vec_id") >= 9000000L,
+                floor((col("vec_id") - 9000000L) / per) + 1)
+                .otherwise(floor(col("vec_id") / per)).cast("int"))
+            .select(col("vec_id"), col("chunk"), col("cluster"), col("v")),
+          "s11_assign")
+        val clean = cat.loadTable("main", "vecs_clean").read()
+        // structural recall contract: every planted exact copy shares
+        // its source's argmin cluster and has cosine 1 — none survive
+        require(clean.filter(col("vec_id") >= 9000000L).count() == 0,
+          "planted exact copies must be absorbed by the committed-corpus dedup")
+        clean.select(col("vec_id"))
+      },
+      Some(s"""WITH a AS (SELECT vec_id, chunk, cluster, v
+        |  FROM read_parquet('$OracleStageRoot/s11_assign/*.parquet')),
+        |s0 AS (SELECT vec_id FROM a WHERE chunk = 0),
+        |${s11Step(1)},
+        |${s11Step(2)},
+        |${s11Step(3)}
+        |SELECT vec_id FROM s3""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -162,6 +162,9 @@ final class StreamingLoader(catalog: GraftCatalog) {
     val bandsTable = sigsTable + "_bands"
     val bandCfg = cfg.copy(partitions =
       Seq(graft.partition.PartitionHint.bucket(bandBuckets, "bkey")))
+    val bandPropStamp = Map(
+      graft.llmops.Dedup.NumHashesProp -> numHashes.toString,
+      graft.llmops.Dedup.BandsProp -> bands.toString)
     val w = stream.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -187,11 +190,36 @@ final class StreamingLoader(catalog: GraftCatalog) {
                   else incSigs.limit(0)
                 // SPJ read of the committed index when it exists; a
                 // pre-upgrade corpus (sigs without a bands table) falls
-                // back to deriving bands from the signatures in-query
+                // back to deriving bands from the signatures in-query.
+                // The index is only trusted when its creation-time
+                // parameter stamp matches this stream's parameters: a
+                // bkey index built under different numHashes/bands
+                // would produce ZERO candidates (hashes never match)
+                // and silently re-admit every duplicate.
                 val corpusIdx =
-                  if (catalog.tableExists(ns, bandsTable))
-                    Some(spjRead(batch.sparkSession, ns, bandsTable))
-                  else None
+                  if (!catalog.tableExists(ns, bandsTable)) None
+                  else {
+                    val props =
+                      catalog.loadTable(ns, bandsTable).metadata.properties
+                    (props.get(graft.llmops.Dedup.NumHashesProp),
+                      props.get(graft.llmops.Dedup.BandsProp)) match {
+                      case (Some(nh), Some(b)) =>
+                        require(nh == numHashes.toString &&
+                          b == bands.toString,
+                          s"committed band index $ns.$bandsTable was " +
+                            s"built with numHashes=$nh/bands=$b but this " +
+                            s"stream runs numHashes=$numHashes/" +
+                            s"bands=$bands — bkeys would never match and " +
+                            s"every duplicate would be re-admitted; match " +
+                            s"the parameters or restage the index")
+                        Some(spjRead(batch.sparkSession, ns, bandsTable))
+                      // pre-stamp index (no recorded parameters): cannot
+                      // validate — fall back to deriving bands from the
+                      // signatures, which is parameter-correct by
+                      // construction
+                      case _ => None
+                    }
+                  }
                 // persist the keep-set: it feeds the docs, sigs, AND
                 // bands writes — unpersisted, each write would re-run
                 // the whole dedup join against the committed corpus
@@ -218,11 +246,14 @@ final class StreamingLoader(catalog: GraftCatalog) {
                   if (!sigsDone)
                     writer.writeTable(ns, sigsTable,
                       Seq(keptSigs), Append, cfg, loadId)
-                  if (!bandsDone)
+                  if (!bandsDone) {
                     writer.writeTable(ns, bandsTable,
                       Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
                         numHashes = numHashes, bands = bands)),
                       Append, bandCfg, loadId)
+                    ensureProps(ns, bandsTable, bandPropStamp,
+                      cfg.retryUnitMs)
+                  }
                 } finally keep.unpersist()
                 // lifecycle: a per-batch append trickle grows the file
                 // population without bound — opt the state tables into
@@ -242,6 +273,7 @@ final class StreamingLoader(catalog: GraftCatalog) {
                   Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
                     numHashes = numHashes, bands = bands)),
                   Append, bandCfg, loadId)
+                ensureProps(ns, bandsTable, bandPropStamp, cfg.retryUnitMs)
                 ensureAutoCompact(ns, bandsTable, cfg.retryUnitMs)
               }
             } finally incSigs.unpersist()
@@ -253,16 +285,150 @@ final class StreamingLoader(catalog: GraftCatalog) {
     w.start()
   }
 
+  /** Semantic (embedding-space) dedup ingest with ZERO Spark state —
+    * the SemDeDup analogue of [[startNearDeduped]]. The committed corpus
+    * keeps THREE tables: vectors (idCol, vecCol, …), a k-means
+    * assignment table (idCol, cluster, v) committed under an
+    * `identity(cluster)` partition hint (the one-sided-SPJ layout: the
+    * corpus side of every batch's candidate join is served map-only in
+    * place), and a k-row centroid table (cluster, centroid).
+    *
+    * Bootstrap: the FIRST batch trains fixed-iteration deterministic
+    * Lloyd's and commits the centroids; every later batch LOADS the
+    * committed centroids (k rows, driver-side) instead of re-running
+    * k-means — per-batch work is one map-side assignment + the
+    * cluster-equality join + exact-cosine verification. Re-training
+    * under distribution drift is offline maintenance (new centroid
+    * table + one full re-assign commit), never on the ingest path.
+    *
+    * Crash consistency: vectors commit BEFORE assignments under the same
+    * loadId. A crash between the two replays deterministically — the
+    * assignment table still excludes this batch, so the keep-set
+    * recomputes EXACTLY (committed centroids are the frozen assignment
+    * function) and only the missing half commits. A crash before the
+    * centroid commit replays the whole bootstrap on the same batch
+    * content (seeding is content-deterministic).
+    *
+    * `probes` = 2 turns on multi-probe candidate generation (the
+    * near-copy recall lever — see SemanticDedupSpec's measured floor);
+    * the committed corpus side stays single-assignment either way. */
+  def startSemanticDeduped(stream: DataFrame, ns: String, vecsTable: String,
+      assignTable: String, cfg: WriteConfig = WriteConfig(),
+      queryName: String = "graft-sem-dedup",
+      checkpoint: Option[String] = None,
+      k: Int = 8, iters: Int = 3, threshold: Double = 0.4,
+      probes: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
+    import graft.llmops.SemanticDedup
+    val centroidsTable = assignTable + "_centroids"
+    val assignCfg = cfg.copy(partitions =
+      Seq(graft.partition.PartitionHint.identity("cluster")))
+    val w = stream.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val loadId = s"$queryName-batch-$batchId"
+        def committed(table: String): Boolean =
+          catalog.tableExists(ns, table) &&
+            catalog.loadTable(ns, table).metadata.snapshots
+              .exists(_.loadId.contains(loadId))
+        val vecsDone = committed(vecsTable)
+        val assignDone = committed(assignTable)
+        if (!(vecsDone && assignDone)) {
+          batch.persist()
+          try if (!batch.isEmpty) {
+            if (!catalog.tableExists(ns, centroidsTable)) {
+              // corpus bootstrap: train once, commit the k-row table
+              val cents = SemanticDedup.kmeansCentroids(batch, k, iters,
+                idCol, vecCol)
+              writer.writeTable(ns, centroidsTable,
+                Seq(SemanticDedup.centroidsToDf(batch.sparkSession, cents)),
+                Append, cfg, loadId)
+              ensureProps(ns, centroidsTable, Map(
+                StreamingLoader.SemDedupKProp -> cents.length.toString,
+                StreamingLoader.SemDedupDimProp -> cents.head.length.toString),
+                cfg.retryUnitMs)
+            }
+            val cents = SemanticDedup.loadCentroids(
+              catalog.loadTable(ns, centroidsTable).read())
+            // keep-set: new vectors = no committed corpus match at the
+            // cosine threshold. First batch (no assignment table yet)
+            // passes through whole — in-batch near-dups are a batch
+            // pair job's business, same contract as startNearDeduped.
+            val keep =
+              (if (!catalog.tableExists(ns, assignTable))
+                batch.select(col(idCol))
+              else SemanticDedup.incrementalSemanticDedup(batch,
+                  spjRead(batch.sparkSession, ns, assignTable),
+                  cents, threshold, idCol, vecCol, probes)
+                .filter(col("is_new")).select(col(idCol))).persist()
+            try {
+              if (!vecsDone)
+                writer.writeTable(ns, vecsTable,
+                  Seq(batch.join(keep, idCol)), Append, cfg, loadId)
+              if (!assignDone) {
+                writer.writeTable(ns, assignTable,
+                  Seq(SemanticDedup.assign(batch.join(keep, idCol),
+                    cents, idCol, vecCol)),
+                  Append, assignCfg, loadId)
+                ensureAutoCompact(ns, assignTable, cfg.retryUnitMs)
+              }
+            } finally keep.unpersist()
+          } finally batch.unpersist()
+        }
+        ()
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
+  /** Retention maintenance for the semantic-dedup assignment table: the
+    * assignment analogue of [[pruneOrphanSignatures]] — after
+    * deletes/GDPR erasure on the vectors table, rewrite the assignment
+    * table down to the live vector set (one replace commit preserving
+    * the identity(cluster) layout). The centroid table is k rows and
+    * never holds per-document state — nothing to prune there. Returns
+    * the number of orphaned vectors pruned. */
+  def pruneOrphanAssignments(ns: String, vecsTable: String,
+      assignTable: String, cfg: WriteConfig = WriteConfig(),
+      idCol: String = "vec_id"): Long = {
+    val liveIds = catalog.loadTable(ns, vecsTable).read().select(idCol)
+    val assigned = catalog.loadTable(ns, assignTable).read()
+    val orphans = assigned.select(idCol)
+      .join(liveIds, Seq(idCol), "left_anti").count()
+    if (orphans == 0L) return 0L
+    val loadId =
+      s"prune-assign-${java.util.UUID.randomUUID().toString.take(8)}"
+    writer.writeTable(ns, assignTable,
+      Seq(assigned.join(liveIds, Seq(idCol), "left_semi")),
+      graft.write.Replace,
+      cfg.copy(partitions =
+        Seq(graft.partition.PartitionHint.identity("cluster"))), loadId)
+    orphans
+  }
+
   /** Opt a loader-managed state table into write-path self-compaction
     * (no-op once set; property-only CAS commit). */
   private def ensureAutoCompact(ns: String, table: String,
-      retryUnitMs: Long): Unit = {
+      retryUnitMs: Long): Unit =
+    ensureProps(ns, table,
+      Map(graft.write.Maintenance.AutoCompactProp -> "true"), retryUnitMs)
+
+  /** Stamp table properties once (no-op when already present with the
+    * same values; property-only CAS commit otherwise). Keys already set
+    * to a DIFFERENT value are left alone — the creation stamp is the
+    * record, not a mutable setting. */
+  private def ensureProps(ns: String, table: String,
+      props: Map[String, String], retryUnitMs: Long): Unit = {
     val t = catalog.loadTable(ns, table)
-    if (!t.metadata.properties.contains(
-        graft.write.Maintenance.AutoCompactProp))
-      t.commit(m => m.copy(properties = m.properties +
-        (graft.write.Maintenance.AutoCompactProp -> "true")),
-        unitMs = retryUnitMs)
+    val missing = props.filterNot { case (k, _) =>
+      t.metadata.properties.contains(k)
+    }
+    if (missing.nonEmpty)
+      t.commit(m => m.copy(properties =
+        missing.foldLeft(m.properties) { case (ps, (k, v)) =>
+          if (ps.contains(k)) ps else ps + (k -> v)
+        }), unitMs = retryUnitMs)
   }
 
   /** Retention maintenance for the near-dedup state tables: signatures
@@ -322,6 +488,11 @@ final class StreamingLoader(catalog: GraftCatalog) {
 }
 
 object StreamingLoader {
+
+  /** Creation-time stamp on the committed centroid table: the k and dim
+    * the corpus was bootstrapped with (introspection + drift audits). */
+  val SemDedupKProp = "graft.semdedup.k"
+  val SemDedupDimProp = "graft.semdedup.dim"
 
   /** Read the `events` test table as a file stream with the ns-timestamp
     * fix applied (same handling as graft.Tables.t). FileStreamSource wants
@@ -488,6 +659,60 @@ object StreamingLoader {
 
   private val stagedDocChunks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), String]()
+
+  /** The `embeddings` table re-staged as `chunks` contiguous
+    * vec_id-range parquet files delivering one file per micro-batch,
+    * with EXACT COPIES planted across batch boundaries: chunk k (k >= 1)
+    * carries a copy of every 9th vector of chunk k-1 re-keyed to
+    * `id + copyIdOffset` with the embedding unchanged (cosine exactly 1,
+    * same argmin cluster structurally) — the cross-batch duplicate shape
+    * a streaming semantic dedup must absorb. Chunk boundaries are exact
+    * vec_id ranges so an oracle re-derives chunk membership from ids. */
+  def embeddingsChunkedStream(spark: SparkSession, dir: String,
+      chunks: Int = 4, copyIdOffset: Long = 9000000L): DataFrame = {
+    val stagedDir = stagedEmbChunks.compute((dir, chunks, copyIdOffset),
+      (_, v) =>
+        if (v != null && java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(v))) v
+        else stageEmbChunks(spark, dir, chunks, copyIdOffset))
+    val schema = spark.read.parquet(stagedDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+  }
+
+  private val stagedEmbChunks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), String]()
+
+  private def stageEmbChunks(spark: SparkSession, dir: String,
+      chunks: Int, copyIdOffset: Long): String = {
+    val vecs = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = vecs.count()
+    val per = math.max(1L, math.ceil(n.toDouble / chunks).toLong)
+    val streamDir = registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft-emb-chunks-"))
+    (0 until chunks).foreach { k =>
+      val lo = k * per
+      val own = vecs.filter(col("vec_id") >= lo && col("vec_id") < lo + per)
+      val withCopies = if (k == 0) own else own.unionByName(
+        vecs.filter(col("vec_id") >= lo - per && col("vec_id") < lo &&
+            col("vec_id") % 9 === 0)
+          .select((col("vec_id") + copyIdOffset).as("vec_id"),
+            col("embedding")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-embchunk-")
+      withCopies.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = graft.catalog.PathIO.list(tmp)
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet for chunk $k"))
+      val target = streamDir.resolve(f"chunk-$k%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      deleteRecursively(tmp)
+    }
+    streamDir.toString
+  }
 
   private def stageDocChunks(spark: SparkSession, dir: String,
       chunks: Int, copyIdOffset: Long): String = {

@@ -416,8 +416,21 @@ object Maintenance {
     * snapshot always survives). Data files referenced only by expired
     * snapshots are deleted from disk. Time travel remains valid for every
     * retained snapshot. */
+  /** Minimum age before a STREAMING batch's snapshot may be expired
+    * (property-overridable per table). Streaming replay detection works
+    * by finding the batch's loadId in the snapshot ledger — expiring a
+    * streaming snapshot inside the crash-restart window silently turns
+    * a checkpoint replay into a DUPLICATE APPLY of the batch. Keep this
+    * above the pipeline's worst-case restart latency. */
+  val DefaultStreamExpireMinAgeMs: Long = 60L * 60 * 1000
+  val StreamExpireMinAgeProp = "graft.stream.expire-min-age-ms"
+
+  /** Streaming loadIds have the `<queryName>-batch-<id>` shape every
+    * [[graft.streaming.StreamingLoader]] sink stamps. */
+  private val StreamBatchLoadId = ".*-batch-\\d+$".r
+
   def expireSnapshots(t: GraftTable, keepLast: Int = 1,
-      retryUnitMs: Long = 1000L): Seq[String] = {
+      retryUnitMs: Long = 1000L, force: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     var removed: Seq[String] = Nil
     var removedManifests: Seq[String] = Nil
@@ -457,6 +470,28 @@ object Maintenance {
       val keepIds = keep.map(_.snapshotId).toSet
       val retained = fresh.snapshots.filter(s => keepIds.contains(s.snapshotId))
       val expired = fresh.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
+      // streaming-replay guard: refuse (without force) to expire a
+      // streaming batch's snapshot younger than the retention floor —
+      // the snapshot ledger IS the exactly-once state, and a crashed
+      // stream restarting after this expiry would re-apply the batch
+      if (!force) {
+        val floorMs = fresh.properties.get(StreamExpireMinAgeProp)
+          .map(_.toLong).getOrElse(DefaultStreamExpireMinAgeMs)
+        val now = System.currentTimeMillis()
+        val risky = expired.filter(s =>
+          s.loadId.exists(id =>
+            StreamBatchLoadId.pattern.matcher(id).matches()) &&
+            now - s.timestampMs < floorMs)
+        if (risky.nonEmpty)
+          throw new graft.catalog.ValidationError(
+            s"expire_snapshots on ${fresh.identifier}: refusing to expire " +
+              s"${risky.size} streaming batch snapshot(s) younger than the " +
+              s"${floorMs} ms retention floor (loadIds " +
+              s"${risky.flatMap(_.loadId).take(3).mkString(", ")}…) — a " +
+              s"crashed stream restarting after this expiry would re-apply " +
+              s"those batches. Raise keep_last, lower " +
+              s"'$StreamExpireMinAgeProp', or pass force => true")
+      }
       val liveFiles = retained.flatMap(_.dataFiles.map(_.path)).toSet
       removed = expired.flatMap(_.dataFiles.map(_.path))
         .distinct.filterNot(liveFiles.contains)
