@@ -36,7 +36,7 @@ object GraftProcedures {
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
     "create_branch", "publish_branch", "drop_branch", "rewrite_manifests",
     "delete_backlog", "file_health", "iceberg_export", "iceberg_attach",
-    "prune_signatures")
+    "prune_signatures", "prune_assignments")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -56,6 +56,7 @@ object GraftProcedures {
       case "iceberg_export" => Some(IcebergExport(cat))
       case "iceberg_attach" => Some(IcebergAttach(cat))
       case "prune_signatures" => Some(PruneSignatures(cat))
+      case "prune_assignments" => Some(PruneAssignments(cat))
       case _ => None
     }
 
@@ -214,6 +215,37 @@ object GraftProcedures {
       require(dns == sns, "docs and sigs tables must share a namespace")
       val pruned = new graft.streaming.StreamingLoader(cat)
         .pruneOrphanSignatures(dns, docs, sigs)
+      one(StructType(Seq(StructField("pruned", LongType, nullable = false))),
+        java.lang.Long.valueOf(pruned))
+    }
+  }
+
+  /** `CALL cat.system.prune_assignments('ns.vecs', 'ns.assign')` —
+    * retention maintenance for the SEMANTIC-dedup state: rewrite the
+    * k-means assignment table down to the vectors still live in the
+    * corpus table (identity(cluster) layout preserved). The SQL face of
+    * [[graft.streaming.StreamingLoader.pruneOrphanAssignments]]. */
+  private final case class PruneAssignments(cat: GraftCatalog)
+      extends GraftProcedure {
+    override def name(): String = "prune_assignments"
+    override def description(): String =
+      "prune semantic-dedup assignments of vectors erased from the corpus"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("vecs_table", StringType), in("assign_table", StringType),
+      inDefault("id_col", StringType, "'vec_id'"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      def split(raw: UTF8String): (String, String) = {
+        val parts = raw.toString.split("\\.")
+        require(parts.length == 2, s"expected ns.table, got $raw")
+        (parts(0), parts(1))
+      }
+      val (vns, vecs) = split(input.getUTF8String(0))
+      val (ans, assign) = split(input.getUTF8String(1))
+      require(vns == ans, "vecs and assignment tables must share a namespace")
+      val idCol =
+        if (input.isNullAt(2)) "vec_id" else input.getUTF8String(2).toString
+      val pruned = new graft.streaming.StreamingLoader(cat)
+        .pruneOrphanAssignments(vns, vecs, assign, idCol = idCol)
       one(StructType(Seq(StructField("pruned", LongType, nullable = false))),
         java.lang.Long.valueOf(pruned))
     }

@@ -250,7 +250,7 @@ object IcebergInterop {
   /** Seed a [[StableFieldIds]] allocator from an already-exported Iceberg
     * schema JValue, reconstructing name-paths — re-exports must never
     * reassign a published id. */
-  private def seedFieldIds(schemaJV: org.json4s.JValue,
+  private[graft] def seedFieldIds(schemaJV: org.json4s.JValue,
       ids: StableFieldIds): Unit = {
     import org.json4s._
     // record each path's published TYPE alongside its id, so a later
@@ -313,7 +313,7 @@ object IcebergInterop {
     * embedded Iceberg field ids, so external readers resolve columns
     * through this mapping (the spec's fallback rule for exactly this
     * migration shape). */
-  private def nameMappingJson(s: StructType, ids: StableFieldIds): String = {
+  private[graft] def nameMappingJson(s: StructType, ids: StableFieldIds): String = {
     // fully recursive over DataType, mirroring typeJson's recursion:
     // EVERY field id the schema export mints gets a mapping entry
     // (list-of-list elements, map-of-map, struct-typed map KEYS,

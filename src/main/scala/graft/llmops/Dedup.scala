@@ -23,6 +23,42 @@ object Dedup {
   val NumHashesProp = "graft.dedup.num-hashes"
   val BandsProp = "graft.dedup.bands"
 
+  /** One band-index row is (doc_id, bkey) — two longs. */
+  val BandIndexRowBytes = 16L
+
+  /** Target per-bucket share of a committed band index: ~256 MB keeps a
+    * bucket's slice at roughly two standard 128 MB scan splits — small
+    * enough that the map-only SPJ side never concentrates on a handful
+    * of oversized tasks, large enough that file counts stay sane. */
+  val BandBucketTargetBytes: Long = 256L << 20
+
+  /** Past 4× the target the index has OUTGROWN its creation-time
+    * bucket[N] (bucket counts are forever for a committed layout):
+    * ingest keeps working — correctness never depends on N — but the
+    * per-batch join's corpus-side tasks grow linearly from here, so the
+    * loader warns and the owner should restage: a one-off replace
+    * commit of the bands table under `bucket[defaultBandBuckets(...)]`
+    * (the [[graft.streaming.StreamingLoader.pruneOrphanSignatures]]
+    * rewrite shape with a bigger N), O(index bytes) ≈ 1% of corpus. */
+  val BandBucketWarnBytes: Long = BandBucketTargetBytes * 4
+
+  /** Creation-time default for the band index's `bucket[N]`, derived
+    * from the EXPECTED corpus size instead of a constant: N = the
+    * power of two that puts each bucket near [[BandBucketTargetBytes]]
+    * at `expectedCorpusDocs` survivors (powers of two make a later
+    * restage an exact occupancy halving), clamped to [16, 4096] —
+    * 16 keeps small corpora trivially parallel, 4096 × 256 MB ≈ 1 TB of
+    * index ≈ 100 TB of corpus at the 1% index-to-corpus ratio. */
+  def defaultBandBuckets(expectedCorpusDocs: Long, bands: Int = 32): Int = {
+    require(expectedCorpusDocs >= 0, "expectedCorpusDocs must be >= 0")
+    val bytes = expectedCorpusDocs * bands * BandIndexRowBytes
+    val ideal = math.max(1L,
+      (bytes + BandBucketTargetBytes - 1) / BandBucketTargetBytes)
+    val h = java.lang.Long.highestOneBit(ideal)
+    val pow2 = if (h == ideal) ideal else h * 2
+    math.min(4096L, math.max(16L, pow2)).toInt
+  }
+
   /** Exact dedup by content fingerprint: keeps the smallest doc_id per
     * fingerprint group. One hash-aggregate — the distributed equivalent of
     * `dropDuplicates`, but with an explicit deterministic survivor. */

@@ -705,6 +705,212 @@ object Multimodal {
       blob.length.toLong)
   }
 
+  // ===== MP4 / ISO-BMFF (ISO 14496-12) container metadata =====
+  //
+  // The video edition of the demux-without-decode move: a crawl corpus
+  // is full of MP4s, and the box tree alone carries duration, track
+  // count, codec fourcc, and sample counts — no codec jar needed.
+  // encodeMp4 builds a spec-exact box tree (ftyp/moov/mvhd/trak/tkhd/
+  // mdia/mdhd/hdlr/minf/stbl/stsd/stts/stsc/stsz/stco + mdat) with
+  // deterministic parameters; parseMp4 is a real recursive box walker
+  // (32-bit sizes, bounds-checked at every level) that works on any
+  // conformant file. The stsd sample entries carry no codec CONFIG
+  // record (avcC/esds) — payload decode is the honest stub; the box
+  // STRUCTURE is spec-exact.
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def box(fourcc: String, body: Array[Byte]*): Array[Byte] = {
+    val payload = body.flatten.toArray
+    be32(8L + payload.length) ++ fourcc.getBytes("US-ASCII") ++ payload
+  }
+  private def fullBox(fourcc: String, version: Int,
+      body: Array[Byte]*): Array[Byte] =
+    box(fourcc, Array[Byte](version.toByte, 0, 0, 0) +: body: _*)
+
+  /** Movie timescale of the fixtures (ms units) and the two media
+    * timescales (29.97 fps video, 48 kHz AAC audio). */
+  val Mp4MovieTimescale = 1000
+  val Mp4VideoTimescale = 30000
+  val Mp4AudioTimescale = 48000
+
+  /** Deterministic ISO-BMFF fixture: avc1 video track (5 + id%60 frames
+    * of 1001/30000 s each, constant sample size 20 + id%80) plus, for
+    * even ids, an mp4a audio track (40 + id%100 AAC frames of 1024
+    * samples at 48 kHz, constant size 10 + id%30). */
+  def encodeMp4(docId: Long): Array[Byte] = {
+    val vFrames = 5 + math.floorMod(docId, 60L).toInt
+    val vSize = 20 + math.floorMod(docId, 80L).toInt
+    val hasAudio = docId % 2 == 0
+    val aSamples = 40 + math.floorMod(docId, 100L).toInt
+    val aSize = 10 + math.floorMod(docId, 30L).toInt
+    val vDurMs = vFrames.toLong * 1001L * Mp4MovieTimescale / Mp4VideoTimescale
+    val aDurMs =
+      if (hasAudio) aSamples.toLong * 1024L * Mp4MovieTimescale / Mp4AudioTimescale
+      else 0L
+    val movieDurMs = math.max(vDurMs, aDurMs)
+
+    val ftyp = box("ftyp", "isom".getBytes, be32(512),
+      "isom".getBytes, "mp42".getBytes)
+    def mvhd = fullBox("mvhd", 0,
+      be32(0), be32(0), // creation, modification
+      be32(Mp4MovieTimescale), be32(movieDurMs),
+      be32(0x00010000), // rate 1.0
+      be16(0x0100), be16(0), // volume, reserved
+      new Array[Byte](8), // reserved
+      // unity matrix
+      be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000),
+      be32(0), be32(0), be32(0), be32(0x40000000),
+      new Array[Byte](24), // pre_defined
+      be32(3)) // next_track_ID
+    def tkhd(trackId: Int, durMs: Long, w: Int, h: Int) = fullBox("tkhd", 0,
+      be32(0), be32(0), be32(trackId), be32(0), be32(durMs),
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000),
+      be32(0), be32(0), be32(0), be32(0x40000000),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    def mdhd(timescale: Int, dur: Long) = fullBox("mdhd", 0,
+      be32(0), be32(0), be32(timescale), be32(dur),
+      be16(0x55C4), be16(0)) // language "und", pre_defined
+    def hdlr(handler: String) = fullBox("hdlr", 0,
+      be32(0), handler.getBytes("US-ASCII"),
+      new Array[Byte](12), Array[Byte](0)) // reserved + empty name
+    def dinf = box("dinf", fullBox("dref", 0, be32(1),
+      fullBox("url ", 0) // self-contained: flags SHOULD be 1; walker-neutral
+        .patch(11, Array[Byte](1), 1))) // set flag bit (self-contained)
+    def stts(count: Int, delta: Int) =
+      fullBox("stts", 0, be32(1), be32(count), be32(delta))
+    def stsc = fullBox("stsc", 0, be32(1), be32(1), be32(1), be32(1))
+    def stsz(size: Int, count: Int) =
+      fullBox("stsz", 0, be32(size), be32(count))
+    def stco(offset: Long) = fullBox("stco", 0, be32(1), be32(offset))
+    def avc1 = box("avc1",
+      new Array[Byte](6), be16(1), // reserved, data_reference_index
+      be16(0), be16(0), new Array[Byte](12), // pre/res/pre_defined
+      be16(320), be16(240), // width, height
+      be32(0x00480000), be32(0x00480000), // 72 dpi
+      be32(0), be16(1), // reserved, frame_count
+      new Array[Byte](32), // compressorname
+      be16(0x0018), be16(0xFFFF)) // depth, pre_defined = -1
+    def mp4a = box("mp4a",
+      new Array[Byte](6), be16(1),
+      new Array[Byte](8), // reserved
+      be16(2), be16(16), be16(0), be16(0), // channels, samplesize, pre, res
+      be32(Mp4AudioTimescale.toLong << 16)) // samplerate 16.16
+    def stsd(entry: Array[Byte]) = fullBox("stsd", 0, be32(1), entry)
+    def stbl(entry: Array[Byte], sCount: Int, sDelta: Int, sSize: Int,
+        chunkOff: Long) =
+      box("stbl", stsd(entry), stts(sCount, sDelta), stsc,
+        stsz(sSize, sCount), stco(chunkOff))
+    def vmhd = fullBox("vmhd", 0, be16(0), be16(0), be16(0), be16(0))
+      .patch(11, Array[Byte](1), 1) // flags = 1 per spec
+    def smhd = fullBox("smhd", 0, be16(0), be16(0))
+
+    // chunk offsets: mdat payload starts right after ftyp + moov + the
+    // 8-byte mdat header; video chunk first, audio chunk after it
+    val trakVLen = 8 + tkhd(1, 0, 0, 0).length + (8 + mdhd(0, 0).length +
+      hdlr("vide").length + (8 + vmhd.length + dinf.length +
+        stbl(avc1, 1, 1, 1, 0).length))
+    val trakALen =
+      if (!hasAudio) 0
+      else 8 + tkhd(2, 0, 0, 0).length + (8 + mdhd(0, 0).length +
+        hdlr("soun").length + (8 + smhd.length + dinf.length +
+          stbl(mp4a, 1, 1, 1, 0).length))
+    val moovLen = 8 + mvhd.length + trakVLen + trakALen
+    val vChunkOff = ftyp.length.toLong + moovLen + 8
+    val aChunkOff = vChunkOff + vFrames.toLong * vSize
+
+    def trak(entry: Array[Byte], trackId: Int, durMs: Long, handler: String,
+        mediaHeader: Array[Byte], timescale: Int, mediaDur: Long,
+        sCount: Int, sDelta: Int, sSize: Int, chunkOff: Long,
+        w: Int, h: Int) =
+      box("trak", tkhd(trackId, durMs, w, h),
+        box("mdia", mdhd(timescale, mediaDur), hdlr(handler),
+          box("minf", mediaHeader, dinf,
+            stbl(entry, sCount, sDelta, sSize, chunkOff))))
+
+    val trakV = trak(avc1, 1, vDurMs, "vide", vmhd, Mp4VideoTimescale,
+      vFrames.toLong * 1001L, vFrames, 1001, vSize, vChunkOff, 320, 240)
+    val trakA =
+      if (!hasAudio) Array.emptyByteArray
+      else trak(mp4a, 2, aDurMs, "soun", smhd, Mp4AudioTimescale,
+        aSamples.toLong * 1024L, aSamples, 1024, aSize, aChunkOff, 0, 0)
+    val moov = box("moov", mvhd, trakV, trakA)
+    require(moov.length == moovLen, s"moov size arithmetic drift: " +
+      s"${moov.length} vs $moovLen")
+    val mdat = box("mdat",
+      new Array[Byte](vFrames * vSize),
+      if (hasAudio) new Array[Byte](aSamples * aSize) else Array.emptyByteArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Per-track metadata recovered by [[parseMp4]]. */
+  final case class Mp4Track(codec: String, samples: Long)
+
+  /** Walk an ISO-BMFF box tree: (durationUs from mvhd, tracks in file
+    * order with stsd codec fourcc + stsz sample count, totalBytes).
+    * Bounds-checked at every level — a corrupt size field fails loudly,
+    * never wedges or fabricates. Works on any conformant unfragmented
+    * MP4 (32-bit box sizes). */
+  def parseMp4(blob: Array[Byte]): (Long, Seq[Mp4Track], Long) = {
+    def u32(off: Int): Long =
+      ((blob(off) & 0xFFL) << 24) | ((blob(off + 1) & 0xFFL) << 16) |
+        ((blob(off + 2) & 0xFFL) << 8) | (blob(off + 3) & 0xFFL)
+    var mvhdTimescale = 0L
+    var mvhdDuration = -1L
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    var curCodec: String = null
+    var curSamples = 0L
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var off = from
+      while (off < until) {
+        require(off + 8 <= until,
+          s"mp4: truncated box header at $off (container ends at $until)")
+        val size = u32(off)
+        val typ = new String(blob, off + 4, 4, "US-ASCII")
+        require(size != 1, "mp4: 64-bit box sizes unsupported in fixtures")
+        require(size == 0 || (size >= 8 && off + size <= until),
+          s"mp4: box '$typ' at $off declares size $size beyond its " +
+            s"container boundary $until")
+        val end = if (size == 0) until else off + size.toInt
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            if (typ == "trak") { curCodec = null; curSamples = 0L }
+            walk(off + 8, end, depth + 1)
+            if (typ == "trak") {
+              require(curCodec != null, "mp4: trak without stsd entry")
+              tracks += Mp4Track(curCodec, curSamples)
+            }
+          case "mvhd" =>
+            require(end - off >= 12 + 20, s"mp4: mvhd too short at $off")
+            val version = blob(off + 8) & 0xFF
+            require(version == 0, "mp4: mvhd version 1 unsupported")
+            mvhdTimescale = u32(off + 20)
+            mvhdDuration = u32(off + 24)
+            require(mvhdTimescale > 0, "mp4: mvhd timescale must be > 0")
+          case "stsd" =>
+            require(end - off >= 16 + 8, s"mp4: stsd too short at $off")
+            require(u32(off + 12) >= 1, "mp4: stsd with no entries")
+            curCodec = new String(blob, off + 20, 4, "US-ASCII")
+          case "stsz" =>
+            require(end - off >= 20, s"mp4: stsz too short at $off")
+            curSamples = u32(off + 16)
+          case _ => () // leaf we don't need (ftyp, mdat, dinf, …)
+        }
+        off = end
+      }
+      require(off == until, s"mp4: box overrun at depth $depth")
+    }
+    walk(0, blob.length, 0)
+    require(mvhdDuration >= 0, "mp4: no mvhd box")
+    require(tracks.nonEmpty, "mp4: no trak boxes")
+    val durationUs = mvhdDuration * 1000000L / mvhdTimescale
+    (durationUs, tracks.toSeq, blob.length.toLong)
+  }
+
   def sampleVideoFrames(blobs: DataFrame, k: Int = 4): Dataset[VideoFrame] = {
     require(k >= 2, "need at least 2 sample points")
     val spark = blobs.sparkSession

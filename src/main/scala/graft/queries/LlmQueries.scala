@@ -1268,6 +1268,52 @@ object LlmQueries {
         |FROM inc i LEFT JOIN best b ON b.inc_id = i.vec_id AND b.rn = 1"""
         .stripMargin))),
 
+    // MP4/ISO-BMFF container metadata without decode — the VIDEO
+    // edition of l63: per doc a spec-exact box tree (ftyp/moov/mvhd/
+    // trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd/stts/stsc/stsz/stco +
+    // mdat; ISO 14496-12) is built with deterministic parameters and
+    // walked back by a real recursive box parser (bounds-checked sizes,
+    // loud on corrupt input — MultimodalSpec). The oracle recomputes
+    // every field from the box-layout arithmetic: track count and
+    // codec fourccs from the layout rule, sample counts from the stsz
+    // parameters, duration from the mvhd timescale math, total bytes
+    // from the exact per-box size sums (439 B video trak, 385 B audio
+    // trak, 108 B mvhd, 24 B ftyp, 8 B headers).
+    "l65_mp4_metadata" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (durUs, tracks, bytes) =
+              Multimodal.parseMp4(Multimodal.encodeMp4(id))
+            (id, tracks.length, tracks.map(_.codec).mkString(","),
+              tracks.map(_.samples).sum, durUs, bytes)
+          })
+          .toDF("doc_id", "n_tracks", "codecs", "n_samples",
+            "duration_us", "n_bytes")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |    5 + doc_id % 60 AS vframes,
+        |    20 + doc_id % 80 AS vsize,
+        |    (doc_id % 2 = 0) AS has_audio,
+        |    40 + doc_id % 100 AS asamples,
+        |    10 + doc_id % 30 AS asize
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        |  CASE WHEN has_audio THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+        |  CAST(vframes + CASE WHEN has_audio THEN asamples ELSE 0 END
+        |    AS BIGINT) AS n_samples,
+        |  CAST(GREATEST(vframes * 1001 * 1000 // 30000,
+        |    CASE WHEN has_audio THEN asamples * 1024 * 1000 // 48000
+        |         ELSE 0 END) * 1000 AS BIGINT) AS duration_us,
+        |  CAST(24 + 8 + 108 + 439
+        |    + CASE WHEN has_audio THEN 385 ELSE 0 END
+        |    + 8 + vframes * vsize
+        |    + CASE WHEN has_audio THEN asamples * asize ELSE 0 END
+        |    AS BIGINT) AS n_bytes
+        |FROM p""".stripMargin))),
+
     // first-occurrence paragraph dedup (C4 semantics: keep ONE canonical
     // copy of repeated content — l35 instead drops over-frequent spans
     // everywhere); winner = smallest (doc_id, pos), so fully

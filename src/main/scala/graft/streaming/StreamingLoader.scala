@@ -253,6 +253,7 @@ final class StreamingLoader(catalog: GraftCatalog) {
                       Append, bandCfg, loadId)
                     ensureProps(ns, bandsTable, bandPropStamp,
                       cfg.retryUnitMs)
+                    warnIfIndexOutgrown(ns, bandsTable, bandBuckets, bands)
                   }
                 } finally keep.unpersist()
                 // lifecycle: a per-batch append trickle grows the file
@@ -413,6 +414,27 @@ final class StreamingLoader(catalog: GraftCatalog) {
       retryUnitMs: Long): Unit =
     ensureProps(ns, table,
       Map(graft.write.Maintenance.AutoCompactProp -> "true"), retryUnitMs)
+
+  /** Metadata-only outgrowth check on the committed band index: warn
+    * once the average per-bucket share passes
+    * [[graft.llmops.Dedup.BandBucketWarnBytes]]. Correctness never
+    * depends on N, but corpus-side task sizes grow linearly past it —
+    * the restage path is a one-off replace commit of the bands table
+    * under `bucket[Dedup.defaultBandBuckets(corpusDocs)]`. */
+  private def warnIfIndexOutgrown(ns: String, bandsTable: String,
+      bandBuckets: Int, bands: Int): Unit = {
+    val rows = catalog.loadTable(ns, bandsTable).rowCount
+    val perBucket = rows * graft.llmops.Dedup.BandIndexRowBytes /
+      math.max(1, bandBuckets)
+    if (perBucket > graft.llmops.Dedup.BandBucketWarnBytes)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"band index $ns.$bandsTable has outgrown bucket[$bandBuckets]: " +
+          s"~$perBucket B/bucket (warn threshold " +
+          s"${graft.llmops.Dedup.BandBucketWarnBytes}). Restage the index " +
+          s"with bucket[${graft.llmops.Dedup.defaultBandBuckets(
+            rows / math.max(1, bands), bands)}] (one replace commit, " +
+          s"O(index bytes)) to keep corpus-side SPJ tasks bounded.")
+  }
 
   /** Stamp table properties once (no-op when already present with the
     * same values; property-only CAS commit otherwise). Keys already set

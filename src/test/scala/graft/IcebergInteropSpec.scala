@@ -887,4 +887,107 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t2.read().collect().map(r => (r.getLong(0), r.getString(1)))
       .toSet == Set((1L, "a2"), (3L, "c2"), (4L, "d")))
   }
+
+  test("name mapping is fully recursive: every minted field id has a mapping entry") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // the adversarial shapes: list-of-list, map-of-map, STRUCT map key,
+    // struct nested under a list inside a map value — graft parquet
+    // carries no embedded ids, so any id missing from the mapping
+    // silently null-fills that column for external readers
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ll", ArrayType(ArrayType(IntegerType))),
+      StructField("mm", MapType(StringType, MapType(StringType, LongType))),
+      StructField("km", MapType(
+        StructType(Seq(StructField("kx", IntegerType),
+          StructField("ky", StringType))), LongType)),
+      StructField("mls", MapType(StringType, ArrayType(
+        StructType(Seq(StructField("sx", DoubleType),
+          StructField("sy", ArrayType(StringType)))))))))
+    val ids = new IcebergInterop.StableFieldIds
+    val sj = JsonMethods.parse(
+      IcebergInterop.toIcebergSchemaJsonStable(schema, 0, ids))
+    val nm = JsonMethods.parse(IcebergInterop.nameMappingJson(schema, ids))
+    def schemaIds(v: JValue): Set[BigInt] = v match {
+      case JObject(fields) => fields.flatMap {
+        case (k, JInt(i)) if k == "id" || k == "element-id" ||
+          k == "key-id" || k == "value-id" => Seq(i)
+        case (_, child) => schemaIds(child)
+      }.toSet
+      case JArray(xs) => xs.flatMap(schemaIds).toSet
+      case _ => Set.empty
+    }
+    def mappingIds(v: JValue): Set[BigInt] = v match {
+      case JObject(fields) => fields.flatMap {
+        case ("field-id", JInt(i)) => Seq(i)
+        case (_, child) => mappingIds(child)
+      }.toSet
+      case JArray(xs) => xs.flatMap(mappingIds).toSet
+      case _ => Set.empty
+    }
+    val minted = schemaIds(sj)
+    val mapped = mappingIds(nm)
+    assert(minted == mapped,
+      s"mapping must cover every minted id; missing ${minted -- mapped}, " +
+        s"extra ${mapped -- minted}")
+    assert(minted.size >= 17, s"deep nesting should mint many ids: $minted")
+  }
+
+  test("re-added column with an incompatible type mints a fresh id; legal promotions keep it") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def fieldId(json: String, name: String): Int =
+      (JsonMethods.parse(json) \ "fields").asInstanceOf[JArray].arr
+        .collectFirst { case f if (f \ "name") == JString(name) =>
+          (f \ "id") match { case JInt(i) => i.toInt
+            case other => fail(s"bad id $other") } }.get
+    val ids = new IcebergInterop.StableFieldIds
+    val s1 = StructType(Seq(StructField("a", DoubleType),
+      StructField("b", IntegerType)))
+    // v2: 'a' re-typed double->string (ILLEGAL in Iceberg), 'b' promoted
+    // int->long (legal)
+    val s2 = StructType(Seq(StructField("a", StringType),
+      StructField("b", LongType)))
+    val j1 = IcebergInterop.toIcebergSchemaJsonStable(s1, 1, ids)
+    val j2 = IcebergInterop.toIcebergSchemaJsonStable(s2, 2, ids)
+    assert(fieldId(j1, "b") == fieldId(j2, "b"),
+      "int->long is a legal promotion: the id must be stable")
+    assert(fieldId(j1, "a") != fieldId(j2, "a"),
+      "double->string is not a promotion: a fresh id must be minted")
+    // seeding from the published chain reproduces BOTH generations
+    // exactly (re-exports never churn ids)
+    val ids2 = new IcebergInterop.StableFieldIds
+    IcebergInterop.seedFieldIds(JsonMethods.parse(j1), ids2)
+    IcebergInterop.seedFieldIds(JsonMethods.parse(j2), ids2)
+    assert(IcebergInterop.toIcebergSchemaJsonStable(s1, 1, ids2) == j1,
+      "re-walking the OLD schema after seeding must reproduce its ids")
+    assert(IcebergInterop.toIcebergSchemaJsonStable(s2, 2, ids2) == j2,
+      "re-walking the NEW schema after seeding must reproduce its ids")
+  }
+
+  test("a literal '%' in the table path round-trips through export URIs") {
+    // percent-encoding hazard: a bare "file://" + path URI containing a
+    // literal '%' decodes to a DIFFERENT path on any conformant reader
+    // (here: a directory named with both a literal '%' escape-lookalike
+    // and a space)
+    val wh = Files.createTempDirectory("graft-ice-pct-")
+      .resolve("p%20ct dir")
+    Files.createDirectories(wh)
+    val cat = new GraftCatalog(spark, wh.toString)
+    val w = new GraftWriter(cat)
+    w.writeTable("main", "t",
+      Seq(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "l1")
+    val t = cat.loadTable("main", "t")
+    val mdPath = IcebergInterop.exportTable(t, nowMs = 1700000000000L)
+    val md = Files.readString(mdPath)
+    assert(md.contains("p%2520ct%20dir"),
+      "the literal '%' must be percent-encoded in exported URIs")
+    val back = IcebergInterop.importTable(spark,
+      t.dir.resolve("iceberg").toString)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")),
+      "import through the encoded URIs must find the real files")
+  }
 }

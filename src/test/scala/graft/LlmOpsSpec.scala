@@ -344,6 +344,78 @@ class LlmOpsSpec extends AnyFunSuite {
       Multimodal.parseOpus(java.util.Arrays.copyOfRange(
         Multimodal.encodeOpus(5L), 0, Multimodal.encodeOpus(5L).length - 9))
     }
+    // EMPTY input is corrupt input, not a zero-frame success: the
+    // per-frame requires pass vacuously, so the no-frames contract must
+    // fire before the duration arithmetic divides by sr = 0
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp3(Array.emptyByteArray)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAdts(Array.emptyByteArray)
+    }
+  }
+
+  test("MP4 box walker: layout arithmetic round-trips, corruption throws") {
+    for (id <- Seq(0L, 1L, 7L, 59L, 1234L)) {
+      val blob = Multimodal.encodeMp4(id)
+      val (durUs, tracks, bytes) = Multimodal.parseMp4(blob)
+      val vFrames = 5 + (id % 60).toInt
+      val hasAudio = id % 2 == 0
+      val aSamples = 40 + (id % 100).toInt
+      assert(tracks.map(_.codec) ==
+        (if (hasAudio) Seq("avc1", "mp4a") else Seq("avc1")))
+      assert(tracks.head.samples == vFrames)
+      if (hasAudio) assert(tracks(1).samples == aSamples)
+      val vMs = vFrames.toLong * 1001L * 1000L / 30000L
+      val aMs = if (hasAudio) aSamples.toLong * 1024L * 1000L / 48000L else 0L
+      assert(durUs == math.max(vMs, aMs) * 1000L,
+        s"mvhd duration arithmetic drift for id=$id")
+      assert(bytes == blob.length.toLong)
+      // exact total-size arithmetic (the l65 oracle's formula)
+      val expected = 24L + 8 + 108 + 439 + (if (hasAudio) 385 else 0) +
+        8 + vFrames.toLong * (20 + (id % 80).toInt) +
+        (if (hasAudio) aSamples.toLong * (10 + (id % 30).toInt) else 0L)
+      assert(bytes == expected, s"box-size arithmetic drift for id=$id")
+    }
+    // corrupt size fields fail loudly, never wedge or fabricate
+    val ok = Multimodal.encodeMp4(3L)
+    val overrun = ok.clone()
+    overrun(0) = 0x7F.toByte // ftyp size now claims ~2 GB
+    intercept[IllegalArgumentException] { Multimodal.parseMp4(overrun) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(java.util.Arrays.copyOfRange(ok, 0, ok.length - 5))
+    }
+    intercept[IllegalArgumentException] {
+      // moov gutted: no mvhd anywhere
+      Multimodal.parseMp4(java.util.Arrays.copyOfRange(ok, 0, 24))
+    }
+    // a real demuxer property: an UNKNOWN leaf box is skipped, not fatal
+    val free = Array[Byte](0, 0, 0, 8) ++ "free".getBytes("US-ASCII")
+    val withFree = java.util.Arrays.copyOfRange(ok, 0, 24) ++ free ++
+      java.util.Arrays.copyOfRange(ok, 24, ok.length)
+    val (d1, t1, _) = Multimodal.parseMp4(withFree)
+    val (d0, t0, _) = Multimodal.parseMp4(ok)
+    assert(d1 == d0 && t1 == t0)
+  }
+
+  test("band-index bucket doctrine: corpus-derived default, clamped and restage-friendly") {
+    import graft.llmops.Dedup
+    // small corpora stay at the parallelism floor
+    assert(Dedup.defaultBandBuckets(0) == 16)
+    assert(Dedup.defaultBandBuckets(100000) == 16)
+    // the target ratio: ~256 MB of 16 B rows per bucket at 32 bands
+    // => one bucket per ~500k docs, rounded up to a power of two
+    val mid = Dedup.defaultBandBuckets(100000000L) // 100M docs
+    assert(mid == 256, s"100M docs should derive bucket[256], got $mid")
+    // powers of two only (a restage is an exact occupancy halving)
+    for (docs <- Seq(1L, 1000000L, 50000000L, 2000000000L)) {
+      val n = Dedup.defaultBandBuckets(docs)
+      assert((n & (n - 1)) == 0, s"bucket count must be a power of 2: $n")
+    }
+    // monotone in corpus size, capped at the 100-TB-scale ceiling
+    assert(Dedup.defaultBandBuckets(1000000000L) >=
+      Dedup.defaultBandBuckets(100000000L))
+    assert(Dedup.defaultBandBuckets(Long.MaxValue / 1000) == 4096)
   }
 
   test("int8 quantization: degenerate (constant) vectors quantize to zeros, not NaN") {

@@ -244,4 +244,62 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM gproc7.main.t2 ORDER BY id")
       .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
   }
+
+  test("prune_assignments via CALL; expire_snapshots streaming-replay guard") {
+    val cat = freshCatalog("gproc9")
+    val w = new GraftWriter(cat)
+    // semantic-dedup state pair: corpus vectors + identity(cluster)
+    // assignment table
+    val vecs = (0L until 10L).map(i => (i, Seq.fill(4)(i.toDouble)))
+      .toDF("vec_id", "embedding")
+    w.writeTable("main", "vc", Seq(vecs), Append,
+      WriteConfig(retryUnitMs = 1), "l1")
+    val assign = (0L until 10L).map(i =>
+        (i, (i % 3).toInt, Seq.fill(4)(i.toDouble)))
+      .toDF("vec_id", "cluster", "v")
+    w.writeTable("main", "va", Seq(assign), Append,
+      WriteConfig(retryUnitMs = 1,
+        partitions = Seq(graft.partition.PartitionHint.identity("cluster"))),
+      "l1")
+    w.deleteWhere("main", "vc", org.apache.spark.sql.functions.col("vec_id") < 4,
+      WriteConfig(retryUnitMs = 1))
+    val pr = spark.sql(
+      "CALL gproc9.system.prune_assignments('main.vc', 'main.va')").collect()
+    assert(pr(0).getLong(0) == 4L, s"4 erased vectors must prune: ${pr.toSeq}")
+    assert(spark.sql("SELECT COUNT(*) FROM gproc9.main.va")
+      .collect()(0).getLong(0) == 6L)
+
+    // streaming-replay guard: a table whose history carries young
+    // streaming batch loadIds refuses expiry without force
+    w.writeTable("main", "st", Seq(Seq((1L, "a")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "q-batch-0")
+    w.writeTable("main", "st", Seq(Seq((2L, "b")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "q-batch-1")
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL gproc9.system.expire_snapshots('main.st', 1)").collect()
+    }
+    assert(e.getMessage.contains("streaming") ||
+      Option(e.getCause).exists(_.getMessage.contains("streaming")),
+      s"guard must explain the streaming-replay hazard: ${e.getMessage}")
+    assert(cat.loadTable("main", "st").metadata.snapshots.size == 2,
+      "guarded call must not have committed anything")
+    // force overrides; the expiry then proceeds (return value counts
+    // DELETED FILES — appended files stay referenced by the head, so 0)
+    spark.sql(
+      "CALL gproc9.system.expire_snapshots('main.st', 1, force => true)")
+      .collect()
+    assert(cat.loadTable("main", "st").metadata.snapshots.size == 1,
+      "forced expiry must drop history")
+    // per-table retention floor: with the property at 0 the guard passes
+    // without force (the batch is 'old enough' by the table's own rule)
+    cat.loadTable("main", "st").commit(m => m.copy(properties =
+      m.properties + (Maintenance.StreamExpireMinAgeProp -> "0")), unitMs = 1)
+    w.writeTable("main", "st", Seq(Seq((3L, "c")).toDF("id", "v")),
+      Append, WriteConfig(retryUnitMs = 1), "q-batch-2")
+    spark.sql(
+      "CALL gproc9.system.expire_snapshots('main.st', 1)").collect()
+    assert(cat.loadTable("main", "st").metadata.snapshots.size == 1,
+      "retention floor 0 must allow un-forced expiry")
+  }
 }

@@ -93,6 +93,110 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("k=512: broadcast-frame assignment is identical to the literal plan, with an O(1) plan") {
+    // the k-scaling pin: at corpus scale k is 10^4-10^5 and the literal
+    // form's plan grows with k*dim — the frame form must (1) compute the
+    // SAME floats (identical c^2 - 2x.c expression, identical first-min
+    // tie-break) and (2) keep the PLAN size flat in k
+    val big = graft.Tables.t(spark, "/root/testdata/sf0.1", "embeddings")
+    // 512 centroids = 512 deterministic corpus vectors (assignment does
+    // not care how centroids were trained; Lloyd's at k=512 is not the
+    // thing under test)
+    val ids = SemanticDedup.seedIds(big, 512)
+    val byId = big.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = ids.map(byId).toArray
+    val lit512 = SemanticDedup.assignForced(big, cents, literal = true)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val frame512 = SemanticDedup.assignForced(big, cents, literal = false)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lit512 == frame512,
+      "frame assignment must be bit-identical to the literal plan at k=512")
+    // plan boundedness: the frame plan at k=512 is the same PLAN as at
+    // k=64 (only the broadcast row differs) — the literal plan is not
+    def planChars(k: Int): Int = SemanticDedup
+      .assignForced(big, cents.take(k), literal = false)
+      .queryExecution.optimizedPlan.toString.length
+    val p64 = planChars(64)
+    val p512 = planChars(512)
+    assert(p512 <= (p64 * 1.2).toInt + 512,
+      s"frame plan must not grow with k: $p64 chars at k=64 vs $p512 at k=512")
+    // and the production path switches at LiteralPlanMax: k=512 * dim=64
+    // is far past it, so assign() takes the frame form
+    assert(512L * 64 > graft.llmops.Similarity.LiteralPlanMax)
+    val prod = SemanticDedup.assign(big, cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(prod == lit512)
+  }
+
+  test("near-copy recall vs perturbation: measured floor, top-2 multi-probe dominates") {
+    // the l64 recall question: an EXACT copy shares its source's argmin
+    // cluster structurally (recall 1, pinned by the driver entry); a
+    // NEAR-copy can cross a cluster boundary. Plant epsilon-perturbed
+    // copies (relative +-eps per component, deterministic signs) and
+    // measure single-cluster vs top-2 multi-probe recall.
+    val corpus = emb
+    val cents = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
+    val source = SemanticDedup.assign(corpus, cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def perturbed(eps: Double) = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x.cast("double") * (lit(1.0) + lit(eps) *
+          (pmod(xxhash64(col("vec_id"), i), lit(2)) * 2 - 1).cast("double")))
+        .as("embedding"))
+    def recall(eps: Double, probes: Int): Double = {
+      val hit = SemanticDedup.assignProbes(perturbed(eps), cents, probes)
+        .select(col("vec_id"), col("cluster")).collect()
+        .groupBy(_.getLong(0)).count { case (id, rows) =>
+          rows.map(_.getInt(1)).toSet.contains(source(id))
+        }
+      hit.toDouble / source.size
+    }
+    val floors = Seq(0.02, 0.05, 0.1).map { eps =>
+      val r1 = recall(eps, 1)
+      val r2 = recall(eps, 2)
+      assert(r2 >= r1,
+        f"top-2 multi-probe must dominate single-probe at eps=$eps: $r1 vs $r2")
+      (eps, r1, r2)
+    }
+    // measured floors (sf0.01, k=8, dim=64): pin conservatively below
+    // the observed values so the doctrine sentence in SURVEY stays true
+    val (_, r1small, r2small) = floors.head
+    assert(r1small >= 0.90,
+      f"single-probe recall at eps=0.02 regressed: $r1small%.3f")
+    assert(r2small >= 0.97,
+      f"top-2 recall at eps=0.02 regressed: $r2small%.3f")
+    info(floors.map { case (e, a, b) =>
+      f"eps=$e%.2f probe1=$a%.3f probe2=$b%.3f" }.mkString("; "))
+    // end-to-end: multi-probe absorbs at least as many near-copies
+    val copies = perturbed(0.05)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val assignTbl = SemanticDedup.assign(corpus, cents)
+    def absorbed(probes: Int): Long =
+      SemanticDedup.incrementalSemanticDedup(copies, assignTbl, cents,
+        threshold = 0.4, probes = probes)
+        .filter(!col("is_new")).count()
+    assert(absorbed(2) >= absorbed(1),
+      "multi-probe must never absorb fewer near-copies")
+  }
+
+  test("centroids round-trip through the committed table form") {
+    val cents = SemanticDedup.kmeansCentroids(emb, k = 8, iters = 3)
+    val df = SemanticDedup.centroidsToDf(spark, cents)
+    val back = SemanticDedup.loadCentroids(df)
+    assert(back.length == cents.length)
+    cents.zip(back).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    // cluster-id gaps fail loudly (the argmin index space must be dense)
+    intercept[IllegalArgumentException] {
+      SemanticDedup.loadCentroids(df.filter(col("cluster") =!= 3))
+    }
+  }
+
   test("pruning precision: every pruned id has a lower-id within-cluster partner") {
     val result = SemanticDedup.semanticDedup(emb, k = 8, iters = 5, threshold = 0.4)
     val rows = result.collect().map(r =>

@@ -566,4 +566,168 @@ class StreamingSpec extends AnyFunSuite {
     assert(t2.read().collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet == got)
   }
+
+  test("near-dedup stream: mismatched band-index parameters fail loudly, never silently re-admit") {
+    // a bkey index built under different numHashes/bands produces keys
+    // that simply never match — zero candidates, every duplicate
+    // re-admitted. The creation stamp must turn that silent drift into
+    // a loud failure.
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 30)
+    val srcDir = Files.createTempDirectory("graft-nd-mm-src-")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-mm-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    def stream() = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q1 = loader.startNearDeduped(stream(), "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "mm1",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-mm-ck1-").toString))
+    try q1.awaitTermination() finally q1.stop()
+    // creation stamp present
+    val props = cat.loadTable("main", "ds_bands").metadata.properties
+    assert(props.get(graft.llmops.Dedup.NumHashesProp).contains("64") &&
+      props.get(graft.llmops.Dedup.BandsProp).contains("32"),
+      s"band index must stamp its creation parameters: $props")
+    // second pipeline with DIFFERENT bands must refuse the index
+    val q2 = loader.startNearDeduped(stream(), "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "mm2",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-mm-ck2-").toString),
+      bands = 16)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.awaitTermination() finally q2.stop()
+    }
+    assert(e.getMessage.contains("band index") ||
+      Option(e.getCause).exists(_.getMessage.contains("band index")),
+      s"mismatch must name the band index: ${e.getMessage}")
+  }
+
+  test("semantic-dedup stream: crash between vecs and assign commits replays to the identical keep-set") {
+    import spark.implicits._
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    val srcDir = Files.createTempDirectory("graft-sd-crash-src-")
+    vecs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-sd-crash-").toString)
+    val w = new graft.write.GraftWriter(cat)
+    // crash window: batch 0's VECS commit landed under the stream's
+    // loadId, the assignment commit (and the bootstrap centroid commit)
+    // did not
+    w.writeTable("main", "vc", Seq(vecs), graft.write.Append,
+      WriteConfig(retryUnitMs = 1), "sdx-batch-0")
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = loader.startSemanticDeduped(stream, "main", "vc", "va",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "sdx",
+      checkpoint = Some(Files.createTempDirectory("graft-sd-crash-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    // vecs: no double-commit
+    val vc = cat.loadTable("main", "vc")
+    assert(vc.metadata.snapshots.size == 1,
+      s"replay double-committed vecs: ${vc.metadata.snapshots.map(_.loadId)}")
+    // centroids bootstrapped during the replay, k rows + creation stamp
+    val cents = cat.loadTable("main", "va_centroids")
+    assert(cents.read().count() == 8L)
+    assert(cents.metadata.properties
+      .get(StreamingLoader.SemDedupKProp).contains("8"))
+    assert(cents.metadata.properties
+      .get(StreamingLoader.SemDedupDimProp).contains("64"))
+    // assignment committed the MISSING half under the same loadId, with
+    // the identical keep-set and the identity(cluster) SPJ layout
+    val va = cat.loadTable("main", "va")
+    assert(va.metadata.snapshots.size == 1 &&
+      va.metadata.snapshots.head.loadId.contains("sdx-batch-0"))
+    assert(va.metadata.partitionSpec.exists(f =>
+      f.source == "cluster" && f.transform == "identity"),
+      s"assignment table must carry identity(cluster): ${va.metadata.partitionSpec}")
+    val aIds = va.read().select("vec_id").as[Long].collect().toSet
+    val vIds = vc.read().select("vec_id").as[Long].collect().toSet
+    assert(aIds == vIds, "assignment keep-set must equal the vecs keep-set")
+  }
+
+  test("semantic-dedup stream: cross-batch exact copy absorbed; committed assignment SPJ-resolves") {
+    import spark.implicits._
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val srcDir = Files.createTempDirectory("graft-sd-spj-src-")
+    vecs.filter(col("vec_id") < 30).coalesce(1)
+      .write.parquet(srcDir.resolve("c0").toString)
+    vecs.filter(col("vec_id") >= 30)
+      .union(vecs.filter(col("vec_id") === 5)
+        .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding")))
+      .coalesce(1).write.parquet(srcDir.resolve("c1").toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-sd-spj-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.resolve("c0").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = loader.startSemanticDeduped(stream, "main", "vc", "va",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "sdj",
+      checkpoint = Some(Files.createTempDirectory("graft-sd-spj-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    val ids = cat.loadTable("main", "vc").read()
+      .select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(9000005L),
+      "cross-batch exact copy must be absorbed (cosine 1, same argmin cluster)")
+    assert(ids.count(_ < 9000000L) >= 55,
+      "original vectors are not near-dups of each other at threshold 0.4")
+    // plan pin: the committed identity(cluster) assignment table joined
+    // on cluster = ONE exchange (the probing side), corpus map-only
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.catalog.g_sdj",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    iso.conf.set("spark.sql.catalog.g_sdj.warehouse",
+      cat.warehousePath.toString)
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val assignTbl = iso.table("g_sdj.main.va")
+    val probe = iso.range(0, 8).select(col("id").cast("int").as("cluster"))
+    val j = probe.join(assignTbl.select("cluster", "vec_id"), Seq("cluster"))
+    val n = graft.plans.PlanOps.shuffles(j)
+    assert(n == 1,
+      s"committed assignment table must SPJ-resolve one-sided, got $n:\n" +
+        j.queryExecution.executedPlan)
+  }
+
+  test("semantic-dedup state: auto-compact opt-in, orphan assignments prunable") {
+    import spark.implicits._
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    val srcDir = Files.createTempDirectory("graft-sd-life-src-")
+    vecs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-sd-life-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = loader.startSemanticDeduped(stream, "main", "vc", "va",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "sdl",
+      checkpoint = Some(Files.createTempDirectory("graft-sd-life-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    assert(cat.loadTable("main", "va").metadata.properties
+      .get(graft.write.Maintenance.AutoCompactProp).contains("true"),
+      "assignment table must opt into auto-compact")
+    // erase half the corpus, then prune the assignment table down to it
+    val w = new graft.write.GraftWriter(cat)
+    w.deleteWhere("main", "vc", col("vec_id") < 20,
+      WriteConfig(retryUnitMs = 1))
+    val pruned = loader.pruneOrphanAssignments("main", "vc", "va",
+      WriteConfig(retryUnitMs = 1))
+    assert(pruned > 0, "erased vectors must have had assignments to prune")
+    val live = cat.loadTable("main", "vc").read()
+      .select("vec_id").as[Long].collect().toSet
+    val assigned = cat.loadTable("main", "va").read()
+      .select("vec_id").as[Long].collect().toSet
+    assert(assigned == live, "pruned assignment table must equal the live set")
+    // layout preserved by the prune's replace commit
+    assert(cat.loadTable("main", "va").metadata.partitionSpec.exists(f =>
+      f.source == "cluster" && f.transform == "identity"))
+    assert(loader.pruneOrphanAssignments("main", "vc", "va",
+      WriteConfig(retryUnitMs = 1)) == 0L, "second prune must be a no-op")
+  }
 }
