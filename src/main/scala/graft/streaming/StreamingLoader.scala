@@ -368,9 +368,25 @@ final class StreamingLoader(catalog: GraftCatalog) {
                 writer.writeTable(ns, vecsTable,
                   Seq(batch.join(keep, idCol)), Append, cfg, loadId)
               if (!assignDone) {
+                // state compaction: commit the vector column at SOURCE
+                // precision — when the stream's embeddings are float32,
+                // float→double widening is exact, so verification reads
+                // back bit-identical doubles while the dominant state
+                // table halves (256 B/vec at dim=64). Double-precision
+                // sources keep doubles (a downcast would silently lose
+                // bits).
+                val srcIsFloat = batch.schema(vecCol).dataType match {
+                  case org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.FloatType, _) => true
+                  case _ => false
+                }
+                val assigned = SemanticDedup.assign(
+                  batch.join(keep, idCol), cents, idCol, vecCol)
                 writer.writeTable(ns, assignTable,
-                  Seq(SemanticDedup.assign(batch.join(keep, idCol),
-                    cents, idCol, vecCol)),
+                  Seq(if (srcIsFloat)
+                    assigned.withColumn("v",
+                      transform(col("v"), _.cast("float")))
+                  else assigned),
                   Append, assignCfg, loadId)
                 ensureAutoCompact(ns, assignTable, cfg.retryUnitMs)
               }

@@ -712,6 +712,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.loadTable("main", "va").metadata.properties
       .get(graft.write.Maintenance.AutoCompactProp).contains("true"),
       "assignment table must opt into auto-compact")
+    // state compaction: float32 sources commit float32 state (widening
+    // back to double is exact, so dedup results are bit-identical while
+    // the dominant state table halves)
+    cat.loadTable("main", "va").read().schema("v").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case other => fail(s"float source must commit float state, got $other")
+    }
     // erase half the corpus, then prune the assignment table down to it
     val w = new graft.write.GraftWriter(cat)
     w.deleteWhere("main", "vc", col("vec_id") < 20,
