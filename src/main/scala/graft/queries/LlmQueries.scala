@@ -1268,6 +1268,72 @@ object LlmQueries {
         |FROM inc i LEFT JOIN best b ON b.inc_id = i.vec_id AND b.rn = 1"""
         .stripMargin))),
 
+    // MULTI-PROBE incremental SemDeDup (l64 with probes = 2): the
+    // near-copy recall lever — an incoming vector probes its TWO
+    // nearest clusters (map-side second argmin over the same broadcast
+    // centroids; the committed corpus side stays single-assignment, so
+    // the SPJ story is unchanged). Incoming carries ε=0.1-perturbed
+    // near-copies of every 7th corpus vector (relative ±ε per component,
+    // deterministic xxhash signs — cosine ≈ 0.995, far above the 0.4
+    // threshold, so absorption is decided purely by CANDIDATE recall).
+    // Staged-candidate oracle re-derives the exact-cosine verify +
+    // ranking over the probes=2 candidate set; the in-query require
+    // pins the measured multi-probe recall floor (SemanticDedupSpec
+    // measures 1.000 at ε=0.1; the entry requires ≥ 0.9).
+    "l66_multiprobe_semdedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val half = e.count() / 2
+        val corpus = e.filter(col("vec_id") < half)
+        val eps = 0.1
+        val perturbed = corpus.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 4000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x.cast("double") * (lit(1.0) + lit(eps) *
+                (pmod(xxhash64(col("vec_id"), i), lit(2)) * 2 - 1)
+                  .cast("double"))).as("embedding"))
+        val incoming = e.filter(col("vec_id") >= half)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("embedding"))
+          .unionByName(perturbed)
+        val cents = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
+        val assignTbl = SemanticDedup.assign(corpus, cents)
+        stageForOracle(assignTbl.select(col("vec_id"), col("v")),
+          "l66_corpus")
+        stageForOracle(incoming.select(col("vec_id"),
+          col("embedding").as("v")), "l66_inc")
+        stageForOracle(SemanticDedup.incrementalSemanticCandidates(
+          incoming, assignTbl, cents, probes = 2), "l66_cand")
+        val res = SemanticDedup.incrementalSemanticDedup(
+          incoming, assignTbl, cents, probes = 2)
+        val planted = res.filter(col("vec_id") >= 4000000L)
+        val absorbed = planted.filter(!col("is_new")).count()
+        val total = planted.count()
+        require(total > 0 && absorbed.toDouble / total >= 0.9,
+          s"multi-probe must absorb >= 90% of eps=0.1 near-copies, " +
+            s"got $absorbed/$total")
+        res
+      },
+      Some(s"""WITH cor AS (SELECT vec_id, v
+        |  FROM read_parquet('$OracleStageRoot/l66_corpus/*.parquet')),
+        |inc AS (SELECT vec_id, v
+        |  FROM read_parquet('$OracleStageRoot/l66_inc/*.parquet')),
+        |cand AS (SELECT DISTINCT inc_id, corpus_id
+        |  FROM read_parquet('$OracleStageRoot/l66_cand/*.parquet')),
+        |est AS (SELECT c.inc_id, c.corpus_id,
+        |    round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) AS cos
+        |  FROM cand c
+        |  JOIN inc a ON a.vec_id = c.inc_id
+        |  JOIN cor b ON b.vec_id = c.corpus_id),
+        |best AS (SELECT inc_id, corpus_id, cos,
+        |    row_number() OVER (PARTITION BY inc_id
+        |      ORDER BY cos DESC, corpus_id) AS rn
+        |  FROM est WHERE cos >= 0.4)
+        |SELECT i.vec_id, b.corpus_id AS match_id, b.cos AS cosine,
+        |  b.corpus_id IS NULL AS is_new
+        |FROM inc i LEFT JOIN best b ON b.inc_id = i.vec_id AND b.rn = 1"""
+        .stripMargin))),
+
     // MP4/ISO-BMFF container metadata without decode — the VIDEO
     // edition of l63: per doc a spec-exact box tree (ftyp/moov/mvhd/
     // trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd/stts/stsc/stsz/stco +
