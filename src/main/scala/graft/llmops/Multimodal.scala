@@ -854,11 +854,13 @@ object Multimodal {
     * order with stsd codec fourcc + stsz sample count, totalBytes).
     * Bounds-checked at every level — a corrupt size field fails loudly,
     * never wedges or fabricates. Works on any conformant unfragmented
-    * MP4 (32-bit box sizes). */
+    * MP4: 32-bit and 64-bit (`size == 1` largesize) boxes, mvhd
+    * versions 0 and 1, size-0 run-to-end boxes. */
   def parseMp4(blob: Array[Byte]): (Long, Seq[Mp4Track], Long) = {
     def u32(off: Int): Long =
       ((blob(off) & 0xFFL) << 24) | ((blob(off + 1) & 0xFFL) << 16) |
         ((blob(off + 2) & 0xFFL) << 8) | (blob(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     var mvhdTimescale = 0L
     var mvhdDuration = -1L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
@@ -869,35 +871,54 @@ object Multimodal {
       while (off < until) {
         require(off + 8 <= until,
           s"mp4: truncated box header at $off (container ends at $until)")
-        val size = u32(off)
+        val size32 = u32(off)
         val typ = new String(blob, off + 4, 4, "US-ASCII")
-        require(size != 1, "mp4: 64-bit box sizes unsupported in fixtures")
-        require(size == 0 || (size >= 8 && off + size <= until),
+        // size == 1 → 64-bit largesize follows the type (boxes past
+        // 4 GB — mdat in any real long-form video); size == 0 → box
+        // extends to the end of its container
+        val (size, hdr) =
+          if (size32 == 1) {
+            require(off + 16 <= until,
+              s"mp4: truncated largesize header at $off")
+            val s = u64(off + 8)
+            require(s >= 0, s"mp4: largesize overflows signed 64-bit at $off")
+            (s, 16)
+          } else (size32, 8)
+        require(size == 0 || (size >= hdr && off + size <= until),
           s"mp4: box '$typ' at $off declares size $size beyond its " +
             s"container boundary $until")
         val end = if (size == 0) until else off + size.toInt
         typ match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
             if (typ == "trak") { curCodec = null; curSamples = 0L }
-            walk(off + 8, end, depth + 1)
+            walk(off + hdr, end, depth + 1)
             if (typ == "trak") {
               require(curCodec != null, "mp4: trak without stsd entry")
               tracks += Mp4Track(curCodec, curSamples)
             }
           case "mvhd" =>
-            require(end - off >= 12 + 20, s"mp4: mvhd too short at $off")
-            val version = blob(off + 8) & 0xFF
-            require(version == 0, "mp4: mvhd version 1 unsupported")
-            mvhdTimescale = u32(off + 20)
-            mvhdDuration = u32(off + 24)
+            require(end - off >= hdr + 4 + 20, s"mp4: mvhd too short at $off")
+            val version = blob(off + hdr) & 0xFF
+            // v1 carries 64-bit creation/modification/duration (movies
+            // past 2040 or past 2^32 timescale units)
+            require(version <= 1, s"mp4: mvhd version $version unknown")
+            if (version == 0) {
+              mvhdTimescale = u32(off + hdr + 12)
+              mvhdDuration = u32(off + hdr + 16)
+            } else {
+              require(end - off >= hdr + 4 + 28, s"mp4: mvhd v1 too short")
+              mvhdTimescale = u32(off + hdr + 20)
+              mvhdDuration = u64(off + hdr + 24)
+              require(mvhdDuration >= 0, "mp4: mvhd v1 duration overflow")
+            }
             require(mvhdTimescale > 0, "mp4: mvhd timescale must be > 0")
           case "stsd" =>
-            require(end - off >= 16 + 8, s"mp4: stsd too short at $off")
-            require(u32(off + 12) >= 1, "mp4: stsd with no entries")
-            curCodec = new String(blob, off + 20, 4, "US-ASCII")
+            require(end - off >= hdr + 8 + 8, s"mp4: stsd too short at $off")
+            require(u32(off + hdr + 4) >= 1, "mp4: stsd with no entries")
+            curCodec = new String(blob, off + hdr + 12, 4, "US-ASCII")
           case "stsz" =>
-            require(end - off >= 20, s"mp4: stsz too short at $off")
-            curSamples = u32(off + 16)
+            require(end - off >= hdr + 12, s"mp4: stsz too short at $off")
+            curSamples = u32(off + hdr + 8)
           case _ => () // leaf we don't need (ftyp, mdat, dinf, …)
         }
         off = end

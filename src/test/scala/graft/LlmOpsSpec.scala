@@ -398,6 +398,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d1 == d0 && t1 == t0)
   }
 
+  test("MP4 walker: 64-bit largesize boxes and mvhd version 1 parse like a real demuxer") {
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    val ok = Multimodal.encodeMp4(3L)
+    val (d0, t0, _) = Multimodal.parseMp4(ok)
+    // rewrite the trailing mdat to the largesize form: size=1 marker +
+    // 'mdat' + 64-bit size (header grows 8 -> 16 bytes)
+    val mdatOff = {
+      // mdat is the last top-level box: ftyp.len + moov.len
+      var off = 0
+      var found = -1
+      while (off < ok.length) {
+        val sz = ((ok(off) & 0xFFL) << 24) | ((ok(off + 1) & 0xFFL) << 16) |
+          ((ok(off + 2) & 0xFFL) << 8) | (ok(off + 3) & 0xFFL)
+        if (new String(ok, off + 4, 4, "US-ASCII") == "mdat") found = off
+        off += sz.toInt
+      }
+      found
+    }
+    assert(mdatOff > 0)
+    val payload = java.util.Arrays.copyOfRange(ok, mdatOff + 8, ok.length)
+    val large = java.util.Arrays.copyOfRange(ok, 0, mdatOff) ++
+      be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be64(16L + payload.length) ++ payload
+    val (d2, t2, b2) = Multimodal.parseMp4(large)
+    assert(d2 == d0 && t2 == t0 && b2 == large.length.toLong,
+      "largesize mdat must parse to identical metadata")
+    // minimal tree with a VERSION-1 mvhd (64-bit duration): timescale
+    // 1000, duration 5000 ms -> 5,000,000 us
+    def box(t: String, body: Array[Byte]*) = {
+      val p = body.flatten.toArray
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    }
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0),
+      be64(0), be64(0), be32(1000), be64(5000),
+      be32(0x00010000), Array[Byte](1, 0), new Array[Byte](10),
+      new Array[Byte](36), new Array[Byte](24), be32(2))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1),
+      box("avc1", new Array[Byte](78)))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0), be32(9), be32(7))
+    val tree = box("moov", mvhd1,
+      box("trak", box("mdia", box("minf", box("stbl", stsd, stsz)))))
+    val (d3, t3, _) = Multimodal.parseMp4(tree)
+    assert(d3 == 5000000L, s"mvhd v1 duration must read 64-bit: $d3")
+    assert(t3 == Seq(Multimodal.Mp4Track("avc1", 7)))
+    // a truncated largesize header still fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(java.util.Arrays.copyOfRange(large, 0, mdatOff + 12))
+    }
+  }
+
   test("band-index bucket doctrine: corpus-derived default, clamped and restage-friendly") {
     import graft.llmops.Dedup
     // small corpora stay at the parallelism floor
