@@ -152,16 +152,25 @@ final class StreamingLoader(catalog: GraftCatalog) {
     * repaired on replay by re-deriving this load's index rows from the
     * committed signatures (doc_ids are unique), never by re-running the
     * dedup against the already-updated corpus. */
+  /** `expectedCorpusDocs`, when given, derives the index's `bucket[N]`
+    * from the corpus the pipeline expects to hold
+    * ([[graft.llmops.Dedup.defaultBandBuckets]]) — bucket counts are
+    * creation-time constants, so size them for the DESTINATION corpus,
+    * not the first batch; `bandBuckets` is the explicit override. */
   def startNearDeduped(stream: DataFrame, ns: String, docsTable: String,
       sigsTable: String, cfg: WriteConfig = WriteConfig(),
       queryName: String = "graft-near-dedup",
       checkpoint: Option[String] = None,
       numHashes: Int = 64, bands: Int = 32,
       simThreshold: Double = 0.6,
-      bandBuckets: Int = 16): StreamingQuery = {
+      bandBuckets: Int = 16,
+      expectedCorpusDocs: Option[Long] = None): StreamingQuery = {
+    val effectiveBuckets = expectedCorpusDocs
+      .map(graft.llmops.Dedup.defaultBandBuckets(_, bands))
+      .getOrElse(bandBuckets)
     val bandsTable = sigsTable + "_bands"
     val bandCfg = cfg.copy(partitions =
-      Seq(graft.partition.PartitionHint.bucket(bandBuckets, "bkey")))
+      Seq(graft.partition.PartitionHint.bucket(effectiveBuckets, "bkey")))
     val bandPropStamp = Map(
       graft.llmops.Dedup.NumHashesProp -> numHashes.toString,
       graft.llmops.Dedup.BandsProp -> bands.toString)
@@ -253,7 +262,8 @@ final class StreamingLoader(catalog: GraftCatalog) {
                       Append, bandCfg, loadId)
                     ensureProps(ns, bandsTable, bandPropStamp,
                       cfg.retryUnitMs)
-                    warnIfIndexOutgrown(ns, bandsTable, bandBuckets, bands)
+                    warnIfIndexOutgrown(ns, bandsTable, effectiveBuckets,
+                      bands)
                   }
                 } finally keep.unpersist()
                 // lifecycle: a per-batch append trickle grows the file

@@ -603,6 +603,29 @@ class StreamingSpec extends AnyFunSuite {
       s"mismatch must name the band index: ${e.getMessage}")
   }
 
+  test("near-dedup stream: expectedCorpusDocs derives the band index's bucket count") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 20)
+    val srcDir = Files.createTempDirectory("graft-nd-buck-src-")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-buck-").toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    // a pipeline expecting a 100M-doc corpus: bucket[256] per the
+    // doctrine (32 bands x 16 B rows, ~256 MB/bucket target)
+    val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+      cfg = WriteConfig(retryUnitMs = 1), queryName = "ndk",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-buck-ck-").toString),
+      expectedCorpusDocs = Some(100000000L))
+    try q.awaitTermination() finally q.stop()
+    val spec = cat.loadTable("main", "ds_bands").metadata.partitionSpec
+    assert(spec.exists(f => f.source == "bkey" && f.transform == "bucket" &&
+      f.param.contains(256)),
+      s"bucket count must derive from the expected corpus: $spec")
+  }
+
   test("semantic-dedup stream: crash between vecs and assign commits replays to the identical keep-set") {
     import spark.implicits._
     val vecs = Tables.t(spark, sf, "embeddings")
