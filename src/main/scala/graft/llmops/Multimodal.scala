@@ -864,8 +864,16 @@ object Multimodal {
     var mvhdTimescale = 0L
     var mvhdDuration = -1L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    val trackIds = scala.collection.mutable.ArrayBuffer.empty[Long]
     var curCodec: String = null
     var curSamples = 0L
+    var curTrackId = -1L
+    // fragmented-MP4 state: sample counts arriving in moof/traf/trun
+    // boxes AFTER the moov, keyed by tfhd track_ID; mehd carries the
+    // whole-movie duration (fMP4 moov durations are commonly 0)
+    var mehdDuration = -1L
+    var fragTrack = -1L
+    val fragSamples = scala.collection.mutable.Map.empty[Long, Long]
     def walk(from: Int, until: Int, depth: Int): Unit = {
       var off = from
       while (off < until) {
@@ -889,12 +897,17 @@ object Multimodal {
             s"container boundary $until")
         val end = if (size == 0) until else off + size.toInt
         typ match {
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-            if (typ == "trak") { curCodec = null; curSamples = 0L }
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" | "mvex" |
+              "moof" | "traf" =>
+            if (typ == "trak") {
+              curCodec = null; curSamples = 0L; curTrackId = -1L
+            }
+            if (typ == "traf") fragTrack = -1L
             walk(off + hdr, end, depth + 1)
             if (typ == "trak") {
               require(curCodec != null, "mp4: trak without stsd entry")
               tracks += Mp4Track(curCodec, curSamples)
+              trackIds += curTrackId
             }
           case "mvhd" =>
             require(end - off >= hdr + 4 + 20, s"mp4: mvhd too short at $off")
@@ -919,6 +932,30 @@ object Multimodal {
           case "stsz" =>
             require(end - off >= hdr + 12, s"mp4: stsz too short at $off")
             curSamples = u32(off + hdr + 8)
+          case "tkhd" =>
+            require(end - off >= hdr + 4 + 12, s"mp4: tkhd too short at $off")
+            val v = blob(off + hdr) & 0xFF
+            require(v <= 1, s"mp4: tkhd version $v unknown")
+            // track_ID follows creation/modification (4+4 in v0, 8+8 in v1)
+            curTrackId =
+              if (v == 0) u32(off + hdr + 12) else u32(off + hdr + 20)
+          case "mehd" =>
+            require(end - off >= hdr + 8, s"mp4: mehd too short at $off")
+            val v = blob(off + hdr) & 0xFF
+            require(v <= 1, s"mp4: mehd version $v unknown")
+            mehdDuration =
+              if (v == 0) u32(off + hdr + 4)
+              else { require(end - off >= hdr + 12, "mp4: mehd v1 too short")
+                u64(off + hdr + 4) }
+            require(mehdDuration >= 0, "mp4: mehd duration overflow")
+          case "tfhd" =>
+            require(end - off >= hdr + 8, s"mp4: tfhd too short at $off")
+            fragTrack = u32(off + hdr + 4)
+          case "trun" =>
+            require(end - off >= hdr + 8, s"mp4: trun too short at $off")
+            require(fragTrack >= 0, "mp4: trun before its traf's tfhd")
+            fragSamples(fragTrack) =
+              fragSamples.getOrElse(fragTrack, 0L) + u32(off + hdr + 4)
           case _ => () // leaf we don't need (ftyp, mdat, dinf, …)
         }
         off = end
@@ -928,8 +965,18 @@ object Multimodal {
     walk(0, blob.length, 0)
     require(mvhdDuration >= 0, "mp4: no mvhd box")
     require(tracks.nonEmpty, "mp4: no trak boxes")
-    val durationUs = mvhdDuration * 1000000L / mvhdTimescale
-    (durationUs, tracks.toSeq, blob.length.toLong)
+    // fragmented layout: moof/trun sample counts fold into their moov
+    // track (by tfhd track_ID); mehd supplies the whole-movie duration
+    // when the moov's mvhd says 0
+    val withFrags = tracks.toSeq.zip(trackIds.toSeq).map { case (t, id) =>
+      t.copy(samples = t.samples + fragSamples.getOrElse(id, 0L))
+    }
+    require(fragSamples.keySet.subsetOf(trackIds.toSet),
+      s"mp4: trun references unknown track_IDs " +
+        s"${fragSamples.keySet -- trackIds}")
+    val effDuration = math.max(mvhdDuration, mehdDuration)
+    val durationUs = effDuration * 1000000L / mvhdTimescale
+    (durationUs, withFrags, blob.length.toLong)
   }
 
   def sampleVideoFrames(blobs: DataFrame, k: Int = 4): Dataset[VideoFrame] = {

@@ -450,6 +450,49 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 walker: fragmented layout (moof/tfhd/trun) counts samples, mehd supplies duration") {
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, body: Array[Byte]*) = {
+      val p = body.flatten.toArray
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    }
+    def full(t: String, body: Array[Byte]*) =
+      box(t, Array[Byte](0, 0, 0, 0) +: body: _*)
+    // DASH/HLS-segment shape: moov declares the track with ZERO stsz
+    // samples and a 0 mvhd duration; the samples live in moof fragments
+    // and the movie duration in mvex/mehd
+    val mvhd = full("mvhd", be32(0), be32(0), be32(1000), be32(0),
+      be32(0x00010000), Array[Byte](1, 0), new Array[Byte](10),
+      new Array[Byte](36), new Array[Byte](24), be32(2))
+    val tkhd = full("tkhd", be32(0), be32(0), be32(1) /* track_ID */,
+      be32(0), be32(0), new Array[Byte](60))
+    val stsd = full("stsd", be32(1), box("avc1", new Array[Byte](78)))
+    val stsz = full("stsz", be32(0), be32(0)) // no unfragmented samples
+    val mvex = box("mvex", full("mehd", be32(7200)),
+      full("trex", be32(1), be32(1), be32(0), be32(0), be32(0)))
+    val moov = box("moov", mvhd, mvex,
+      box("trak", tkhd, box("mdia", box("minf", box("stbl", stsd, stsz)))))
+    def frag(seq: Int, n: Int) = box("moof", full("mfhd", be32(seq)),
+      box("traf", full("tfhd", be32(1)), full("trun", be32(n)))) ++
+      box("mdat", new Array[Byte](n * 10))
+    val ftyp = box("ftyp", "iso5".getBytes, be32(512), "iso5".getBytes)
+    val fmp4 = ftyp ++ moov ++ frag(1, 12) ++ frag(2, 18)
+    val (durUs, tracks, bytes) = Multimodal.parseMp4(fmp4)
+    assert(durUs == 7200000L, s"mehd must supply the fMP4 duration: $durUs")
+    assert(tracks == Seq(Multimodal.Mp4Track("avc1", 30)),
+      s"trun sample counts must fold into the moov track: $tracks")
+    assert(bytes == fmp4.length.toLong)
+    // trun before its tfhd is corrupt, loudly
+    val orphanTrun = ftyp ++ moov ++
+      box("moof", full("mfhd", be32(1)), box("traf", full("trun", be32(5))))
+    intercept[IllegalArgumentException] { Multimodal.parseMp4(orphanTrun) }
+    // trun referencing an unknown track_ID is corrupt, loudly
+    val wrongTrack = ftyp ++ moov ++ box("moof", full("mfhd", be32(1)),
+      box("traf", full("tfhd", be32(99)), full("trun", be32(5))))
+    intercept[IllegalArgumentException] { Multimodal.parseMp4(wrongTrack) }
+  }
+
   test("band-index bucket doctrine: corpus-derived default, clamped and restage-friendly") {
     import graft.llmops.Dedup
     // small corpora stay at the parallelism floor
