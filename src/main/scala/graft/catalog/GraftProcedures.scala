@@ -36,7 +36,7 @@ object GraftProcedures {
     "vacuum_orphans", "rollback", "apply_deletes", "analyze",
     "create_branch", "publish_branch", "drop_branch", "rewrite_manifests",
     "delete_backlog", "file_health", "iceberg_export", "iceberg_attach",
-    "prune_signatures", "prune_assignments")
+    "prune_signatures", "prune_assignments", "semdedup_health")
 
   def forName(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -57,6 +57,7 @@ object GraftProcedures {
       case "iceberg_attach" => Some(IcebergAttach(cat))
       case "prune_signatures" => Some(PruneSignatures(cat))
       case "prune_assignments" => Some(PruneAssignments(cat))
+      case "semdedup_health" => Some(SemDedupHealth(cat))
       case _ => None
     }
 
@@ -248,6 +249,43 @@ object GraftProcedures {
         .pruneOrphanAssignments(vns, vecs, assign, idCol = idCol)
       one(StructType(Seq(StructField("pruned", LongType, nullable = false))),
         java.lang.Long.valueOf(pruned))
+    }
+  }
+
+  /** `CALL cat.system.semdedup_health('ns.assign' [, max_skew])` —
+    * the cluster-occupancy maintenance signal for semantic dedup (the
+    * `file_health`/`delete_backlog` pattern): per-batch verification
+    * cost concentrates as batch_share × max_cluster, so a mega-cluster
+    * (skew ≫ 1) is the quadratic failure mode cluster bucketing cannot
+    * outrun. `needs_rebalance` true ⇒ re-train with larger k (replace
+    * the committed centroid table + one full re-assign commit). */
+  private final case class SemDedupHealth(cat: GraftCatalog)
+      extends GraftProcedure {
+    override def name(): String = "semdedup_health"
+    override def description(): String =
+      "report semantic-dedup cluster-occupancy skew and whether the " +
+        "corpus needs a larger-k re-train"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("assign_table", StringType),
+      inDefault("max_skew", DoubleType, "4.0"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = tableOf(cat, input.getUTF8String(0))
+      val maxSkew =
+        if (input.isNullAt(1)) 4.0 else input.getDouble(1)
+      val h = graft.llmops.SemanticDedup.clusterHealth(t.read(), maxSkew)
+      one(StructType(Seq(
+        StructField("n_vectors", LongType, nullable = false),
+        StructField("n_clusters", IntegerType, nullable = false),
+        StructField("max_cluster", LongType, nullable = false),
+        StructField("avg_cluster", DoubleType, nullable = false),
+        StructField("skew", DoubleType, nullable = false),
+        StructField("needs_rebalance", BooleanType, nullable = false))),
+        java.lang.Long.valueOf(h.nVectors),
+        Integer.valueOf(h.nClusters),
+        java.lang.Long.valueOf(h.maxCluster),
+        java.lang.Double.valueOf(h.avgCluster),
+        java.lang.Double.valueOf(h.skew),
+        java.lang.Boolean.valueOf(h.needsRebalance))
     }
   }
 

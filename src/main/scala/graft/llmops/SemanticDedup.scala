@@ -342,6 +342,31 @@ object SemanticDedup {
     rows.map(_._2)
   }
 
+  /** Cluster-occupancy health of a committed assignment table — the
+    * maintenance signal for cluster-bucketed dedup. The per-batch
+    * verification cost concentrates as `batch_share × max_cluster`:
+    * a mega-cluster (skew = max/avg ≫ 1) is the failure mode that
+    * turns the within-cluster search quadratic no matter how large k
+    * is, and multi-probe only worsens it (the hot cluster is probed
+    * MORE). Remedy: re-train with larger k (replace the committed
+    * centroid table + one full re-assign commit — offline maintenance,
+    * never on the ingest path). One aggregate over the assignment
+    * table, k rows out. */
+  final case class ClusterHealth(nVectors: Long, nClusters: Int,
+      maxCluster: Long, avgCluster: Double, skew: Double,
+      needsRebalance: Boolean)
+
+  def clusterHealth(assign: DataFrame, maxSkew: Double = 4.0): ClusterHealth = {
+    val rows = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).collect()
+    val n = rows.map(_.getLong(1)).sum
+    val k = rows.length
+    val mx = if (rows.isEmpty) 0L else rows.map(_.getLong(1)).max
+    val avg = if (k == 0) 0.0 else n.toDouble / k
+    val skew = if (avg == 0.0) 0.0 else mx / avg
+    ClusterHealth(n, k, mx, avg, skew, skew > maxSkew)
+  }
+
   /** Driver entry shape: per-cluster membership / pruning stats. */
   def clusterStats(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
       threshold: Double = 0.4): DataFrame =

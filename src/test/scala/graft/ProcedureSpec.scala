@@ -263,6 +263,16 @@ class ProcedureSpec extends AnyFunSuite {
       "l1")
     w.deleteWhere("main", "vc", org.apache.spark.sql.functions.col("vec_id") < 4,
       WriteConfig(retryUnitMs = 1))
+    // cluster-skew maintenance signal before the prune: 10 vectors over
+    // 3 clusters (sizes 4/3/3) — balanced
+    val h0 = spark.sql(
+      "CALL gproc9.system.semdedup_health('main.va')").collect()(0)
+    assert(h0.getLong(0) == 10L && h0.getInt(1) == 3 &&
+      h0.getLong(2) == 4L && !h0.getBoolean(5), h0)
+    // tight max_skew flips the signal without touching the table
+    assert(spark.sql(
+      "CALL gproc9.system.semdedup_health('main.va', max_skew => 1.1)")
+      .collect()(0).getBoolean(5))
     val pr = spark.sql(
       "CALL gproc9.system.prune_assignments('main.vc', 'main.va')").collect()
     assert(pr(0).getLong(0) == 4L, s"4 erased vectors must prune: ${pr.toSeq}")

@@ -197,6 +197,28 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterHealth flags the mega-cluster failure mode") {
+    import spark.implicits._
+    // balanced: 4 clusters x 25
+    val balanced = (0L until 100L).map(i => (i, (i % 4).toInt))
+      .toDF("vec_id", "cluster")
+    val hb = SemanticDedup.clusterHealth(balanced)
+    assert(hb.nVectors == 100 && hb.nClusters == 4 &&
+      hb.maxCluster == 25 && !hb.needsRebalance &&
+      math.abs(hb.skew - 1.0) < 1e-9)
+    // skewed: one cluster holds 91 of 100 over k=10 — verification in
+    // that cluster is effectively corpus-wide (the thing k was meant to
+    // stop); skew = 91 / 10 = 9.1
+    val skewed = (0L until 100L).map(i =>
+      (i, if (i < 91) 0 else (1 + i % 9).toInt)).toDF("vec_id", "cluster")
+    val hs = SemanticDedup.clusterHealth(skewed)
+    assert(hs.maxCluster == 91 && hs.nClusters == 10)
+    assert(hs.skew > 9.0 && hs.needsRebalance,
+      s"mega-cluster must flag rebalance: $hs")
+    // threshold is the caller's knob
+    assert(!SemanticDedup.clusterHealth(skewed, maxSkew = 10.0).needsRebalance)
+  }
+
   test("pruning precision: every pruned id has a lower-id within-cluster partner") {
     val result = SemanticDedup.semanticDedup(emb, k = 8, iters = 5, threshold = 0.4)
     val rows = result.collect().map(r =>
