@@ -883,10 +883,15 @@ object LlmQueries {
         val e = emb(s, dir).select(col("vec_id"), col("embedding"))
         val planted = e.unionByName(
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        // persist: the candidate join is the expensive stage and feeds
+        // the oracle staging AND the verification; the verified result
+        // additionally serves the recall require and the returned frame —
+        // without caching the bucketed self-join executed three times
         val cand = Similarity.cosineNearDupCandidatesBucketed(planted,
-          numPlanes = 16, tables = 2)
+          numPlanes = 16, tables = 2).persist()
         stageForOracle(cand.select(col("a"), col("b")), "l19_cand")
         val out = Similarity.verifyCosineCandidates(cand, threshold = 0.95)
+          .persist()
         val nPlanted = e.count()
         val found = out.filter(col("b") === col("a") + 1000000L).count()
         require(found == nPlanted,
@@ -1240,8 +1245,10 @@ object LlmQueries {
           transform(col("embedding"), _.cast("double")).as("v")), "l64_inc")
         stageForOracle(SemanticDedup.incrementalSemanticCandidates(
           incoming, committedAssign, cents), "l64_cand")
+        // persist: the recall require and the returned frame otherwise
+        // execute the whole candidate-join + verify pipeline twice
         val res = SemanticDedup.incrementalSemanticDedup(
-          incoming, committedAssign, cents)
+          incoming, committedAssign, cents).persist()
         // structural recall: an exact copy shares its source's argmin
         // cluster and has cosine 1 — none may survive as "new"
         require(res.filter(col("vec_id") >= 3000000L && col("is_new"))
@@ -1297,18 +1304,27 @@ object LlmQueries {
             transform(col("embedding"), _.cast("double")).as("embedding"))
           .unionByName(perturbed)
         val cents = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
-        val assignTbl = SemanticDedup.assign(corpus, cents)
+        // persist: the corpus assignment feeds the corpus staging, the
+        // candidate staging, and the dedup — three executions of the
+        // map-side assign over the corpus otherwise
+        val assignTbl = SemanticDedup.assign(corpus, cents).persist()
         stageForOracle(assignTbl.select(col("vec_id"), col("v")),
           "l66_corpus")
         stageForOracle(incoming.select(col("vec_id"),
           col("embedding").as("v")), "l66_inc")
         stageForOracle(SemanticDedup.incrementalSemanticCandidates(
           incoming, assignTbl, cents, probes = 2), "l66_cand")
+        // persist + ONE aggregate for the recall floor: unpersisted, the
+        // candidate-join pipeline executed four times (two counts, the
+        // require, the returned frame)
         val res = SemanticDedup.incrementalSemanticDedup(
-          incoming, assignTbl, cents, probes = 2)
-        val planted = res.filter(col("vec_id") >= 4000000L)
-        val absorbed = planted.filter(!col("is_new")).count()
-        val total = planted.count()
+          incoming, assignTbl, cents, probes = 2).persist()
+        val floor = res.filter(col("vec_id") >= 4000000L)
+          .agg(count(lit(1)).as("total"),
+            sum(when(!col("is_new"), 1L).otherwise(0L)).as("absorbed"))
+          .collect()(0)
+        val (total, absorbed) =
+          (floor.getAs[Long]("total"), floor.getAs[Long]("absorbed"))
         require(total > 0 && absorbed.toDouble / total >= 0.9,
           s"multi-probe must absorb >= 90% of eps=0.1 near-copies, " +
             s"got $absorbed/$total")
@@ -1572,9 +1588,13 @@ object LlmQueries {
           "seed")
         val committed = iso.table("graft_inear.main.corpus_sigs")
         val committedIdx = iso.table("graft_inear.main.corpus_bands")
-        val incSigs = Dedup.minHashSignatures(incoming)
         stageForOracle(committed, "l57_corpus_sigs")
-        stageForOracle(incSigs, "l57_inc_sigs")
+        stageForOracle(Dedup.minHashSignatures(incoming), "l57_inc_sigs")
+        // the staged signatures ARE the incoming-side input (identical
+        // rows by construction): read them back instead of re-running the
+        // whole incoming-half MinHash aggregation a second time — the
+        // same materialized-intermediate reuse l41/l43 pinned in r7
+        val incSigs = iso.read.parquet(s"$OracleStageRoot/l57_inc_sigs")
         // pin the 100-TB property: the committed index never shuffles —
         // a plain relation joined to it plans with exactly ONE exchange
         // (the incoming side routing into the corpus's bucket layout).

@@ -189,9 +189,18 @@ final class StreamingLoader(catalog: GraftCatalog) {
         if (!(docsDone && sigsDone && bandsDone)) {
           batch.persist()
           try if (!batch.isEmpty) {
+            // localCheckpoint (not persist): the signatures feed the
+            // keep-set join, the sigless anti-join, and TWO table writes —
+            // each of those actions re-analyzes the whole upstream plan
+            // when it is merely cached, and with the SPJ corpus scan in
+            // the lineage that per-action planning cost rivaled the jobs
+            // themselves (measured: ~5.5 s driver-side of a 16 s entry).
+            // Checkpointing truncates the lineage to a leaf; blocks are
+            // batch-sized and freed with the session like any cache.
             val incSigs = graft.llmops.Dedup
-              .minHashSignatures(batch, numHashes = numHashes).persist()
-            try {
+              .minHashSignatures(batch, numHashes = numHashes)
+              .localCheckpoint(false)
+            locally {
               if (!(docsDone && sigsDone)) {
                 val corpusSigs =
                   if (catalog.tableExists(ns, sigsTable))
@@ -229,16 +238,20 @@ final class StreamingLoader(catalog: GraftCatalog) {
                       case _ => None
                     }
                   }
-                // persist the keep-set: it feeds the docs, sigs, AND
+                // checkpoint the keep-set: it feeds the docs, sigs, AND
                 // bands writes — unpersisted, each write would re-run
-                // the whole dedup join against the committed corpus
+                // the whole dedup join against the committed corpus, and
+                // merely persisted, each write's every action would still
+                // re-plan the full SPJ-join lineage (driver-side cost on
+                // par with the jobs; see incSigs note above)
                 val keep = graft.llmops.Dedup
                   .incrementalNearDedup(incSigs, corpusSigs,
                     numHashes = numHashes, bands = bands,
                     simThreshold = simThreshold,
                     committedBandKeys = corpusIdx)
-                  .filter(col("is_new")).select("doc_id").persist()
-                try {
+                  .filter(col("is_new")).select("doc_id")
+                  .localCheckpoint(false)
+                locally {
                   // docs too short to shingle (< n words) get NO MinHash
                   // signature, so they never appear in `keep` — they must
                   // pass through unconditionally (they can't near-dup
@@ -265,7 +278,9 @@ final class StreamingLoader(catalog: GraftCatalog) {
                     warnIfIndexOutgrown(ns, bandsTable, effectiveBuckets,
                       bands)
                   }
-                } finally keep.unpersist()
+                } // keep's checkpoint blocks are ContextCleaner-collected
+                  // once the frame goes unreferenced (no unpersist API for
+                  // local checkpoints)
                 // lifecycle: a per-batch append trickle grows the file
                 // population without bound — opt the state tables into
                 // write-path self-compaction (fires on file_health, not
@@ -287,7 +302,7 @@ final class StreamingLoader(catalog: GraftCatalog) {
                 ensureProps(ns, bandsTable, bandPropStamp, cfg.retryUnitMs)
                 ensureAutoCompact(ns, bandsTable, cfg.retryUnitMs)
               }
-            } finally incSigs.unpersist()
+            }
           } finally batch.unpersist()
         }
         ()
@@ -366,14 +381,19 @@ final class StreamingLoader(catalog: GraftCatalog) {
             // cosine threshold. First batch (no assignment table yet)
             // passes through whole — in-batch near-dups are a batch
             // pair job's business, same contract as startNearDeduped.
+            // localCheckpoint (not persist): the keep-set feeds BOTH table
+            // writes, and each write's every action would re-plan the full
+            // SPJ-join lineage when merely cached — same measured
+            // driver-side planning cost as startNearDeduped's keep-set
             val keep =
               (if (!catalog.tableExists(ns, assignTable))
                 batch.select(col(idCol))
               else SemanticDedup.incrementalSemanticDedup(batch,
                   spjRead(batch.sparkSession, ns, assignTable),
                   cents, threshold, idCol, vecCol, probes)
-                .filter(col("is_new")).select(col(idCol))).persist()
-            try {
+                .filter(col("is_new")).select(col(idCol)))
+                .localCheckpoint(false)
+            locally {
               if (!vecsDone)
                 writer.writeTable(ns, vecsTable,
                   Seq(batch.join(keep, idCol)), Append, cfg, loadId)
@@ -400,7 +420,7 @@ final class StreamingLoader(catalog: GraftCatalog) {
                   Append, assignCfg, loadId)
                 ensureAutoCompact(ns, assignTable, cfg.retryUnitMs)
               }
-            } finally keep.unpersist()
+            }
           } finally batch.unpersist()
         }
         ()

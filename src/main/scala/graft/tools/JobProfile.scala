@@ -22,7 +22,9 @@ object JobProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         starts.put(js.jobId, (System.nanoTime(),
-          Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+          Option(js.properties.getProperty("spark.job.description"))
+            .orElse(Option(js.properties.getProperty("callSite.short")))
+            .getOrElse("?")))
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, site) =>
           rows.add((je.jobId, (System.nanoTime() - t0) / 1e9, site))

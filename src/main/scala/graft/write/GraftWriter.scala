@@ -233,17 +233,20 @@ final class GraftWriter(catalog: GraftCatalog) {
       case _ => // upsert (default)
         // ONE grouped aggregation serves both the duplicate-PK contract
         // check (mirroring PyIceberg's upsert contract) and the distinct
-        // key set for the rewrite — cached so the batch shuffles at most
-        // once on the keys. The dup check, per-key min/max ranges, and
-        // key count all fold into a SINGLE action over it: per-load fixed
-        // action count is what dominates trickle loads and streaming
-        // micro-batches.
+        // key set for the rewrite — local-checkpointed so the batch
+        // shuffles at most once on the keys AND every downstream action
+        // (range/dup agg, key staging, affected-file rewrite) plans
+        // against a leaf instead of re-analyzing the incoming batch's
+        // full lineage. Per-load fixed action count is what dominates
+        // trickle loads and streaming micro-batches.
         val grouped = remaining.groupBy(pks.map(col): _*)
-          .agg(count(lit(1)).as("__n")).cache()
-        try {
+          .agg(count(lit(1)).as("__n")).localCheckpoint(false)
+        locally {
           val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk)))) ++
             Seq(count(lit(1)).as("__cnt"), max(col("__n")).as("__maxn"))
-          val st = grouped.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+          val st = graft.JobDesc(spark, s"graft.merge:dupcheck $loadId") {
+            grouped.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+          }
           if (st.getAs[Long]("__maxn") > 1)
             throw new ValidationError(
               s"Upsert batch contains duplicate primary keys on (${pks.mkString(", ")})")
@@ -284,7 +287,7 @@ final class GraftWriter(catalog: GraftCatalog) {
             morCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
           else rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg,
             precomputed = Some((st, keyCount)))
-        } finally grouped.unpersist()
+        } // grouped's checkpoint blocks are ContextCleaner-collected
     }
   }
 
@@ -788,9 +791,11 @@ final class GraftWriter(catalog: GraftCatalog) {
       // a file with no bloom hit for ANY batch key cannot be affected.
       val bloomProbeKeys: Option[Seq[Any]] =
         if (keyCount > MaxBloomProbeKeys) None
-        else Some(keysCached.select(col(pks.head)).distinct().collect()
-          .map(_.get(0)).filter(_ != null).toSeq)
+        else Some(graft.JobDesc(spark, s"graft.merge:probe $loadId") {
+          keysCached.select(col(pks.head)).distinct().collect()
+        }.map(_.get(0)).filter(_ != null).toSeq)
 
+      graft.JobDesc(spark, s"graft.merge:rewrite $loadId") {
       t.commit({ fresh =>
         val perColumn: Seq[Seq[DataFile]] = pks.zipWithIndex.flatMap { case (pk, i) =>
           // an all-null key column can never equality-match: no constraint
@@ -856,6 +861,7 @@ final class GraftWriter(catalog: GraftCatalog) {
         fresh.withSnapshotDelta(op, Some(loadId), rewritten ++ stagedNew,
           affectedPaths)
       }, cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
+      }
     } finally keysCached.unpersist()
   }
 }

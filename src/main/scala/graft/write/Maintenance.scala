@@ -205,6 +205,7 @@ object Maintenance {
       t.spark.read.schema(m.schema).parquet(small.map(_.path): _*),
       small, m.currentSnapshot.map(_.deletes).getOrElse(Nil),
       m.currentSnapshot.map(_.posDeletes).getOrElse(Nil))
+    graft.JobDesc(t.spark, s"graft.maint:compact ${m.identifier}") {
     // a declared write sort-order survives compaction: re-cluster the
     // restaged rows instead of blindly coalescing, so the disjoint
     // key-range layout that TopN/min-max pruning rely on is restored
@@ -243,6 +244,7 @@ object Maintenance {
       fresh.withSnapshotDelta("compact", None, staged, smallPaths)
     }, unitMs = retryUnitMs)
     true
+    }
   }
 
   /** Physically apply every outstanding merge-on-read [[graft.catalog
@@ -267,6 +269,7 @@ object Maintenance {
     val deletes = m.currentSnapshot.map(_.deletes).getOrElse(Nil)
     val posDeletes = m.currentSnapshot.map(_.posDeletes).getOrElse(Nil)
     if (deletes.isEmpty && posDeletes.isEmpty) return false
+    graft.JobDesc(t.spark, s"graft.maint:apply-deletes ${m.identifier}") {
     // a file needs rewriting if an equality delete could fence it OR a
     // positional delete targets it by path
     val maxSeq = deletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
@@ -310,6 +313,7 @@ object Maintenance {
         clearDeletes = true)
     }, unitMs = retryUnitMs)
     true
+    }
   }
 
   /** Z-order clustering rewrite: re-sorts the table's rows along a Morton

@@ -159,7 +159,19 @@ object Stager {
     val writer =
       if (partitionCols.nonEmpty) writerBase.partitionBy(partitionCols: _*)
       else writerBase
-    writer.parquet(dest.toString)
+    graft.JobDesc(spark, s"graft.stage:write $loadId") {
+      // Spark's default parquet timestamp encoding is INT96, which (a) is
+      // the one physical type the Iceberg spec forbids and (b) carries NO
+      // footer min/max — every engine-written timestamp column was
+      // invisible to footer-stat pruning and to range claiming. Write
+      // spec-conformant int64 micros instead (save/restore, same session
+      // hygiene as Tables.t's nanos flag).
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try writer.parquet(dest.toString)
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
 
     val files = graft.catalog.PathIO.walk(dest)
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -172,12 +184,29 @@ object Stager {
     // scan can provide.
     val base =
       if (spec.isEmpty) FooterStats.collect(files, schema)
-      else collectStats(spark, files, schema, spec)
+      else derivedStatsFromPaths(files, schema, spec) match {
+        // value-exact layout: every file's derived partition values are
+        // IN its directory name (partitionBy wrote them), so the stats
+        // the second scan existed to compute fold from the path plus the
+        // parquet footers — zero data re-read, one Spark job less per
+        // partitioned commit (trickle ingest pays this on every batch)
+        case Some(derived) =>
+          FooterStats.collect(files, schema).map { f =>
+            f.copy(stats = f.stats ++ derived(f.path))
+          }
+        // undecodable dir value (null/empty partition, exotic derived
+        // type): the scan remains the exact fallback
+        case None => graft.JobDesc(spark, s"graft.stage:stats $loadId") {
+          collectStats(spark, files, schema, spec)
+        }
+      }
     val present = bloomColumns.filter(c => schema.fieldNames.contains(c) &&
       graft.catalog.KeyBloom.supportsBloom(schema(c).dataType))
     val withBlooms = if (present.isEmpty) base
     else {
-      val blooms = collectBlooms(spark, files, schema, present)
+      val blooms = graft.JobDesc(spark, s"graft.stage:bloom $loadId") {
+        collectBlooms(spark, files, schema, present)
+      }
       base.map { f =>
         blooms.get(f.path).fold(f) { byCol =>
           f.copy(stats = byCol.foldLeft(f.stats) { case (st, (c, b64)) =>
@@ -191,7 +220,9 @@ object Stager {
       supportsSketch(schema(c).dataType))
     if (skPresent.isEmpty) withBlooms
     else {
-      val sketches = collectSketches(spark, files, schema, skPresent)
+      val sketches = graft.JobDesc(spark, s"graft.stage:sketch $loadId") {
+        collectSketches(spark, files, schema, skPresent)
+      }
       withBlooms.map { f =>
         sketches.get(f.path).fold(f) { byCol =>
           f.copy(stats = byCol.foldLeft(f.stats) { case (st, (c, b64)) =>
@@ -262,6 +293,68 @@ object Stager {
       }.toMap
       normalizeFileUri(r.getAs[String]("__file")) -> byCol
     }.toMap
+  }
+
+  /** Derived-column stats recovered from the value-exact directory layout
+    * instead of a second scan: `partitionBy` wrote each staged file under
+    * `__graft_p_<name>=<value>` segments, so the derived transform value —
+    * which is single-valued per file BY CONSTRUCTION of the layout — is in
+    * the path. Decodes only where the mapping to [[statColumn]]'s canonical
+    * string is exact and total (int/long/string-typed transforms verbatim;
+    * DATE re-encoded as epoch days); anything else — a null/empty partition
+    * value (Hive default-partition marker is ambiguous between the two),
+    * float/decimal/timestamp identity partitioning — returns None and the
+    * caller falls back to the scanning pass. Min = max = the value and
+    * nullCount = 0, exactly what [[collectStats]] computes for a
+    * value-exact file, so SPJ key recovery and DPP see identical stats. */
+  private[write] def derivedStatsFromPaths(files: Seq[String],
+      schema: StructType, spec: Seq[PartitionFieldSpec]):
+      Option[Map[String, Map[String, ColumnStats]]] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val derivedType: Map[String, Option[DataType]] = spec.map { s =>
+      val srcType = schema(s.source).dataType
+      s.name -> (s.transform match {
+        case "identity" => srcType match {
+          case IntegerType | LongType | StringType | DateType => Some(srcType)
+          case _ => None
+        }
+        case "year" => Some(IntegerType)
+        case "month" | "hour" => Some(StringType)
+        case "day" => Some(DateType)
+        case "bucket" => Some(IntegerType)
+        case "truncate" => srcType match {
+          case StringType | IntegerType | LongType => Some(srcType)
+          case _ => None // decimal/binary truncate: fall back to the scan
+        }
+        case _ => None
+      })
+    }.toMap
+    if (derivedType.values.exists(_.isEmpty)) return None
+    val seg = raw"__graft_p_([^/=]+)=([^/]*)".r
+    val out = files.map { f =>
+      val byName = seg.findAllMatchIn(f).map(m =>
+        m.group(1) -> ExternalCatalogUtils.unescapePathName(m.group(2))).toMap
+      val stats = spec.map { s =>
+        byName.get(s.name) match {
+          case Some(v) if v != ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              && v.nonEmpty =>
+            val canon = derivedType(s.name).get match {
+              case DateType =>
+                try java.time.LocalDate.parse(v).toEpochDay.toString
+                catch { case _: java.time.format.DateTimeParseException =>
+                  return None }
+              case IntegerType | LongType =>
+                // must be a plain integer literal, or bail to the scan
+                if (v.matches("-?\\d+")) v else return None
+              case _ => v // string transforms carry verbatim
+            }
+            s.name -> ColumnStats(Some(canon), Some(canon), Some(0L))
+          case _ => return None // null/empty/missing: scan decides
+        }
+      }.toMap
+      f -> stats
+    }.toMap
+    Some(out)
   }
 
   /** One distributed pass computing per-file rowCount + per-column
