@@ -313,6 +313,33 @@ object Multimodal {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  /** Bounded per-JVM memo of solid-color JPEG frames keyed on exact pixel
+    * content (w, h, rgb): identical inputs encode to identical bytes, and
+    * the synthetic corpus recycles a few thousand distinct frames across
+    * hundreds of thousands of containers — ImageIO encoder setup per
+    * frame was the dominant cost of the AVI fixture builder (l23). Cap
+    * bounds executor memory (~1 KB/frame); past it, encode directly. */
+  private val solidJpegCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+  private val SolidJpegCacheMax = 16384
+
+  private def solidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val cached = solidJpegCache.get((w, h, rgb))
+    if (cached != null) return cached
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    if (solidJpegCache.size < SolidJpegCacheMax)
+      solidJpegCache.putIfAbsent((w, h, rgb), bytes)
+    bytes
+  }
+
   /** Encode a REAL MJPEG-in-AVI container: RIFF('AVI ') with a
     * spec-shaped hdrl (avih + strl/strh/strf) and a movi list of one
     * '00dc' chunk per frame, each a genuine JPEG (JDK ImageIO encoder —
@@ -324,18 +351,10 @@ object Multimodal {
     val frames = (0 until n).map { i =>
       val w = aviFrameWidth(docId, i)
       val h = aviFrameHeight(docId, i)
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (((docId * 37 + i * 11) % 200 + 28).toInt << 16) |
         (((docId * 17 + i * 7) % 200 + 28).toInt << 8) |
         ((docId * 29 + i * 13) % 200 + 28).toInt
-      val g = img.createGraphics()
-      g.setColor(new java.awt.Color(rgb))
-      g.fillRect(0, 0, w, h)
-      g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      solidJpeg(w, h, rgb)
     }
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
@@ -979,6 +998,28 @@ object Multimodal {
     (durationUs, withFrags, blob.length.toLong)
   }
 
+  /** Bounded per-JVM memo of decoded frame dimensions keyed on the exact
+    * JPEG bytes (content equality via ByteBuffer): a corpus with repeated
+    * frames — thumbnails, test fixtures, re-encoded stills — decodes each
+    * DISTINCT frame once per executor instead of once per occurrence.
+    * Decode failures are never cached (the require must fire per doc). */
+  private val frameDimCache = new java.util.concurrent.ConcurrentHashMap[
+    java.nio.ByteBuffer, (Int, Int)]()
+  private val FrameDimCacheMax = 16384
+
+  private def decodeFrameDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val key = java.nio.ByteBuffer.wrap(bytes)
+    val hit = frameDimCache.get(key)
+    if (hit != null) return Some(hit)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val dims = (img.getWidth, img.getHeight)
+    if (frameDimCache.size < FrameDimCacheMax)
+      frameDimCache.putIfAbsent(key, dims)
+    Some(dims)
+  }
+
   def sampleVideoFrames(blobs: DataFrame, k: Int = 4): Dataset[VideoFrame] = {
     require(k >= 2, "need at least 2 sample points")
     val spark = blobs.sparkSession
@@ -991,10 +1032,9 @@ object Multimodal {
           val n = frames.length
           (0 until k).map { i =>
             val fi = (i.toLong * (n - 1) / (k - 1)).toInt
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(frames(fi)))
-            require(img != null, s"undecodable frame $fi of doc ${m.doc_id}")
-            VideoFrame(m.doc_id, fi, n, img.getWidth, img.getHeight)
+            val dims = decodeFrameDims(frames(fi))
+            require(dims.isDefined, s"undecodable frame $fi of doc ${m.doc_id}")
+            VideoFrame(m.doc_id, fi, n, dims.get._1, dims.get._2)
           }
         }
       }

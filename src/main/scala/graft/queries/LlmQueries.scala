@@ -459,7 +459,9 @@ object LlmQueries {
     // over the same candidates. Recall/memory bounds stay in PqSpec.
     "l41_ann_pq" -> ((
       (s: SparkSession, dir: String) => {
-        val e = emb(s, dir)
+        // persist: codebook training (seeds + 4 Lloyd iterations), the
+        // encode pass, and the exact rerank each re-scan the embeddings
+        val e = emb(s, dir).persist()
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(graft.llmops.Pq.adcTopK(e, q, k = 3,
           emitShortlist = true), "l41_candidates")
@@ -477,7 +479,8 @@ object LlmQueries {
     // same pattern as l41; recall pinned in PqSpec.
     "l43_ann_ivfpq" -> ((
       (s: SparkSession, dir: String) => {
-        val e = emb(s, dir)
+        // persist: coarse centroids + codebooks + encode + rerank re-scans
+        val e = emb(s, dir).persist()
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(graft.llmops.Pq.ivfPqTopK(e, q, k = 3,
           emitShortlist = true), "l43_candidates")
@@ -918,7 +921,8 @@ object LlmQueries {
     // mismatch. Recall vs brute force stays pinned in LlmOpsSpec.
     "l11_ann_lsh" -> ((
       (s: SparkSession, dir: String) => {
-        val e = emb(s, dir)
+        // persist: bucketing and the exact rerank both scan the embeddings
+        val e = emb(s, dir).persist()
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(Similarity.lshCandidatePairs(e, q,
           numPlanes = 4, tables = 8), "l11_candidates")
@@ -933,7 +937,8 @@ object LlmQueries {
     // oracle pattern as l11; recall pinned in LlmOpsSpec
     "l20_ann_ivf" -> ((
       (s: SparkSession, dir: String) => {
-        val e = emb(s, dir)
+        // persist: centroid sample, corpus assignment, and rerank re-scans
+        val e = emb(s, dir).persist()
         val q = e.filter(col("vec_id") < 10)
         stageForOracle(Similarity.ivfCandidatePairs(e, q,
           nlist = 16, nprobe = 4), "l20_candidates")

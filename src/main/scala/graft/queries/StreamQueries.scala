@@ -118,18 +118,22 @@ object StreamQueries {
         val copies = docs
           .filter(col("doc_id") % 5 === 0 && col("doc_id") < (chunks - 1) * per)
           .select((col("doc_id") + 7000000L).as("doc_id"))
-        stageForOracle(docs.unionByName(copies)
-          .withColumn("chunk",
-            when(col("doc_id") >= 7000000L,
-              floor((col("doc_id") - 7000000L) / per) + 1)
-              .otherwise(floor(col("doc_id") / per)).cast("int"))
-          .withColumn("url", s10Url(col("doc_id"))), "s10_urls")
         val q = loader.startUrlDeduped(
           src.withColumn("url", s10Url(col("doc_id"))),
           "main", "pages", cfg = WriteConfig(retryUnitMs = 10),
           queryName = "s10",
           checkpoint = Some(Files.createTempDirectory("graft-s10ck-").toString))
-        try q.awaitTermination() finally q.stop()
+        // oracle staging is stream-independent: overlap it with the
+        // micro-batches (guide §2.6), same as s9
+        try {
+          stageForOracle(docs.unionByName(copies)
+            .withColumn("chunk",
+              when(col("doc_id") >= 7000000L,
+                floor((col("doc_id") - 7000000L) / per) + 1)
+                .otherwise(floor(col("doc_id") / per)).cast("int"))
+            .withColumn("url", s10Url(col("doc_id"))), "s10_urls")
+          q.awaitTermination()
+        } finally q.stop()
         require(q.lastProgress == null ||
           q.lastProgress.stateOperators.isEmpty,
           "url-dedup stream must hold no state-store state")
@@ -194,17 +198,23 @@ object StreamQueries {
           .select((col("doc_id") + 7000000L).as("doc_id"),
             concat(col("text"), lit(" graftmarker")).as("text"))
         val incoming = docs.unionByName(copies)
-        stageForOracle(
-          graft.llmops.Dedup.minHashSignatures(incoming)
-            .withColumn("chunk",
-              when(col("doc_id") >= 7000000L,
-                floor((col("doc_id") - 7000000L) / per) + 1)
-                .otherwise(floor(col("doc_id") / per)).cast("int")),
-          "s9_sigs")
         val q = loader.startNearDeduped(src, "main", "docs_clean",
           "doc_sigs", cfg = WriteConfig(retryUnitMs = 10), queryName = "s9",
           checkpoint = Some(Files.createTempDirectory("graft-s9ck-").toString))
-        try q.awaitTermination() finally q.stop()
+        // the oracle staging (a full MinHash over incoming ∪ copies) reads
+        // nothing the stream writes — run it CONCURRENTLY with the
+        // micro-batches so its jobs back-fill the stream's idle cores
+        // (guide §2.6); staging failure still stops the stream
+        try {
+          stageForOracle(
+            graft.llmops.Dedup.minHashSignatures(incoming)
+              .withColumn("chunk",
+                when(col("doc_id") >= 7000000L,
+                  floor((col("doc_id") - 7000000L) / per) + 1)
+                  .otherwise(floor(col("doc_id") / per)).cast("int")),
+            "s9_sigs")
+          q.awaitTermination()
+        } finally q.stop()
         // zero Spark streaming state: the committed table is the state
         require(q.lastProgress == null ||
           q.lastProgress.stateOperators.isEmpty,
