@@ -231,29 +231,54 @@ final class GraftWriter(catalog: GraftCatalog) {
         else rewriteCommit(t, delKeys, pks, staged, "delete-insert", loadId, cfg)
 
       case _ => // upsert (default)
-        // ONE grouped aggregation serves both the duplicate-PK contract
-        // check (mirroring PyIceberg's upsert contract) and the distinct
-        // key set for the rewrite — local-checkpointed so the batch
-        // shuffles at most once on the keys AND every downstream action
-        // (range/dup agg, key staging, affected-file rewrite) plans
-        // against a leaf instead of re-analyzing the incoming batch's
-        // full lineage. Per-load fixed action count is what dominates
-        // trickle loads and streaming micro-batches.
-        val grouped = remaining.groupBy(pks.map(col): _*)
-          .agg(count(lit(1)).as("__n")).localCheckpoint(false)
-        locally {
-          val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk)))) ++
-            Seq(count(lit(1)).as("__cnt"), max(col("__n")).as("__maxn"))
-          val st = graft.JobDesc(spark, s"graft.merge:dupcheck $loadId") {
-            grouped.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+        // FUSED dup check + key staging (r15, guide §1.2 "remove passes"):
+        // the distinct key set is staged ONCE as a parquet file whose
+        // footer already carries rowCount (= distinct key count) and
+        // per-column min/max — the numbers the old grouped-aggregate job
+        // (2 Spark jobs per commit) existed to collect. The duplicate-PK
+        // contract needs no per-key count at all: the batch holds a
+        // duplicate iff staged batch rows > distinct keys, and both are
+        // footer row counts the two staging passes produce for free. For
+        // merge-on-read the key file IS the commit's equality-delete file
+        // (what morCommit used to stage a second time); for copy-on-write
+        // it is a scratch file the rewrite reads as a leaf (no lineage to
+        // re-plan, no localCheckpoint), deleted after the commit.
+        val mNow = t.metadata
+        val keyDf = remaining.select(pks.map(col): _*).distinct()
+        val keyScratch: Option[java.nio.file.Path] =
+          if (cfg.mergeOnRead) None
+          else Some(java.nio.file.Files.createTempDirectory("graft-keys-"))
+        try {
+          // MoR delete files stay single-file (trickle-sized by design,
+          // broadcast on read); CoW scratch keys keep the write parallel —
+          // a bulk upsert's key projection must not serialize on one task
+          val keyStaged = graft.JobDesc(spark, s"graft.merge:keys $loadId") {
+            Stager.stage(
+              if (cfg.mergeOnRead) keyDf.coalesce(1) else keyDf,
+              keyScratch.getOrElse(t.dir.resolve("deletes")), loadId)
           }
-          if (st.getAs[Long]("__maxn") > 1)
+          val keyCount = keyStaged.map(_.rowCount).sum
+          // after the dup check, upsert rows == distinct keys: a batch
+          // small enough to land in one staged file gains nothing from
+          // range clustering (one file's [min,max] IS the batch range) —
+          // skip the range-sampling pass + shuffle it would cost
+          val clusterBy =
+            if (cfg.clusterByKeys && keyCount > GraftWriter.SmallBatchNoClusterRows)
+              pks
+            else Nil
+          val staged = Stager.stage(remaining, t.dataDir, loadId,
+            mNow.partitionSpec, clusterBy,
+            GraftWriter.bloomColumns(mNow, cfg),
+            GraftWriter.sketchColumns(mNow, cfg), cfg.maxRecordsPerFile)
+          if (staged.map(_.rowCount).sum > keyCount)
             throw new ValidationError(
               s"Upsert batch contains duplicate primary keys on (${pks.mkString(", ")})")
-          val keyCount = st.getAs[Long]("__cnt")
 
-          // hard deletes first, as a separate commit (separate PyIceberg
-          // transaction in the reference, destination_client.py:1438-1441).
+          // hard deletes AFTER the dup check (a duplicate batch must
+          // commit NOTHING — staged files above are uncommitted orphans)
+          // and BEFORE the upsert, as a separate commit (separate
+          // PyIceberg transaction in the reference,
+          // destination_client.py:1438-1441).
           // Replay safety: a crash between this sub-commit and the main
           // commit makes exactly-once callers (StreamingLoader) re-run the
           // whole load under the same loadId — an already-present
@@ -270,24 +295,24 @@ final class GraftWriter(catalog: GraftCatalog) {
               else rewriteCommit(t, delKeys, pks, Nil, "delete", hdId, cfg)
             }
           }
-          val upsertKeys = grouped.select(pks.map(col): _*)
-          // after the dup check, upsert rows == distinct keys: a batch
-          // small enough to land in one staged file gains nothing from
-          // range clustering (one file's [min,max] IS the batch range) —
-          // skip the range-sampling pass + shuffle it would cost
-          val clusterBy =
-            if (cfg.clusterByKeys && keyCount > GraftWriter.SmallBatchNoClusterRows)
-              pks
-            else Nil
-          val staged = Stager.stage(remaining, t.dataDir, loadId,
-            t.metadata.partitionSpec, clusterBy,
-            GraftWriter.bloomColumns(t.metadata, cfg),
-            GraftWriter.sketchColumns(t.metadata, cfg), cfg.maxRecordsPerFile)
           if (cfg.mergeOnRead)
-            morCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg)
-          else rewriteCommit(t, upsertKeys, pks, staged, "upsert", loadId, cfg,
-            precomputed = Some((st, keyCount)))
-        } // grouped's checkpoint blocks are ContextCleaner-collected
+            morCommitStaged(t,
+              keyStaged.map(f => DeleteFile(f.path, pks, f.rowCount, 0L, f.stats)),
+              staged, "upsert", loadId, cfg)
+          else {
+            val keySchema = org.apache.spark.sql.types.StructType(
+              pks.map(pk => remaining.schema(pk)))
+            val keys =
+              if (keyStaged.isEmpty) // empty batch: no key files written
+                spark.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](), keySchema)
+              else spark.read.schema(keySchema)
+                .parquet(keyStaged.map(_.path): _*)
+            rewriteCommit(t, keys, pks, staged, "upsert", loadId, cfg,
+              precomputed = GraftWriter.rangesFromStats(keyStaged, pks, keySchema)
+                .map(rs => (rs, keyCount)))
+          }
+        } finally keyScratch.foreach(GraftWriter.deleteQuietly)
     }
   }
 
@@ -747,6 +772,15 @@ final class GraftWriter(catalog: GraftCatalog) {
     val delFiles = Stager
       .stage(keys.coalesce(1), t.dir.resolve("deletes"), loadId)
       .map(f => DeleteFile(f.path, pks, f.rowCount, 0L, f.stats))
+    morCommitStaged(t, delFiles, stagedNew, op, loadId, cfg)
+  }
+
+  /** [[morCommit]] for callers that already staged the delete-key file
+    * (the fused upsert path, which derives its dup check and key count
+    * from that file's footer instead of a separate aggregate job). */
+  private def morCommitStaged(t: GraftTable, delFiles: Seq[DeleteFile],
+      stagedNew: Seq[DataFile], op: String, loadId: String,
+      cfg: WriteConfig): Unit = {
     t.commit(fresh => fresh.withSnapshotDelta(op, Some(loadId), stagedNew,
       Set.empty, newDeletes = delFiles, branch = cfg.toBranch),
       cfg.maxRetries, cfg.backoffBase, cfg.retryUnitMs)
@@ -766,21 +800,33 @@ final class GraftWriter(catalog: GraftCatalog) {
     * CAS conflict. */
   private def rewriteCommit(t: GraftTable, keys: DataFrame, pks: Seq[String],
       stagedNew: Seq[DataFile], op: String, loadId: String, cfg: WriteConfig,
-      precomputed: Option[(org.apache.spark.sql.Row, Long)] = None): Unit = {
+      precomputed: Option[(Seq[Option[(String, String)]], Long)] = None): Unit = {
     val keysCached = keys.cache()
     try {
       // key ranges for file pruning on EVERY PK column (one metadata-scale
       // agg): a file is affected only if its [min,max] overlaps the batch
       // range on ALL key columns. Pruning on the first column alone lets a
       // low-cardinality leading key (e.g. region of a (region, id) PK)
-      // select nearly every file and rewrite far too much. The key count
-      // folds into the same action; callers that already aggregated the
-      // key set (upsert's dup check) pass both in and pay zero extra jobs.
-      val (range, keyCount) = precomputed.getOrElse {
+      // select nearly every file and rewrite far too much. Ranges arrive
+      // in CANONICAL stat-string form (Stager.statColumn encoding), per pk,
+      // None = an all-null key column (can never equality-match). Callers
+      // that staged the key set (the fused upsert) pass footer-derived
+      // ranges in and pay zero extra jobs; everyone else pays one agg.
+      val (ranges, keyCount) = precomputed.getOrElse {
         val rangeAggs = pks.flatMap(pk => Seq(min(col(pk)), max(col(pk)))) ++
           Seq(count(lit(1)).as("__cnt"))
-        val r = keysCached.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
-        (r, r.getAs[Long]("__cnt"))
+        val r = graft.JobDesc(spark, s"graft.merge:ranges $loadId") {
+          keysCached.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+        }
+        val rs = pks.zipWithIndex.map { case (pk, i) =>
+          if (r.isNullAt(2 * i)) None
+          else {
+            val dt = keys.schema(pk).dataType
+            Some((canonicalKey(dt, r.get(2 * i)),
+              canonicalKey(dt, r.get(2 * i + 1))))
+          }
+        }
+        (rs, r.getAs[Long]("__cnt"))
       }
 
       // Trickle-merge bloom probe: random (UUID) keys make every file's
@@ -797,15 +843,10 @@ final class GraftWriter(catalog: GraftCatalog) {
 
       graft.JobDesc(spark, s"graft.merge:rewrite $loadId") {
       t.commit({ fresh =>
-        val perColumn: Seq[Seq[DataFile]] = pks.zipWithIndex.flatMap { case (pk, i) =>
+        val perColumn: Seq[Seq[DataFile]] = pks.zip(ranges).flatMap {
           // an all-null key column can never equality-match: no constraint
-          if (range.isNullAt(2 * i)) None
-          else {
-            val dt = fresh.schema(pk).dataType
-            Some(t.filesOverlapping(fresh, pk,
-              canonicalKey(dt, range.get(2 * i)),
-              canonicalKey(dt, range.get(2 * i + 1))))
-          }
+          case (pk, rg) =>
+            rg.map { case (lo, hi) => t.filesOverlapping(fresh, pk, lo, hi) }
         }
         val affected: Seq[DataFile] =
           if (perColumn.isEmpty) Nil // empty or all-null key batch
@@ -871,6 +912,62 @@ object GraftWriter {
     * bloom probe (probe cost is |files| x |keys| bit tests; the payoff —
     * avoiding needless file rewrites — concentrates in trickle merges). */
   val MaxBloomProbeKeys = 64
+
+  /** Canonical per-pk [lo, hi] ranges folded from staged key-file footer
+    * stats ([[graft.write.FooterStats]] canonicalizes exactly like
+    * `Stager.statColumn`, so these strings feed `filesOverlapping`
+    * directly). Aligned with `pks`; a pk folds to None when every key
+    * value is null (no equality match possible — same contract as the
+    * aggregate path's null range). Returns None — caller falls back to
+    * the aggregate job — when any file lacks usable stats for a pk that
+    * HAS non-null values (e.g. a footer that omitted oversized binary
+    * min/max): treating that as "no constraint" would silently shrink
+    * the affected-file set and resurrect deleted rows. Footer-truncated
+    * string prefixes are safe here: parquet truncation only WIDENS
+    * [min,max], which can only widen the rewrite, never lose a file. */
+  private[write] def rangesFromStats(staged: Seq[graft.catalog.DataFile],
+      pks: Seq[String],
+      schema: org.apache.spark.sql.types.StructType):
+      Option[Seq[Option[(String, String)]]] = {
+    if (staged.isEmpty) return Some(pks.map(_ => None)) // empty key set
+    val perPk = pks.map { pk =>
+      val folded = staged.map { f =>
+        f.stats.get(pk) match {
+          case Some(graft.catalog.ColumnStats(Some(mn), Some(mx), _, _, _)) =>
+            Some(Some((mn, mx)))
+          case Some(graft.catalog.ColumnStats(None, None, Some(nulls), _, _))
+              if nulls == f.rowCount => Some(None) // all-null in this file
+          case _ => None // stats missing/unusable: caller must aggregate
+        }
+      }
+      if (folded.contains(None)) return None
+      folded.flatten.flatten
+    }
+    Some(pks.zip(perPk).map { case (pk, bounds) =>
+      if (bounds.isEmpty) None // all-null across every file
+      else {
+        // typed fold across files with the SAME comparator the pruner
+        // uses — a lexical fold on numeric canonical strings would pick
+        // "9" over "10" as the max
+        val dt = schema(pk).dataType
+        Some(bounds.reduceLeft[(String, String)] {
+          case ((lo1, hi1), (lo2, hi2)) => (
+            if (graft.catalog.StatCompare.compare(dt, lo1, lo2) <= 0) lo1 else lo2,
+            if (graft.catalog.StatCompare.compare(dt, hi1, hi2) >= 0) hi1 else hi2)
+        })
+      }
+    })
+  }
+
+  /** Best-effort recursive delete of a scratch directory. */
+  private[write] def deleteQuietly(p: java.nio.file.Path): Unit =
+    try {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => try { java.nio.file.Files.deleteIfExists(f); () }
+          catch { case _: Throwable => () })
+      finally s.close()
+    } catch { case _: Throwable => () }
 
   /** Upsert batches at or below this many rows (== distinct keys) stage
     * into one file regardless of clustering, so the range-sampling pass
