@@ -998,17 +998,29 @@ object Multimodal {
     (durationUs, withFrags, blob.length.toLong)
   }
 
-  /** Bounded per-JVM memo of decoded frame dimensions keyed on the exact
-    * JPEG bytes (content equality via ByteBuffer): a corpus with repeated
-    * frames — thumbnails, test fixtures, re-encoded stills — decodes each
-    * DISTINCT frame once per executor instead of once per occurrence.
-    * Decode failures are never cached (the require must fire per doc). */
+  /** Bounded per-JVM memo of decoded frame dimensions keyed on
+    * (length, 128-bit MD5) of the JPEG bytes — NOT on the bytes
+    * themselves: retaining full frames would pin up to 16384 × frame-size
+    * of executor heap for the JVM lifetime on a real corpus (100 KB–1 MB
+    * frames → multi-GB), where the digest key is a flat ~40 B/entry.
+    * A corpus with repeated frames — thumbnails, test fixtures,
+    * re-encoded stills — decodes each DISTINCT frame once per executor
+    * instead of once per occurrence; the MD5 is ~10³× cheaper than the
+    * ImageIO decode it memoizes. Decode failures are never cached (the
+    * require must fire per doc). */
+  private final case class FrameKey(len: Int, h1: Long, h2: Long)
   private val frameDimCache = new java.util.concurrent.ConcurrentHashMap[
-    java.nio.ByteBuffer, (Int, Int)]()
+    FrameKey, (Int, Int)]()
   private val FrameDimCacheMax = 16384
 
+  private def frameKey(bytes: Array[Byte]): FrameKey = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val bb = java.nio.ByteBuffer.wrap(d)
+    FrameKey(bytes.length, bb.getLong, bb.getLong)
+  }
+
   private def decodeFrameDims(bytes: Array[Byte]): Option[(Int, Int)] = {
-    val key = java.nio.ByteBuffer.wrap(bytes)
+    val key = frameKey(bytes)
     val hit = frameDimCache.get(key)
     if (hit != null) return Some(hit)
     val img = javax.imageio.ImageIO.read(
@@ -1018,6 +1030,15 @@ object Multimodal {
     if (frameDimCache.size < FrameDimCacheMax)
       frameDimCache.putIfAbsent(key, dims)
     Some(dims)
+  }
+
+  /** Bench/test hook: drop the per-JVM codec memos so a timed run
+    * measures cold-cache cost (the bench clears between best-of-N runs —
+    * without this, run 2 re-reads run 1's memo and the reported minimum
+    * measures a warm cache, not the operator). */
+  def clearMemos(): Unit = {
+    solidJpegCache.clear()
+    frameDimCache.clear()
   }
 
   def sampleVideoFrames(blobs: DataFrame, k: Int = 4): Dataset[VideoFrame] = {
