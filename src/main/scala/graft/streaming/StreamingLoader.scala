@@ -265,19 +265,42 @@ final class StreamingLoader(catalog: GraftCatalog) {
                       Seq(batch.join(keep.union(sigless), "doc_id")),
                       Append, cfg, loadId)
                   val keptSigs = incSigs.join(keep, "doc_id")
-                  if (!sigsDone)
-                    writer.writeTable(ns, sigsTable,
-                      Seq(keptSigs), Append, cfg, loadId)
-                  if (!bandsDone) {
-                    writer.writeTable(ns, bandsTable,
-                      Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
-                        numHashes = numHashes, bands = bands)),
-                      Append, bandCfg, loadId)
-                    ensureProps(ns, bandsTable, bandPropStamp,
-                      cfg.retryUnitMs)
-                    warnIfIndexOutgrown(ns, bandsTable, effectiveBuckets,
-                      bands)
-                  }
+                  // sigs ∥ bands (r15, guide §2.6): both writes read only
+                  // checkpointed inputs and commit to DIFFERENT tables, so
+                  // the bands write overlaps the sigs write instead of
+                  // serializing behind it — per-batch commit fixed cost is
+                  // what dominates trickle streams. The docs commit above
+                  // stays strictly FIRST (it is the replay anchor). The new
+                  // crash window this opens — bands committed, sigs not —
+                  // replays to the IDENTICAL keep-set: candidates drawn
+                  // from this batch's own early-committed band rows drop in
+                  // the verify join because the signature table still
+                  // excludes the batch (pinned by StreamingSpec "crash
+                  // window: bands committed before sigs").
+                  val bandsWrite = new java.util.concurrent.FutureTask[Unit](
+                    () => if (!bandsDone) {
+                      writer.writeTable(ns, bandsTable,
+                        Seq(graft.llmops.Dedup.sigBandKeys(keptSigs,
+                          numHashes = numHashes, bands = bands)),
+                        Append, bandCfg, loadId)
+                      ensureProps(ns, bandsTable, bandPropStamp,
+                        cfg.retryUnitMs)
+                      warnIfIndexOutgrown(ns, bandsTable, effectiveBuckets,
+                        bands)
+                    })
+                  val bandsThread =
+                    new Thread(bandsWrite, s"graft-bands-$loadId")
+                  bandsThread.setDaemon(true)
+                  bandsThread.start()
+                  try {
+                    if (!sigsDone)
+                      writer.writeTable(ns, sigsTable,
+                        Seq(keptSigs), Append, cfg, loadId)
+                  } finally bandsThread.join() // both writes finish before
+                    // the batch completes, even when the sigs write throws
+                  try bandsWrite.get() // rethrow a bands-write failure
+                  catch { case e: java.util.concurrent.ExecutionException =>
+                    throw e.getCause }
                 } // keep's checkpoint blocks are ContextCleaner-collected
                   // once the frame goes unreferenced (no unpersist API for
                   // local checkpoints)

@@ -331,6 +331,93 @@ class StreamingSpec extends AnyFunSuite {
       "rebuilt band index must cover exactly the committed signatures")
   }
 
+  test("near-dedup stream: crash window with bands committed BEFORE sigs replays to the identical keep-set") {
+    import spark.implicits._
+    // The sigs ∥ bands write overlap admits a crash state the serial order
+    // could not: docs + bands committed, sigs not. Replay then runs the
+    // dedup with a band index that already contains THIS batch's rows —
+    // safe iff candidates drawn from those rows drop in the verify join
+    // (the signature table still excludes the batch). This test pins that
+    // window with a corpus whose signature table is NON-empty, so a wrong
+    // implementation (e.g. verifying against the index instead of the sigs
+    // table) would self-match and empty the keep-set.
+    val cfg = WriteConfig(retryUnitMs = 1)
+    val bandCfg = cfg.copy(partitions =
+      Seq(graft.partition.PartitionHint.bucket(16, "bkey")))
+    val corpus = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    val batchNew = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") >= 40 && col("doc_id") < 80)
+    // a planted near-copy of a corpus doc (the startNearDeduped chunk
+    // recipe: one appended token, shingle-Jaccard ~0.9) must be absorbed
+    val planted = corpus.filter(col("doc_id") === 5)
+      .select(lit(990005L).as("doc_id"),
+        concat(col("text"), lit(" graftmarker")).as("text"))
+    val batchDocs = batchNew.unionByName(planted)
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-nd-overlap-").toString)
+    val w = new graft.write.GraftWriter(cat)
+    // committed corpus (a completed earlier load): docs + sigs + bands
+    val corpusSigs = graft.llmops.Dedup.minHashSignatures(corpus)
+    w.writeTable("main", "dc", Seq(corpus), graft.write.Append, cfg, "setup")
+    w.writeTable("main", "ds", Seq(corpusSigs), graft.write.Append, cfg, "setup")
+    w.writeTable("main", "ds_bands",
+      Seq(graft.llmops.Dedup.sigBandKeys(corpusSigs)),
+      graft.write.Append, bandCfg, "setup")
+    // parameter stamp so the replay takes the committed-index path (the
+    // exact path whose early bands commit creates the window)
+    cat.loadTable("main", "ds_bands").commit(m => m.copy(properties =
+      m.properties + (graft.llmops.Dedup.NumHashesProp -> "64")
+        + (graft.llmops.Dedup.BandsProp -> "32")), unitMs = 1)
+    // what the crashed run would have computed and committed: keep-set
+    // from the pre-crash state (sigs table WITHOUT the batch)
+    val incSigs = graft.llmops.Dedup.minHashSignatures(batchDocs)
+    val keepIds = graft.llmops.Dedup
+      .incrementalNearDedup(incSigs, corpusSigs)
+      .filter(col("is_new")).select("doc_id")
+    val sigless = batchDocs.select(col("doc_id"))
+      .join(incSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val expectedKeep = keepIds.as[Long].collect().toSet
+    assert(!expectedKeep.contains(990005L),
+      "planted near-copy must not survive the dedup")
+    // crash window: docs AND bands landed under the stream's loadId,
+    // sigs did NOT
+    w.writeTable("main", "dc",
+      Seq(batchDocs.join(keepIds.union(sigless), "doc_id")),
+      graft.write.Append, cfg, "ndo-batch-0")
+    w.writeTable("main", "ds_bands",
+      Seq(graft.llmops.Dedup.sigBandKeys(incSigs.join(keepIds, "doc_id"))),
+      graft.write.Append, bandCfg, "ndo-batch-0")
+    // replay the batch
+    val srcDir = Files.createTempDirectory("graft-nd-overlap-src-")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val loader = new StreamingLoader(cat)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+      cfg = cfg, queryName = "ndo",
+      checkpoint = Some(Files.createTempDirectory("graft-nd-overlap-ck-").toString))
+    try q.awaitTermination() finally q.stop()
+    // docs and bands: replay must NOT double-commit (setup + batch only)
+    val dc = cat.loadTable("main", "dc")
+    val db = cat.loadTable("main", "ds_bands")
+    assert(dc.metadata.snapshots.count(_.loadId.exists(_.contains("ndo-batch-0"))) == 1,
+      s"replay double-committed docs: ${dc.metadata.snapshots.map(_.loadId)}")
+    assert(db.metadata.snapshots.count(_.loadId.exists(_.contains("ndo-batch-0"))) == 1,
+      s"replay double-committed bands: ${db.metadata.snapshots.map(_.loadId)}")
+    // sigs: the replay committed exactly the MISSING half with the
+    // IDENTICAL keep-set — a self-matching replay would commit fewer ids
+    val ds = cat.loadTable("main", "ds")
+    assert(ds.metadata.snapshots.count(_.loadId.exists(_.contains("ndo-batch-0"))) == 1,
+      s"sigs must commit exactly once on replay: ${ds.metadata.snapshots.map(_.loadId)}")
+    val sigIds = ds.read().select("doc_id").as[Long].collect().toSet
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(sigIds == corpusIds ++ expectedKeep,
+      s"replayed keep-set diverged: got ${sigIds.size} ids, " +
+        s"expected ${(corpusIds ++ expectedKeep).size}")
+  }
+
   test("near-dedup stream: committed band index SPJ-resolves — corpus side never shuffles") {
     import spark.implicits._
     // two chunks: chunk 1 plants a near-copy of a chunk-0 doc, so batch 1
