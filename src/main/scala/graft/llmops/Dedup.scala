@@ -715,16 +715,27 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+      .distinct().cache()
 
     // verify candidates with exact Jaccard — but only over candidate
     // pairs: expand each candidate's left-side shingles, then hash-join on
     // (b, g). Unlike the full g-equality self-join, this never explodes on
     // common shingles; cost is |candidates| x shingles-per-doc.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // r15: the verify joins only ever consult documents that appear in a
+    // candidate pair, but `sh` carried EVERY document's shingles into
+    // both joins. Semi-join sh down to candidate docs first: the
+    // candidate-id set is near-dup-pair-sized (tiny vs corpus), so AQE
+    // plans the semi-join as a broadcast and non-candidate shingles drop
+    // MAP-SIDE before the (b, g) shuffle — inner-join semantics make the
+    // restriction lossless (sizes of candidate docs are computed over
+    // their FULL shingle sets either way).
+    val candIds = candidates.select(col("a").as("doc_id"))
+      .union(candidates.select(col("b").as("doc_id"))).distinct()
+    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi").cache()
+    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = candidates
-      .join(sh.withColumnRenamed("doc_id", "a"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b"), Seq("b", "g"))
+      .join(candSh.withColumnRenamed("doc_id", "a"), "a")
+      .join(candSh.withColumnRenamed("doc_id", "b"), Seq("b", "g"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
