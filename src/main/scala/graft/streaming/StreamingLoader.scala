@@ -20,6 +20,32 @@ final class StreamingLoader(catalog: GraftCatalog) {
 
   private val writer = new GraftWriter(catalog)
 
+  /** Lineage truncation for multi-consumer per-batch intermediates (the
+    * keep-sets and incoming signatures): `localCheckpoint(false)` by
+    * default — it truncates the logical plan so each downstream write
+    * stops re-analyzing the full SPJ-join lineage (measured r14: ~half of
+    * each heavy commit-loop entry was driver-side planning).
+    *
+    * FAILURE DOCTRINE (r15): local-checkpoint blocks live on executors
+    * un-replicated and are NOT recomputable — losing an executor
+    * mid-batch fails the micro-batch instead of recomputing lineage.
+    * That failure is SAFE here: the unit of retry is the whole
+    * foreachBatch body (Structured Streaming re-runs the batch id; batch
+    * loaders re-run the load), which re-derives every checkpointed frame
+    * from source data, and the per-table loadId ledger makes the re-run
+    * idempotent — already-committed halves are skipped, never
+    * re-applied. That replay path is exactly the one the StreamingSpec
+    * crash-window cases pin. On deployments where executor loss is
+    * ROUTINE rather than exceptional (dynamic allocation, spot
+    * instances), set [[StreamingLoader.LineageTruncationKey]] to
+    * "persist": same results, recomputable lineage, at the cost of
+    * per-action re-planning. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(StreamingLoader.LineageTruncationKey,
+        "localCheckpoint") == "persist")
+      df.persist()
+    else df.localCheckpoint(false)
+
   /** Attach a streaming DataFrame to a catalog table: every micro-batch
     * commits as load `<queryName>-batch-<id>`. Returns the started query
     * (caller owns lifecycle). */
@@ -197,9 +223,8 @@ final class StreamingLoader(catalog: GraftCatalog) {
             // themselves (measured: ~5.5 s driver-side of a 16 s entry).
             // Checkpointing truncates the lineage to a leaf; blocks are
             // batch-sized and freed with the session like any cache.
-            val incSigs = graft.llmops.Dedup
-              .minHashSignatures(batch, numHashes = numHashes)
-              .localCheckpoint(false)
+            val incSigs = truncateLineage(graft.llmops.Dedup
+              .minHashSignatures(batch, numHashes = numHashes))
             locally {
               if (!(docsDone && sigsDone)) {
                 val corpusSigs =
@@ -244,13 +269,12 @@ final class StreamingLoader(catalog: GraftCatalog) {
                 // merely persisted, each write's every action would still
                 // re-plan the full SPJ-join lineage (driver-side cost on
                 // par with the jobs; see incSigs note above)
-                val keep = graft.llmops.Dedup
+                val keep = truncateLineage(graft.llmops.Dedup
                   .incrementalNearDedup(incSigs, corpusSigs,
                     numHashes = numHashes, bands = bands,
                     simThreshold = simThreshold,
                     committedBandKeys = corpusIdx)
-                  .filter(col("is_new")).select("doc_id")
-                  .localCheckpoint(false)
+                  .filter(col("is_new")).select("doc_id"))
                 locally {
                   // docs too short to shingle (< n words) get NO MinHash
                   // signature, so they never appear in `keep` — they must
@@ -408,14 +432,13 @@ final class StreamingLoader(catalog: GraftCatalog) {
             // writes, and each write's every action would re-plan the full
             // SPJ-join lineage when merely cached — same measured
             // driver-side planning cost as startNearDeduped's keep-set
-            val keep =
-              (if (!catalog.tableExists(ns, assignTable))
+            val keep = truncateLineage(
+              if (!catalog.tableExists(ns, assignTable))
                 batch.select(col(idCol))
               else SemanticDedup.incrementalSemanticDedup(batch,
                   spjRead(batch.sparkSession, ns, assignTable),
                   cents, threshold, idCol, vecCol, probes)
                 .filter(col("is_new")).select(col(idCol)))
-                .localCheckpoint(false)
             locally {
               if (!vecsDone)
                 writer.writeTable(ns, vecsTable,
@@ -579,6 +602,14 @@ final class StreamingLoader(catalog: GraftCatalog) {
 }
 
 object StreamingLoader {
+
+  /** How per-batch multi-consumer intermediates cut their lineage:
+    * "localCheckpoint" (default — fastest planning; executor loss fails
+    * the batch, which the loadId ledger replays idempotently) or
+    * "persist" (recomputable lineage for deployments with routine
+    * executor churn). See [[StreamingLoader.truncateLineage]]'s doctrine
+    * note; results are identical either way (pinned by StreamingSpec). */
+  val LineageTruncationKey = "spark.graft.stream.lineageTruncation"
 
   /** Creation-time stamp on the committed centroid table: the k and dim
     * the corpus was bootstrapped with (introspection + drift audits). */

@@ -418,6 +418,38 @@ class StreamingSpec extends AnyFunSuite {
         s"expected ${(corpusIds ++ expectedKeep).size}")
   }
 
+  test("near-dedup stream: persist lineage-truncation mode produces identical tables") {
+    import spark.implicits._
+    // the localCheckpoint failure doctrine's escape hatch: deployments
+    // with routine executor churn set lineageTruncation=persist
+    // (recomputable lineage). Results must be IDENTICAL to the default.
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val srcDir = Files.createTempDirectory("graft-nd-lt-src-")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    def run(mode: Option[String]): (Set[Long], Set[Long], Long) = {
+      val iso = spark.newSession()
+      mode.foreach(m =>
+        iso.conf.set(StreamingLoader.LineageTruncationKey, m))
+      val cat = new GraftCatalog(iso,
+        Files.createTempDirectory(s"graft-nd-lt-${mode.getOrElse("dflt")}-").toString)
+      val loader = new StreamingLoader(cat)
+      val schema = iso.read.parquet(srcDir.toString).schema
+      val stream = iso.readStream.schema(schema).parquet(srcDir.toString)
+      val q = loader.startNearDeduped(stream, "main", "dc", "ds",
+        cfg = WriteConfig(retryUnitMs = 1), queryName = "ndlt",
+        checkpoint = Some(Files.createTempDirectory("graft-nd-lt-ck-").toString))
+      try q.awaitTermination() finally q.stop()
+      (cat.loadTable("main", "dc").read().select("doc_id").as[Long].collect().toSet,
+        cat.loadTable("main", "ds").read().select("doc_id").as[Long].collect().toSet,
+        cat.loadTable("main", "ds_bands").read().count())
+    }
+    val dflt = run(None)
+    val persisted = run(Some("persist"))
+    assert(dflt == persisted,
+      s"persist mode diverged from localCheckpoint mode: $dflt vs $persisted")
+  }
+
   test("near-dedup stream: committed band index SPJ-resolves — corpus side never shuffles") {
     import spark.implicits._
     // two chunks: chunk 1 plants a near-copy of a chunk-0 doc, so batch 1
