@@ -25,6 +25,44 @@ import scala.jdk.CollectionConverters._
   */
 object Stager {
 
+  /** Spark's default parquet timestamp encoding is INT96, which (a) is
+    * the one physical type the Iceberg spec forbids and (b) carries NO
+    * footer min/max — an engine-written timestamp column would be
+    * invisible to footer-stat pruning and to range claiming. Every
+    * staged write therefore runs under int64 TIMESTAMP_MICROS.
+    *
+    * The conf is SESSION-global, and staged writes can legitimately
+    * overlap on one session (the streaming loader's sigs ∥ bands
+    * writes; concurrent table loads), so a naive save/restore races: an
+    * interleaved restore reverts a sibling staged write to INT96 and
+    * silently drops the footer stats it relies on. Reference-count the
+    * flip PER SESSION instead — the first staged write on a session
+    * flips and remembers the caller's value, overlapping staged writes
+    * share the flipped state, and the last one out restores. A user's
+    * own concurrent non-staged write on the same session can still
+    * observe the flipped value for the duration (a session conf cannot
+    * be thread-confined); that window now only ever shows MICROS, never
+    * a mid-stage revert to INT96. */
+  private val TsKey = "spark.sql.parquet.outputTimestampType"
+  private val tsFlips = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, (Int, Option[String])]()
+
+  private def withMicrosTimestamps[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    tsFlips.compute(spark, (_, v) =>
+      if (v == null) {
+        val prev = spark.conf.getOption(TsKey)
+        spark.conf.set(TsKey, "TIMESTAMP_MICROS")
+        (1, prev)
+      } else (v._1 + 1, v._2))
+    try body
+    finally tsFlips.compute(spark, (_, v) =>
+      if (v._1 == 1) {
+        v._2.fold(spark.conf.unset(TsKey))(spark.conf.set(TsKey, _))
+        null // removes the entry — no session retention
+      } else (v._1 - 1, v._2))
+  }
+
   /** Order-preserving typed expression for a stat column: temporal types
     * as epoch longs, everything else as-is. Aggregated with typed min/max
     * and cast to the canonical string AFTER aggregation — casting before
@@ -160,17 +198,7 @@ object Stager {
       if (partitionCols.nonEmpty) writerBase.partitionBy(partitionCols: _*)
       else writerBase
     graft.JobDesc(spark, s"graft.stage:write $loadId") {
-      // Spark's default parquet timestamp encoding is INT96, which (a) is
-      // the one physical type the Iceberg spec forbids and (b) carries NO
-      // footer min/max — every engine-written timestamp column was
-      // invisible to footer-stat pruning and to range claiming. Write
-      // spec-conformant int64 micros instead (save/restore, same session
-      // hygiene as Tables.t's nanos flag).
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "TIMESTAMP_MICROS")
-      try writer.parquet(dest.toString)
-      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      withMicrosTimestamps(spark) { writer.parquet(dest.toString) }
     }
 
     val files = graft.catalog.PathIO.walk(dest)
