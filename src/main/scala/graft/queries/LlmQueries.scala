@@ -1580,6 +1580,15 @@ object LlmQueries {
               concat(col("text"), lit(" graftmarker")).as("text")))
         val cat = new graft.catalog.GraftCatalog(iso, wh)
         val w = new graft.write.GraftWriter(cat)
+        // the incoming-half MinHash staging reads nothing the corpus
+        // commits write — run it CONCURRENTLY with them (guide §2.6):
+        // its aggregation jobs back-fill the cores the commit protocol's
+        // driver-side phases leave idle
+        val incStage = new java.util.concurrent.FutureTask[Unit](() =>
+          stageForOracle(Dedup.minHashSignatures(incoming), "l57_inc_sigs"))
+        val incThread = new Thread(incStage, "l57-inc-stage")
+        incThread.setDaemon(true)
+        incThread.start()
         val corpusSigs = Dedup.minHashSignatures(corpus)
         w.writeTable("main", "corpus_sigs", Seq(corpusSigs),
           graft.write.Append, graft.write.WriteConfig(retryUnitMs = 10), "seed")
@@ -1594,7 +1603,9 @@ object LlmQueries {
         val committed = iso.table("graft_inear.main.corpus_sigs")
         val committedIdx = iso.table("graft_inear.main.corpus_bands")
         stageForOracle(committed, "l57_corpus_sigs")
-        stageForOracle(Dedup.minHashSignatures(incoming), "l57_inc_sigs")
+        try incStage.get() // staged inc sigs must exist before read-back
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
         // the staged signatures ARE the incoming-side input (identical
         // rows by construction): read them back instead of re-running the
         // whole incoming-half MinHash aggregation a second time — the
