@@ -1211,6 +1211,17 @@ object LlmQueries {
           .union(corpus.filter(col("vec_id") % 9 === 0)
             .select((col("vec_id") + 3000000L).as("vec_id"),
               col("embedding")))
+        // the incoming-half oracle staging depends on nothing the
+        // centroid training or the commits produce — run it CONCURRENTLY
+        // (guide §2.6): its scan+write back-fills the cores Lloyd's
+        // driver-side collects and the commit protocol leave idle
+        val incStage = new java.util.concurrent.FutureTask[Unit](() =>
+          stageForOracle(incoming.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v")),
+            "l64_inc"))
+        val incThread = new Thread(incStage, "l64-inc-stage")
+        incThread.setDaemon(true)
+        incThread.start()
         val trained = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
         val cat = new graft.catalog.GraftCatalog(iso, wh)
         val w = new graft.write.GraftWriter(cat)
@@ -1246,10 +1257,11 @@ object LlmQueries {
             s"exchange), got $nSh")
         stageForOracle(committedAssign.select(col("vec_id"), col("v")),
           "l64_corpus")
-        stageForOracle(incoming.select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v")), "l64_inc")
         stageForOracle(SemanticDedup.incrementalSemanticCandidates(
           incoming, committedAssign, cents), "l64_cand")
+        try incStage.get() // staged inc vectors must exist for the oracle
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
         // persist: the recall require and the returned frame otherwise
         // execute the whole candidate-join + verify pipeline twice
         val res = SemanticDedup.incrementalSemanticDedup(
