@@ -1320,6 +1320,15 @@ object LlmQueries {
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("embedding"))
           .unionByName(perturbed)
+        // the incoming staging depends only on `incoming` — overlap it
+        // with the kmeans training collects (guide §2.6, the l57/l64
+        // pattern)
+        val incStage = new java.util.concurrent.FutureTask[Unit](() =>
+          stageForOracle(incoming.select(col("vec_id"),
+            col("embedding").as("v")), "l66_inc"))
+        val incThread = new Thread(incStage, "l66-inc-stage")
+        incThread.setDaemon(true)
+        incThread.start()
         val cents = SemanticDedup.kmeansCentroids(corpus, k = 8, iters = 3)
         // persist: the corpus assignment feeds the corpus staging, the
         // candidate staging, and the dedup — three executions of the
@@ -1327,10 +1336,11 @@ object LlmQueries {
         val assignTbl = SemanticDedup.assign(corpus, cents).persist()
         stageForOracle(assignTbl.select(col("vec_id"), col("v")),
           "l66_corpus")
-        stageForOracle(incoming.select(col("vec_id"),
-          col("embedding").as("v")), "l66_inc")
         stageForOracle(SemanticDedup.incrementalSemanticCandidates(
           incoming, assignTbl, cents, probes = 2), "l66_cand")
+        try incStage.get() // staged inc vectors must exist for the oracle
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
         // persist + ONE aggregate for the recall floor: unpersisted, the
         // candidate-join pipeline executed four times (two counts, the
         // require, the returned frame)
